@@ -1,0 +1,170 @@
+"""Keyed diff of two tables — the Compare tool, Spark-first.
+
+Reference semantics (app/(contents)/compare/page.tsx):
+
+- ``buildKeyMap`` (:201-209): rows with null keys dropped; duplicate
+  keys last-wins.                                -> :func:`dedup_last_wins`
+- ``diffRows`` (:223-263): union of A/B keys; per key classify
+  ``deleted`` (A-only) / ``added`` (B-only) / ``same`` / ``changed``.
+                                                 -> :func:`diff`
+- ``shallowEqual``/``valueEqual`` (:211-221,272-280): equality on
+  stringified values.                            -> printable canon form
+- summary counters (:232-261)                    -> :func:`diff_summary`
+- ``explodeToFieldMismatches`` (:288-338): field-level long-format
+  mismatch table.                                -> :func:`field_mismatches`
+- default key = first common column (:532-537)   -> :func:`infer_key`
+
+Scale notes: the single full-outer join shuffles both sides on the key —
+Catalyst/AQE picks sort-merge (or broadcast if one side is small). The
+field unpivot is a narrow ``stack`` over the join output: no second
+shuffle. ``added``/``deleted`` are exposed as real anti-joins too
+(:func:`added_keys`/:func:`deleted_keys`) so at scale you can compute
+just one class without materializing the full diff.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .schema import printable_col
+
+DIFF_STATUS_COL = "status"
+
+
+def infer_key(a: DataFrame, b: DataFrame) -> str:
+    """First column of A that also exists in B (compare/page.tsx:532-537)."""
+    b_cols = set(b.columns)
+    for c in a.columns:
+        if c in b_cols:
+            return c
+    raise ValueError("no common column between the two tables")
+
+
+def dedup_last_wins(df: DataFrame, key: str, order_col: str | None = None) -> DataFrame:
+    """Drop null-key rows; keep the last row per key (compare/page.tsx:201-209).
+
+    "Last" needs an explicit order in a distributed setting: pass
+    ``order_col`` (e.g. an ingest sequence). Without one we fall back to
+    ``monotonically_increasing_id`` which preserves file order within a
+    single-file read — documented divergence from the reference's
+    implicit array order.
+    """
+    ordered = df.withColumn(
+        "__seq__", F.col(order_col) if order_col else F.monotonically_increasing_id()
+    )
+    w = Window.partitionBy(key).orderBy(F.desc("__seq__"))
+    return (
+        ordered.filter(F.col(key).isNotNull())
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__", "__seq__")
+    )
+
+
+def _canonize(df: DataFrame, key: str, cols: list[str], scale: int | None) -> DataFrame:
+    """Key + printable-string compare columns; null keys dropped."""
+    return df.filter(F.col(key).isNotNull()).select(
+        F.col(key),
+        *[printable_col(df, c, scale=scale) for c in cols],
+    )
+
+
+def diff(
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+    compare_cols: list[str] | None = None,
+    scale: int | None = 2,
+) -> DataFrame:
+    """Full-outer keyed diff (compare/page.tsx:223-263).
+
+    Returns one row per key in the union of A/B keys with columns:
+    ``key``, ``status`` in {added, deleted, changed, same}, and the
+    stringified ``a_<col>`` / ``b_<col>`` values for each compared
+    column. Equality is on canonical string forms (W2/W3 semantics);
+    ``scale`` fixes the decimal rendering of float columns so Spark and
+    SQL oracles agree.
+    """
+    cols = compare_cols or [c for c in a.columns if c != key and c in set(b.columns)]
+    a_n = _canonize(a, key, cols, scale)
+    b_n = _canonize(b, key, cols, scale)
+
+    a_side = a_n.select(
+        F.col(key).alias("__a_key__"), *[F.col(c).alias(f"a_{c}") for c in cols]
+    )
+    b_side = b_n.select(
+        F.col(key).alias("__b_key__"), *[F.col(c).alias(f"b_{c}") for c in cols]
+    )
+    joined = a_side.join(
+        b_side, a_side["__a_key__"] == b_side["__b_key__"], "full_outer"
+    )
+
+    all_equal = F.lit(True)
+    for c in cols:
+        all_equal = all_equal & (F.col(f"a_{c}") == F.col(f"b_{c}"))
+
+    status = (
+        F.when(F.col("__b_key__").isNull(), F.lit("deleted"))
+        .when(F.col("__a_key__").isNull(), F.lit("added"))
+        .when(all_equal, F.lit("same"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        F.coalesce(F.col("__a_key__"), F.col("__b_key__")).alias(key),
+        status.alias(DIFF_STATUS_COL),
+        *[F.coalesce(F.col(f"a_{c}"), F.lit("")).alias(f"a_{c}") for c in cols],
+        *[F.coalesce(F.col(f"b_{c}"), F.lit("")).alias(f"b_{c}") for c in cols],
+    )
+
+
+def diff_summary(diff_df: DataFrame) -> DataFrame:
+    """Status counts (compare/page.tsx:232-261). One partial+final agg."""
+    return diff_df.groupBy(DIFF_STATUS_COL).agg(F.count("*").alias("cnt"))
+
+
+def field_mismatches(diff_df: DataFrame, key: str) -> DataFrame:
+    """Field-level long format (compare/page.tsx:288-338).
+
+    ``changed`` rows emit one row per differing field; ``added`` /
+    ``deleted`` rows one row per non-empty field (missing fields print
+    as '' in the reference, so present==non-empty at the string edge).
+    Columns: key, field, status, a_value, b_value. Narrow op — a
+    ``stack`` over the diff output, no extra shuffle.
+    """
+    cols = sorted({c[2:] for c in diff_df.columns if c.startswith("a_")})
+    n = len(cols)
+    stack_args = ", ".join(
+        f"'{c}', a_{c}, b_{c}" for c in cols
+    )
+    long = diff_df.filter(F.col(DIFF_STATUS_COL) != "same").select(
+        F.col(key),
+        F.col(DIFF_STATUS_COL),
+        F.expr(f"stack({n}, {stack_args}) as (field, a_value, b_value)"),
+    )
+    keep = (
+        ((F.col(DIFF_STATUS_COL) == "changed") & (F.col("a_value") != F.col("b_value")))
+        | ((F.col(DIFF_STATUS_COL) == "deleted") & (F.col("a_value") != ""))
+        | ((F.col(DIFF_STATUS_COL) == "added") & (F.col("b_value") != ""))
+    )
+    return long.filter(keep).select(
+        key,
+        "field",
+        DIFF_STATUS_COL,
+        F.when(F.col(DIFF_STATUS_COL) == "added", F.lit("")).otherwise(F.col("a_value")).alias("a_value"),
+        F.when(F.col(DIFF_STATUS_COL) == "deleted", F.lit("")).otherwise(F.col("b_value")).alias("b_value"),
+    )
+
+
+def added_keys(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
+    """Keys present only in B — the 'added' class as a real anti-join."""
+    return b.filter(F.col(key).isNotNull()).join(
+        a.select(key).filter(F.col(key).isNotNull()), on=key, how="left_anti"
+    )
+
+
+def deleted_keys(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
+    """Keys present only in A — the 'deleted' class as a real anti-join."""
+    return a.filter(F.col(key).isNotNull()).join(
+        b.select(key).filter(F.col(key).isNotNull()), on=key, how="left_anti"
+    )

@@ -1,0 +1,211 @@
+"""Driver-facing workloads: named queries + matching DuckDB oracle SQL.
+
+Each entry in :data:`QUERIES` is ``name -> callable(spark, sf_dir) ->
+DataFrame``; :data:`ORACLES` holds the ANSI-SQL equivalent DuckDB runs
+on the same parquet tables (views: region nation customer supplier part
+orders lineitem events documents embeddings). Column names are aliased
+identically on both sides — the driver hash-compares after sorting
+columns by name.
+
+The compare-tool queries diff ``orders`` against a deterministic
+perturbed variant (deletes / edits / inserts derived from the key), so
+both engines can construct the identical pair without extra fixtures.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import compare
+
+# ---------------------------------------------------------------------------
+# deterministic "B" variant of orders: ~5% deleted, ~14% edited, ~7% added
+# ---------------------------------------------------------------------------
+
+ORDERS_COLS = [
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def orders_variant(orders: DataFrame) -> DataFrame:
+    """B = orders minus (key%19==0), edits on (key%7==1), inserts from (key%13==0)."""
+    k = F.col("o_orderkey")
+    edited = (
+        orders.filter(k % 19 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(k % 7 == 1, F.col("o_totalprice") + 100.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(k % 7 == 1, F.lit("X-URGENT")).otherwise(F.col("o_orderpriority")),
+        )
+    )
+    inserted = orders.filter(k % 13 == 0).withColumn(
+        "o_orderkey", k + F.lit(100000000)
+    )
+    return edited.unionByName(inserted)
+
+
+_ORACLE_VARIANT_CTE = """
+b_raw AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 7 = 1 THEN o_totalprice + 100.0
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderdate,
+           CASE WHEN o_orderkey % 7 = 1 THEN 'X-URGENT'
+                ELSE o_orderpriority END AS o_orderpriority
+    FROM orders WHERE o_orderkey % 19 <> 0
+    UNION ALL
+    SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 13 = 0
+)
+"""
+
+
+def _oracle_printable(table: str) -> str:
+    """Canonical-string projection matching schema.printable_col(scale=2)."""
+    return f"""
+    SELECT o_orderkey,
+           coalesce(CAST(o_custkey AS VARCHAR), '')                          AS o_custkey,
+           coalesce(o_orderstatus, '')                                       AS o_orderstatus,
+           coalesce(CAST(CAST(o_totalprice AS DECIMAL(38,2)) AS VARCHAR),'') AS o_totalprice,
+           coalesce(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '')          AS o_orderdate,
+           coalesce(o_orderpriority, '')                                     AS o_orderpriority
+    FROM {table} WHERE o_orderkey IS NOT NULL
+    """
+
+
+_ORACLE_DIFF_CTE = (
+    "WITH "
+    + _ORACLE_VARIANT_CTE
+    + f""",
+a_n AS ({_oracle_printable("orders")}),
+b_n AS ({_oracle_printable("b_raw")}),
+diff AS (
+    SELECT coalesce(a_n.o_orderkey, b_n.o_orderkey) AS o_orderkey,
+           CASE WHEN b_n.o_orderkey IS NULL THEN 'deleted'
+                WHEN a_n.o_orderkey IS NULL THEN 'added'
+                WHEN a_n.o_custkey = b_n.o_custkey
+                 AND a_n.o_orderstatus = b_n.o_orderstatus
+                 AND a_n.o_totalprice = b_n.o_totalprice
+                 AND a_n.o_orderdate = b_n.o_orderdate
+                 AND a_n.o_orderpriority = b_n.o_orderpriority THEN 'same'
+                ELSE 'changed' END AS status,
+           coalesce(a_n.o_custkey, '')      AS a_o_custkey,
+           coalesce(a_n.o_orderstatus, '')  AS a_o_orderstatus,
+           coalesce(a_n.o_totalprice, '')   AS a_o_totalprice,
+           coalesce(a_n.o_orderdate, '')    AS a_o_orderdate,
+           coalesce(a_n.o_orderpriority, '') AS a_o_orderpriority,
+           coalesce(b_n.o_custkey, '')      AS b_o_custkey,
+           coalesce(b_n.o_orderstatus, '')  AS b_o_orderstatus,
+           coalesce(b_n.o_totalprice, '')   AS b_o_totalprice,
+           coalesce(b_n.o_orderdate, '')    AS b_o_orderdate,
+           coalesce(b_n.o_orderpriority, '') AS b_o_orderpriority
+    FROM a_n FULL OUTER JOIN b_n ON a_n.o_orderkey = b_n.o_orderkey
+)
+"""
+)
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# compare tool queries (SURVEY §2.4/§2.5/§2.7: J1-J4, A1, W1-W3)
+# ---------------------------------------------------------------------------
+
+
+def q_compare_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _load(spark, sf_dir, "orders")
+    return compare.diff(orders, orders_variant(orders), "o_orderkey")
+
+
+def q_compare_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compare.diff_summary(q_compare_diff(spark, sf_dir))
+
+
+def q_compare_field_mismatches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compare.field_mismatches(q_compare_diff(spark, sf_dir), "o_orderkey")
+
+
+def q_compare_added(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _load(spark, sf_dir, "orders")
+    return compare.added_keys(orders, orders_variant(orders), "o_orderkey").select(
+        "o_orderkey"
+    )
+
+
+def q_compare_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _load(spark, sf_dir, "orders")
+    return compare.deleted_keys(orders, orders_variant(orders), "o_orderkey").select(
+        "o_orderkey"
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "compare_diff": q_compare_diff,
+    "compare_diff_summary": q_compare_diff_summary,
+    "compare_field_mismatches": q_compare_field_mismatches,
+    "compare_added_keys": q_compare_added,
+    "compare_deleted_keys": q_compare_deleted,
+}
+
+ORACLES: dict[str, str] = {
+    "compare_diff": _ORACLE_DIFF_CTE + "SELECT * FROM diff",
+    "compare_diff_summary": _ORACLE_DIFF_CTE
+    + "SELECT status, count(*) AS cnt FROM diff GROUP BY status",
+    "compare_field_mismatches": _ORACLE_DIFF_CTE
+    + """,
+long AS (
+    SELECT o_orderkey, status, f.field,
+           CASE f.field
+                WHEN 'o_custkey' THEN a_o_custkey
+                WHEN 'o_orderdate' THEN a_o_orderdate
+                WHEN 'o_orderpriority' THEN a_o_orderpriority
+                WHEN 'o_orderstatus' THEN a_o_orderstatus
+                WHEN 'o_totalprice' THEN a_o_totalprice END AS a_value,
+           CASE f.field
+                WHEN 'o_custkey' THEN b_o_custkey
+                WHEN 'o_orderdate' THEN b_o_orderdate
+                WHEN 'o_orderpriority' THEN b_o_orderpriority
+                WHEN 'o_orderstatus' THEN b_o_orderstatus
+                WHEN 'o_totalprice' THEN b_o_totalprice END AS b_value
+    FROM diff, (SELECT unnest(['o_custkey','o_orderdate','o_orderpriority',
+                               'o_orderstatus','o_totalprice']) AS field) f
+    WHERE status <> 'same'
+)
+SELECT o_orderkey, field, status,
+       CASE WHEN status = 'added' THEN '' ELSE a_value END AS a_value,
+       CASE WHEN status = 'deleted' THEN '' ELSE b_value END AS b_value
+FROM long
+WHERE (status = 'changed' AND a_value <> b_value)
+   OR (status = 'deleted' AND a_value <> '')
+   OR (status = 'added'   AND b_value <> '')
+""",
+    "compare_added_keys": "WITH "
+    + _ORACLE_VARIANT_CTE
+    + """
+SELECT b_raw.o_orderkey FROM b_raw
+LEFT JOIN orders a ON b_raw.o_orderkey = a.o_orderkey
+WHERE a.o_orderkey IS NULL
+""",
+    "compare_deleted_keys": "WITH "
+    + _ORACLE_VARIANT_CTE
+    + """
+SELECT a.o_orderkey FROM orders a
+LEFT JOIN b_raw ON a.o_orderkey = b_raw.o_orderkey
+WHERE b_raw.o_orderkey IS NULL
+""",
+}

@@ -1,0 +1,92 @@
+"""Diff-operator algebra tests (SURVEY.md §5.4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from data__converter_spark import compare
+
+
+def summary_dict(diff_df):
+    return {r["status"]: r["cnt"] for r in compare.diff_summary(diff_df).collect()}
+
+
+def test_diff_self_all_same(spark, orders):
+    d = compare.diff(orders, orders, "o_orderkey")
+    assert summary_dict(d) == {"same": orders.count()}
+    assert compare.field_mismatches(d, "o_orderkey").count() == 0
+
+
+def test_diff_empty_all_deleted(spark, orders):
+    d = compare.diff(orders, orders.filter("1=0"), "o_orderkey")
+    assert summary_dict(d) == {"deleted": orders.count()}
+
+
+def test_diff_classifies_all_statuses(spark):
+    a = spark.createDataFrame(
+        [Row(k=1, v="x"), Row(k=2, v="y"), Row(k=3, v="z")]
+    )
+    b = spark.createDataFrame(
+        [Row(k=1, v="x"), Row(k=2, v="EDITED"), Row(k=4, v="new")]
+    )
+    d = compare.diff(a, b, "k")
+    statuses = {r["k"]: r["status"] for r in d.collect()}
+    assert statuses == {1: "same", 2: "changed", 3: "deleted", 4: "added"}
+
+
+def test_field_mismatches_long_format(spark):
+    a = spark.createDataFrame([Row(k=1, v="x", w="p"), Row(k=2, v="y", w="q")])
+    b = spark.createDataFrame([Row(k=1, v="X2", w="p"), Row(k=3, v="n", w="m")])
+    d = compare.diff(a, b, "k")
+    rows = {
+        (r["k"], r["field"]): (r["status"], r["a_value"], r["b_value"])
+        for r in compare.field_mismatches(d, "k").collect()
+    }
+    # changed row emits only the differing field
+    assert rows[(1, "v")] == ("changed", "x", "X2")
+    assert (1, "w") not in rows
+    # deleted/added rows emit one row per non-empty field with other side ''
+    assert rows[(2, "v")] == ("deleted", "y", "")
+    assert rows[(2, "w")] == ("deleted", "q", "")
+    assert rows[(3, "v")] == ("added", "", "n")
+    assert rows[(3, "w")] == ("added", "", "m")
+
+
+def test_null_vs_empty_string_equal_at_edge(spark):
+    # reference stringifies at the edge: null and '' are both '' (W2/W3)
+    a = spark.createDataFrame([(1, None)], "k int, v string")
+    b = spark.createDataFrame([(1, "")], "k int, v string")
+    d = compare.diff(a, b, "k")
+    assert summary_dict(d) == {"same": 1}
+
+
+def test_null_keys_dropped(spark):
+    a = spark.createDataFrame([Row(k=None, v="x"), Row(k=1, v="y")])
+    b = spark.createDataFrame([Row(k=1, v="y")])
+    d = compare.diff(a, b, "k")
+    assert summary_dict(d) == {"same": 1}
+
+
+def test_dedup_last_wins(spark):
+    df = spark.createDataFrame(
+        [Row(k=1, v="first"), Row(k=1, v="second"), Row(k=None, v="n"), Row(k=2, v="x")]
+    )
+    out = sorted((r["k"], r["v"]) for r in compare.dedup_last_wins(df, "k").collect())
+    assert out == [(1, "second"), (2, "x")]
+
+
+def test_infer_key_first_common_column(spark, orders):
+    a = orders.select("o_orderkey", "o_custkey")
+    b = orders.select("o_custkey", "o_orderkey")
+    assert compare.infer_key(a, b) == "o_orderkey"
+    assert compare.infer_key(b, a) == "o_custkey"
+
+
+def test_anti_join_classes_match_diff(spark, orders):
+    from data__converter_spark.workloads import orders_variant
+
+    b = orders_variant(orders)
+    d = compare.diff(orders, b, "o_orderkey")
+    s = summary_dict(d)
+    assert compare.added_keys(orders, b, "o_orderkey").count() == s.get("added", 0)
+    assert compare.deleted_keys(orders, b, "o_orderkey").count() == s.get("deleted", 0)

@@ -154,12 +154,104 @@ def q_compare_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# mask tool queries (SURVEY §2.8 F1/F2/F10/F11 — the deterministic kinds;
+# random-fill kinds are property-tested in tests/test_mask.py)
+# ---------------------------------------------------------------------------
+
+
+def q_mask_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .mask import FieldRule, compile_rule
+
+    customer = _load(spark, sf_dir, "customer")
+    return customer.select(
+        F.col("c_custkey"),
+        compile_rule("c_name", FieldRule("hashSHA256")).alias("name_hash"),
+        compile_rule("c_mktsegment", FieldRule("blank")).alias("mktsegment_masked"),
+        compile_rule("c_nationkey", FieldRule("none")).alias("nationkey_str"),
+    )
+
+
+def q_mask_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mask with random rules, then recover originals via the key table —
+    proves the ANON_ROW_ID recovery join (random/page.tsx:364-396)."""
+    from .mask import FieldRule, mask_table
+
+    customer = _load(spark, sf_dir, "customer")
+    masked, key = mask_table(
+        customer,
+        {
+            "c_name": FieldRule("fakeName"),
+            "c_acctbal": FieldRule("randomInt", int_min=0, int_max=9999),
+        },
+        seed=42,
+        id_cols=["c_custkey"],
+    )
+    recovered = masked.select("ANON_ROW_ID", "c_custkey").join(key, "ANON_ROW_ID")
+    return recovered.select(
+        "c_custkey",
+        F.col("ANON_ROW_ID").alias("anon_row_id"),
+        F.col("c_name").alias("orig_name"),
+        F.col("c_acctbal").cast("decimal(38,2)").cast("string").alias("orig_acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pattern tool queries (SURVEY §2.8 F12-F16, A2-A3) over `documents`
+# ---------------------------------------------------------------------------
+
+
+def q_pattern_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pattern import count_matches_col
+
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", count_matches_col("text", "data").alias("n_matches")
+    )
+
+
+def q_pattern_replace_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pattern import replace_all_col
+
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        replace_all_col("text", "data", "DATA", case_insensitive=True).alias("text_out"),
+    )
+
+
+def q_pattern_replace_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pattern import replace_first_col
+
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", replace_first_col("text", "the", "THE").alias("text_out")
+    )
+
+
+def q_pattern_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pattern import count_matches_col
+
+    docs = _load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("char_count"),
+        F.sum(count_matches_col("text", "join")).alias("join_matches"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compare_diff": q_compare_diff,
     "compare_diff_summary": q_compare_diff_summary,
     "compare_field_mismatches": q_compare_field_mismatches,
     "compare_added_keys": q_compare_added,
     "compare_deleted_keys": q_compare_deleted,
+    "mask_deterministic": q_mask_deterministic,
+    "mask_recovery_roundtrip": q_mask_recovery,
+    "pattern_count_matches": q_pattern_count,
+    "pattern_replace_all": q_pattern_replace_all,
+    "pattern_replace_first": q_pattern_replace_first,
+    "pattern_stats_by_lang": q_pattern_stats_by_lang,
 }
 
 ORACLES: dict[str, str] = {
@@ -207,5 +299,38 @@ WHERE a.o_orderkey IS NULL
 SELECT a.o_orderkey FROM orders a
 LEFT JOIN b_raw ON a.o_orderkey = b_raw.o_orderkey
 WHERE b_raw.o_orderkey IS NULL
+""",
+    "mask_deterministic": """
+SELECT c_custkey,
+       sha256(coalesce(CAST(c_name AS VARCHAR), ''))      AS name_hash,
+       ''                                                 AS mktsegment_masked,
+       coalesce(CAST(c_nationkey AS VARCHAR), '')         AS nationkey_str
+FROM customer
+""",
+    "mask_recovery_roundtrip": """
+SELECT c_custkey,
+       sha256('42' || chr(31) || coalesce(CAST(c_custkey AS VARCHAR), '')) AS anon_row_id,
+       CAST(c_name AS VARCHAR)                             AS orig_name,
+       CAST(CAST(c_acctbal AS DECIMAL(38,2)) AS VARCHAR)   AS orig_acctbal
+FROM customer
+""",
+    "pattern_count_matches": """
+SELECT doc_id, CAST(len(regexp_extract_all(text, 'data')) AS BIGINT) AS n_matches
+FROM documents
+""",
+    "pattern_replace_all": """
+SELECT doc_id, regexp_replace(text, '(?i)data', 'DATA', 'g') AS text_out
+FROM documents
+""",
+    "pattern_replace_first": """
+SELECT doc_id, regexp_replace(text, 'the', 'THE') AS text_out
+FROM documents
+""",
+    "pattern_stats_by_lang": """
+SELECT lang,
+       count(*)                                            AS n_docs,
+       sum(length(text))                                   AS char_count,
+       sum(CAST(len(regexp_extract_all(text, 'join')) AS BIGINT)) AS join_matches
+FROM documents GROUP BY lang
 """,
 }

@@ -1,0 +1,147 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- :func:`brute_force_topk` — exact cosine top-k per probe. The
+  correctness baseline: probes × corpus is fine when probes are few
+  (broadcast the probes, never shuffle the corpus).
+- :func:`lsh_topk` — random-hyperplane LSH: corpus and probes hash to
+  sign-pattern buckets; candidates come only from matching buckets
+  (with multi-probe re-ranking exact). The 100 TB path: the corpus is
+  bucketed once (write-time), each query touches ~n/2^bits rows.
+
+Cosine math runs in double precision with sequential folds
+(dedup.cosine_col) so the DuckDB oracle can reproduce values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import cosine_col
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each probe row.
+
+    Output: (probe_id, neighbor_id, cosine, rank). The probe side is
+    broadcast (it's small by construction); ranking is a window over
+    probe_id with a deterministic (cosine desc, neighbor_id) order.
+    """
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("neighbor_vec")
+    )
+    joined = c.join(F.broadcast(p), F.lit(True))
+    if not include_self:
+        joined = joined.filter(F.col("probe_id") != F.col("neighbor_id"))
+    scored = joined.select(
+        "probe_id",
+        "neighbor_id",
+        cosine_col(F.col("probe_vec"), F.col("neighbor_vec")).alias("cosine"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_bucket_col(
+    vec_col: str | Column, dim: int, bits: int = 8, seed: int = 42
+) -> Column:
+    """Random-hyperplane LSH bucket id (sign pattern of ``bits``
+    projections). Hyperplane components are derived from
+    ``xxhash64(seed, bit, dim_index)`` mapped to ±1 — deterministic,
+    no driver-side model, identical across runs and engines."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = F.lit(0).cast("long")
+    for b in range(bits):
+        # dot(v, h_b) where h_b[i] = +1/-1 from hash parity
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, i: x.cast("double")
+                * F.when(
+                    F.pmod(F.xxhash64(F.lit(seed), F.lit(b), i), 2) == 0, 1.0
+                ).otherwise(-1.0),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket.bitwiseOR(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share the probe's bucket in any of
+    ``tables`` independent hyperplane tables; exact cosine re-ranks the
+    candidate union. Recall ~ 1-(1-p^bits)^tables — tune ``bits`` down
+    or ``tables`` up for recall, the reverse for cost. Candidate volume
+    scales ~ tables * n / 2^bits per probe, never n².
+    """
+
+    def bucketed(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(vec_alias),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table"),
+                            hyperplane_bucket_col(vec_col, dim, bits, seed + t).alias(
+                                "bucket"
+                            ),
+                        )
+                        for t in range(tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(id_alias, vec_alias, "tb.table", "tb.bucket")
+
+    c = bucketed(corpus, "neighbor_id", "neighbor_vec")
+    p = bucketed(probes, "probe_id", "probe_vec")
+    cand = (
+        c.join(F.broadcast(p), ["table", "bucket"])
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "probe_vec", "neighbor_id", "neighbor_vec")
+        .dropDuplicates(["probe_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "probe_id",
+        "neighbor_id",
+        cosine_col(F.col("probe_vec"), F.col("neighbor_vec")).alias("cosine"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )

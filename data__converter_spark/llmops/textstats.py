@@ -1,0 +1,154 @@
+"""Text analysis over document tables — token counts, quality scores,
+language ID, fingerprints.
+
+All operators are pure Column expressions (JVM-side, codegen-friendly):
+at 100 TB a per-document Python hop would dominate the job, so nothing
+here uses a UDF. Patterns stick to constructs Java regex, RE2 and
+Python agree on so every op is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Whitespace-token split pattern: explicit class, no bare \s (engine parity).
+WS = "[ \\t\\r\\n]+"
+
+# BPE-ish piece pattern: letter runs, digit runs, or single punctuation —
+# a cheap proxy for subword token counts.
+BPE_PIECE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\r\\n]"
+
+# Small per-language stopword tables for the n-gram/stopword-hit language
+# heuristic. Deliberately tiny: the point is the operator shape (per-lang
+# hit score -> argmax), not lexicon quality.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+QUALITY_STOPWORDS = STOPWORDS["en"]
+
+
+def tokens_col(col: str | Column) -> Column:
+    """Whitespace tokens of a document (empty doc -> empty array)."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, WS)
+    )
+
+
+def token_count_col(col: str | Column) -> Column:
+    return F.size(tokens_col(col))
+
+
+def bpe_token_count_col(col: str | Column) -> Column:
+    """Count of BPE-ish pieces (letter runs / digit runs / punct chars)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_PIECE))
+
+
+def quality_features(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality signals: lengths, ratios, lexical diversity.
+
+    The standard pre-training filters (length bounds, punctuation ratio,
+    stopword ratio, type-token ratio) as one narrow projection.
+    """
+    toks = tokens_col(col)
+    n_tok = F.size(toks).cast("bigint")
+    n_chars = F.length(F.col(col)).cast("bigint")
+    n_punct = F.regexp_count(F.col(col), F.lit("[^A-Za-z0-9 \\t\\r\\n]")).cast("bigint")
+    stop_arr = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    n_uniq = F.size(F.array_distinct(toks))
+    safe_tok = F.when(n_tok > 0, n_tok.cast("double")).otherwise(F.lit(None))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        bpe_token_count_col(col).cast("bigint").alias("n_bpe_pieces"),
+        (n_chars.cast("double") / safe_tok).alias("mean_token_len"),
+        (n_punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")).alias(
+            "punct_ratio"
+        ),
+        (n_stop.cast("double") / safe_tok).alias("stopword_ratio"),
+        (n_uniq.cast("double") / safe_tok).alias("type_token_ratio"),
+    )
+
+
+def quality_score_col(col: str = "text") -> Column:
+    """Scalar quality score in [0,1]: penalize too-short/too-long docs,
+    high punctuation, and degenerate repetition."""
+    toks = tokens_col(col)
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length(F.col(col)).cast("double")
+    punct = F.regexp_count(F.col(col), F.lit("[^A-Za-z0-9 \\t\\r\\n]")).cast("double")
+    uniq_ratio = F.when(
+        n_tok > 0, F.size(F.array_distinct(toks)).cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(1.0)).otherwise(F.lit(0.3))
+    punct_ok = F.when(punct / F.greatest(n_chars, F.lit(1.0)) < 0.2, F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    return (len_ok * punct_ok * F.least(uniq_ratio * F.lit(2.0), F.lit(1.0))).alias(
+        "quality_score"
+    )
+
+
+def lang_scores(col: str = "text") -> dict[str, Column]:
+    """Per-language stopword-hit counts (the language-ID signal)."""
+    toks = F.transform(tokens_col(col), F.lower)
+    out = {}
+    for lang, words in STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def lang_id_col(col: str = "text", default: str = "und") -> Column:
+    """Predicted language = argmax of stopword hits; ties broken by
+    language-code order; zero hits -> ``default``."""
+    scores = lang_scores(col)
+    langs = sorted(scores)
+    # struct-max trick: max over (score, reversed-lang-rank) structs picks
+    # highest score, then earliest language code — one expression, no UDF.
+    packed = F.array(
+        *[
+            F.struct(
+                scores[lang].alias("score"),
+                F.lit(len(langs) - i).alias("tie"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    best = F.array_max(packed)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit(default))
+
+
+def shingles_col(col: str | Column, k: int = 3) -> Column:
+    """Word k-gram shingles as an array (empty when doc has < k tokens)."""
+    toks = tokens_col(col)
+    n = F.size(toks)
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        )
+    )
+
+
+def fingerprint_col(col: str | Column = "text", k: int = 3) -> Column:
+    """Document fingerprint: min SHA-256 over word k-gram shingles
+    (a 1-permutation MinHash — stable under small reorderings at the
+    edges); whole-doc hash when shorter than k tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    sh = shingles_col(c, k)
+    whole = F.sha2(F.coalesce(c.cast("string"), F.lit("")), 256)
+    return F.when(F.size(sh) == 0, whole).otherwise(
+        F.array_min(F.transform(sh, lambda s: F.sha2(s, 256)))
+    )

@@ -240,6 +240,113 @@ def q_pattern_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# llmops queries (beyond-reference, SURVEY §7.1 M6): dedup, text analysis,
+# similarity search
+# ---------------------------------------------------------------------------
+
+# Shared oracle CTE: whitespace tokens per document, mirroring
+# llmops.textstats.tokens_col (empty doc -> empty list).
+_WORDS_SQL = """
+WITH words_cte AS (
+    SELECT doc_id, text,
+           CASE WHEN length(trim(text)) = 0 THEN []
+                ELSE regexp_split_to_array(trim(text), '[ \\t\\r\\n]+') END AS words
+    FROM documents
+)
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmops.dedup import exact_dedup
+
+    return exact_dedup(_load(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmops.dedup import exact_dup_groups
+
+    return exact_dup_groups(_load(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _load(spark, sf_dir, "documents"), k=3, threshold=0.5
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmops.textstats import quality_features
+
+    return quality_features(_load(spark, sf_dir, "documents"))
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmops.textstats import lang_id_col
+
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id_col("text").alias("pred_lang"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmops.textstats import fingerprint_col
+
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_col("text", 3).alias("fingerprint"))
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmops.similarity import brute_force_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+    out = brute_force_topk(emb, probes, k=10)
+    return out.select(
+        "probe_id",
+        "neighbor_id",
+        F.round(F.col("cosine"), 6).alias("cosine_r"),
+        "rank",
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate near-dup via MinHash+LSH — no SQL oracle (rows-only
+    driver check); recall vs the exact baseline is pytest-verified."""
+    from .llmops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _load(spark, sf_dir, "documents"), k=3, num_hashes=64, bands=16, threshold=0.5
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmops.dedup import simhash_pairs
+
+    return simhash_pairs(_load(spark, sf_dir, "documents"), k=2, max_distance=3)
+
+
+def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmops.dedup import embedding_pairs
+
+    emb = _load(spark, sf_dir, "embeddings")
+    out = embedding_pairs(emb, threshold=0.9)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
+
+
+def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN — approximate, rows-only driver check."""
+    from .llmops.similarity import lsh_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+    out = lsh_topk(emb, probes, k=10, bits=6)
+    return out.select(
+        "probe_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r"), "rank"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compare_diff": q_compare_diff,
     "compare_diff_summary": q_compare_diff_summary,
@@ -252,6 +359,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pattern_replace_all": q_pattern_replace_all,
     "pattern_replace_first": q_pattern_replace_first,
     "pattern_stats_by_lang": q_pattern_stats_by_lang,
+    "dedup_exact": q_dedup_exact,
+    "dedup_exact_groups": q_dedup_exact_groups,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "text_quality_features": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "text_fingerprint": q_text_fingerprint,
+    "similarity_topk": q_similarity_topk,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_pairs": q_dedup_embedding_pairs,
+    "similarity_lsh_topk": q_similarity_lsh_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -332,5 +450,117 @@ SELECT lang,
        sum(length(text))                                   AS char_count,
        sum(CAST(len(regexp_extract_all(text, 'join')) AS BIGINT)) AS join_matches
 FROM documents GROUP BY lang
+""",
+    "dedup_exact": """
+SELECT d.* FROM documents d
+JOIN (
+    SELECT min(doc_id) AS doc_id
+    FROM documents GROUP BY sha256(coalesce(text, ''))
+) keep USING (doc_id)
+""",
+    "dedup_exact_groups": """
+SELECT sha256(coalesce(text, '')) AS digest,
+       count(*)     AS n_docs,
+       min(doc_id)  AS keep_id,
+       max(doc_id)  AS max_id
+FROM documents
+GROUP BY 1 HAVING count(*) > 1
+""",
+    "dedup_ngram_jaccard": _WORDS_SQL
+    + """
+, ss AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(words) - 1),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+    FROM words_cte WHERE len(words) >= 3
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+FROM ss a JOIN ss b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
+""",
+    "text_quality_features": _WORDS_SQL
+    + """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT)  AS n_chars,
+       CAST(len(words) AS BIGINT)    AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\r\\n]')) AS BIGINT)
+                                     AS n_bpe_pieces,
+       CAST(length(text) AS DOUBLE) / CAST(nullif(len(words), 0) AS DOUBLE)
+                                     AS mean_token_len,
+       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\r\\n]')) AS DOUBLE)
+         / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+       CAST(len(list_filter(words, w -> list_contains(
+            ['the','and','of','to','is','in','that','it'], lower(w)))) AS DOUBLE)
+         / CAST(nullif(len(words), 0) AS DOUBLE) AS stopword_ratio,
+       CAST(len(list_distinct(words)) AS DOUBLE)
+         / CAST(nullif(len(words), 0) AS DOUBLE) AS type_token_ratio
+FROM words_cte
+""",
+    "text_lang_id": _WORDS_SQL
+    + """
+, scores AS (
+    SELECT doc_id,
+        len(list_filter(words, w -> list_contains(['der','die','und','das','ist','nicht','ein','zu'], lower(w)))) AS s_de,
+        len(list_filter(words, w -> list_contains(['the','and','of','to','is','in','that','it'], lower(w))))      AS s_en,
+        len(list_filter(words, w -> list_contains(['el','la','de','que','y','los','en','un'], lower(w))))         AS s_es,
+        len(list_filter(words, w -> list_contains(['le','la','et','les','des','est','un','une'], lower(w))))      AS s_fr,
+        len(list_filter(words, w -> list_contains(['的','是','了','在','我','有','和','不'], lower(w))))            AS s_zh
+    FROM words_cte
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+            WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+            WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+            WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+            WHEN s_fr >= s_zh THEN 'fr'
+            ELSE 'zh' END AS pred_lang
+FROM scores
+""",
+    "text_fingerprint": _WORDS_SQL
+    + """
+, sh_cte AS (
+    SELECT doc_id, text,
+           CASE WHEN len(words) < 3 THEN []
+                ELSE list_transform(range(1, len(words) - 1),
+                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END AS sh
+    FROM words_cte
+)
+SELECT doc_id,
+       CASE WHEN len(sh) = 0 THEN sha256(coalesce(text, ''))
+            ELSE list_aggregate(list_transform(sh, s -> sha256(s)), 'min') END AS fingerprint
+FROM sh_cte
+""",
+    "similarity_topk": """
+WITH probes AS (
+    SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+    FROM embeddings WHERE vec_id % 25 = 0
+),
+scored AS (
+    SELECT p.probe_id, c.vec_id AS neighbor_id,
+           list_dot_product(CAST(c.embedding AS DOUBLE[]), p.pv)
+             / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(p.pv, p.pv))) AS cosine
+    FROM embeddings c CROSS JOIN probes p
+    WHERE c.vec_id <> p.probe_id
+),
+ranked AS (
+    SELECT probe_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT probe_id, neighbor_id, round(cosine, 6) AS cosine_r, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+""",
+    "dedup_embedding_pairs": """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.e, b.e)
+         / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine_r
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.9
 """,
 }

@@ -1,0 +1,195 @@
+"""llmops operators: dedup strategies, text stats, similarity search."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data__converter_spark.llmops import dedup, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base.replace("today", "tonight")  # 1-word edit
+    other = "completely different content about spark query engines and shuffles everywhere"
+    rows = [
+        (1, base),
+        (2, base),        # exact dup of 1
+        (3, near),        # near dup of 1
+        (4, other),
+        (5, "tiny doc"),  # < 3 tokens -> no shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, dup_docs):
+    out = dedup.exact_dedup(dup_docs)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3, 4, 5]
+    groups = dedup.exact_dup_groups(dup_docs).collect()
+    assert len(groups) == 1
+    assert (groups[0]["n_docs"], groups[0]["keep_id"], groups[0]["max_id"]) == (2, 1, 2)
+
+
+def test_exact_dedup_idempotent(spark, dup_docs):
+    once = dedup.exact_dedup(dup_docs)
+    twice = dedup.exact_dedup(once)
+    assert sorted(r["doc_id"] for r in twice.collect()) == sorted(
+        r["doc_id"] for r in once.collect()
+    )
+
+
+def test_ngram_jaccard_pairs(spark, dup_docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(dup_docs, k=3, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0          # exact dup
+    assert 0.5 <= pairs[(1, 3)] < 1.0    # near dup
+    assert (1, 4) not in pairs
+    assert (2, 3) in pairs
+
+
+def test_minhash_lsh_matches_exact_on_corpus(spark, documents):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(documents, k=3, threshold=0.5).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            documents, k=3, num_hashes=64, bands=16, threshold=0.5
+        ).collect()
+    }
+    # LSH verifies candidates with exact Jaccard -> no false positives
+    assert approx <= exact
+    # banding at 64/16 catches essentially everything at j>=0.5
+    assert len(approx) >= 0.9 * len(exact)
+
+
+def test_near_dedup_drops_pair_members(spark, dup_docs):
+    out = dedup.near_dedup(dup_docs, k=3, num_hashes=64, bands=16, threshold=0.5)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 4, 5]  # 2 and 3 collapse into 1
+
+
+def test_simhash_identity_and_near(spark, dup_docs):
+    h = {
+        r["doc_id"]: r["sh"]
+        for r in dup_docs.select(
+            "doc_id", dedup.simhash_col("text", 2).alias("sh")
+        ).collect()
+    }
+    assert h[1] == h[2]  # identical text -> identical simhash
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(dup_docs, k=2, max_distance=6).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs  # near dup within a few bits
+    assert (1, 4) not in pairs
+
+
+def test_hamming_col(spark):
+    df = spark.createDataFrame([(0, -1)], "a long, b long")
+    out = df.select(dedup.hamming64_col(F.col("a"), F.col("b")).alias("d")).collect()
+    assert out[0]["d"] == 64
+
+
+def test_embedding_pairs_self_similarity(spark, embeddings):
+    # append an exact copy of one vector -> cosine 1.0 pair must appear
+    v0 = embeddings.filter(F.col("vec_id") == 0).select(
+        F.lit(99999).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    aug = embeddings.unionByName(v0)
+    pairs = dedup.embedding_pairs(aug, threshold=0.999).collect()
+    assert any((r["id_a"], r["id_b"]) == (0, 99999) for r in pairs)
+
+
+def test_brute_force_topk(spark, embeddings):
+    probes = embeddings.filter(F.col("vec_id") < 3)
+    out = similarity.brute_force_topk(embeddings, probes, k=5)
+    rows = out.collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    assert set(by_probe) == {0, 1, 2}
+    for pid, rs in by_probe.items():
+        assert len(rs) == 5
+        assert sorted(r["rank"] for r in rs) == [1, 2, 3, 4, 5]
+        sims = [r["cosine"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != pid for r in rs)
+
+
+def test_lsh_topk_recall(spark, embeddings):
+    probes = embeddings.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(embeddings, probes, k=10)
+    approx = similarity.lsh_topk(embeddings, probes, k=10, bits=4)
+    e = {(r["probe_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["probe_id"], r["neighbor_id"]) for r in approx.collect()}
+    # 4-bit hyperplane buckets keep ~1/16 of corpus per probe; recall of the
+    # true top-10 should still be substantial (same-bucket bias)
+    assert len(a & e) / len(e) >= 0.3
+
+
+def test_tokens_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "  hello   world  "), (2, ""), (3, "a b, c!")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n"], r["bpe"])
+        for r in df.select(
+            "doc_id",
+            textstats.token_count_col("text").alias("n"),
+            textstats.bpe_token_count_col("text").alias("bpe"),
+        ).collect()
+    }
+    assert out[1] == (2, 2)
+    assert out[2] == (0, 0)
+    assert out[3] == (3, 5)  # a, b, ',', c, '!'
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is warm"),
+            (2, "der Hund ist nicht ein Problem und das ist gut"),
+            (3, "el perro y la casa de los vecinos en un pueblo"),
+            (4, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["lang"]
+        for r in df.select("doc_id", textstats.lang_id_col("text").alias("lang")).collect()
+    }
+    assert out[1] == "en" and out[2] == "de" and out[3] == "es" and out[4] == "und"
+
+
+def test_fingerprint_stability(spark, dup_docs):
+    fp = {
+        r["doc_id"]: r["fp"]
+        for r in dup_docs.select(
+            "doc_id", textstats.fingerprint_col("text", 3).alias("fp")
+        ).collect()
+    }
+    assert fp[1] == fp[2]          # identical docs
+    assert fp[1] != fp[4]          # different docs
+    assert len(fp[5]) == 64        # short doc falls back to whole-doc hash
+
+
+def test_quality_features_values(spark):
+    df = spark.createDataFrame([(1, "the cat the cat!")], "doc_id long, text string")
+    r = textstats.quality_features(df).collect()[0]
+    assert r["n_tokens"] == 4
+    assert r["n_chars"] == 16
+    assert r["stopword_ratio"] == 0.5      # 'the' x2 / 4
+    assert r["type_token_ratio"] == 0.75   # {the, cat, cat!} of 4
+    assert r["punct_ratio"] == 1 / 16
+
+
+def test_quality_score_bounds(spark, documents):
+    scores = documents.select(textstats.quality_score_col("text")).collect()
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in scores)

@@ -39,7 +39,9 @@ def printable_col(
     """
     schema = df_or_schema.schema if isinstance(df_or_schema, DataFrame) else df_or_schema
     dtype = schema[name].dataType
-    c = F.col(name)
+    # Backtick-quote so literal dots in names (flattened XML paths,
+    # SURVEY §1.3) resolve as top-level columns, not struct access.
+    c = F.col(f"`{name}`")
     if isinstance(dtype, T.TimestampType):
         s = F.date_format(c, TIMESTAMP_FMT)
     elif isinstance(dtype, T.DateType):

@@ -44,6 +44,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # The driver's events table stores TIMESTAMP(NANOS) parquet,
+        # which Spark rejects natively; read as int64 nanos and convert
+        # via ts_col() where timestamp semantics are needed.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -53,6 +57,20 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ts_col(name: str = "ts"):
+    """Nanosecond-epoch long column -> TimestampType (microsecond
+    truncation — Spark's native precision)."""
+    from pyspark.sql import functions as F
+
+    return F.timestamp_micros((F.col(name) / 1000).cast("long"))
+
+
+def load_events(spark: SparkSession, sf_dir: str):
+    """events table with ``ts`` as a proper timestamp column."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", ts_col("ts"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):

@@ -241,6 +241,85 @@ def q_pattern_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# convert-tool queries (SURVEY §2.1/§2.2/§2.3): the data-path pieces of the
+# I/O matrix that are SQL-expressible; the file-format edges live in
+# tests/test_io.py round-trips.
+# ---------------------------------------------------------------------------
+
+
+def q_convert_split_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/P2/K3: document -> lines (sentence-split), blanks dropped."""
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), "\\.")).alias("value"),
+        )
+        .withColumn("value", F.trim("value"))
+        .filter(F.length(F.col("value")) > 0)
+    )
+
+
+def q_convert_key_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/W4: key-union row-union of two ragged tables; missing -> ''
+    at the stringify edge (FileUploader.tsx:42-46,148-149)."""
+    from .schema import stringify_all, union_by_name
+
+    cust = _load(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("src"),
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    supp = _load(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("src"),
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return stringify_all(union_by_name([cust, supp]), scale=2)
+
+
+def q_convert_xml_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17/K4: XML entity escaping of text content (&<> -> entities)."""
+    cust = _load(spark, sf_dir, "customer")
+    raw = F.concat(F.lit("<"), F.col("c_name"), F.lit(" & "), F.col("c_mktsegment"), F.lit(">"))
+    esc = F.expr(
+        "replace(replace(replace(concat('<', c_name, ' & ', c_mktsegment, '>'),"
+        " '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    )
+    return cust.select(F.col("c_custkey").alias("id"), raw.alias("raw"), esc.alias("escaped"))
+
+
+def q_topk_two_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: two-key desc sort + limit 50 (admin/page.tsx:147 notice
+    query). Physically a TakeOrderedAndProject — no full sort."""
+    from .session import load_events
+
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.orderBy(F.desc("event_type"), F.desc("ts"), F.asc("event_id"))
+        .limit(50)
+        .select("event_id", "event_type", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"))
+    )
+
+
+def q_date_remaining_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20: subscription date arithmetic (admin/page.tsx:51-97) —
+    end = start + 30 days; remaining vs a fixed 'today' (inclusive,
+    clamped at 0)."""
+    orders = _load(spark, sf_dir, "orders")
+    today = F.lit("1995-06-01").cast("date")
+    end = F.date_add(F.col("o_orderdate").cast("date"), 30)
+    return orders.select(
+        "o_orderkey",
+        F.date_format(end, "yyyy-MM-dd").alias("end_date"),
+        F.greatest(F.datediff(end, today) + F.lit(1), F.lit(0)).alias("remaining_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # llmops queries (beyond-reference, SURVEY §7.1 M6): dedup, text analysis,
 # similarity search
 # ---------------------------------------------------------------------------
@@ -359,6 +438,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pattern_replace_all": q_pattern_replace_all,
     "pattern_replace_first": q_pattern_replace_first,
     "pattern_stats_by_lang": q_pattern_stats_by_lang,
+    "convert_split_lines": q_convert_split_lines,
+    "convert_key_union": q_convert_key_union,
+    "convert_xml_escape": q_convert_xml_escape,
+    "topk_two_key": q_topk_two_key,
+    "date_remaining_days": q_date_remaining_days,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_groups": q_dedup_exact_groups,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -450,6 +534,46 @@ SELECT lang,
        sum(length(text))                                   AS char_count,
        sum(CAST(len(regexp_extract_all(text, 'join')) AS BIGINT)) AS join_matches
 FROM documents GROUP BY lang
+""",
+    "convert_split_lines": """
+SELECT doc_id, trim(u.v) AS value
+FROM documents, unnest(string_split(text, '.')) AS u(v)
+WHERE length(trim(u.v)) > 0
+""",
+    "convert_key_union": """
+SELECT 'customer' AS src,
+       coalesce(CAST(c_custkey AS VARCHAR), '') AS id,
+       coalesce(c_name, '') AS name,
+       coalesce(CAST(CAST(c_acctbal AS DECIMAL(38,2)) AS VARCHAR), '') AS acctbal,
+       coalesce(c_mktsegment, '') AS mktsegment
+FROM customer
+UNION ALL
+SELECT 'supplier',
+       coalesce(CAST(s_suppkey AS VARCHAR), ''),
+       coalesce(s_name, ''),
+       coalesce(CAST(CAST(s_acctbal AS DECIMAL(38,2)) AS VARCHAR), ''),
+       ''
+FROM supplier
+""",
+    "convert_xml_escape": """
+SELECT c_custkey AS id,
+       '<' || c_name || ' & ' || c_mktsegment || '>' AS raw,
+       replace(replace(replace('<' || c_name || ' & ' || c_mktsegment || '>',
+           '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS escaped
+FROM customer
+""",
+    "topk_two_key": """
+SELECT event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM events
+ORDER BY event_type DESC, ts DESC, event_id ASC
+LIMIT 50
+""",
+    "date_remaining_days": """
+SELECT o_orderkey,
+       strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS end_date,
+       CAST(greatest(date_diff('day', DATE '1995-06-01',
+            CAST(o_orderdate AS DATE) + INTERVAL 30 DAY) + 1, 0) AS INT) AS remaining_days
+FROM orders
 """,
     "dedup_exact": """
 SELECT d.* FROM documents d

@@ -1,0 +1,258 @@
+"""Convert I/O matrix tests (SURVEY §2.1/§2.2, §5.2 golden-file, §5.5
+round-trip)."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+import pytest
+
+from data__converter_spark.io import convert, readers, writers
+
+
+def _write(tmp_path, name: str, text: str, encoding: str = "utf-8") -> str:
+    p = tmp_path / name
+    p.write_bytes(text.encode(encoding))
+    return str(p)
+
+
+# ---------------------------------------------------------------------------
+# CSV / TSV / delimiter sniffing
+# ---------------------------------------------------------------------------
+
+
+def test_csv_quoted_fields_and_trim(spark, tmp_path):
+    path = _write(
+        tmp_path,
+        "a.csv",
+        'id, name ,note\n1, alice ,"x, y"\n2,bob,"say ""hi"""\n',
+    )
+    df = readers.read_csv(spark, path)
+    rows = {r.id: r for r in df.collect()}
+    assert df.columns == ["id", "name", "note"]
+    assert rows["1"].name == "alice"          # cells trimmed (P7)
+    assert rows["1"].note == "x, y"           # quoted comma survives
+    assert rows["2"].note == 'say "hi"'       # "" escape
+
+def test_delimiter_sniffing(spark, tmp_path):
+    semi = _write(tmp_path, "s.txt", "a;b;c\n1;2;3\n4;5;6\n")
+    tab = _write(tmp_path, "t.txt", "a\tb\n1\t2\n")
+    assert readers.detect_delimiter(spark, semi) == ";"
+    assert readers.detect_delimiter(spark, tab) == "\t"
+    df = readers.read_table_auto(spark, semi)
+    assert df.columns == ["a", "b", "c"] and df.count() == 2
+
+
+def test_tsv_forced_tab(spark, tmp_path):
+    path = _write(tmp_path, "x.tsv", "k\tv\n1\ta,b\n")
+    df = readers.read_table_auto(spark, path)
+    assert df.collect()[0].v == "a,b"
+
+
+def test_csv_roundtrip(spark, tmp_path, orders):
+    sample = orders.select("o_orderkey", "o_orderstatus", "o_orderpriority").limit(200)
+    out = str(tmp_path / "orders_csv")
+    writers.write_csv(sample, out)
+    back = readers.read_csv(spark, out)
+    assert back.count() == 200
+    a = {r.o_orderkey: r.o_orderpriority for r in sample.collect()}
+    b = {r.o_orderkey: r.o_orderpriority for r in back.collect()}
+    assert {str(k): v for k, v in a.items()} == b
+
+
+# ---------------------------------------------------------------------------
+# TXT lines
+# ---------------------------------------------------------------------------
+
+
+def test_txt_lines_blank_dropped(spark, tmp_path):
+    path = _write(tmp_path, "l.txt", "alpha\n\n   \nbeta\n")
+    df = readers.read_txt_lines(spark, path)
+    assert [r.value for r in df.collect()] == ["alpha", "beta"]
+
+
+def test_txt_writer_value_mode_roundtrip(spark, tmp_path):
+    src = _write(tmp_path, "in.txt", "one\ntwo\nthree\n")
+    df = readers.read_txt_lines(spark, src)
+    out = str(tmp_path / "out_txt")
+    writers.write_txt(df, out)
+    back = readers.read_txt_lines(spark, out)
+    assert sorted(r.value for r in back.collect()) == ["one", "three", "two"]
+
+
+def test_txt_writer_json_lines_mode(spark, tmp_path, orders):
+    df = orders.select("o_orderkey", "o_orderstatus").limit(5)
+    out = str(tmp_path / "out_jsonl")
+    writers.write_txt(df, out)
+    back = spark.read.json(out)
+    assert back.count() == 5 and set(back.columns) == {"o_orderkey", "o_orderstatus"}
+
+
+# ---------------------------------------------------------------------------
+# JSON shapes (S6)
+# ---------------------------------------------------------------------------
+
+
+def test_json_array_of_objects(spark, tmp_path):
+    path = _write(tmp_path, "a.json", '[{"x": 1, "y": "a"}, {"x": 2, "y": "b"}]')
+    df = readers.read_json(spark, path)
+    assert df.count() == 2 and set(df.columns) == {"x", "y"}
+
+
+def test_json_array_under_key(spark, tmp_path):
+    path = _write(
+        tmp_path, "k.json", '{"meta": "m", "items": [{"x": 1}, {"x": 2}, {"x": 3}]}'
+    )
+    df = readers.read_json(spark, path)
+    assert df.count() == 3 and "x" in df.columns
+
+
+def test_json_scalar_array_wraps_value(spark, tmp_path):
+    path = _write(tmp_path, "s.json", "[1, 2, 3]")
+    df = readers.read_json(spark, path)
+    assert df.columns == ["value"] and df.count() == 3
+
+
+# ---------------------------------------------------------------------------
+# XML (S8/S9/S10, K4)
+# ---------------------------------------------------------------------------
+
+XML_DOC = """<catalog>
+  <meta>v1</meta>
+  <item sku="a1"><name>Widget</name><price>10</price><dims><w>2</w><h>3</h></dims></item>
+  <item sku="b2"><name>Gadget &amp; Co</name><price>20</price><dims><w>4</w><h>5</h></dims></item>
+</catalog>
+"""
+
+
+def test_xml_read_rowtag_attrs_and_dotted(spark, tmp_path):
+    path = _write(tmp_path, "c.xml", XML_DOC)
+    df = readers.read_xml(spark, path, row_tag="item")
+    rows = {r["@sku"]: r.asDict() for r in df.collect()}
+    assert set(rows) == {"a1", "b2"}
+    assert rows["a1"]["name"] == "Widget"
+    assert rows["a1"]["dims.w"] == "2"          # dotted nested path (S10)
+    assert rows["b2"]["name"] == "Gadget & Co"  # entity decoded
+
+
+def test_xml_autodetect_tables(spark, tmp_path):
+    path = _write(tmp_path, "c.xml", XML_DOC)
+    tables = readers.read_xml_tables(spark, path)
+    assert any(k.endswith("item") for k in tables)
+    (name,) = [k for k in tables if k.endswith("item")]
+    assert tables[name].count() == 2
+
+
+def test_xml_writer_golden_template(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("1", "a<b", "x, y")], ["id", "expr", "bad name!"]
+    )
+    out = str(tmp_path / "out.xml")
+    writers.write_xml(df, out)
+    text = open(out).read()
+    # K4 golden semantics: 2-space indent, &<> escaped, invalid XML
+    # names via <col name="...">  (FileUploader.tsx:128-161).
+    assert text == (
+        "<rows>\n"
+        "  <row>\n"
+        "    <id>1</id>\n"
+        "    <expr>a&lt;b</expr>\n"
+        '    <col name="bad name!">x, y</col>\n'
+        "  </row>\n"
+        "</rows>\n"
+    )
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([("1", "x"), ("2", "y & z")], ["id", "v"])
+    out = str(tmp_path / "rt.xml")
+    writers.write_xml(df, out)
+    back = readers.read_xml(spark, out, row_tag="row")
+    rows = {r.id: r.v for r in back.collect()}
+    assert rows == {"1": "x", "2": "y & z"}
+
+
+# ---------------------------------------------------------------------------
+# Encodings (S11)
+# ---------------------------------------------------------------------------
+
+
+def test_euc_kr_csv(spark, tmp_path):
+    path = _write(tmp_path, "kr.csv", "이름,값\n홍길동,1\n", encoding="euc-kr")
+    df = readers.read_csv(spark, path, encoding="euc-kr")
+    assert df.columns == ["이름", "값"]
+    assert df.collect()[0]["이름"] == "홍길동"
+
+
+# ---------------------------------------------------------------------------
+# Excel bridge (S7/K5) — gated on engine availability
+# ---------------------------------------------------------------------------
+
+
+def _excel_available() -> bool:
+    try:
+        import openpyxl  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _excel_available(), reason="openpyxl not installed")
+def test_excel_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([("1", "a"), ("2", "b")], ["id", "v"])
+    out = str(tmp_path / "wb.xlsx")
+    writers.write_excel({"s1": df, "s/1": df}, out)
+    sheets = readers.read_excel(spark, out)
+    assert len(sheets) == 2
+
+
+def test_excel_gated_error_without_engine(spark, tmp_path):
+    if _excel_available():
+        pytest.skip("engine present")
+    df = spark.createDataFrame([("1",)], ["id"])
+    with pytest.raises(NotImplementedError):
+        writers.write_excel({"s": df}, str(tmp_path / "x.xlsx"))
+
+
+def test_sheet_name_sanitize():
+    taken: set[str] = set()
+    a = readers.sanitize_sheet_name("bad/name:with*chars", taken)
+    assert "/" not in a and ":" not in a and len(a) <= 31
+    b = readers.sanitize_sheet_name("bad/name:with*chars", taken)
+    assert b != a and b.endswith("_1")
+
+
+# ---------------------------------------------------------------------------
+# convert() orchestrator + zip (K6) + input dedup (P4)
+# ---------------------------------------------------------------------------
+
+
+def test_convert_csv_to_xml_and_zip(spark, tmp_path):
+    src = _write(tmp_path, "t.csv", "id,v\n1,a\n2,b\n")
+    out_dir = str(tmp_path / "out")
+    outputs = convert.convert(spark, [src], "xml", out_dir)
+    assert list(outputs) == ["t"]
+    back = readers.read_xml(spark, outputs["t"], row_tag="row")
+    assert back.count() == 2
+    zp = str(tmp_path / "pack.zip")
+    names = writers.zip_directory(out_dir, zp)
+    assert names and zipfile.ZipFile(zp).namelist() == names
+
+
+def test_convert_dedupe_inputs(tmp_path):
+    a = _write(tmp_path, "same.csv", "x\n1\n")
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    b = str(sub / "same.csv")
+    open(b, "w").write("x\n1\n")
+    assert convert.dedupe_inputs([a, b, a]) == [a]
+
+
+def test_convert_xml_to_csv(spark, tmp_path):
+    src = _write(tmp_path, "c.xml", XML_DOC)
+    out_dir = str(tmp_path / "out2")
+    outputs = convert.convert(spark, [src], "csv", out_dir, xml_row_tag="item")
+    df = readers.read_csv(spark, outputs["c"])
+    assert df.count() == 2 and "name" in df.columns

@@ -1,0 +1,52 @@
+"""Stream construction + test/driver helpers.
+
+``read_events_stream`` treats a directory of parquet files as a file
+source — the local stand-in for the Kafka/queue source a deployment
+would use (swap ``format``; the transforms don't change). ``run_once``
+drains everything available with the availableNow trigger into a
+memory sink and returns the result as a batch DataFrame.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """events parquet dir as a streaming source (schema pinned from a
+    batch peek — file sources require an explicit schema)."""
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # The file source wants a directory; point it at sf_dir and glob
+    # down to the events file(s).
+    reader = (
+        spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(sf_dir)
+
+
+def run_once(
+    stream_df: DataFrame, output_mode: str = "complete", timeout_s: int = 120
+) -> DataFrame:
+    """Drain the stream (availableNow) into a memory sink; return the
+    materialized table. Test/dev helper — production sinks are
+    parquet/Delta/Kafka via the same writeStream call."""
+    name = f"mem_{uuid.uuid4().hex[:10]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    spark = stream_df.sparkSession
+    return spark.table(name)

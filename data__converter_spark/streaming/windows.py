@@ -1,0 +1,106 @@
+"""Windowed aggregations over event time — batch/stream agnostic.
+
+Each transform takes a DataFrame whose ``ts`` column is a proper
+timestamp (see :func:`with_event_time`) and declares the aggregation
+with ``F.window`` / ``F.session_window``; Catalyst plans a single
+shuffle on (window, keys) with partial aggregation map-side. On a
+stream the same plan runs incrementally with watermark-bounded state —
+at 100 TB/day the state store only holds open windows, not history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..session import ts_col
+
+
+def with_event_time(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Normalize the events table: nanos-long ``ts`` -> timestamp, and
+    attach a watermark when streaming (late rows beyond it drop)."""
+    from pyspark.sql import types as T
+
+    df = events
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", ts_col("ts"))
+    if watermark is not None:
+        df = df.withWatermark("ts", watermark)
+    return df
+
+
+def _window_flat(df: DataFrame, keys: list[str]) -> DataFrame:
+    return df.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("w_end"),
+        *keys,
+        "n_events",
+        "sum_value",
+    )
+
+
+def tumbling_counts(
+    events: DataFrame,
+    duration: str = "1 hour",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Tumbling-window count + sum(value) per key."""
+    keys = keys if keys is not None else ["event_type"]
+    agg = (
+        events.groupBy(F.window("ts", duration), *keys)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+    )
+    return _window_flat(agg, keys)
+
+
+def sliding_counts(
+    events: DataFrame,
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Sliding-window count + sum(value); each event lands in
+    duration/slide windows."""
+    keys = keys if keys is not None else ["event_type"]
+    agg = (
+        events.groupBy(F.window("ts", duration, slide), *keys)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+    )
+    return _window_flat(agg, keys)
+
+
+def session_agg(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Session windows per user: events closer than ``gap`` merge into
+    one session (gaps-and-islands in SQL terms)."""
+    agg = (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+    )
+    return agg.select(
+        F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("s_start"),
+        F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias("s_end"),
+        "user_id",
+        "n_events",
+        "sum_value",
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: duplicates arriving
+    within the watermark horizon drop; state evicts past it. Batch
+    DataFrames fall back to plain dropDuplicates (same result set)."""
+    keys = keys if keys is not None else ["event_id"]
+    if events.isStreaming:
+        return events.dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)

@@ -426,6 +426,45 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# streaming queries (M7) — batch forms of the window transforms; the
+# stream/batch equivalence itself is pytest-verified (test_streaming.py)
+# ---------------------------------------------------------------------------
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .session import load_events
+    from .streaming.windows import tumbling_counts
+
+    return tumbling_counts(load_events(spark, sf_dir), "1 hour")
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .session import load_events
+    from .streaming.windows import sliding_counts
+
+    return sliding_counts(load_events(spark, sf_dir), "1 hour", "30 minutes")
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .session import load_events
+    from .streaming.windows import session_agg
+
+    return session_agg(load_events(spark, sf_dir), "5 minutes")
+
+
+def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .session import load_events
+    from .streaming.stateful import running_user_totals
+
+    out = running_user_totals(load_events(spark, sf_dir))
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round("total_value", 2).cast("decimal(18,2)").alias("total_value_r"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compare_diff": q_compare_diff,
     "compare_diff_summary": q_compare_diff_summary,
@@ -450,6 +489,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
     "similarity_topk": q_similarity_topk,
+    "stream_tumbling_counts": q_stream_tumbling,
+    "stream_sliding_counts": q_stream_sliding,
+    "stream_session_agg": q_stream_session,
+    "stream_running_totals": q_stream_running_totals,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_pairs": q_dedup_embedding_pairs,
@@ -677,6 +720,58 @@ ranked AS (
 )
 SELECT probe_id, neighbor_id, round(cosine, 6) AS cosine_r, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 10
+""",
+    "stream_tumbling_counts": """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+       strftime(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour',
+                '%Y-%m-%d %H:%M:%S') AS w_end,
+       event_type,
+       count(*) AS n_events,
+       sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+    "stream_sliding_counts": """
+WITH x AS (
+    SELECT time_bucket(INTERVAL '30 minutes', ts)
+             - (t.i * INTERVAL '30 minutes') AS w_start,
+           event_type,
+           CAST(value AS DECIMAL(18,2)) AS v
+    FROM events, unnest([0, 1]) AS t(i)
+)
+SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+       strftime(w_start + INTERVAL '1 hour', '%Y-%m-%d %H:%M:%S') AS w_end,
+       event_type,
+       count(*) AS n_events,
+       sum(v)   AS sum_value
+FROM x GROUP BY 1, 2, 3
+""",
+    "stream_session_agg": """
+WITH m AS (
+    SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS v,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+g AS (
+    SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM m
+)
+SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+       strftime(max(ts) + INTERVAL '5 minutes', '%Y-%m-%d %H:%M:%S') AS s_end,
+       user_id,
+       count(*) AS n_events,
+       sum(v)   AS sum_value
+FROM g GROUP BY user_id, sid
+""",
+    "stream_running_totals": """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS total_value_r
+FROM events GROUP BY user_id
 """,
     "dedup_embedding_pairs": """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)

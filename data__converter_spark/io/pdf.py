@@ -1,0 +1,235 @@
+"""PDF tool: scan/validate/merge/split (SURVEY §2.9 D1-D3, S12, F21).
+
+Reference semantics (pdf-tool/page.tsx):
+- S12/D3 validation: 5-byte ``%PDF-`` magic header + nonzero size
+  (:29-51,294-314) — a distributed filter over binaryFile rows.
+- F21 page-spec: ``"1,3,5-7"`` -> [[1],[3],[5,6,7]]; ranges normalized
+  min..max; non-numeric chunks skipped (:54-73) — plan-time parser.
+- D1 merge: N valid PDFs (>=2) in explicit user order -> one PDF
+  (:317-359). Inherently sequential assembly: a single task concatenates
+  page streams in manifest order (don't over-engineer — SURVEY §7.3.7).
+- D2 split: one PDF -> one output per page group; ``all`` mode = one per
+  page; out-of-range pages filtered, empty groups skipped; zero-padded
+  ``_split_001`` names (:362-445). Groups parallelize across tasks.
+
+Page-level byte surgery needs a PDF codec. ``PypdfCodec`` is the real
+one (gated: pypdf isn't in this container). ``FakePdfCodec`` is a
+deterministic stand-in implementing the same protocol over a trivial
+line-per-page format, so the Spark plumbing — manifest ordering,
+group fan-out, name formatting — is fully exercised in tests.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PDF_MAGIC = b"%PDF-"
+
+
+# ---------------------------------------------------------------------------
+# S12/D3 — scan + validate
+# ---------------------------------------------------------------------------
+
+
+def read_pdfs(spark: SparkSession, glob: str) -> DataFrame:
+    """binaryFile scan of candidate PDFs: (path, length, content)."""
+    return (
+        spark.read.format("binaryFile")
+        .load(glob)
+        .select("path", "length", "content")
+    )
+
+
+def valid_pdfs(df: DataFrame) -> DataFrame:
+    """D3: keep rows with the %PDF- magic header and nonzero size."""
+    magic = F.lit(PDF_MAGIC)
+    return df.filter(
+        (F.col("length") > 0) & (F.substring(F.col("content"), 1, 5) == magic)
+    )
+
+
+# ---------------------------------------------------------------------------
+# F21 — page-spec parser (plan-time)
+# ---------------------------------------------------------------------------
+
+
+def parse_pages(spec: str) -> list[list[int]]:
+    """``"1,3,5-7"`` -> [[1],[3],[5,6,7]]; ranges normalized min..max;
+    non-numeric chunks skipped (pdf-tool/page.tsx:54-73)."""
+    groups: list[list[int]] = []
+    for chunk in spec.split(","):
+        chunk = chunk.strip()
+        if not chunk:
+            continue
+        if "-" in chunk:
+            a, _, b = chunk.partition("-")
+            if a.strip().isdigit() and b.strip().isdigit():
+                lo, hi = sorted((int(a), int(b)))
+                groups.append(list(range(lo, hi + 1)))
+        elif chunk.isdigit():
+            groups.append([int(chunk)])
+    return groups
+
+
+# ---------------------------------------------------------------------------
+# Page codecs
+# ---------------------------------------------------------------------------
+
+
+class PypdfCodec:
+    """Real PDF page surgery via pypdf — gated (not in this container)."""
+
+    def __init__(self) -> None:
+        try:
+            import pypdf  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "PDF page operations require pypdf; install it or use "
+                "FakePdfCodec for plumbing tests"
+            ) from e
+
+    def count_pages(self, data: bytes) -> int:
+        from pypdf import PdfReader
+
+        return len(PdfReader(io.BytesIO(data)).pages)
+
+    def extract(self, data: bytes, pages: list[int]) -> bytes:
+        from pypdf import PdfReader, PdfWriter
+
+        reader = PdfReader(io.BytesIO(data))
+        writer = PdfWriter()
+        for p in pages:  # 1-based
+            writer.add_page(reader.pages[p - 1])
+        out = io.BytesIO()
+        writer.write(out)
+        return out.getvalue()
+
+    def merge(self, docs: list[bytes]) -> bytes:
+        from pypdf import PdfReader, PdfWriter
+
+        writer = PdfWriter()
+        for data in docs:
+            for page in PdfReader(io.BytesIO(data)).pages:
+                writer.add_page(page)
+        out = io.BytesIO()
+        writer.write(out)
+        return out.getvalue()
+
+
+class FakePdfCodec:
+    """Deterministic test codec: ``%PDF-FAKE\\n`` header + one line per
+    page. Same protocol as PypdfCodec; exists so the distributed
+    plumbing is testable without the binary dependency."""
+
+    HEADER = b"%PDF-FAKE\n"
+
+    @classmethod
+    def make(cls, pages: list[str]) -> bytes:
+        return cls.HEADER + b"".join(p.encode() + b"\n" for p in pages)
+
+    def count_pages(self, data: bytes) -> int:
+        return len(data[len(self.HEADER):].splitlines())
+
+    def extract(self, data: bytes, pages: list[int]) -> bytes:
+        lines = data[len(self.HEADER):].splitlines()
+        return self.HEADER + b"".join(
+            lines[p - 1] + b"\n" for p in pages if 1 <= p <= len(lines)
+        )
+
+    def merge(self, docs: list[bytes]) -> bytes:
+        return self.HEADER + b"".join(d[len(self.HEADER):] for d in docs)
+
+
+# ---------------------------------------------------------------------------
+# D1 — merge (manifest-ordered, single sequential task)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PdfOutput:
+    name: str
+    content: bytes
+
+
+def _norm_path(p: str) -> str:
+    """binaryFile reports file: URIs; manifests use plain paths."""
+    for prefix in ("file://", "file:"):
+        if p.startswith(prefix):
+            return p[len(prefix):]
+    return p
+
+
+def merge_pdfs(
+    df: DataFrame, order: list[str], codec=None, out_name: str = "merged.pdf"
+) -> PdfOutput:
+    """D1: merge validated PDFs in the explicit ``order`` of paths
+    (O4 stable input ordering). PDF assembly is sequential by nature —
+    one driver-coordinated pass; only the scan/validate distributes."""
+    codec = codec or PypdfCodec()
+    if len(order) < 2:
+        raise ValueError("merge needs >= 2 files (pdf-tool/page.tsx:317)")
+    rank = {_norm_path(p): i for i, p in enumerate(order)}
+    rows = [
+        r for r in valid_pdfs(df).collect() if _norm_path(r.path) in rank
+    ]
+    if len(rows) < len(order):
+        missing = set(rank) - {_norm_path(r.path) for r in rows}
+        raise ValueError(f"invalid or missing PDFs: {sorted(missing)}")
+    docs = [
+        bytes(r.content)
+        for r in sorted(rows, key=lambda r: rank[_norm_path(r.path)])
+    ]
+    return PdfOutput(out_name, codec.merge(docs))
+
+
+# ---------------------------------------------------------------------------
+# D2 — split (page groups fan out across tasks)
+# ---------------------------------------------------------------------------
+
+
+def split_pdf(
+    df: DataFrame,
+    path: str,
+    spec: str | None = None,
+    codec=None,
+) -> DataFrame:
+    """D2: one PDF -> (name, content) rows, one per page group.
+
+    ``spec=None`` is 'all' mode (one file per page). Out-of-range pages
+    drop; empty groups skip; names zero-pad ``_split_001``. Each group
+    extracts independently — ``repartition(n_groups)`` puts one group
+    per task, the distributed shape for a 10k-page document.
+    """
+    codec = codec or PypdfCodec()
+    target = _norm_path(path)
+    row = next(
+        (r for r in valid_pdfs(df).collect() if _norm_path(r.path) == target), None
+    )
+    if row is None:
+        raise ValueError(f"not a valid PDF: {path}")
+    data = bytes(row.content)
+    n = codec.count_pages(data)
+    groups = parse_pages(spec) if spec else [[p] for p in range(1, n + 1)]
+    groups = [[p for p in g if 1 <= p <= n] for g in groups]
+    groups = [g for g in groups if g]
+    base = os.path.splitext(os.path.basename(path))[0]
+
+    spark = df.sparkSession
+    gdf = spark.createDataFrame(
+        [(i + 1, g) for i, g in enumerate(groups)], ["gid", "pages"]
+    ).repartition(max(len(groups), 1), "gid")
+    bc = spark.sparkContext.broadcast(data)
+
+    def extract(rows):
+        c = codec
+        for r in rows:
+            name = f"{base}_split_{r.gid:03d}.pdf"
+            yield (name, bytearray(c.extract(bc.value, list(r.pages))))
+
+    out_schema = "name string, content binary"
+    return spark.createDataFrame(gdf.rdd.mapPartitions(extract), out_schema)

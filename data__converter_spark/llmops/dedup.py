@@ -96,8 +96,17 @@ def ngram_jaccard_pairs(
     keeps the result exact.
     """
     sets = _shingle_sets(df, col, id_col, k)
-    sizes = sets.select(F.col(id_col), F.size("sh").alias("sz"))
-    postings = sets.select(F.col(id_col), F.explode("sh").alias("s"))
+    # postings carry 8-byte shingle hashes, not shingle strings — the
+    # self-join shuffles longs (collision odds at 64 bits are ~n²/2⁶⁵,
+    # immaterial next to the threshold filter). Persisted because the
+    # plan reads it three ways (a-side, b-side, sizes); without it the
+    # shingle generation recomputes per branch.
+    postings = (
+        sets.select(F.col(id_col), F.explode("sh").alias("s"))
+        .select(F.col(id_col), F.xxhash64("s").alias("s"))
+        .persist()
+    )
+    sizes = postings.groupBy(id_col).agg(F.count("*").alias("sz"))
     if max_shingle_freq is not None:
         hot = (
             postings.groupBy("s")
@@ -145,52 +154,64 @@ def _perm_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     ]
 
 
+def _shingle_hashes(text, k: int):
+    """Distinct word-k-gram shingle hashes of one document: blake2b
+    64-bit (deterministic, keyless) mod 2³¹-1. Python-side companion of
+    :func:`textstats.shingles_col` for the signature kernels."""
+    import hashlib
+    import re
+
+    from .textstats import WS
+
+    toks = re.split(WS, text.strip()) if isinstance(text, str) and text.strip() else []
+    if len(toks) < k:
+        return None
+    return {
+        int.from_bytes(
+            hashlib.blake2b(
+                " ".join(toks[i : i + k]).encode(), digest_size=8
+            ).digest(),
+            "little",
+        )
+        % _MERSENNE_P
+        for i in range(len(toks) - k + 1)
+    }
+
+
 def minhash_signature_col(
     col: str | Column = "text", k: int = 3, num_hashes: int = 64, seed: int = 42
 ) -> Column:
-    """MinHash signature via one base hash + affine permutations.
+    """MinHash signature as ONE Arrow-batched kernel: tokenize ->
+    shingle -> hash (blake2b-64) -> ``(aᵢ·h + bᵢ) mod p`` permutation
+    mins, all vectorized in numpy.
 
-    Each shingle is hashed ONCE (xxhash64 -> mod 2³¹-1); the i-th
-    permutation is ``(aᵢ·h + bᵢ) mod p`` with plan-time constants —
-    64 multiply-adds per shingle instead of 64 string hashes (the
-    standard universal-hashing trick; arithmetic stays < 2⁶² so ANSI
-    long math never overflows). Pure expression — no fitted model,
-    deterministic across runs and engines.
-    """
-    sh = F.array_distinct(shingles_col(col, k))
-    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
-    return _sig_from_base_udf(num_hashes, seed)(base)
-
-
-def _sig_from_base_udf(num_hashes: int, seed: int):
-    """Arrow-batched kernel for the permutation mins.
-
-    Catalyst's higher-order functions interpret per element — 64 HOF
-    passes over every shingle array measured ~60× slower than one
-    vectorized numpy broadcast, so the (a·h+b) mod p step runs as a
-    pandas UDF on the base-hash arrays (still deterministic: the
-    coefficients are seeded plan-time constants).
+    One pass over the text; the Column-expression formulation (64
+    higher-order-function passes, interpreted per element in Catalyst)
+    measured ~60× slower. Deterministic: seeded plan-time coefficients,
+    keyless hash. NULL when the doc has < k tokens.
     """
     from pyspark.sql.functions import pandas_udf
 
     coeffs = _perm_coeffs(num_hashes, seed)
+    c = F.col(col) if isinstance(col, str) else col
 
     @pandas_udf("array<long>")
-    def sig(base: pd.Series) -> pd.Series:
+    def sig(texts: pd.Series) -> pd.Series:
         import numpy as np
 
         A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
         B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
         out = []
-        for h in base:
-            if h is None or len(h) == 0:
+        for t in texts:
+            hs = _shingle_hashes(t, k)
+            if not hs:
                 out.append(None)
                 continue
-            hv = np.asarray(h, dtype=np.int64)[None, :]
+            hv = np.fromiter(hs, dtype=np.int64)[None, :]
             out.append(((A * hv + B) % _MERSENNE_P).min(axis=1))
         return pd.Series(out)
 
-    return sig
+    return sig(c)
 
 
 def minhash_lsh_pairs(
@@ -216,8 +237,7 @@ def minhash_lsh_pairs(
     sigs = df.select(
         F.col(id_col),
         minhash_signature_col(col, k, num_hashes, seed).alias("sig"),
-        F.size(F.array_distinct(shingles_col(col, k))).alias("n_sh"),
-    ).filter(F.col("n_sh") > 0)
+    ).filter(F.col("sig").isNotNull())
 
     # band buckets carry only (id, band, bucket) — the shingle arrays
     # never enter this shuffle (they'd be duplicated `bands`× otherwise)
@@ -286,29 +306,44 @@ def near_dedup(
 def simhash_col(col: str | Column = "text", k: int = 2) -> Column:
     """64-bit SimHash over word k-gram features.
 
-    Features hash once JVM-side (xxhash64); the per-bit ±1 majority
-    vote runs vectorized in an Arrow-batched kernel (the fold-with-
-    64-wide-accumulator form interprets per element in Catalyst and
-    measured an order of magnitude slower). Deterministic — no seed
-    state beyond the hash itself.
+    One Arrow-batched kernel: tokenize -> shingle -> blake2b-64 feature
+    hash -> vectorized per-bit ±1 majority vote (the Column-expression
+    fold with a 64-wide accumulator interprets per element in Catalyst,
+    an order of magnitude slower). Deterministic — keyless hash, no
+    seed state. 0 for docs shorter than k tokens.
     """
+    import hashlib
+    import re
+
     from pyspark.sql.functions import pandas_udf
 
-    feats = F.array_distinct(shingles_col(col, k))
-    base = F.transform(feats, lambda s: F.xxhash64(s))
+    from .textstats import WS
+
+    c = F.col(col) if isinstance(col, str) else col
 
     @pandas_udf("long")
-    def fold(hashes: pd.Series) -> pd.Series:
+    def fold(texts: pd.Series) -> pd.Series:
         import numpy as np
 
+        ws = re.compile(WS)
         shifts = np.arange(64, dtype=np.uint64)
         out = []
-        for h in hashes:
-            if h is None or len(h) == 0:
+        for t in texts:
+            toks = ws.split(t.strip()) if isinstance(t, str) and t.strip() else []
+            if len(toks) < k:
                 out.append(0)
                 continue
-            hv = np.asarray(h, dtype=np.int64).astype(np.uint64)[:, None]
-            bits = ((hv >> shifts[None, :]) & 1).astype(np.int64) * 2 - 1
+            feats = {
+                int.from_bytes(
+                    hashlib.blake2b(
+                        " ".join(toks[i : i + k]).encode(), digest_size=8
+                    ).digest(),
+                    "little",
+                )
+                for i in range(len(toks) - k + 1)
+            }
+            hv = np.fromiter(feats, dtype=np.uint64)[:, None]
+            bits = ((hv >> shifts[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1
             votes = bits.sum(axis=0)
             sim = np.uint64(0)
             for j in np.nonzero(votes > 0)[0]:
@@ -316,7 +351,7 @@ def simhash_col(col: str | Column = "text", k: int = 2) -> Column:
             out.append(np.array([sim], dtype=np.uint64).view(np.int64)[0])
         return pd.Series(out)
 
-    return fold(base)
+    return fold(c)
 
 
 def hamming64_col(a: Column, b: Column) -> Column:

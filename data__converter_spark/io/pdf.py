@@ -233,3 +233,26 @@ def split_pdf(
 
     out_schema = "name string, content binary"
     return spark.createDataFrame(gdf.rdd.mapPartitions(extract), out_schema)
+
+
+def write_outputs(outputs: DataFrame, out_dir: str) -> list[str]:
+    """K8: persist (name, content) rows as files under ``out_dir``.
+
+    Streams via toLocalIterator — one output file at a time on the
+    driver (PDF outputs are user-facing downloads, not a data path)."""
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for r in outputs.toLocalIterator():
+        path = os.path.join(out_dir, r.name)
+        with open(path, "wb") as fh:
+            fh.write(bytes(r.content))
+        written.append(path)
+    return written
+
+
+def timestamp_name(base: str, ext: str = "pdf") -> str:
+    """F22: ``{base}_{YYYY-MM-DD_HHmm}.{ext}`` output stamp
+    (pattern-editor/page.tsx:310-317, pdf-tool/page.tsx:350)."""
+    from datetime import datetime
+
+    return f"{base}_{datetime.now().strftime('%Y-%m-%d_%H%M')}.{ext}"

@@ -148,3 +148,15 @@ def test_audio_decode_gated(spark):
     media = multimodal.synthetic_media(spark, 6)
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio(media)
+
+
+def test_write_outputs_and_timestamp_name(spark, pdf_dir, tmp_path):
+    df = pdf.read_pdfs(spark, str(pdf_dir / "*.pdf"))
+    out = pdf.split_pdf(df, str(pdf_dir / "a.pdf"), codec=pdf.FakePdfCodec())
+    paths = pdf.write_outputs(out, str(tmp_path / "outs"))
+    assert len(paths) == 3
+    assert all(open(p, "rb").read().startswith(b"%PDF-FAKE") for p in paths)
+    name = pdf.timestamp_name("doc")
+    import re
+
+    assert re.fullmatch(r"doc_\d{4}-\d{2}-\d{2}_\d{4}\.pdf", name)

@@ -426,6 +426,84 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# analytics queries — beyond-reference star-schema aggregations over the
+# TPC-H-ish tables: the engine's general query layer (SURVEY north star),
+# shaped so Catalyst broadcast-joins the dims and partial-aggregates
+# map-side. TPC-H-style but against the driver's reduced schemas.
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: one wide scan, map-side partial agg, tiny result.
+
+    Everything stays in whole-stage codegen; decimal casts make sums
+    exact so the DuckDB oracle hash-matches."""
+    li = _load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+                .cast("decimal(28,4)")
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per customer with a broadcast dim join + top-25.
+
+    orders⋈customer shuffles on the fact key only after pre-aggregation;
+    customer (tiny) broadcasts — no shuffle of the dim side."""
+    orders = _load(spark, sf_dir, "orders")
+    cust = _load(spark, sf_dir, "customer")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    return (
+        rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            "revenue",
+            "n_orders",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(25)
+    )
+
+
+def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: fact ⋈ three broadcast dims -> per-nation volume.
+
+    The star join chains broadcasts (supplier, nation, region never
+    shuffle); lineitem is the only shuffled relation, and only for the
+    final group-by."""
+    li = _load(spark, sf_dir, "lineitem")
+    supp = _load(spark, sf_dir, "supplier")
+    nat = _load(spark, sf_dir, "nation")
+    reg = _load(spark, sf_dir, "region")
+    vol = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(28,4)")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(vol).alias("volume"), F.count("*").alias("n_items"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # streaming queries (M7) — batch forms of the window transforms; the
 # stream/batch equivalence itself is pytest-verified (test_streaming.py)
 # ---------------------------------------------------------------------------
@@ -488,6 +566,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
     "similarity_topk": q_similarity_topk,
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "nation_volume": q_nation_volume,
     "stream_tumbling_counts": q_stream_tumbling,
     "stream_sliding_counts": q_stream_sliding,
     "stream_session_agg": q_stream_session,
@@ -719,6 +800,39 @@ ranked AS (
 )
 SELECT probe_id, neighbor_id, round(cosine, 6) AS cosine_r, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 10
+""",
+    "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(18,2)))      AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+           AS DECIMAL(28,4)))                      AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "top_customers": """
+SELECT c_custkey, c_name, c_mktsegment,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 25
+""",
+    "nation_volume": """
+SELECT r_name, n_name,
+       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+           AS DECIMAL(28,4))) AS volume,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
 """,
     "stream_tumbling_counts": """
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,

@@ -7,9 +7,13 @@
   sign-pattern buckets; candidates come only from matching buckets
   (with multi-probe re-ranking exact). The 100 TB path: the corpus is
   bucketed once (write-time), each query touches ~n/2^bits rows.
+- :func:`ivf_topk` — IVF-flat: Voronoi cells around a deterministic
+  centroid sample; probes score nprobe/n_cells of the corpus. The
+  other standard scale path (write the corpus partitioned by cell);
+  degenerates to exact brute force at nprobe == n_cells.
 
-Cosine math runs in double precision with sequential folds
-(dedup.cosine_col) so the DuckDB oracle can reproduce values exactly.
+Scoring runs as vectorized numpy over Arrow batches; brute_force_topk
+is the exactness baseline the approximate paths are tested against.
 """
 
 from __future__ import annotations
@@ -80,6 +84,101 @@ def brute_force_topk(
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    include_self: bool = False,
+) -> DataFrame:
+    """IVF-flat approximate top-k: corpus partitions into ``n_cells``
+    Voronoi cells; each probe scores only the ``nprobe`` nearest cells.
+
+    Centroids are a deterministic hash-min sample of corpus vectors (no
+    k-means fit — the classic random-seed IVF variant), so the operator
+    is a pure function of (data, seed). At scale the corpus is written
+    partitioned by cell; a query reads nprobe/n_cells of it. With
+    ``nprobe == n_cells`` every cell is probed and the result equals
+    brute force exactly (tested).
+    """
+    import numpy as np
+
+    # deterministic centroid sample: n_cells corpus vectors w/ smallest id-hash
+    cent_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__h__", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("__h__")
+        .limit(n_cells)
+        .collect()
+    )
+    C = np.stack([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    spark = corpus.sparkSession
+    bc_c = spark.sparkContext.broadcast(C)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            pdf = pdf[[id_col, vec_col]].copy()
+            pdf["cell"] = (m @ bc_c.value.T).argmax(axis=1).astype("int32")
+            yield pdf
+
+    corpus_cells = corpus.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, {vec_col} array<float>, cell int"
+    )
+
+    # probes are small: rank their cells driver-side, explode to nprobe rows
+    p_rows = probes.select(F.col(id_col), F.col(vec_col)).collect()
+    pm = np.stack([np.asarray(r[1], dtype=np.float64) for r in p_rows])
+    pm = pm / np.linalg.norm(pm, axis=1, keepdims=True)
+    cell_rank = np.argsort(-(pm @ C.T), axis=1)[:, :nprobe]
+    probe_cells = spark.createDataFrame(
+        [
+            (int(r[0]), [float(x) for x in np.asarray(r[1], dtype=np.float64)], int(c))
+            for r, cells in zip(p_rows, cell_rank)
+            for c in cells
+        ],
+        "probe_id long, probe_vec array<double>, cell int",
+    )
+
+    cand = corpus_cells.join(F.broadcast(probe_cells), "cell")
+    if not include_self:
+        cand = cand.filter(F.col("probe_id") != F.col(id_col))
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            qm = np.stack(pdf["probe_vec"].to_numpy()).astype(np.float64)
+            qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "probe_id": pdf["probe_id"],
+                    "neighbor_id": pdf[id_col],
+                    "cosine": np.einsum("ij,ij->i", cm, qm),
+                }
+            )
+
+    scored = cand.mapInPandas(score, "probe_id long, neighbor_id long, cosine double")
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

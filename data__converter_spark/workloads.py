@@ -413,6 +413,19 @@ def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
 
 
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN — approximate, rows-only driver check; exactness at
+    nprobe=n_cells and recall under pruning are pytest-verified."""
+    from .llmops.similarity import ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+    out = ivf_topk(emb, probes, k=10, n_cells=16, nprobe=4)
+    return out.select(
+        "probe_id", "neighbor_id", F.round("cosine", 6).alias("cosine_r"), "rank"
+    )
+
+
 def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN — approximate, rows-only driver check."""
     from .llmops.similarity import lsh_topk
@@ -577,6 +590,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_pairs": q_dedup_embedding_pairs,
     "similarity_lsh_topk": q_similarity_lsh_topk,
+    "similarity_ivf_topk": q_similarity_ivf_topk,
 }
 
 ORACLES: dict[str, str] = {

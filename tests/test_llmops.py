@@ -204,3 +204,21 @@ def test_quality_features_values(spark):
 def test_quality_score_bounds(spark, documents):
     scores = documents.select(textstats.quality_score_col("text")).collect()
     assert all(0.0 <= r["quality_score"] <= 1.0 for r in scores)
+
+
+def test_ivf_topk_exact_when_probing_all_cells(spark, embeddings):
+    probes = embeddings.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(embeddings, probes, k=10)
+    full = similarity.ivf_topk(embeddings, probes, k=10, n_cells=8, nprobe=8)
+    e = {(r["probe_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["probe_id"], r["neighbor_id"]) for r in full.collect()}
+    assert a == e  # probing every cell degenerates to brute force
+
+
+def test_ivf_topk_recall_with_pruning(spark, embeddings):
+    probes = embeddings.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(embeddings, probes, k=10)
+    approx = similarity.ivf_topk(embeddings, probes, k=10, n_cells=16, nprobe=4)
+    e = {(r["probe_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["probe_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 0.3

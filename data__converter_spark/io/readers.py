@@ -362,8 +362,10 @@ def read_xml_tables(
 
 
 def read_excel(spark: SparkSession, path: str) -> dict[str, DataFrame]:
-    """S7: Excel workbook -> {sheet_name: DataFrame} via the pandas
-    bridge. Gated: raises with guidance when no engine is installed.
+    """S7: Excel workbook -> {sheet_name: DataFrame}.
+
+    Uses the pandas/openpyxl bridge when installed, else the stdlib
+    ``xlsx_lite`` codec (inline/shared strings, numerics as text).
     Excel is a convenience edge format with a documented size cap
     (SURVEY §7.3.5) — at scale, land the data as parquet instead.
     """
@@ -371,15 +373,23 @@ def read_excel(spark: SparkSession, path: str) -> dict[str, DataFrame]:
         import pandas as pd
 
         sheets = pd.read_excel(path, sheet_name=None, dtype=str)
-    except ImportError as e:  # openpyxl missing
-        raise NotImplementedError(
-            "Excel read requires openpyxl; convert the workbook to csv/parquet"
-        ) from e
-    return {
-        name: spark.createDataFrame(frame.fillna(""))
-        for name, frame in sheets.items()
-        if len(frame.columns)
-    }
+        return {
+            name: spark.createDataFrame(frame.fillna(""))
+            for name, frame in sheets.items()
+            if len(frame.columns)
+        }
+    except ImportError:
+        from . import xlsx_lite
+
+        out: dict[str, DataFrame] = {}
+        for name, (cols, rows) in xlsx_lite.read_workbook(path).items():
+            if not cols:
+                continue
+            schema = T.StructType(
+                [T.StructField(c, T.StringType(), True) for c in cols]
+            )
+            out[name] = spark.createDataFrame([tuple(r) for r in rows], schema)
+        return out
 
 
 _SHEET_FORBIDDEN = re.compile(r"[\\/?*:\[\]]")

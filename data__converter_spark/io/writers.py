@@ -115,17 +115,18 @@ def write_xml(
 
 
 def write_excel(sheets: dict[str, DataFrame], path: str) -> None:
-    """K5/K7: {sheet_name: df} -> one xlsx workbook (pandas bridge).
+    """K5/K7: {sheet_name: df} -> one xlsx workbook.
 
-    Gated on an Excel engine; enforces the xlsx row cap — at scale this
-    format is a preview/interchange edge, parquet is the substrate.
+    pandas/openpyxl bridge when installed, stdlib ``xlsx_lite`` codec
+    otherwise. Enforces the xlsx row cap — at scale this format is a
+    preview/interchange edge, parquet is the substrate.
     """
     from .readers import sanitize_sheet_name
 
+    taken: set[str] = set()
     try:
         import pandas as pd
 
-        taken: set[str] = set()
         with pd.ExcelWriter(path) as xw:
             for name, df in sheets.items():
                 n = df.count()
@@ -137,10 +138,19 @@ def write_excel(sheets: dict[str, DataFrame], path: str) -> None:
                 pdf.to_excel(
                     xw, sheet_name=sanitize_sheet_name(name, taken), index=False
                 )
-    except ImportError as e:
-        raise NotImplementedError(
-            "Excel write requires openpyxl/xlsxwriter; write csv/parquet instead"
-        ) from e
+    except ImportError:
+        from . import xlsx_lite
+
+        payload = {}
+        for name, df in sheets.items():
+            n = df.count()
+            if n > EXCEL_MAX_ROWS:
+                raise ValueError(
+                    f"sheet {name!r}: {n} rows exceeds xlsx cap {EXCEL_MAX_ROWS}"
+                )
+            rows = [list(r) for r in stringify_all(df).collect()]
+            payload[sanitize_sheet_name(name, taken)] = (df.columns, rows)
+        xlsx_lite.write_workbook(path, payload)
 
 
 def zip_directory(src_dir: str, zip_path: str) -> list[str]:

@@ -190,30 +190,27 @@ def test_euc_kr_csv(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
-def _excel_available() -> bool:
-    try:
-        import openpyxl  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
-@pytest.mark.skipif(not _excel_available(), reason="openpyxl not installed")
 def test_excel_roundtrip(spark, tmp_path):
-    df = spark.createDataFrame([("1", "a"), ("2", "b")], ["id", "v"])
+    df = spark.createDataFrame(
+        [("1", "a & <b>"), ("2", "line éü"), ("3", "")], ["id", "v"]
+    )
     out = str(tmp_path / "wb.xlsx")
     writers.write_excel({"s1": df, "s/1": df}, out)
     sheets = readers.read_excel(spark, out)
     assert len(sheets) == 2
+    (name,) = [n for n in sheets if n == "s1"]
+    back = {r.id: r.v for r in sheets[name].collect()}
+    assert back == {"1": "a & <b>", "2": "line éü", "3": ""}
 
 
-def test_excel_gated_error_without_engine(spark, tmp_path):
-    if _excel_available():
-        pytest.skip("engine present")
-    df = spark.createDataFrame([("1",)], ["id"])
-    with pytest.raises(NotImplementedError):
-        writers.write_excel({"s": df}, str(tmp_path / "x.xlsx"))
+def test_excel_multisheet_convert(spark, tmp_path):
+    src = tmp_path / "t.csv"
+    src.write_text("id,v\n1,x\n2,y\n")
+    out_dir = str(tmp_path / "outx")
+    outputs = convert.convert(spark, [str(src)], "xlsx", out_dir)
+    sheets = readers.read_excel(spark, outputs["t"])
+    assert list(sheets) == ["t"]
+    assert sheets["t"].count() == 2
 
 
 def test_sheet_name_sanitize():

@@ -44,6 +44,33 @@ _ROOT_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 """
 
 
+_X_ESC = re.compile(r"_x([0-9A-Fa-f]{4})_")
+
+
+def _xml_legal(ch: str) -> bool:
+    o = ord(ch)
+    return (
+        o in (0x9, 0xA, 0xD)
+        or 0x20 <= o <= 0xD7FF
+        or 0xE000 <= o <= 0xFFFD
+        or 0x10000 <= o <= 0x10FFFF
+    )
+
+
+def _ooxml_escape(s: str) -> str:
+    """Chars illegal in XML 1.0 -> OOXML ``_xHHHH_`` escapes (the
+    convention Excel itself uses); literal ``_xHHHH_`` text guards its
+    underscore as ``_x005F_`` first."""
+    s = _X_ESC.sub(lambda m: f"_x005F_x{m.group(1)}_", s)
+    if all(_xml_legal(c) for c in s):
+        return s
+    return "".join(c if _xml_legal(c) else f"_x{ord(c):04X}_" for c in s)
+
+
+def _ooxml_unescape(s: str) -> str:
+    return _X_ESC.sub(lambda m: chr(int(m.group(1), 16)), s)
+
+
 def _col_letter(i: int) -> str:
     """0-based column index -> A1 letters."""
     out = ""
@@ -102,7 +129,7 @@ def write_workbook(path: str, sheets: dict[str, tuple[list[str], list[list[str]]
                 ref = f"{_col_letter(c_idx)}{r_idx}"
                 parts.append(
                     f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
-                    f"{escape(str(v))}</t></is></c>"
+                    f"{escape(_ooxml_escape(str(v)))}</t></is></c>"
                 )
             return f'<row r="{r_idx}">{"".join(parts)}</row>'
 
@@ -160,14 +187,16 @@ def read_workbook(path: str) -> dict[str, tuple[list[str], list[list[str]]]]:
                     t = c.get("t")
                     if t == "inlineStr":
                         is_el = c.find(f"{_SHEET_NS}is")
-                        v = "".join(
-                            x.text or "" for x in is_el.iter(f"{_SHEET_NS}t")
+                        v = _ooxml_unescape(
+                            "".join(
+                                x.text or "" for x in is_el.iter(f"{_SHEET_NS}t")
+                            )
                         ) if is_el is not None else ""
                     else:
                         v_el = c.find(f"{_SHEET_NS}v")
                         v = v_el.text if v_el is not None and v_el.text else ""
                         if t == "s" and v != "":
-                            v = shared[int(v)]
+                            v = _ooxml_unescape(shared[int(v)])
                     cells[idx] = v
                 width = max(cells) + 1 if cells else 0
                 grid.append([cells.get(i, "") for i in range(width)])

@@ -79,12 +79,20 @@ def read_csv(
     sep: str = ",",
     encoding: str = "utf-8",
     header: bool = True,
+    multiline: bool = False,
 ) -> DataFrame:
-    """S1/S2: CSV/TSV with reference cell semantics (trim, "" escapes)."""
+    """S1/S2: CSV/TSV with reference cell semantics (trim, "" escapes).
+
+    ``multiline=True`` parses quoted embedded newlines (needed to
+    round-trip K2 writer output containing them) at the cost of
+    per-line input splitting — each file becomes one parse unit, so
+    keep it off for large splittable CSVs unless the data needs it.
+    """
     if encoding.lower() not in _SPARK_CHARSETS:
         return _read_csv_python(spark, path, sep=sep, encoding=encoding, header=header)
     return (
         spark.read.option("header", header)
+        .option("multiLine", multiline)
         .option("sep", sep)
         .option("quote", '"')
         .option("escape", '"')

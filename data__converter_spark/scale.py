@@ -1,0 +1,133 @@
+"""Scale utilities: bucketing, salting, two-phase aggregation.
+
+The engine's operators lean on Catalyst + AQE for most physical
+decisions (broadcast selection, partition coalescing, skew-join
+splitting — session.py turns them all on). This module covers the two
+knobs that need cooperation from the data layout or the query author:
+
+- **Bucketing** (:func:`write_bucketed`): pre-shuffle a fact table once
+  at write time; every later equi-join/aggregation on the bucket key
+  reads co-located buckets and skips its Exchange entirely. At 100 TB
+  this converts the recurring join shuffle into a one-time write cost.
+  (Verified by plan assertion in tests: no Exchange above the scans.)
+
+- **Salting** (:func:`salted_join`, :func:`salted_agg`): when one key
+  dominates (power-law user ids, null-ish defaults), a plain shuffle
+  sends the hot key to one task. Salting fans the hot rows across
+  ``n_salts`` sub-keys; the dimension side replicates per salt (join)
+  or a second reduce merges partials (agg). AQE's skew-join handles
+  the join case adaptively at runtime; explicit salting is for the
+  aggregation case and for engines/readers where AQE is off.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str | list[str],
+    buckets: int = 32,
+    sort_by: str | list[str] | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (+optionally sorted) catalog table.
+
+    Joins/aggregations between tables bucketed the same way on the same
+    key plan without an Exchange (and without a Sort when sorted).
+    """
+    keys = [key] if isinstance(key, str) else key
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(buckets, *keys)
+    if sort_by:
+        sorts = [sort_by] if isinstance(sort_by, str) else sort_by
+        writer = writer.sortBy(*sorts)
+    writer.saveAsTable(table)
+
+
+def salt_col(n_salts: int, *cols: str, seed: int = 42) -> Column:
+    """Deterministic salt in [0, n_salts) from row content (stable
+    across retries, unlike rand())."""
+    basis = [F.col(c) for c in cols] if cols else [F.lit(1)]
+    return F.pmod(F.xxhash64(*basis, F.lit(seed)), F.lit(n_salts)).cast("int")
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+    salt_on: list[str] | None = None,
+) -> DataFrame:
+    """Equi-join immune to hot keys: the large side salts each row into
+    one of ``n_salts`` sub-partitions, the small side replicates every
+    row n_salts times, and the join runs on (key, salt). Result equals
+    the plain join exactly; shuffle load for a hot key spreads over
+    n_salts tasks at the cost of replicating the small side.
+    """
+    salt_basis = salt_on or [c for c in large.columns if c != key]
+    salted_large = large.withColumn("__salt__", salt_col(n_salts, *salt_basis))
+    salted_small = small.withColumn(
+        "__salt__",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>")),
+    )
+    out = salted_large.join(salted_small, [key, "__salt__"], how)
+    return out.drop("__salt__")
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str | list[str],
+    aggs: dict[str, str],
+    n_salts: int = 8,
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys: partial aggregate on
+    (key, salt), then final merge on key. Supports the decomposable
+    aggregates (count/sum/min/max). Equivalent to a direct groupBy —
+    Spark's hash aggregate already does map-side partials, so this
+    matters when the *reduce* side of one key exceeds a task (extreme
+    skew) or partial pushdown is defeated (e.g. high-cardinality
+    distinct upstream).
+
+    ``aggs``: {column: 'count'|'sum'|'min'|'max'} -> output column
+    ``{fn}_{column}``.
+    """
+    keys = [key] if isinstance(key, str) else key
+    salted = df.withColumn(
+        "__salt__", salt_col(n_salts, *[c for c in df.columns if c not in keys])
+    )
+    partial_exprs = []
+    final_exprs = []
+    for col_name, fn in aggs.items():
+        out_name = f"{fn}_{col_name}"
+        if fn == "count":
+            partial_exprs.append(F.count(col_name).alias(out_name))
+            final_exprs.append(F.sum(out_name).alias(out_name))
+        elif fn == "sum":
+            partial_exprs.append(F.sum(col_name).alias(out_name))
+            final_exprs.append(F.sum(out_name).alias(out_name))
+        elif fn == "min":
+            partial_exprs.append(F.min(col_name).alias(out_name))
+            final_exprs.append(F.min(out_name).alias(out_name))
+        elif fn == "max":
+            partial_exprs.append(F.max(col_name).alias(out_name))
+            final_exprs.append(F.max(out_name).alias(out_name))
+        else:
+            raise ValueError(f"non-decomposable aggregate {fn!r}")
+    partial = salted.groupBy(*keys, "__salt__").agg(*partial_exprs)
+    return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def plan_has_exchange(df: DataFrame) -> bool:
+    """True when the physical plan contains a shuffle Exchange —
+    the test hook for bucketing/co-location assertions."""
+    spark = df.sparkSession
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    return any(
+        line.strip().lstrip("+-: ").startswith("Exchange")
+        for line in plan.splitlines()
+    )

@@ -96,7 +96,7 @@ def test_csv_roundtrip_arbitrary_cells(spark, tmp_path_factory, rows):
     )
     out = str(tmp_path_factory.mktemp("csvrt") / "t")
     writers.write_csv(df, out)
-    back = readers.read_csv(spark, out)
+    back = readers.read_csv(spark, out, multiline=True)
     # reader trims cells (P7) with Java-trim semantics: all control
     # chars <= 0x20 count as whitespace, unlike Python's str.strip
     jtrim = "".join(chr(c) for c in range(0x21))

@@ -1,0 +1,84 @@
+"""Scale utilities: bucketed co-located joins, salted joins/aggs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data__converter_spark import scale
+
+
+@pytest.fixture(scope="module")
+def warehouse_tables(spark, orders):
+    """Two tables bucketed identically on the join key. Broadcast is
+    disabled for the module: with a broadcastable side the planner
+    rightly ignores bucketing (no shuffle either way), and the point
+    here is the large-large co-located case."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    a = orders.select("o_orderkey", "o_totalprice")
+    b = orders.select("o_orderkey", "o_orderstatus")
+    scale.write_bucketed(a, "bk_a", "o_orderkey", buckets=8)
+    scale.write_bucketed(b, "bk_b", "o_orderkey", buckets=8)
+    yield "bk_a", "bk_b"
+    spark.sql("DROP TABLE IF EXISTS bk_a")
+    spark.sql("DROP TABLE IF EXISTS bk_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_skips_shuffle(spark, warehouse_tables, orders):
+    ta, tb = warehouse_tables
+    joined = spark.table(ta).join(spark.table(tb), "o_orderkey")
+    assert not scale.plan_has_exchange(joined), "bucketed join must not shuffle"
+    assert joined.count() == orders.count()
+    # the same join on raw parquet does shuffle — the bucketing is what
+    # removed the Exchange
+    raw = orders.select("o_orderkey", "o_totalprice").join(
+        orders.select("o_orderkey", "o_orderstatus"), "o_orderkey"
+    )
+    assert scale.plan_has_exchange(raw)
+
+
+def test_bucketed_agg_skips_shuffle(spark, warehouse_tables):
+    ta, _ = warehouse_tables
+    agg = spark.table(ta).groupBy("o_orderkey").agg(F.sum("o_totalprice"))
+    assert not scale.plan_has_exchange(agg)
+
+
+def test_salted_join_equals_plain_join(spark, orders, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    plain = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "c_mktsegment")
+    salted = scale.salted_join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"), cust, "c_custkey", n_salts=4
+    ).select("o_orderkey", "c_mktsegment")
+    a = sorted((r.o_orderkey, r.c_mktsegment) for r in plain.collect())
+    b = sorted((r.o_orderkey, r.c_mktsegment) for r in salted.collect())
+    assert a == b
+
+
+def test_salted_agg_equals_direct(spark, orders):
+    direct = {
+        (r.o_orderstatus): (r["count(o_orderkey)"], round(r["sum(o_totalprice)"], 2))
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.count("o_orderkey"), F.sum("o_totalprice"))
+        .collect()
+    }
+    salted = {
+        r.o_orderstatus: (r.count_o_orderkey, round(r.sum_o_totalprice, 2))
+        for r in scale.salted_agg(
+            orders,
+            "o_orderstatus",
+            {"o_orderkey": "count", "o_totalprice": "sum"},
+            n_salts=4,
+        ).collect()
+    }
+    assert direct == salted
+
+
+def test_salted_agg_rejects_non_decomposable(spark, orders):
+    with pytest.raises(ValueError):
+        scale.salted_agg(orders, "o_orderstatus", {"o_totalprice": "avg"})

@@ -89,3 +89,74 @@ def test_stateful_running_totals_matches_batch(spark, events):
     a = {r.user_id: (r.n_events, round(r.total_value, 2)) for r in final.collect()}
     b = {r.user_id: (r.n_events, round(r.total_value, 2)) for r in want.collect()}
     assert a == b
+
+
+def test_watermark_drops_late_rows_across_restart(spark, tmp_path):
+    """A row hours older than the checkpointed watermark is dropped
+    when the query resumes (numRowsDroppedByWatermark).
+
+    Empirically (Spark 4.1): within ONE availableNow run the watermark
+    advances between micro-batches but the late-row filter keeps the
+    run's initial value — strict dropping only kicks in once the
+    watermark is committed to the checkpoint and the query restarts,
+    which is exactly the long-running-pipeline scenario."""
+    import pyspark.sql.functions as F
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "src"
+    cp = str(tmp_path / "cp")
+    out = str(tmp_path / "out")
+    d.mkdir()
+
+    def mk(rows):
+        return (
+            spark.createDataFrame(rows, "event_id long, ts_s string, value double")
+            .withColumn("ts", F.to_timestamp("ts_s"))
+            .drop("ts_s")
+        )
+
+    def write(name, df):
+        pq.write_table(
+            pa.Table.from_pandas(df.toPandas()),
+            str(d / name),
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+
+    def run():
+        stream = (
+            spark.readStream.schema("event_id long, value double, ts timestamp")
+            .parquet(str(d) + "/*")
+            .withWatermark("ts", "10 minutes")
+        )
+        agg = (
+            stream.groupBy(F.window("ts", "1 hour"))
+            .agg(F.count("*").alias("n"))
+            .select(F.date_format("window.start", "HH:mm").alias("w"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return q
+
+    write("f1.parquet", mk([(1, "2024-01-01 10:00:00", 1.0),
+                            (2, "2024-01-01 10:20:00", 1.0)]))
+    run()  # commits watermark 10:10 to the checkpoint
+    write("f2.parquet", mk([(3, "2024-01-01 01:00:00", 1.0),   # hours late
+                            (4, "2024-01-01 10:30:00", 1.0)]))  # on time
+    q2 = run()
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+         if p["stateOperators"] else 0)
+        for p in q2.recentProgress
+    )
+    assert dropped == 1
+    emitted = spark.read.schema("w string, n long").parquet(out)
+    assert not any(r.w == "01:00" for r in emitted.collect())

@@ -438,6 +438,40 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pattern_presets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15: preset transform chain (sentence->newline, collapse spaces,
+    comma spacing) as one projection."""
+    from .pattern import apply_preset_col
+
+    docs = _load(spark, sf_dir, "documents")
+    c = apply_preset_col("text", "sentence_to_newline")
+    c = F.regexp_replace(c, "[ ]{2,}", " ")
+    c = F.regexp_replace(c, "[ \\t]*,[ \\t]*", ", ")
+    return docs.select("doc_id", c.alias("transformed"))
+
+
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar [0,1] quality score (len/punct/repetition gates)."""
+    from .llmops.textstats import quality_score_col
+
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(quality_score_col("text"), 6).alias("score_r")
+    )
+
+
+def q_dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: corpus minus LSH-verified near-duplicate
+    members (keep lower id). Approximate — rows-only driver check;
+    recall vs exact pairs is pytest-verified."""
+    from .llmops.dedup import near_dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    return near_dedup(docs, k=3, num_hashes=64, bands=16, threshold=0.5).select(
+        "doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # analytics queries — beyond-reference star-schema aggregations over the
 # TPC-H-ish tables: the engine's general query layer (SURVEY north star),
@@ -522,6 +556,23 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large⋈large fact join (lineitem ⋈ orders, both sides shuffle on
+    the key — sort-merge territory, AQE handles skew) aggregated to
+    revenue per order priority."""
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    vol = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(28,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.sum(vol).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .session import load_events
     from .streaming.windows import tumbling_counts
@@ -579,6 +630,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
     "similarity_topk": q_similarity_topk,
+    "pattern_presets": q_pattern_presets,
+    "text_quality_score": q_text_quality_score,
+    "dedup_near_keep": q_dedup_near_keep,
+    "priority_revenue": q_priority_revenue,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "nation_volume": q_nation_volume,
@@ -814,6 +869,43 @@ ranked AS (
 )
 SELECT probe_id, neighbor_id, round(cosine, 6) AS cosine_r, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 10
+""",
+    "pattern_presets": """
+SELECT doc_id,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(text, '([.!?])[ \\t]+', '\\1' || chr(10), 'g'),
+               '[ ]{2,}', ' ', 'g'),
+           '[ \\t]*,[ \\t]*', ', ', 'g') AS transformed
+FROM documents
+""",
+    "text_quality_score": _WORDS_SQL
+    + """
+, m AS (
+    SELECT doc_id,
+           CAST(len(words) AS DOUBLE) AS n_tok,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\r\\n]')) AS DOUBLE) AS punct,
+           CASE WHEN len(words) > 0
+                THEN CAST(len(list_distinct(words)) AS DOUBLE) / CAST(len(words) AS DOUBLE)
+                ELSE 0.0 END AS uniq_ratio
+    FROM words_cte
+)
+SELECT doc_id,
+       round(
+         (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0 ELSE 0.3 END)
+         * (CASE WHEN punct / greatest(n_chars, 1.0) < 0.2 THEN 1.0 ELSE 0.5 END)
+         * least(uniq_ratio * 2.0, 1.0), 6) AS score_r
+FROM m
+""",
+    "priority_revenue": """
+SELECT o_orderpriority,
+       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+           AS DECIMAL(28,4))) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
 """,
     "pricing_summary": """
 SELECT l_returnflag, l_linestatus,

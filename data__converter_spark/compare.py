@@ -14,6 +14,10 @@ Reference semantics (app/(contents)/compare/page.tsx):
   mismatch table.                                -> :func:`field_mismatches`
 - default key = first common column (:532-537)   -> :func:`infer_key`
 
+Composite keys are a beyond-reference extension: every entry point
+takes ``key`` as a column name or a list of names (the reference UI
+only offers single-column keys).
+
 Scale notes: the single full-outer join shuffles both sides on the key —
 Catalyst/AQE picks sort-merge (or broadcast if one side is small). The
 field unpivot is a narrow ``stack`` over the join output: no second
@@ -31,6 +35,19 @@ from .schema import printable_col
 
 DIFF_STATUS_COL = "status"
 
+Key = "str | list[str]"
+
+
+def _keys(key: str | list[str]) -> list[str]:
+    return [key] if isinstance(key, str) else list(key)
+
+
+def _all_not_null(keys: list[str]):
+    cond = F.col(keys[0]).isNotNull()
+    for k in keys[1:]:
+        cond = cond & F.col(k).isNotNull()
+    return cond
+
 
 def infer_key(a: DataFrame, b: DataFrame) -> str:
     """First column of A that also exists in B (compare/page.tsx:532-537)."""
@@ -41,7 +58,9 @@ def infer_key(a: DataFrame, b: DataFrame) -> str:
     raise ValueError("no common column between the two tables")
 
 
-def dedup_last_wins(df: DataFrame, key: str, order_col: str | None = None) -> DataFrame:
+def dedup_last_wins(
+    df: DataFrame, key: str | list[str], order_col: str | None = None
+) -> DataFrame:
     """Drop null-key rows; keep the last row per key (compare/page.tsx:201-209).
 
     "Last" needs an explicit order in a distributed setting: pass
@@ -50,22 +69,25 @@ def dedup_last_wins(df: DataFrame, key: str, order_col: str | None = None) -> Da
     single-file read — documented divergence from the reference's
     implicit array order.
     """
+    keys = _keys(key)
     ordered = df.withColumn(
         "__seq__", F.col(order_col) if order_col else F.monotonically_increasing_id()
     )
-    w = Window.partitionBy(key).orderBy(F.desc("__seq__"))
+    w = Window.partitionBy(*keys).orderBy(F.desc("__seq__"))
     return (
-        ordered.filter(F.col(key).isNotNull())
+        ordered.filter(_all_not_null(keys))
         .withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") == 1)
         .drop("__rn__", "__seq__")
     )
 
 
-def _canonize(df: DataFrame, key: str, cols: list[str], scale: int | None) -> DataFrame:
-    """Key + printable-string compare columns; null keys dropped."""
-    return df.filter(F.col(key).isNotNull()).select(
-        F.col(key),
+def _canonize(
+    df: DataFrame, keys: list[str], cols: list[str], scale: int | None
+) -> DataFrame:
+    """Keys + printable-string compare columns; null-key rows dropped."""
+    return df.filter(_all_not_null(keys)).select(
+        *[F.col(k) for k in keys],
         *[printable_col(df, c, scale=scale) for c in cols],
     )
 
@@ -73,45 +95,57 @@ def _canonize(df: DataFrame, key: str, cols: list[str], scale: int | None) -> Da
 def diff(
     a: DataFrame,
     b: DataFrame,
-    key: str,
+    key: str | list[str],
     compare_cols: list[str] | None = None,
     scale: int | None = 2,
 ) -> DataFrame:
     """Full-outer keyed diff (compare/page.tsx:223-263).
 
     Returns one row per key in the union of A/B keys with columns:
-    ``key``, ``status`` in {added, deleted, changed, same}, and the
-    stringified ``a_<col>`` / ``b_<col>`` values for each compared
-    column. Equality is on canonical string forms (W2/W3 semantics);
-    ``scale`` fixes the decimal rendering of float columns so Spark and
-    SQL oracles agree.
+    the key column(s), ``status`` in {added, deleted, changed, same},
+    and the stringified ``a_<col>`` / ``b_<col>`` values for each
+    compared column. Equality is on canonical string forms (W2/W3
+    semantics); ``scale`` fixes the decimal rendering of float columns
+    so Spark and SQL oracles agree.
     """
-    cols = compare_cols or [c for c in a.columns if c != key and c in set(b.columns)]
-    a_n = _canonize(a, key, cols, scale)
-    b_n = _canonize(b, key, cols, scale)
+    keys = _keys(key)
+    key_set = set(keys)
+    cols = compare_cols or [
+        c for c in a.columns if c not in key_set and c in set(b.columns)
+    ]
+    a_n = _canonize(a, keys, cols, scale)
+    b_n = _canonize(b, keys, cols, scale)
 
     a_side = a_n.select(
-        F.col(key).alias("__a_key__"), *[F.col(c).alias(f"a_{c}") for c in cols]
+        *[F.col(k).alias(f"__a_{k}__") for k in keys],
+        *[F.col(c).alias(f"a_{c}") for c in cols],
     )
     b_side = b_n.select(
-        F.col(key).alias("__b_key__"), *[F.col(c).alias(f"b_{c}") for c in cols]
+        *[F.col(k).alias(f"__b_{k}__") for k in keys],
+        *[F.col(c).alias(f"b_{c}") for c in cols],
     )
-    joined = a_side.join(
-        b_side, a_side["__a_key__"] == b_side["__b_key__"], "full_outer"
-    )
+    cond = a_side[f"__a_{keys[0]}__"] == b_side[f"__b_{keys[0]}__"]
+    for k in keys[1:]:
+        cond = cond & (a_side[f"__a_{k}__"] == b_side[f"__b_{k}__"])
+    joined = a_side.join(b_side, cond, "full_outer")
 
     all_equal = F.lit(True)
     for c in cols:
         all_equal = all_equal & (F.col(f"a_{c}") == F.col(f"b_{c}"))
 
+    # key columns are filtered non-null pre-join, so a null side-key
+    # means that side is absent for this key
     status = (
-        F.when(F.col("__b_key__").isNull(), F.lit("deleted"))
-        .when(F.col("__a_key__").isNull(), F.lit("added"))
+        F.when(F.col(f"__b_{keys[0]}__").isNull(), F.lit("deleted"))
+        .when(F.col(f"__a_{keys[0]}__").isNull(), F.lit("added"))
         .when(all_equal, F.lit("same"))
         .otherwise(F.lit("changed"))
     )
     return joined.select(
-        F.coalesce(F.col("__a_key__"), F.col("__b_key__")).alias(key),
+        *[
+            F.coalesce(F.col(f"__a_{k}__"), F.col(f"__b_{k}__")).alias(k)
+            for k in keys
+        ],
         status.alias(DIFF_STATUS_COL),
         *[F.coalesce(F.col(f"a_{c}"), F.lit("")).alias(f"a_{c}") for c in cols],
         *[F.coalesce(F.col(f"b_{c}"), F.lit("")).alias(f"b_{c}") for c in cols],
@@ -123,22 +157,21 @@ def diff_summary(diff_df: DataFrame) -> DataFrame:
     return diff_df.groupBy(DIFF_STATUS_COL).agg(F.count("*").alias("cnt"))
 
 
-def field_mismatches(diff_df: DataFrame, key: str) -> DataFrame:
+def field_mismatches(diff_df: DataFrame, key: str | list[str]) -> DataFrame:
     """Field-level long format (compare/page.tsx:288-338).
 
     ``changed`` rows emit one row per differing field; ``added`` /
     ``deleted`` rows one row per non-empty field (missing fields print
     as '' in the reference, so present==non-empty at the string edge).
-    Columns: key, field, status, a_value, b_value. Narrow op — a
+    Columns: key(s), field, status, a_value, b_value. Narrow op — a
     ``stack`` over the diff output, no extra shuffle.
     """
+    keys = _keys(key)
     cols = sorted({c[2:] for c in diff_df.columns if c.startswith("a_")})
     n = len(cols)
-    stack_args = ", ".join(
-        f"'{c}', a_{c}, b_{c}" for c in cols
-    )
+    stack_args = ", ".join(f"'{c}', a_{c}, b_{c}" for c in cols)
     long = diff_df.filter(F.col(DIFF_STATUS_COL) != "same").select(
-        F.col(key),
+        *[F.col(k) for k in keys],
         F.col(DIFF_STATUS_COL),
         F.expr(f"stack({n}, {stack_args}) as (field, a_value, b_value)"),
     )
@@ -148,23 +181,29 @@ def field_mismatches(diff_df: DataFrame, key: str) -> DataFrame:
         | ((F.col(DIFF_STATUS_COL) == "added") & (F.col("b_value") != ""))
     )
     return long.filter(keep).select(
-        key,
+        *keys,
         "field",
         DIFF_STATUS_COL,
-        F.when(F.col(DIFF_STATUS_COL) == "added", F.lit("")).otherwise(F.col("a_value")).alias("a_value"),
-        F.when(F.col(DIFF_STATUS_COL) == "deleted", F.lit("")).otherwise(F.col("b_value")).alias("b_value"),
+        F.when(F.col(DIFF_STATUS_COL) == "added", F.lit(""))
+        .otherwise(F.col("a_value"))
+        .alias("a_value"),
+        F.when(F.col(DIFF_STATUS_COL) == "deleted", F.lit(""))
+        .otherwise(F.col("b_value"))
+        .alias("b_value"),
     )
 
 
-def added_keys(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
+def added_keys(a: DataFrame, b: DataFrame, key: str | list[str]) -> DataFrame:
     """Keys present only in B — the 'added' class as a real anti-join."""
-    return b.filter(F.col(key).isNotNull()).join(
-        a.select(key).filter(F.col(key).isNotNull()), on=key, how="left_anti"
+    keys = _keys(key)
+    return b.filter(_all_not_null(keys)).join(
+        a.select(*keys).filter(_all_not_null(keys)), on=keys, how="left_anti"
     )
 
 
-def deleted_keys(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
+def deleted_keys(a: DataFrame, b: DataFrame, key: str | list[str]) -> DataFrame:
     """Keys present only in A — the 'deleted' class as a real anti-join."""
-    return a.filter(F.col(key).isNotNull()).join(
-        b.select(key).filter(F.col(key).isNotNull()), on=key, how="left_anti"
+    keys = _keys(key)
+    return a.filter(_all_not_null(keys)).join(
+        b.select(*keys).filter(_all_not_null(keys)), on=keys, how="left_anti"
     )

@@ -90,3 +90,37 @@ def test_anti_join_classes_match_diff(spark, orders):
     s = summary_dict(d)
     assert compare.added_keys(orders, b, "o_orderkey").count() == s.get("added", 0)
     assert compare.deleted_keys(orders, b, "o_orderkey").count() == s.get("deleted", 0)
+
+
+def test_composite_key_diff(spark):
+    a = spark.createDataFrame(
+        [(1, "x", "p", 10.0), (1, "y", "q", 20.0), (2, "x", "r", 30.0)],
+        "k1 long, k2 string, v string, w double",
+    )
+    b = spark.createDataFrame(
+        [(1, "x", "p", 10.0), (1, "y", "Q", 20.0), (3, "z", "s", 40.0)],
+        "k1 long, k2 string, v string, w double",
+    )
+    d = compare.diff(a, b, ["k1", "k2"])
+    by_key = {(r.k1, r.k2): r.status for r in d.collect()}
+    assert by_key == {
+        (1, "x"): "same",
+        (1, "y"): "changed",
+        (2, "x"): "deleted",
+        (3, "z"): "added",
+    }
+    fm = compare.field_mismatches(d, ["k1", "k2"]).collect()
+    changed = [r for r in fm if r.status == "changed"]
+    assert len(changed) == 1 and changed[0].field == "v"
+    assert {r.k1 for r in compare.added_keys(a, b, ["k1", "k2"]).collect()} == {3}
+    assert {r.k1 for r in compare.deleted_keys(a, b, ["k1", "k2"]).collect()} == {2}
+
+
+def test_composite_key_dedup_last_wins(spark):
+    df = spark.createDataFrame(
+        [(1, "x", "old", 0), (1, "x", "new", 1), (1, None, "dropme", 2)],
+        "k1 long, k2 string, v string, seq long",
+    )
+    out = compare.dedup_last_wins(df, ["k1", "k2"], order_col="seq")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].v == "new"

@@ -1,0 +1,133 @@
+"""Temporal join operators Spark's API lacks: as-of and range joins.
+
+Both are compositions of existing DataFrame ops (no UDF, no Catalyst
+rule — SURVEY's "custom operator" tier (a)):
+
+- :func:`asof_join` — for each left row, the latest right row at or
+  before its timestamp (per key, optional tolerance). Implemented with
+  the union + carry-forward-window trick: tag sides, union, window per
+  key ordered by time, ``last(value, ignorenulls=True)`` carries the
+  most recent right values onto each left row. ONE shuffle on the key
+  (the window), no join node at all — the shape that survives a
+  billion-row fact table, vs. the naive inequality join whose
+  worst case is per-key cross products.
+
+- :func:`range_join` — pairs within a time window (attribution: each
+  'to' event matched to 'from' events in the preceding ``within``
+  interval). An equi-join on the key with the range as a post-filter;
+  at scale add a coarse time-bucket to the join key (``bucket=True``)
+  so a long-lived key's events don't all meet in one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: list[str] | str | None = None,
+    right_cols: list[str] | None = None,
+    tolerance: str | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join: latest right row with ``right.on <=
+    left.on`` per ``by`` key; ties (equal timestamps) match.
+
+    ``tolerance`` (e.g. ``'30 minutes'``) nulls the matched values when
+    the right row is older than ``left.on - tolerance``. Output: all
+    left columns + ``{col}{suffix}`` for each of ``right_cols`` +
+    ``{on}{suffix}`` (the matched right timestamp, null when no match).
+    """
+    by = [by] if isinstance(by, str) else (by or [])
+    right_cols = right_cols or [
+        c for c in right.columns if c != on and c not in set(by)
+    ]
+    left_cols = [c for c in left.columns if c != on and c not in set(by)]
+
+    l_tag = left.select(
+        *by,
+        F.col(on),
+        F.lit(1).alias("__is_left__"),
+        *[F.col(c) for c in left_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}__") for c in right_cols],
+        F.lit(None).cast(right.schema[on].dataType).alias("__r_ts__"),
+    )
+    r_tag = right.select(
+        *by,
+        F.col(on),
+        F.lit(0).alias("__is_left__"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        *[F.col(c).alias(f"__r_{c}__") for c in right_cols],
+        F.col(on).alias("__r_ts__"),
+    )
+    u = l_tag.unionByName(r_tag)
+
+    # right rows order before left rows at the same timestamp so an
+    # exact-timestamp match is visible to the left row (inclusive <=)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__is_left__").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        *by,
+        F.col(on),
+        "__is_left__",
+        *left_cols,
+        *[
+            F.last(f"__r_{c}__", ignorenulls=True).over(w).alias(f"__c_{c}__")
+            for c in right_cols
+        ],
+        F.last("__r_ts__", ignorenulls=True).over(w).alias("__c_ts__"),
+    )
+    out = carried.filter(F.col("__is_left__") == 1).drop("__is_left__")
+
+    in_tol: Column = F.col("__c_ts__").isNotNull()
+    if tolerance is not None:
+        in_tol = in_tol & (
+            F.col("__c_ts__") >= F.col(on) - F.expr(f"INTERVAL {tolerance}")
+        )
+    return out.select(
+        *by,
+        F.col(on),
+        *left_cols,
+        *[
+            F.when(in_tol, F.col(f"__c_{c}__")).alias(f"{c}{suffix}")
+            for c in right_cols
+        ],
+        F.when(in_tol, F.col("__c_ts__")).alias(f"{on}{suffix}"),
+    )
+
+
+def range_join(
+    from_events: DataFrame,
+    to_events: DataFrame,
+    key: str,
+    on: str = "ts",
+    within: str = "30 minutes",
+    prefix_from: str = "from_",
+    prefix_to: str = "to_",
+) -> DataFrame:
+    """Pairs (from, to) on the same key with ``from.on <= to.on <=
+    from.on + within`` — the attribution/funnel join shape.
+
+    Equi-join on the key, range predicate filtered post-join. Keys with
+    long histories fan out |from|×|to| within the key — bucket the time
+    dimension into the join key upstream if a single key's row count
+    per ``within`` horizon exceeds a task.
+    """
+    f = from_events.select(
+        F.col(key), *[F.col(c).alias(f"{prefix_from}{c}") for c in from_events.columns if c != key]
+    )
+    t = to_events.select(
+        F.col(key), *[F.col(c).alias(f"{prefix_to}{c}") for c in to_events.columns if c != key]
+    )
+    f_ts = F.col(f"{prefix_from}{on}")
+    t_ts = F.col(f"{prefix_to}{on}")
+    return f.join(t, key).filter(
+        (f_ts <= t_ts) & (t_ts <= f_ts + F.expr(f"INTERVAL {within}"))
+    )

@@ -573,6 +573,46 @@ def q_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each 'purchase' event picks up the latest preceding
+    'click' value per user (joins.asof_join — union + carry-forward
+    window, one shuffle, no join node)."""
+    from .joins import asof_join
+    from .session import load_events
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = asof_join(purchases, clicks, on="ts", by="user_id")
+    return out.select(
+        "user_id",
+        "purchase_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round(F.col("click_value_right"), 2).alias("click_value_r"),
+        F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss").alias("click_ts_s"),
+    )
+
+
+def q_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: (click, purchase) pairs per user within 30 minutes."""
+    from .joins import range_join
+    from .session import load_events
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    out = range_join(clicks, purchases, "user_id", within="30 minutes")
+    return out.select("user_id", "from_click_id", "to_purchase_id")
+
+
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .session import load_events
     from .streaming.windows import tumbling_counts
@@ -634,6 +674,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_score": q_text_quality_score,
     "dedup_near_keep": q_dedup_near_keep,
     "priority_revenue": q_priority_revenue,
+    "asof_join": q_asof_join,
+    "range_join_attribution": q_range_join_attribution,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "nation_volume": q_nation_volume,
@@ -939,6 +981,37 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation   ON s_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name
+""",
+    "asof_join": """
+WITH p AS (
+    SELECT user_id, ts, event_id AS purchase_id FROM events
+    WHERE event_type = 'purchase'
+),
+c AS (
+    SELECT user_id, ts, value AS click_value FROM events
+    WHERE event_type = 'click'
+)
+SELECT p.user_id, p.purchase_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       round(c.click_value, 2) AS click_value_r,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts_s
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    "range_join_attribution": """
+WITH c AS (
+    SELECT user_id, ts, event_id AS click_id FROM events
+    WHERE event_type = 'click'
+),
+p AS (
+    SELECT user_id, ts, event_id AS purchase_id FROM events
+    WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.click_id AS from_click_id, p.purchase_id AS to_purchase_id
+FROM c JOIN p
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
 """,
     "stream_tumbling_counts": """
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,

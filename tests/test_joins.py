@@ -1,0 +1,62 @@
+"""Temporal joins: as-of (carry-forward window) and range join."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from data__converter_spark.joins import asof_join, range_join
+
+
+def _ts_df(spark, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    return df.withColumn("ts", F.to_timestamp("ts")).filter(F.col("ts").isNotNull())
+
+
+def test_asof_basic_and_ties(spark):
+    left = _ts_df(
+        spark,
+        [(1, "2024-01-01 10:00:00", "L1"), (1, "2024-01-01 12:00:00", "L2"),
+         (2, "2024-01-01 09:00:00", "L3")],
+        "user_id long, ts string, lv string",
+    )
+    right = _ts_df(
+        spark,
+        [(1, "2024-01-01 09:30:00", 1.0),
+         (1, "2024-01-01 12:00:00", 2.0),   # exact tie with L2 -> matches
+         (2, "2024-01-01 09:30:00", 3.0)],  # after L3 -> no match
+        "user_id long, ts string, rv double",
+    )
+    out = {r.lv: r.rv_right for r in asof_join(left, right, by="user_id").collect()}
+    assert out == {"L1": 1.0, "L2": 2.0, "L3": None}
+
+
+def test_asof_tolerance(spark):
+    left = _ts_df(
+        spark, [(1, "2024-01-01 10:00:00", "L1")], "user_id long, ts string, lv string"
+    )
+    right = _ts_df(
+        spark, [(1, "2024-01-01 08:00:00", 7.0)], "user_id long, ts string, rv double"
+    )
+    loose = asof_join(left, right, by="user_id").collect()[0]
+    assert loose.rv_right == 7.0
+    tight = asof_join(left, right, by="user_id", tolerance="30 minutes").collect()[0]
+    assert tight.rv_right is None and tight.ts_right is None
+
+
+def test_range_join_window_bounds(spark):
+    clicks = _ts_df(
+        spark,
+        [(1, "2024-01-01 10:00:00", 100)],
+        "user_id long, ts string, click_id long",
+    )
+    purchases = _ts_df(
+        spark,
+        [(1, "2024-01-01 10:10:00", 200),   # inside
+         (1, "2024-01-01 10:30:00", 201),   # boundary (inclusive)
+         (1, "2024-01-01 11:00:00", 202),   # outside
+         (1, "2024-01-01 09:59:00", 203)],  # before the click
+        "user_id long, ts string, purchase_id long",
+    )
+    out = range_join(clicks, purchases, "user_id", within="30 minutes")
+    got = sorted(r.to_purchase_id for r in out.collect())
+    assert got == [200, 201]

@@ -186,26 +186,43 @@ def ivf_topk(
     )
 
 
+def _hyperplane_table(dim: int, bits: int, seed: int):
+    """±1 hyperplane matrix (bits, dim) from the sha256 bit stream of
+    ``"{seed}:{b}:{counter}"`` — deterministic across runs, engines and
+    platforms, computed driver-side with no Spark job."""
+    import hashlib
+
+    import numpy as np
+
+    H = np.empty((bits, dim))
+    for b in range(bits):
+        buf = b""
+        ctr = 0
+        while len(buf) * 8 < dim:
+            buf += hashlib.sha256(f"{seed}:{b}:{ctr}".encode()).digest()
+            ctr += 1
+        arr = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))[:dim]
+        H[b] = np.where(arr == 1, 1.0, -1.0)
+    return H
+
+
 def hyperplane_bucket_col(
     vec_col: str | Column, dim: int, bits: int = 8, seed: int = 42
 ) -> Column:
     """Random-hyperplane LSH bucket id (sign pattern of ``bits``
-    projections). Hyperplane components are derived from
-    ``xxhash64(seed, bit, dim_index)`` mapped to ±1 — deterministic,
-    no driver-side model, identical across runs and engines."""
+    projections) as a pure SQL column — for bucketing a corpus at write
+    time so queries skip the kernel. Hyperplane weights are the same
+    sha256-derived ±1 literals :func:`lsh_topk`'s numpy kernel uses, so
+    buckets are identical across the two paths."""
+    import numpy as np
+
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    H = _hyperplane_table(dim, bits, seed)
     bucket = F.lit(0).cast("long")
     for b in range(bits):
-        # dot(v, h_b) where h_b[i] = +1/-1 from hash parity
+        weights = F.array(*[F.lit(float(w)) for w in H[b]])
         proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, i: x.cast("double")
-                * F.when(
-                    F.pmod(F.xxhash64(F.lit(seed), F.lit(b), i), 2) == 0, 1.0
-                ).otherwise(-1.0),
-            ),
+            F.zip_with(v, weights, lambda x, w: x.cast("double") * w),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -233,39 +250,55 @@ def lsh_topk(
     candidate union. Recall ~ 1-(1-p^bits)^tables — tune ``bits`` down
     or ``tables`` up for recall, the reverse for cost. Candidate volume
     scales ~ tables * n / 2^bits per probe, never n².
+
+    One mapInPandas pass does everything per Arrow batch: sign-matmul
+    bucketing (buckets identical to :func:`hyperplane_bucket_col`, so a
+    corpus pre-bucketed at write time can skip straight to the match),
+    bucket-equality match against the broadcast probe buckets, and
+    exact cosine scoring of the surviving pairs — each (probe,
+    neighbor) pair is emitted at most once, so the only shuffle is the
+    final per-probe rank over ~tables·n/2^bits candidate rows.
     """
+    import numpy as np
 
-    def bucketed(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(id_alias),
-            F.col(vec_col).alias(vec_alias),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("table"),
-                            hyperplane_bucket_col(vec_col, dim, bits, seed + t).alias(
-                                "bucket"
-                            ),
-                        )
-                        for t in range(tables)
-                    ]
-                )
-            ).alias("tb"),
-        ).select(id_alias, vec_alias, "tb.table", "tb.bucket")
+    spark = corpus.sparkSession
+    H = np.stack([_hyperplane_table(dim, bits, seed + t) for t in range(tables)])
+    bit_weights = (1 << np.arange(bits)).astype(np.int64)
 
-    c = bucketed(corpus, "neighbor_id", "neighbor_vec")
-    p = bucketed(probes, "probe_id", "probe_vec")
-    cand = (
-        c.join(F.broadcast(p), ["table", "bucket"])
-        .filter(F.col("probe_id") != F.col("neighbor_id"))
-        .select("probe_id", "probe_vec", "neighbor_id", "neighbor_vec")
-        .dropDuplicates(["probe_id", "neighbor_id"])
-    )
-    scored = cand.select(
-        "probe_id",
-        "neighbor_id",
-        cosine_col(F.col("probe_vec"), F.col("neighbor_vec")).alias("cosine"),
+    p_rows = probes.select(F.col(id_col), F.col(vec_col)).collect()
+    probe_ids = np.array([r[0] for r in p_rows], dtype=np.int64)
+    pm = np.stack([np.asarray(r[1], dtype=np.float64) for r in p_rows])
+    pmn = pm / np.linalg.norm(pm, axis=1, keepdims=True)
+    # (tables, n_probes) bucket ids per probe
+    B_p = np.stack([((pm @ H[t].T) > 0) @ bit_weights for t in range(tables)])
+    bc = spark.sparkContext.broadcast((H, probe_ids, pmn, B_p))
+
+    def kernel(batches):
+        import pandas as pd
+
+        Ht, ids_p, mat_p, buckets_p = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nid = pdf[id_col].to_numpy(dtype=np.int64)
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            B_c = np.stack(
+                [((V @ Ht[t].T) > 0) @ bit_weights for t in range(tables)]
+            )  # (tables, n_batch)
+            match = (B_c[:, :, None] == buckets_p[:, None, :]).any(axis=0)
+            match &= nid[:, None] != ids_p[None, :]
+            ii, jj = np.nonzero(match)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "probe_id": ids_p[jj],
+                    "neighbor_id": nid[ii],
+                    "cosine": np.einsum("ij,ij->i", Vn[ii], mat_p[jj]),
+                }
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        kernel, "probe_id long, neighbor_id long, cosine double"
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -82,6 +82,32 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def media_from_documents(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic media table derived from a text corpus: payload =
+    UTF-8 bytes of the text, kind/metadata keyed on the id. Gives the
+    multimodal operators a reproducible input both engines (and the
+    DuckDB oracle) can construct — the at-scale analog is a parquet
+    table with a real binary column."""
+    mid = F.col(id_col).cast("long")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        F.pmod(mid, 3).cast("int") + 1,
+    )
+    return docs.select(
+        mid.alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8").alias("payload"),
+        F.struct(
+            (F.lit(64) + F.pmod(mid, 8)).cast("int").alias("width"),
+            (F.lit(48) + F.pmod(mid, 6)).cast("int").alias("height"),
+            (F.lit(1000) * (F.lit(1) + F.pmod(mid, 7))).cast("int").alias("duration_ms"),
+            F.concat(F.lit("x/"), kind).alias("mime"),
+        ).alias("meta"),
+    )
+
+
 def image_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
     """Decode + feature-extract images via Arrow-batched mapInPandas.
 

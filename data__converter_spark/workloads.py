@@ -473,6 +473,54 @@ def q_dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# multimodal queries (beyond-reference, SURVEY §7.1 M6): binary payload +
+# typed metadata; decode kernels are deterministic stubs (sha256 of the
+# payload), so the Arrow-batch plumbing is oracle-checkable end-to-end.
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract over the binary payload column via one
+    Arrow-batched mapInPandas pass (no shuffle); mean_luma derives from
+    the stub decode (sha256 bytes), hash-checked against DuckDB."""
+    from .llmops.multimodal import image_features, media_from_documents
+
+    media = media_from_documents(_load(spark, sf_dir, "documents"))
+    out = image_features(media)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_luma", 6).alias("mean_luma_r"),
+    )
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: one input row fans out to duration/interval
+    frame rows inside the Arrow batch (the shape a real decoder plugs
+    into)."""
+    from .llmops.multimodal import media_from_documents, sample_frames
+
+    media = media_from_documents(_load(spark, sf_dir, "documents"))
+    return sample_frames(media, every_ms=1000).select("media_id", "frame_no")
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize contract: output metadata retagged, payload rewritten to
+    the target byte budget (stub kernel; real codec swaps the body)."""
+    from .llmops.multimodal import media_from_documents, resize_images
+
+    media = media_from_documents(_load(spark, sf_dir, "documents"))
+    out = resize_images(media, width=32, height=32)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.length("payload").cast("int").alias("payload_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # analytics queries — beyond-reference star-schema aggregations over the
 # TPC-H-ish tables: the engine's general query layer (SURVEY north star),
 # shaped so Catalyst broadcast-joins the dims and partial-aggregates
@@ -688,6 +736,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_pairs": q_dedup_embedding_pairs,
     "similarity_lsh_topk": q_similarity_lsh_topk,
     "similarity_ivf_topk": q_similarity_ivf_topk,
+    "multimodal_image_features": q_multimodal_image_features,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_resize": q_multimodal_resize,
 }
 
 ORACLES: dict[str, str] = {
@@ -1073,5 +1124,29 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.e, b.e)
         / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.9
+""",
+    "multimodal_image_features": """
+WITH m AS (
+    SELECT doc_id AS media_id, sha256(coalesce(text, '')) AS h
+    FROM documents WHERE doc_id % 3 = 0
+)
+SELECT media_id,
+       CAST(64 + media_id % 8 AS INT) AS width,
+       CAST(48 + media_id % 6 AS INT) AS height,
+       round(list_sum(list_transform(range(0, 8), i ->
+           (strpos('0123456789abcdef', substr(h, CAST(2*i+1 AS INT), 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(h, CAST(2*i+2 AS INT), 1)) - 1)
+       )) / 8.0 / 255.0, 6) AS mean_luma_r
+FROM m
+""",
+    "multimodal_frame_sample": """
+SELECT doc_id AS media_id, CAST(u.i AS INT) AS frame_no
+FROM documents, unnest(range(0, CAST(1 + doc_id % 7 AS BIGINT))) AS u(i)
+WHERE doc_id % 3 = 2
+""",
+    "multimodal_resize": """
+SELECT doc_id AS media_id, CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+       CAST(16 AS INT) AS payload_len
+FROM documents WHERE doc_id % 3 = 0
 """,
 }

@@ -160,3 +160,22 @@ def test_write_outputs_and_timestamp_name(spark, pdf_dir, tmp_path):
     import re
 
     assert re.fullmatch(r"doc_\d{4}-\d{2}-\d{2}_\d{4}\.pdf", name)
+
+
+def test_media_from_documents_matches_stub_decode(spark):
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(0, "hello world"), (3, "x" * 50), (4, "audio doc"), (5, "video doc")],
+        "doc_id long, text string",
+    )
+    media = multimodal.media_from_documents(docs)
+    rows = {r.media_id: r for r in media.collect()}
+    assert rows[0].kind == "image" and rows[5].kind == "video"
+    assert bytes(rows[3].payload) == b"x" * 50
+    assert rows[3].meta.width == 64 + 3 % 8
+
+    feats = {r.media_id: r for r in multimodal.image_features(media).collect()}
+    assert set(feats) == {0, 3}
+    h = hashlib.sha256(b"hello world").digest()
+    assert abs(feats[0].mean_luma - sum(h[:8]) / 8 / 255) < 1e-12

@@ -196,6 +196,39 @@ def q_mask_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mask_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3-F9 (randomString/Int/Date, fakeName/Email/Phone) under the
+    oracle gate: the fills are seed-deterministic but engine-specific,
+    so the query projects their *invariants* — length, prefix, charset,
+    range — which the reference guarantees (random/page.tsx:183-263)
+    and DuckDB asserts as constants."""
+    from .mask import FieldRule, compile_rule
+
+    cust = _load(spark, sf_dir, "customer")
+    rs = compile_rule("c_name", FieldRule("randomString", fixed_part="ID-", str_len=12))
+    ri = compile_rule("c_acctbal", FieldRule("randomInt", int_min=10, int_max=99))
+    rd = compile_rule("c_name", FieldRule("randomDate", fixed_part="2024"))
+    fn = compile_rule("c_name", FieldRule("fakeName"))
+    fe = compile_rule("c_name", FieldRule("fakeEmail", str_len=12))
+    fp = compile_rule("c_name", FieldRule("fakePhone", fixed_part="017"))
+
+    sur = "(Kim|Lee|Park|Choi|Jung|Kang|Cho|Yoon)"
+    given = "(Minjun|Seoyeon|Doyun|Jiwoo|Hajun|Suah|Siwoo|Haeun)"
+    dom = "(example\\.com|mail\\.test|sample\\.org|demo\\.net)"
+    return cust.select(
+        "c_custkey",
+        F.length(rs).alias("rs_len"),
+        rs.rlike("^ID-[0-9A-Za-z]{9}$").cast("int").alias("rs_ok"),
+        ri.cast("int").between(10, 99).cast("int").alias("ri_ok"),
+        (rd.rlike("^2024-[0-9]{2}-[0-9]{2}$") & F.to_date(rd).isNotNull())
+        .cast("int")
+        .alias("rd_ok"),
+        fn.rlike(f"^{sur} {given}$").cast("int").alias("fn_ok"),
+        fe.rlike(f"^[a-z]{{12}}@{dom}$").cast("int").alias("fe_ok"),
+        fp.rlike("^010-017[0-9]-[0-9]{4}$").cast("int").alias("fp_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # pattern tool queries (SURVEY §2.8 F12-F16, A2-A3) over `documents`
 # ---------------------------------------------------------------------------
@@ -598,6 +631,75 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window aggregate: per-customer running revenue + order sequence.
+    One shuffle on the partition key; the sort is within-partition."""
+    from pyspark.sql import Window
+
+    orders = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .alias("running_rev"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+def q_rollup_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over the region/nation hierarchy — subtotal
+    and grand-total rows in one pass (partial-agg friendly)."""
+    li = _load(spark, sf_dir, "lineitem")
+    supp = _load(spark, sf_dir, "supplier")
+    nat = _load(spark, sf_dir, "nation")
+    reg = _load(spark, sf_dir, "region")
+    joined = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("ext_price"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "ext_price",
+            "n_items",
+        )
+    )
+
+
+def q_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate: exact distinct suppliers/parts per return
+    flag (expand + two-phase agg under the hood)."""
+    li = _load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long->wide): events per user by type. The explicit value
+    list keeps it a single pass — no distinct-values pre-query."""
+    from .session import load_events
+
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )
+
+
 # ---------------------------------------------------------------------------
 # streaming queries (M7) — batch forms of the window transforms; the
 # stream/batch equivalence itself is pytest-verified (test_streaming.py)
@@ -702,6 +804,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compare_deleted_keys": q_compare_deleted,
     "mask_deterministic": q_mask_deterministic,
     "mask_recovery_roundtrip": q_mask_recovery,
+    "mask_invariants": q_mask_invariants,
     "pattern_count_matches": q_pattern_count,
     "pattern_replace_all": q_pattern_replace_all,
     "pattern_replace_first": q_pattern_replace_first,
@@ -739,6 +842,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_resize": q_multimodal_resize,
+    "window_running_revenue": q_window_running_revenue,
+    "rollup_volume": q_rollup_volume,
+    "distinct_suppliers": q_distinct_suppliers,
+    "pivot_event_counts": q_pivot_event_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -799,6 +906,12 @@ SELECT c_custkey,
        sha256('42' || chr(31) || coalesce(CAST(c_custkey AS VARCHAR), '')) AS anon_row_id,
        CAST(c_name AS VARCHAR)                             AS orig_name,
        CAST(CAST(c_acctbal AS DECIMAL(38,2)) AS VARCHAR)   AS orig_acctbal
+FROM customer
+""",
+    "mask_invariants": """
+SELECT c_custkey,
+       CAST(12 AS INT) AS rs_len,
+       1 AS rs_ok, 1 AS ri_ok, 1 AS rd_ok, 1 AS fn_ok, 1 AS fe_ok, 1 AS fp_ok
 FROM customer
 """,
     "pattern_count_matches": """
@@ -1148,5 +1261,40 @@ WHERE doc_id % 3 = 2
 SELECT doc_id AS media_id, CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
        CAST(16 AS INT) AS payload_len
 FROM documents WHERE doc_id % 3 = 0
+""",
+    "window_running_revenue": """
+SELECT o_orderkey, o_custkey,
+       sum(CAST(o_totalprice AS DECIMAL(18,2)))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS running_rev,
+       CAST(row_number()
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS order_seq
+FROM orders
+""",
+    "rollup_volume": """
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS ext_price,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+""",
+    "distinct_suppliers": """
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(*) AS n_items
+FROM lineitem GROUP BY l_returnflag
+""",
+    "pivot_event_counts": """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
+       sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
+       sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error
+FROM events GROUP BY user_id
 """,
 }

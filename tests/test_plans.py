@@ -1,0 +1,148 @@
+"""Physical-plan regression tests.
+
+The engine's 100 TB story rests on plan shape, not code style: filters
+reaching the parquet scan, scans pruned to the referenced columns,
+small dimensions broadcast instead of shuffled, aggregates split into
+partial+final, top-k compiled to TakeOrderedAndProject, and narrow
+mapInPandas pipelines staying shuffle-free. These tests pin each
+property on the real optimized plan so a refactor can't silently
+regress them at scale while staying correct on test rows.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "simple") -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def read_schemas(plan: str) -> list[str]:
+    """The ReadSchema struct of every parquet scan in the plan."""
+    out = []
+    for line in plan.splitlines():
+        if "ReadSchema:" in line:
+            out.append(line.split("ReadSchema:", 1)[1].strip())
+    return out
+
+
+@contextmanager
+def no_broadcast(spark):
+    """Emulate at-scale sizes: no relation qualifies for broadcast."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_pricing_summary_pushdown_pruning_partial_agg(spark):
+    from data__converter_spark.workloads import q_pricing_summary
+
+    p = plan_of(q_pricing_summary(spark, SF_DIR))
+    # predicate reaches the parquet reader
+    assert "LessThanOrEqual(l_shipdate" in p
+    # scan pruned: untouched columns never leave the file
+    (schema,) = read_schemas(p)
+    for col in ("l_partkey", "l_suppkey", "l_tax", "l_orderkey"):
+        assert col not in schema, f"{col} should be pruned from the scan"
+    # map-side partial + final aggregation around one exchange
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning(l_returnflag" in p
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    from data__converter_spark.workloads import q_nation_volume
+
+    p = plan_of(q_nation_volume(spark, SF_DIR))
+    assert p.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in p
+    # the fact table shuffles once, for the final group-by only
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_top_customers_broadcast_and_takeordered(spark):
+    from data__converter_spark.workloads import q_top_customers
+
+    p = plan_of(q_top_customers(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_topk_two_key_is_takeordered_not_global_sort(spark):
+    from data__converter_spark.workloads import q_topk_two_key
+
+    p = plan_of(q_topk_two_key(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_large_join_prunes_scans_and_degrades_to_smj(spark):
+    from data__converter_spark.workloads import q_priority_revenue
+
+    # both scans pruned to the join/agg columns regardless of strategy
+    p = plan_of(q_priority_revenue(spark, SF_DIR))
+    for schema in read_schemas(p):
+        assert "l_returnflag" not in schema
+        assert "o_orderdate" not in schema
+    # when no side fits in memory (the 100 TB case), the planner must
+    # fall back to a shuffle join, never a nested loop
+    with no_broadcast(spark):
+        p_big = plan_of(q_priority_revenue(spark, SF_DIR))
+    assert ("SortMergeJoin" in p_big) or ("ShuffledHashJoin" in p_big)
+    assert "NestedLoop" not in p_big
+
+
+def test_multimodal_pipeline_is_shuffle_free(spark):
+    from data__converter_spark.workloads import q_multimodal_image_features
+
+    p = plan_of(q_multimodal_image_features(spark, SF_DIR))
+    assert "MapInPandas" in p
+    assert "Exchange" not in p, "decode/feature pipeline must stay narrow"
+
+
+def test_compare_added_keys_pushes_isnotnull(spark):
+    from data__converter_spark.compare import added_keys
+    from data__converter_spark.workloads import orders_variant
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    p = plan_of(added_keys(orders, orders_variant(orders), "o_orderkey"))
+    assert "IsNotNull(o_orderkey)" in p
+
+
+def test_dedup_exact_shuffles_at_most_twice(spark):
+    from data__converter_spark.llmops.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan_of(exact_dedup(docs))
+    n_exchanges = p.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"expected <=2 exchanges, plan had {n_exchanges}"
+
+
+def test_mask_projection_is_single_stage(spark):
+    from data__converter_spark.mask import FieldRule, mask_table
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    masked, _ = mask_table(
+        cust, {"c_name": FieldRule("fakeName")}, id_cols=["c_custkey"]
+    )
+    p = plan_of(masked)
+    assert "Exchange" not in p, "rule projection must not shuffle"
+    assert "BatchEvalPython" not in p, "mask rules must stay JVM-side (no UDF)"
+
+
+def test_window_running_revenue_single_shuffle(spark):
+    from data__converter_spark.workloads import q_window_running_revenue
+
+    p = plan_of(q_window_running_revenue(spark, SF_DIR))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Window" in p

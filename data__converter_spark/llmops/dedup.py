@@ -155,9 +155,12 @@ def _perm_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
 
 
 def _shingle_hashes(text, k: int):
-    """Distinct word-k-gram shingle hashes of one document: blake2b
-    64-bit (deterministic, keyless) mod 2³¹-1. Python-side companion of
-    :func:`textstats.shingles_col` for the signature kernels."""
+    """Distinct word-k-gram shingle hashes of one document: first 32
+    bits of md5 mod 2³¹-1. md5 exists in every engine (DuckDB:
+    ``CAST(('0x'||substr(md5(s),1,8)) AS BIGINT) % 2147483647``), which
+    makes the whole MinHash pipeline cross-engine reproducible — the
+    oracle gate checks it exactly, not rows-only. Python-side companion
+    of :func:`textstats.shingles_col` for the signature kernels."""
     import hashlib
     import re
 
@@ -167,12 +170,7 @@ def _shingle_hashes(text, k: int):
     if len(toks) < k:
         return None
     return {
-        int.from_bytes(
-            hashlib.blake2b(
-                " ".join(toks[i : i + k]).encode(), digest_size=8
-            ).digest(),
-            "little",
-        )
+        int(hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:8], 16)
         % _MERSENNE_P
         for i in range(len(toks) - k + 1)
     }
@@ -182,8 +180,9 @@ def minhash_signature_col(
     col: str | Column = "text", k: int = 3, num_hashes: int = 64, seed: int = 42
 ) -> Column:
     """MinHash signature as ONE Arrow-batched kernel: tokenize ->
-    shingle -> hash (blake2b-64) -> ``(aᵢ·h + bᵢ) mod p`` permutation
-    mins, all vectorized in numpy.
+    shingle -> hash (md5-32 mod 2³¹-1) -> ``(aᵢ·h + bᵢ) mod p``
+    permutation mins, all vectorized in numpy (products stay < 2⁶²,
+    no int64 overflow).
 
     One pass over the text; the Column-expression formulation (64
     higher-order-function passes, interpreted per element in Catalyst)

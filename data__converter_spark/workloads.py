@@ -369,6 +369,67 @@ WITH words_cte AS (
 """
 
 
+def _minhash_verified_pairs_sql(
+    k: int = 3, num_hashes: int = 64, bands: int = 16, threshold: float = 0.5,
+    seed: int = 42,
+) -> str:
+    """DuckDB replica of llmops.dedup.minhash_lsh_pairs: same md5-based
+    shingle hash, same seeded permutation coefficients (embedded as
+    literals), band candidates via slice equality, exact-Jaccard
+    verify. Ends with a ``verified`` CTE of (id_a, id_b, jaccard)."""
+    from .llmops.dedup import _MERSENNE_P, _perm_coeffs
+
+    r = num_hashes // bands
+    coeffs = _perm_coeffs(num_hashes, seed)
+    sig_entries = ",\n        ".join(
+        f"list_min(list_transform(h, x -> ({a} * x + {b}) % {_MERSENNE_P}))"
+        for a, b in coeffs
+    )
+    return (
+        _WORDS_SQL
+        + f"""
+, sh_cte AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(words) - {k - 2}),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+    FROM words_cte WHERE len(words) >= {k}
+),
+hs_cte AS (
+    SELECT doc_id,
+           list_transform(sh, s ->
+               CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % {_MERSENNE_P}) AS h
+    FROM sh_cte
+),
+sigs AS (
+    SELECT doc_id, [
+        {sig_entries}
+    ] AS sig FROM hs_cte
+),
+banded AS (
+    SELECT doc_id, CAST(t.b AS INT) AS band,
+           array_to_string(list_slice(sig, CAST(t.b * {r} + 1 AS INT),
+                                           CAST(t.b * {r} + {r} AS INT)), ',') AS bucket
+    FROM sigs, (SELECT unnest(range(0, {bands})) AS b) t
+),
+cand AS (
+    SELECT DISTINCT l.doc_id AS id_a, r2.doc_id AS id_b
+    FROM banded l JOIN banded r2 ON l.band = r2.band AND l.bucket = r2.bucket
+    WHERE l.doc_id < r2.doc_id
+),
+verified AS (
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+        FROM cand
+        JOIN sh_cte a ON cand.id_a = a.doc_id
+        JOIN sh_cte b ON cand.id_b = b.doc_id
+    ) WHERE jaccard >= {threshold}
+)
+"""
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llmops.dedup import exact_dedup
 
@@ -423,13 +484,15 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate near-dup via MinHash+LSH — no SQL oracle (rows-only
-    driver check); recall vs the exact baseline is pytest-verified."""
+    """MinHash+LSH near-dup pairs. Fully oracle-checked: the signature
+    hash (md5-32 mod 2³¹-1) and permutation coefficients are portable,
+    so DuckDB reproduces signatures, band candidates, and the exact
+    Jaccard verify bit-for-bit."""
     from .llmops.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
         _load(spark, sf_dir, "documents"), k=3, num_hashes=64, bands=16, threshold=0.5
-    )
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -495,8 +558,8 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup: corpus minus LSH-verified near-duplicate
-    members (keep lower id). Approximate — rows-only driver check;
-    recall vs exact pairs is pytest-verified."""
+    members (keep lower id). Oracle-checked via the same portable
+    MinHash pipeline as dedup_minhash_lsh."""
     from .llmops.dedup import near_dedup
 
     docs = _load(spark, sf_dir, "documents")
@@ -1261,6 +1324,14 @@ WHERE doc_id % 3 = 2
 SELECT doc_id AS media_id, CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
        CAST(16 AS INT) AS payload_len
 FROM documents WHERE doc_id % 3 = 0
+""",
+    "dedup_minhash_lsh": _minhash_verified_pairs_sql()
+    + "SELECT id_a, id_b, round(jaccard, 6) AS jaccard_r FROM verified",
+    "dedup_near_keep": _minhash_verified_pairs_sql()
+    + """
+SELECT d.doc_id FROM documents d
+LEFT JOIN (SELECT DISTINCT id_b FROM verified) v ON d.doc_id = v.id_b
+WHERE v.id_b IS NULL
 """,
     "window_running_revenue": """
 SELECT o_orderkey, o_custkey,

@@ -305,11 +305,12 @@ def near_dedup(
 def simhash_col(col: str | Column = "text", k: int = 2) -> Column:
     """64-bit SimHash over word k-gram features.
 
-    One Arrow-batched kernel: tokenize -> shingle -> blake2b-64 feature
+    One Arrow-batched kernel: tokenize -> shingle -> md5-64 feature
     hash -> vectorized per-bit ±1 majority vote (the Column-expression
     fold with a 64-wide accumulator interprets per element in Catalyst,
-    an order of magnitude slower). Deterministic — keyless hash, no
-    seed state. 0 for docs shorter than k tokens.
+    an order of magnitude slower). Deterministic and cross-engine
+    reproducible (md5 exists in DuckDB, so the oracle recomputes the
+    same hashes). 0 for docs shorter than k tokens.
     """
     import hashlib
     import re
@@ -333,12 +334,7 @@ def simhash_col(col: str | Column = "text", k: int = 2) -> Column:
                 out.append(0)
                 continue
             feats = {
-                int.from_bytes(
-                    hashlib.blake2b(
-                        " ".join(toks[i : i + k]).encode(), digest_size=8
-                    ).digest(),
-                    "little",
-                )
+                int(hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:16], 16)
                 for i in range(len(toks) - k + 1)
             }
             hv = np.fromiter(feats, dtype=np.uint64)[:, None]

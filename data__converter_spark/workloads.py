@@ -430,6 +430,41 @@ verified AS (
     )
 
 
+def _simhash_pairs_sql(k: int = 2, max_distance: int = 3) -> str:
+    """DuckDB replica of llmops.dedup.simhash_pairs: same md5-64
+    feature hashes and majority vote; brute-force Hamming join (the
+    Spark chunk blocking is pigeonhole-exact at max_distance <= 3, so
+    the two formulations return identical pairs)."""
+    assert k == 2, "oracle template is written for bigram features"
+    assert max_distance <= 64 // 4 - 1
+    pow2 = "[" + ",".join(f"{1 << j}::UBIGINT" for j in range(64)) + "]"
+    return (
+        _WORDS_SQL
+        + f"""
+, feats AS (
+    SELECT doc_id, CASE WHEN len(words) < {k} THEN []
+        ELSE list_distinct(list_transform(range(1, len(words)),
+             i -> CAST(('0x' || substr(md5(words[i] || ' ' || words[i+1]), 1, 16))
+                       AS UBIGINT))) END AS h
+    FROM words_cte
+),
+sims AS (
+    SELECT doc_id, CASE WHEN len(h) = 0 THEN 0::UBIGINT ELSE
+        CAST(list_sum(list_transform(range(0, 64), j ->
+            CASE WHEN list_sum(list_transform(h, x ->
+                     CASE WHEN (x >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                 THEN ({pow2})[CAST(j AS INT) + 1] ELSE 0::UBIGINT END)) AS UBIGINT)
+        END AS sim
+    FROM feats
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= {max_distance}
+"""
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llmops.dedup import exact_dedup
 
@@ -496,6 +531,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs. Oracle-checked exactly: the chunk
+    blocking is pigeonhole-exact for distance <= 3, so the output
+    equals a brute-force Hamming filter, which DuckDB reproduces from
+    the same md5-derived simhash values."""
     from .llmops.dedup import simhash_pairs
 
     return simhash_pairs(_load(spark, sf_dir, "documents"), k=2, max_distance=3)
@@ -1325,6 +1364,7 @@ SELECT doc_id AS media_id, CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
        CAST(16 AS INT) AS payload_len
 FROM documents WHERE doc_id % 3 = 0
 """,
+    "dedup_simhash": _simhash_pairs_sql(),
     "dedup_minhash_lsh": _minhash_verified_pairs_sql()
     + "SELECT id_a, id_b, round(jaccard, 6) AS jaccard_r FROM verified",
     "dedup_near_keep": _minhash_verified_pairs_sql()

@@ -107,18 +107,23 @@ def ivf_topk(
 
     Centroids are a deterministic hash-min sample of corpus vectors (no
     k-means fit — the classic random-seed IVF variant), so the operator
-    is a pure function of (data, seed). At scale the corpus is written
-    partitioned by cell; a query reads nprobe/n_cells of it. With
-    ``nprobe == n_cells`` every cell is probed and the result equals
-    brute force exactly (tested).
+    is a pure function of (data, seed); the hash is md5 of
+    ``"{id}:{seed}"`` so any engine (incl. the DuckDB oracle) draws the
+    identical sample. At scale the corpus is written partitioned by
+    cell; a query reads nprobe/n_cells of it. With ``nprobe ==
+    n_cells`` every cell is probed and the result equals brute force
+    exactly (tested).
     """
     import numpy as np
 
     # deterministic centroid sample: n_cells corpus vectors w/ smallest id-hash
     cent_rows = (
         corpus.select(F.col(id_col), F.col(vec_col))
-        .withColumn("__h__", F.xxhash64(F.col(id_col), F.lit(seed)))
-        .orderBy("__h__")
+        .withColumn(
+            "__h__",
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))),
+        )
+        .orderBy("__h__", id_col)
         .limit(n_cells)
         .collect()
     )

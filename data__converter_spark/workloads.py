@@ -465,6 +465,123 @@ WHERE bit_count(xor(a.sim, b.sim)) <= {max_distance}
     )
 
 
+def _lsh_topk_sql(
+    k: int = 10, dim: int = 64, bits: int = 6, tables: int = 4, seed: int = 42
+) -> str:
+    """DuckDB replica of llmops.similarity.lsh_topk over the
+    ``vec_id % 25 = 0`` probe set: the sha256-derived ±1 hyperplanes
+    are embedded as literals, candidates match on any table's bucket,
+    and exact cosine + rank reproduce the rerank."""
+    from .llmops.similarity import _hyperplane_table
+
+    def bucket_expr(t: int) -> str:
+        H = _hyperplane_table(dim, bits, seed + t)
+        terms = []
+        for b in range(bits):
+            lits = ",".join(str(float(w)) for w in H[b])
+            terms.append(
+                f"CASE WHEN list_dot_product(e, [{lits}]) > 0 "
+                f"THEN {1 << b} ELSE 0 END"
+            )
+        return " + ".join(terms)
+
+    branches = "\n    UNION ALL\n".join(
+        f"    SELECT vec_id, e, {t} AS tbl, {bucket_expr(t)} AS bucket FROM v"
+        for t in range(tables)
+    )
+    return f"""
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+bucketed AS (
+{branches}
+),
+cand AS (
+    SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+    FROM bucketed c
+    JOIN (SELECT * FROM bucketed WHERE vec_id % 25 = 0) p
+      ON c.tbl = p.tbl AND c.bucket = p.bucket
+    WHERE c.vec_id <> p.vec_id
+),
+scored AS (
+    SELECT probe_id, neighbor_id,
+           list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+             AS cosine
+    FROM cand
+    JOIN v a ON cand.neighbor_id = a.vec_id
+    JOIN v b ON cand.probe_id = b.vec_id
+),
+ranked AS (
+    SELECT probe_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT probe_id, neighbor_id, round(cosine, 6) AS cosine_r, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _ivf_topk_sql(
+    k: int = 10, n_cells: int = 16, nprobe: int = 4, seed: int = 42
+) -> str:
+    """DuckDB replica of llmops.similarity.ivf_topk over the
+    ``vec_id % 25 = 0`` probe set: identical md5-ordered centroid
+    sample, nearest-centroid cell assignment, nprobe cell selection,
+    and exact cosine rerank."""
+    return f"""
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+vn AS (
+    SELECT vec_id,
+           list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS en
+    FROM v
+),
+cent AS (
+    SELECT vec_id AS cid, en AS ce FROM vn
+    ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{seed}'), vec_id
+    LIMIT {n_cells}
+),
+assign AS (
+    SELECT vn.vec_id, cent.cid,
+           row_number() OVER (PARTITION BY vn.vec_id
+               ORDER BY list_dot_product(vn.en, cent.ce) DESC, cent.cid) AS rn
+    FROM vn CROSS JOIN cent
+),
+cells AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+probe_rank AS (
+    SELECT vn.vec_id AS probe_id, cent.cid,
+           row_number() OVER (PARTITION BY vn.vec_id
+               ORDER BY list_dot_product(vn.en, cent.ce) DESC, cent.cid) AS rn
+    FROM vn CROSS JOIN cent
+    WHERE vn.vec_id % 25 = 0
+),
+pc AS (SELECT probe_id, cid FROM probe_rank WHERE rn <= {nprobe}),
+cand AS (
+    SELECT pc.probe_id, cells.vec_id AS neighbor_id
+    FROM pc JOIN cells ON pc.cid = cells.cid
+    WHERE cells.vec_id <> pc.probe_id
+),
+scored AS (
+    SELECT probe_id, neighbor_id,
+           list_dot_product(a.en, b.en) AS cosine
+    FROM cand
+    JOIN vn a ON cand.neighbor_id = a.vec_id
+    JOIN vn b ON cand.probe_id = b.vec_id
+),
+ranked AS (
+    SELECT probe_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT probe_id, neighbor_id, round(cosine, 6) AS cosine_r, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llmops.dedup import exact_dedup
 
@@ -549,8 +666,10 @@ def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN — approximate, rows-only driver check; exactness at
-    nprobe=n_cells and recall under pruning are pytest-verified."""
+    """IVF-flat ANN. Oracle-checked exactly: the md5-ordered centroid
+    sample is engine-independent, so DuckDB reproduces cells, probe
+    cell selection, and the exact cosine rerank. Exactness at
+    nprobe=n_cells and recall under pruning are also pytest-verified."""
     from .llmops.similarity import ivf_topk
 
     emb = _load(spark, sf_dir, "embeddings")
@@ -562,7 +681,9 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN — approximate, rows-only driver check."""
+    """Hyperplane-LSH ANN. Oracle-checked exactly: the sha256-derived
+    hyperplanes are engine-independent, so DuckDB reproduces buckets,
+    candidates, and the exact cosine rerank."""
     from .llmops.similarity import lsh_topk
 
     emb = _load(spark, sf_dir, "embeddings")
@@ -1365,6 +1486,8 @@ SELECT doc_id AS media_id, CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
 FROM documents WHERE doc_id % 3 = 0
 """,
     "dedup_simhash": _simhash_pairs_sql(),
+    "similarity_lsh_topk": _lsh_topk_sql(),
+    "similarity_ivf_topk": _ivf_topk_sql(),
     "dedup_minhash_lsh": _minhash_verified_pairs_sql()
     + "SELECT id_a, id_b, round(jaccard, 6) AS jaccard_r FROM verified",
     "dedup_near_keep": _minhash_verified_pairs_sql()

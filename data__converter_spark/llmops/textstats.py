@@ -206,3 +206,70 @@ def fingerprints(
             F.coalesce(F.col("__minsh__"), F.col("__whole__")).alias("fingerprint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline hygiene: PII scrubbing, deterministic sampling, length filtering
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax Java regex and RE2 (DuckDB) share, so the
+# scrub is engine-portable. Order matters: URLs first (they may contain
+# '@' and digits), then emails, then phone-shaped digit runs.
+PII_PATTERNS = [
+    ("url", "https?://[A-Za-z0-9._~:/?#@!$&'()*+,;=%-]+", "<URL>"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "[0-9]{2,4}-[0-9]{3,4}-[0-9]{3,4}", "<PHONE>"),
+]
+
+
+def scrub_pii_col(col: str | Column = "text") -> Column:
+    """Replace URL / email / phone shapes with typed placeholder tokens
+    — the standard pre-training scrub pass, as one chained
+    ``regexp_replace`` projection (narrow, codegen, no Python)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def sample_hash_col(id_col: str | Column, buckets: int = 100) -> Column:
+    """Deterministic, engine-portable sampling bucket in [0, buckets):
+    first 32 bits of md5 of the stringified id. ``conv`` keeps it
+    JVM-side; DuckDB mirrors it with a hex cast. Unlike ``rand()``,
+    membership is stable under retries, speculation, and re-runs —
+    the property a reproducible corpus split needs."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % buckets
+
+
+def stratified_sample(
+    df: DataFrame, id_col: str = "doc_id", pct: int = 20, buckets: int = 100
+) -> DataFrame:
+    """Keep ~pct% of rows, deterministically by id hash. Stratification
+    is free: the hash is id-uniform within every stratum, so per-group
+    rates match the global rate without a per-group pass."""
+    return df.filter(sample_hash_col(id_col, buckets) < pct)
+
+
+def length_band_filter(
+    df: DataFrame,
+    col: str = "n_chars",
+    by: str = "lang",
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Keep rows inside the [lo, hi] exact-percentile band of ``col``
+    within each ``by`` group — the Gopher-style length gate. The
+    percentile table is tiny (one row per group) and broadcast; the
+    fact side never shuffles."""
+    bands = df.groupBy(by).agg(
+        F.expr(f"percentile({col}, {lo})").alias("__lo__"),
+        F.expr(f"percentile({col}, {hi})").alias("__hi__"),
+    )
+    return (
+        df.join(F.broadcast(bands), by)
+        .filter(F.col(col).between(F.col("__lo__"), F.col("__hi__")))
+        .drop("__lo__", "__hi__")
+    )

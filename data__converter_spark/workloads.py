@@ -728,6 +728,34 @@ def q_dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training hygiene: URL/email/phone shapes -> typed placeholder
+    tokens, one chained regexp projection (patterns restricted to the
+    Java-regex ∩ RE2 dialect so both engines agree)."""
+    from .llmops.textstats import scrub_pii_col
+
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select("doc_id", scrub_pii_col("text").alias("scrubbed"))
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% corpus sample by md5 id-hash bucket — stable
+    under retries/speculation, unlike rand()-based sampling."""
+    from .llmops.textstats import stratified_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    return stratified_sample(docs, pct=20).select("doc_id", "lang")
+
+
+def q_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style length gate: keep docs inside the per-language
+    [p05, p95] exact-percentile band of n_chars."""
+    from .llmops.textstats import length_band_filter
+
+    docs = _load(spark, sf_dir, "documents")
+    return length_band_filter(docs).select("doc_id", "lang", "n_chars")
+
+
 # ---------------------------------------------------------------------------
 # multimodal queries (beyond-reference, SURVEY §7.1 M6): binary payload +
 # typed metadata; decode kernels are deterministic stubs (sha256 of the
@@ -1065,6 +1093,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_resize": q_multimodal_resize,
+    "text_pii_scrub": q_text_pii_scrub,
+    "sample_stratified": q_sample_stratified,
+    "length_band_filter": q_length_band_filter,
     "window_running_revenue": q_window_running_revenue,
     "rollup_volume": q_rollup_volume,
     "distinct_suppliers": q_distinct_suppliers,
@@ -1495,6 +1526,31 @@ FROM documents WHERE doc_id % 3 = 0
 SELECT d.doc_id FROM documents d
 LEFT JOIN (SELECT DISTINCT id_b FROM verified) v ON d.doc_id = v.id_b
 WHERE v.id_b IS NULL
+""",
+    "text_pii_scrub": """
+SELECT doc_id,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(text,
+                   'https?://[A-Za-z0-9._~:/?#@!$&''()*+,;=%-]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '[0-9]{2,4}-[0-9]{3,4}-[0-9]{3,4}', '<PHONE>', 'g') AS scrubbed
+FROM documents
+""",
+    "sample_stratified": """
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 20
+""",
+    "length_band_filter": """
+WITH bands AS (
+    SELECT lang,
+           quantile_cont(n_chars, 0.05) AS lo,
+           quantile_cont(n_chars, 0.95) AS hi
+    FROM documents GROUP BY lang
+)
+SELECT doc_id, d.lang, n_chars
+FROM documents d JOIN bands b ON d.lang = b.lang
+WHERE n_chars BETWEEN lo AND hi
 """,
     "window_running_revenue": """
 SELECT o_orderkey, o_custkey,

@@ -882,6 +882,21 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path: extract a field from the JSON props column
+    (S6's at-scale analog — schema-on-read without a Python pass) and
+    aggregate it per event type."""
+    from .session import load_events
+
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(k).alias("n_with_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
 def q_window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window aggregate: per-customer running revenue + order sequence.
     One shuffle on the partition key; the sort is within-partition."""
@@ -1096,6 +1111,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pii_scrub": q_text_pii_scrub,
     "sample_stratified": q_sample_stratified,
     "length_band_filter": q_length_band_filter,
+    "events_json_props": q_events_json_props,
     "window_running_revenue": q_window_running_revenue,
     "rollup_volume": q_rollup_volume,
     "distinct_suppliers": q_distinct_suppliers,
@@ -1551,6 +1567,13 @@ WITH bands AS (
 SELECT doc_id, d.lang, n_chars
 FROM documents d JOIN bands b ON d.lang = b.lang
 WHERE n_chars BETWEEN lo AND hi
+""",
+    "events_json_props": """
+SELECT event_type,
+       CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
+       count(CAST(props->>'k' AS INT))               AS n_with_k,
+       max(CAST(props->>'k' AS INT))                 AS max_k
+FROM events GROUP BY event_type
 """,
     "window_running_revenue": """
 SELECT o_orderkey, o_custkey,

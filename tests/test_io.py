@@ -253,3 +253,17 @@ def test_convert_xml_to_csv(spark, tmp_path):
     outputs = convert.convert(spark, [src], "csv", out_dir, xml_row_tag="item")
     df = readers.read_csv(spark, outputs["c"])
     assert df.count() == 2 and "name" in df.columns
+
+
+def test_flatten_nested_structs_to_dotted_names(spark):
+    from data__converter_spark.schema import fill_missing_empty, flatten
+
+    df = spark.createDataFrame(
+        [(1, ("x", (2, None)), ["k"])],
+        "id int, a struct<b:string, c:struct<d:int, e:string>>, tags array<string>",
+    )
+    flat = flatten(df)
+    assert flat.columns == ["id", "a.b", "a.c.d", "a.c.e", "tags"]
+    row = fill_missing_empty(flat).collect()[0]
+    assert row["a.b"] == "x" and row["a.c.d"] == 2 and row["a.c.e"] == ""
+    assert row["tags"] == ["k"]

@@ -72,7 +72,14 @@ def ts_col(name: str = "ts"):
 
 
 def load_events(spark: SparkSession, sf_dir: str):
-    """events table with ``ts`` as a proper timestamp column."""
+    """events table with ``ts`` as a proper timestamp column.
+
+    The events parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects unless ``nanosAsLong`` is on. External harnesses build
+    their own SparkSession without our builder-time conf, so set it here
+    on the *passed-in* session — it is a runtime-settable SQL conf.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     return df.withColumn("ts", ts_col("ts"))
 

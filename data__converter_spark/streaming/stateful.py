@@ -23,7 +23,7 @@ RUNNING_SCHEMA = T.StructType(
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType()),
-        T.StructField("total", T.DoubleType()),
+        T.StructField("total_cents", T.LongType()),
     ]
 )
 
@@ -38,21 +38,34 @@ def running_user_totals(events: DataFrame, timeout_ms: int | None = None) -> Dat
     if not events.isStreaming:
         from pyspark.sql import functions as F
 
+        # Accumulate in exact integer cents (order-independent, no FP
+        # drift) and convert once at the edge — the streaming path below
+        # does the same, so stream/batch/oracle agree bit-for-bit.
         return events.groupBy("user_id").agg(
             F.count("*").alias("n_events"),
-            F.sum("value").alias("total_value"),
+            (
+                F.sum(F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)))
+                .cast("double")
+                / F.lit(100.0)
+            ).alias("total_value"),
         )
 
     def update(key, pdfs, state):
+        import numpy as np
         import pandas as pd
 
-        n, total = state.get if state.exists else (0, 0.0)
+        n, total_cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].fillna(0.0).sum())
-        state.update((n, total))
+            v = pdf["value"].fillna(0.0).to_numpy(dtype="float64")
+            total_cents += int(np.floor(v * 100.0 + 0.5).sum())
+        state.update((n, total_cents))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [float(total_cents) / 100.0],
+            }
         )
 
     return events.groupBy("user_id").applyInPandasWithState(

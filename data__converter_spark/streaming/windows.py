@@ -50,7 +50,10 @@ def tumbling_counts(
         events.groupBy(F.window("ts", duration), *keys)
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            # exact integer-cents sum -> double: bit-identical across
+            # engines and across stream/batch (see workloads.cents)
+            (F.sum(F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)))
+             .cast("double") / F.lit(100.0)).alias("sum_value"),
         )
     )
     return _window_flat(agg, keys)
@@ -69,7 +72,10 @@ def sliding_counts(
         events.groupBy(F.window("ts", duration, slide), *keys)
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            # exact integer-cents sum -> double: bit-identical across
+            # engines and across stream/batch (see workloads.cents)
+            (F.sum(F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)))
+             .cast("double") / F.lit(100.0)).alias("sum_value"),
         )
     )
     return _window_flat(agg, keys)
@@ -82,7 +88,10 @@ def session_agg(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
         events.groupBy(F.session_window("ts", gap), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            # exact integer-cents sum -> double: bit-identical across
+            # engines and across stream/batch (see workloads.cents)
+            (F.sum(F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)))
+             .cast("double") / F.lit(100.0)).alias("sum_value"),
         )
     )
     return agg.select(

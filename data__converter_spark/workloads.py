@@ -22,6 +22,44 @@ from pyspark.sql import functions as F
 from . import compare
 
 # ---------------------------------------------------------------------------
+# engine-portable money arithmetic
+#
+# The driver's value-hash compares stringified cells, and DuckDB result
+# fetches coerce DECIMAL / HUGEINT through float64 while Spark keeps
+# Decimal / int64 — so any DECIMAL output column (or un-cast DuckDB
+# ``sum(BIGINT)``) is hash-fragile even when values agree ("380684.00"
+# vs "380684.0"). Rule: oracle-checked outputs are only BIGINT
+# (explicitly CAST in DuckDB), bit-identical DOUBLE, VARCHAR, or DATE.
+#
+# Money goes through exact integer cents: ``floor(x*100 + 0.5)`` is the
+# same IEEE-754 double computation in both engines (deterministic
+# multiply/add/floor), the BIGINT sum is exact and order-independent,
+# and ``CAST(sum AS DOUBLE)/100.0`` lands on the same double bit
+# pattern on both sides.
+# ---------------------------------------------------------------------------
+
+
+def cents(c) -> F.Column:
+    """Non-negative double money column -> exact integer cents (long)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.floor(c * F.lit(100.0) + F.lit(0.5))
+
+
+def money(cents_sum_col) -> F.Column:
+    """Exact cents long -> double dollars (bit-identical cross-engine)."""
+    return cents_sum_col.cast("double") / F.lit(100.0)
+
+
+# DuckDB spellings of the same two steps.
+def _sql_cents(expr: str) -> str:
+    return f"CAST(floor(({expr}) * 100.0 + 0.5) AS BIGINT)"
+
+
+def _sql_money(cents_sum_expr: str) -> str:
+    return f"CAST({cents_sum_expr} AS DOUBLE) / 100.0"
+
+
+# ---------------------------------------------------------------------------
 # deterministic "B" variant of orders: ~5% deleted, ~14% edited, ~7% added
 # ---------------------------------------------------------------------------
 
@@ -379,6 +417,10 @@ def _minhash_verified_pairs_sql(
     verify. Ends with a ``verified`` CTE of (id_a, id_b, jaccard)."""
     from .llmops.dedup import _MERSENNE_P, _perm_coeffs
 
+    # shingle construction below is hand-unrolled for trigrams; any
+    # other k would silently produce a divergent oracle
+    assert k == 3
+
     r = num_hashes // bands
     coeffs = _perm_coeffs(num_hashes, seed)
     sig_entries = ",\n        ".join(
@@ -436,7 +478,10 @@ def _simhash_pairs_sql(k: int = 2, max_distance: int = 3) -> str:
     Spark chunk blocking is pigeonhole-exact at max_distance <= 3, so
     the two formulations return identical pairs)."""
     assert k == 2, "oracle template is written for bigram features"
-    assert max_distance <= 64 // 4 - 1
+    # Spark's 16-bit-chunk pigeonhole blocking is exact only for
+    # distance <= chunks-1 = 3; beyond that it would miss pairs the
+    # brute-force oracle returns.
+    assert max_distance <= 3
     pow2 = "[" + ",".join(f"{1 << j}::UBIGINT" for j in range(64)) + "]"
     return (
         _WORDS_SQL
@@ -815,20 +860,17 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: one wide scan, map-side partial agg, tiny result.
 
-    Everything stays in whole-stage codegen; decimal casts make sums
-    exact so the DuckDB oracle hash-matches."""
+    Everything stays in whole-stage codegen; sums run in exact integer
+    cents (see `cents`) so the DuckDB oracle hash-matches bit-for-bit."""
     li = _load(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
-            F.sum(
-                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
-                .cast("decimal(28,4)")
-            ).alias("sum_disc_price"),
+            money(F.sum(cents("l_quantity"))).alias("sum_qty"),
+            money(F.sum(cents("l_extendedprice"))).alias("sum_base_price"),
+            money(F.sum(cents(disc_price))).alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -842,7 +884,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _load(spark, sf_dir, "orders")
     cust = _load(spark, sf_dir, "customer")
     rev = orders.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+        money(F.sum(cents("o_totalprice"))).alias("revenue"),
         F.count("*").alias("n_orders"),
     )
     return (
@@ -869,16 +911,13 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _load(spark, sf_dir, "supplier")
     nat = _load(spark, sf_dir, "nation")
     reg = _load(spark, sf_dir, "region")
-    vol = (
-        F.col("l_extendedprice").cast("decimal(18,2)")
-        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
-    ).cast("decimal(28,4)")
+    vol = cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
     return (
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("r_name", "n_name")
-        .agg(F.sum(vol).alias("volume"), F.count("*").alias("n_items"))
+        .agg(money(F.sum(vol)).alias("volume"), F.count("*").alias("n_items"))
     )
 
 
@@ -889,7 +928,8 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .session import load_events
 
     ev = load_events(spark, sf_dir)
-    k = F.get_json_object("props", "$.k").cast("int")
+    # try_cast mirrors DuckDB TRY_CAST: non-numeric -> NULL, no ANSI error
+    k = F.get_json_object("props", "$.k").try_cast("int")
     return ev.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"),
         F.count(k).alias("n_with_k"),
@@ -907,9 +947,7 @@ def q_window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey",
         "o_custkey",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .over(w)
-        .alias("running_rev"),
+        money(F.sum(cents("o_totalprice")).over(w)).alias("running_rev"),
         F.row_number().over(w).alias("order_seq"),
     )
 
@@ -929,7 +967,7 @@ def q_rollup_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.rollup("r_name", "n_name")
         .agg(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("ext_price"),
+            money(F.sum(cents("l_extendedprice"))).alias("ext_price"),
             F.count("*").alias("n_items"),
         )
         .select(
@@ -978,14 +1016,11 @@ def q_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue per order priority."""
     li = _load(spark, sf_dir, "lineitem")
     orders = _load(spark, sf_dir, "orders")
-    vol = (
-        F.col("l_extendedprice").cast("decimal(18,2)")
-        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
-    ).cast("decimal(28,4)")
+    vol = cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderpriority")
-        .agg(F.sum(vol).alias("revenue"), F.count("*").alias("n_items"))
+        .agg(money(F.sum(vol)).alias("revenue"), F.count("*").alias("n_items"))
     )
 
 
@@ -1008,7 +1043,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "purchase_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
-        F.round(F.col("click_value_right"), 2).alias("click_value_r"),
+        money(cents(F.col("click_value_right"))).alias("click_value_r"),
         F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss").alias("click_ts_s"),
     )
 
@@ -1058,7 +1093,7 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id",
         "n_events",
-        F.round("total_value", 2).cast("decimal(18,2)").alias("total_value_r"),
+        F.col("total_value").alias("total_value_r"),
     )
 
 
@@ -1198,9 +1233,9 @@ FROM documents
 """,
     "pattern_stats_by_lang": """
 SELECT lang,
-       count(*)                                            AS n_docs,
-       sum(length(text))                                   AS char_count,
-       sum(CAST(len(regexp_extract_all(text, 'join')) AS BIGINT)) AS join_matches
+       count(*)                                                 AS n_docs,
+       CAST(sum(length(text)) AS BIGINT)                        AS char_count,
+       CAST(sum(CAST(len(regexp_extract_all(text, 'join')) AS BIGINT)) AS BIGINT) AS join_matches
 FROM documents GROUP BY lang
 """,
     "convert_split_lines": """
@@ -1374,41 +1409,35 @@ SELECT doc_id,
          * least(uniq_ratio * 2.0, 1.0), 6) AS score_r
 FROM m
 """,
-    "priority_revenue": """
+    "priority_revenue": f"""
 SELECT o_orderpriority,
-       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-           AS DECIMAL(28,4))) AS revenue,
+       {_sql_money(f"sum({_sql_cents('l_extendedprice * (1.0 - l_discount)')})")} AS revenue,
        count(*) AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """,
-    "pricing_summary": """
+    "pricing_summary": f"""
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(18,2)))      AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-           AS DECIMAL(28,4)))                      AS sum_disc_price,
+       {_sql_money(f"sum({_sql_cents('l_quantity')})")}      AS sum_qty,
+       {_sql_money(f"sum({_sql_cents('l_extendedprice')})")} AS sum_base_price,
+       {_sql_money(f"sum({_sql_cents('l_extendedprice * (1.0 - l_discount)')})")} AS sum_disc_price,
        count(*) AS count_order
 FROM lineitem
 WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 """,
-    "top_customers": """
+    "top_customers": f"""
 SELECT c_custkey, c_name, c_mktsegment,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+       {_sql_money(f"sum({_sql_cents('o_totalprice')})")} AS revenue,
        count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1, 2, 3
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 25
 """,
-    "nation_volume": """
+    "nation_volume": f"""
 SELECT r_name, n_name,
-       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-           AS DECIMAL(28,4))) AS volume,
+       {_sql_money(f"sum({_sql_cents('l_extendedprice * (1.0 - l_discount)')})")} AS volume,
        count(*) AS n_items
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
@@ -1427,7 +1456,7 @@ c AS (
 )
 SELECT p.user_id, p.purchase_id,
        strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
-       round(c.click_value, 2) AS click_value_r,
+       CAST(floor(c.click_value * 100.0 + 0.5) AS BIGINT) / 100.0 AS click_value_r,
        strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts_s
 FROM p ASOF LEFT JOIN c
   ON p.user_id = c.user_id AND p.ts >= c.ts
@@ -1447,34 +1476,34 @@ FROM c JOIN p
  AND c.ts <= p.ts
  AND p.ts <= c.ts + INTERVAL 30 MINUTE
 """,
-    "stream_tumbling_counts": """
+    "stream_tumbling_counts": f"""
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
        strftime(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour',
                 '%Y-%m-%d %H:%M:%S') AS w_end,
        event_type,
        count(*) AS n_events,
-       sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+       {_sql_money(f"sum({_sql_cents('value')})")} AS sum_value
 FROM events
 GROUP BY 1, 2, 3
 """,
-    "stream_sliding_counts": """
+    "stream_sliding_counts": f"""
 WITH x AS (
     SELECT time_bucket(INTERVAL '30 minutes', ts)
              - (t.i * INTERVAL '30 minutes') AS w_start,
            event_type,
-           CAST(value AS DECIMAL(18,2)) AS v
+           {_sql_cents('value')} AS v_cents
     FROM events, unnest([0, 1]) AS t(i)
 )
 SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
        strftime(w_start + INTERVAL '1 hour', '%Y-%m-%d %H:%M:%S') AS w_end,
        event_type,
        count(*) AS n_events,
-       sum(v)   AS sum_value
+       {_sql_money('sum(v_cents)')} AS sum_value
 FROM x GROUP BY 1, 2, 3
 """,
-    "stream_session_agg": """
+    "stream_session_agg": f"""
 WITH m AS (
-    SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS v,
+    SELECT user_id, ts, {_sql_cents('value')} AS v_cents,
            CASE WHEN lag(ts) OVER w IS NULL
                   OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
                 THEN 1 ELSE 0 END AS new_s
@@ -1490,13 +1519,13 @@ SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
        strftime(max(ts) + INTERVAL '5 minutes', '%Y-%m-%d %H:%M:%S') AS s_end,
        user_id,
        count(*) AS n_events,
-       sum(v)   AS sum_value
+       {_sql_money('sum(v_cents)')} AS sum_value
 FROM g GROUP BY user_id, sid
 """,
-    "stream_running_totals": """
+    "stream_running_totals": f"""
 SELECT user_id,
        count(*) AS n_events,
-       CAST(round(sum(value), 2) AS DECIMAL(18,2)) AS total_value_r
+       {_sql_money(f"sum({_sql_cents('value')})")} AS total_value_r
 FROM events GROUP BY user_id
 """,
     "dedup_embedding_pairs": """
@@ -1570,23 +1599,22 @@ WHERE n_chars BETWEEN lo AND hi
 """,
     "events_json_props": """
 SELECT event_type,
-       CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
-       count(CAST(props->>'k' AS INT))               AS n_with_k,
-       max(CAST(props->>'k' AS INT))                 AS max_k
+       CAST(sum(TRY_CAST(props->>'k' AS INT)) AS BIGINT)   AS sum_k,
+       CAST(count(TRY_CAST(props->>'k' AS INT)) AS BIGINT) AS n_with_k,
+       CAST(max(TRY_CAST(props->>'k' AS INT)) AS INT)      AS max_k
 FROM events GROUP BY event_type
 """,
-    "window_running_revenue": """
+    "window_running_revenue": f"""
 SELECT o_orderkey, o_custkey,
-       sum(CAST(o_totalprice AS DECIMAL(18,2)))
-         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS running_rev,
+       {_sql_money(f"sum({_sql_cents('o_totalprice')}) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)")} AS running_rev,
        CAST(row_number()
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS order_seq
 FROM orders
 """,
-    "rollup_volume": """
+    "rollup_volume": f"""
 SELECT coalesce(r_name, 'ALL') AS region,
        coalesce(n_name, 'ALL') AS nation,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS ext_price,
+       {_sql_money(f"sum({_sql_cents('l_extendedprice')})")} AS ext_price,
        count(*) AS n_items
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
@@ -1603,11 +1631,11 @@ FROM lineitem GROUP BY l_returnflag
 """,
     "pivot_event_counts": """
 SELECT user_id,
-       sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
-       sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-       sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
-       sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error
+       CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error
 FROM events GROUP BY user_id
 """,
 }

@@ -145,16 +145,46 @@ def _read_csv_python(
                     d[name] = ""
                 yield d
 
-    dicts = binary.rdd.mapPartitions(parse)
-    keys: list[str] = []
-    for ks in dicts.map(lambda d: list(d.keys())).collect():
-        for k in ks:
-            if k not in keys:
-                keys.append(k)
+    dicts = _persisted(binary.rdd.mapPartitions(parse))
+    keys = _ordered_union_keys(dicts)
     schema = T.StructType([T.StructField(k, T.StringType(), True) for k in keys])
     return spark.createDataFrame(
         dicts.map(lambda d: tuple(d.get(k, "") for k in keys)), schema
     )
+
+
+def _persisted(rdd):
+    """Cache a parsed RDD that feeds two passes (schema + data) so the
+    input decodes once, spilling to disk rather than recomputing."""
+    from pyspark import StorageLevel
+
+    return rdd.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _ordered_union_keys(dicts_rdd) -> list[str]:
+    """First-seen-ordered union of dict keys, computed executor-side.
+
+    Each partition reduces its rows to one ordered distinct key list, so
+    the driver receives O(partitions x schema_width) small lists — never
+    one object per row (the anti-pattern that OOMs a driver at 100 TB).
+    """
+
+    def part_keys(idx, it):
+        seen: dict = {}
+        for d in it:
+            for k in d:
+                if k not in seen:
+                    seen[k] = None
+        yield (idx, list(seen))
+
+    keys: list[str] = []
+    for _, ks in sorted(
+        dicts_rdd.mapPartitionsWithIndex(part_keys).collect(), key=lambda t: t[0]
+    ):
+        for k in ks:
+            if k not in keys:
+                keys.append(k)
+    return keys
 
 
 def read_table_auto(spark: SparkSession, path: str, encoding: str = "utf-8") -> DataFrame:
@@ -263,12 +293,61 @@ def _element_to_row(elem) -> dict:
     return row
 
 
+def _parse_selector(sel: str) -> list[tuple[str, bool]]:
+    """CSS-ish selector -> [(tag, must_be_direct_child_of_previous)].
+
+    Supports the two combinators the reference's ``querySelectorAll``
+    call sites use (FileUploader.tsx:65-93): ``>`` (child) and
+    whitespace (descendant). A bare tag name is a 1-part selector.
+    """
+    parts: list[tuple[str, bool]] = []
+    direct = False
+    for tok in re.findall(r">|[^\s>]+", sel.strip()):
+        if tok == ">":
+            direct = True
+        else:
+            parts.append((tok, direct))
+            direct = False
+    return parts
+
+
+def _chain_matches(parts: list[tuple[str, bool]], chain: list[str]) -> bool:
+    """Match a selector against the root->element local-name chain,
+    right-to-left with backtracking on descendant combinators."""
+
+    def rec(pi: int, ci: int) -> bool:
+        if ci < 0 or chain[ci] != parts[pi][0]:
+            return False
+        if pi == 0:
+            return True
+        if parts[pi][1]:  # child combinator: parent must match next part
+            return rec(pi - 1, ci - 1)
+        return any(rec(pi - 1, j) for j in range(pi - 1, ci))
+
+    return rec(len(parts) - 1, len(chain) - 1)
+
+
+def _select_nodes(root, selector: str) -> list:
+    """Document-order elements matching ``selector`` (incl. the root)."""
+    parts = _parse_selector(selector)
+    out: list = []
+
+    def visit(e, chain: list[str]) -> None:
+        if _chain_matches(parts, chain):
+            out.append(e)
+        for c in list(e):
+            visit(c, chain + [_local_name(c.tag)])
+
+    visit(root, [_local_name(root.tag)])
+    return out
+
+
 def _parse_xml_rows(xml_text: str, row_tag: str | None) -> list[dict]:
     import xml.etree.ElementTree as ET
 
     root = ET.fromstring(xml_text)
     if row_tag:
-        nodes = [e for e in root.iter() if _local_name(e.tag) == row_tag]
+        nodes = _select_nodes(root, row_tag)
     else:
         tables = detect_xml_tables(xml_text)
         if tables:
@@ -310,62 +389,65 @@ def read_xml(
     """S8/S10: XML files -> rows DataFrame.
 
     ``row_tag`` plays the reference's CSS-selector role
-    (FileUploader.tsx:65-93); when None, per-file auto-detection picks
-    the first table (S9). Each file parses in one task — the parallel
-    unit is the file, which is how an XML corpus shards at scale.
+    (FileUploader.tsx:65-93): a bare tag name, or a selector path with
+    ``>`` (child) / whitespace (descendant) combinators — e.g.
+    ``"items > item"`` will not over-match an ``item`` nested elsewhere.
+    When None, per-file auto-detection picks the first table (S9). Each
+    file parses in one task — the parallel unit is the file, which is
+    how an XML corpus shards at scale.
     """
     binary = spark.read.format("binaryFile").load(path)
 
     def parse(rows):
         for r in rows:
             text = bytes(r.content).decode(encoding, errors="replace")
-            for d in _parse_xml_rows(text, row_tag):
-                yield Row(src=r.path, data=d)
+            yield from _parse_xml_rows(text, row_tag)
 
-    parsed = binary.select("path", "content").rdd.mapPartitions(parse)
-    collected = parsed.map(lambda r: r.data)
-    # Key-union schema across all rows (S9 fallback produces ragged rows).
-    keys: list[str] = []
-    for d in collected.map(lambda d: list(d.keys())).collect():
-        for k in d:
-            if k not in keys:
-                keys.append(k)
+    # Parse once, persist, then two passes: executor-side key union for
+    # the ragged-row schema (S9), then the typed-row projection.
+    dicts = _persisted(binary.select("path", "content").rdd.mapPartitions(parse))
+    keys = _ordered_union_keys(dicts)
     schema = T.StructType([T.StructField(k, T.StringType(), True) for k in keys])
     return spark.createDataFrame(
-        collected.map(lambda d: tuple(d.get(k) for k in keys)), schema
+        dicts.map(lambda d: tuple(d.get(k) for k in keys)), schema
     )
 
 
 def read_xml_tables(
     spark: SparkSession, path: str, encoding: str = "utf-8"
 ) -> dict[str, DataFrame]:
-    """S9 full surface: auto-detect all tables in one XML document."""
-    binary = spark.read.format("binaryFile").load(path).select("content").collect()
-    out: dict[str, DataFrame] = {}
-    for r in binary:
-        text = bytes(r.content).decode(encoding, errors="replace")
-        for name, nodes in detect_xml_tables(text):
-            rows = [_element_to_row(n) for n in nodes]
-            keys: list[str] = []
-            for d in rows:
-                for k in d:
-                    if k not in keys:
-                        keys.append(k)
-            schema = T.StructType(
-                [T.StructField(k, T.StringType(), True) for k in keys]
-            )
-            df = spark.createDataFrame(
-                [tuple(d.get(k) for k in keys) for d in rows], schema
-            )
-            out[name] = df if name not in out else out[name].unionByName(df)
-    if not out:
-        for r in binary:
+    """S9 full surface: auto-detect all tables across an XML corpus.
+
+    One distributed parse emits (table_name, row_dict) pairs and is
+    persisted; table names are a tiny ``distinct`` (bounded by schema
+    variety, not corpus size) and each table's schema comes from the
+    executor-side key union. The driver never holds file contents —
+    ``path`` can be a glob over millions of documents.
+    """
+    binary = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def parse(rows):
+        for r in rows:
             text = bytes(r.content).decode(encoding, errors="replace")
-            rows = _parse_xml_rows(text, None)
-            out["#text"] = spark.createDataFrame(
-                [(d.get("#text", ""),) for d in rows],
-                T.StructType([T.StructField("#text", T.StringType(), True)]),
-            )
+            tables = detect_xml_tables(text)
+            if tables:
+                for name, nodes in tables:
+                    for n in nodes:
+                        yield (name, _element_to_row(n))
+            else:
+                for d in _parse_xml_rows(text, None):
+                    yield ("#text", {"#text": d.get("#text", "")})
+
+    parsed = _persisted(binary.rdd.mapPartitions(parse))
+    names = sorted(parsed.map(lambda t: t[0]).distinct().collect())
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        sub = parsed.filter(lambda t, n=name: t[0] == n).map(lambda t: t[1])
+        keys = _ordered_union_keys(sub)
+        schema = T.StructType([T.StructField(k, T.StringType(), True) for k in keys])
+        out[name] = spark.createDataFrame(
+            sub.map(lambda d, ks=tuple(keys): tuple(d.get(k) for k in ks)), schema
+        )
     return out
 
 

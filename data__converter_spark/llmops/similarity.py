@@ -23,6 +23,34 @@ from pyspark.sql import functions as F
 
 from .dedup import cosine_col
 
+# All three entry points broadcast the probe set from the driver — the
+# documented "few probes" contract. The guard keeps that honest at
+# scale: a caller with a large probe side gets a clear error pointing
+# at the bucketed path instead of a silent driver OOM.
+MAX_BROADCAST_PROBES = 10_000
+
+_TOPK_SCHEMA = "probe_id long, neighbor_id long, cosine double, rank int"
+
+
+def _collect_probes(probes: DataFrame, id_col: str, vec_col: str) -> list:
+    rows = (
+        probes.select(F.col(id_col), F.col(vec_col))
+        .limit(MAX_BROADCAST_PROBES + 1)
+        .collect()
+    )
+    if len(rows) > MAX_BROADCAST_PROBES:
+        raise ValueError(
+            f"probe set exceeds {MAX_BROADCAST_PROBES} rows; the driver-"
+            "broadcast contract is for small probe sets. For corpus-scale "
+            "probes, pre-bucket both sides with hyperplane_bucket_col() "
+            "and join on the bucket instead."
+        )
+    return rows
+
+
+def _empty_topk(spark) -> DataFrame:
+    return spark.createDataFrame([], _TOPK_SCHEMA)
+
 
 def brute_force_topk(
     corpus: DataFrame,
@@ -43,12 +71,13 @@ def brute_force_topk(
     """
     import numpy as np
 
-    rows = probes.select(F.col(id_col), F.col(vec_col)).collect()
+    spark = corpus.sparkSession
+    rows = _collect_probes(probes, id_col, vec_col)
+    if not rows:
+        return _empty_topk(spark)
     probe_ids = np.array([r[0] for r in rows], dtype=np.int64)
     pm = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     pm = pm / np.linalg.norm(pm, axis=1, keepdims=True)
-
-    spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast((probe_ids, pm))
 
     def kernel(batches):
@@ -147,7 +176,9 @@ def ivf_topk(
     )
 
     # probes are small: rank their cells driver-side, explode to nprobe rows
-    p_rows = probes.select(F.col(id_col), F.col(vec_col)).collect()
+    p_rows = _collect_probes(probes, id_col, vec_col)
+    if not p_rows:
+        return _empty_topk(spark)
     pm = np.stack([np.asarray(r[1], dtype=np.float64) for r in p_rows])
     pm = pm / np.linalg.norm(pm, axis=1, keepdims=True)
     cell_rank = np.argsort(-(pm @ C.T), axis=1)[:, :nprobe]
@@ -270,7 +301,9 @@ def lsh_topk(
     H = np.stack([_hyperplane_table(dim, bits, seed + t) for t in range(tables)])
     bit_weights = (1 << np.arange(bits)).astype(np.int64)
 
-    p_rows = probes.select(F.col(id_col), F.col(vec_col)).collect()
+    p_rows = _collect_probes(probes, id_col, vec_col)
+    if not p_rows:
+        return _empty_topk(spark)
     probe_ids = np.array([r[0] for r in p_rows], dtype=np.int64)
     pm = np.stack([np.asarray(r[1], dtype=np.float64) for r in p_rows])
     pmn = pm / np.linalg.norm(pm, axis=1, keepdims=True)

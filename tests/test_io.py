@@ -144,6 +144,58 @@ def test_xml_autodetect_tables(spark, tmp_path):
     assert tables[name].count() == 2
 
 
+def test_xml_selector_path_child_combinator(spark, tmp_path):
+    # Reference selector semantics (FileUploader.tsx:65-93): "items > item"
+    # must NOT match an <item> nested under <related>.
+    doc = """<root>
+  <items>
+    <item><id>1</id><v>a</v></item>
+    <item><id>2</id><v>b</v></item>
+  </items>
+  <related>
+    <item><id>99</id><v>z</v></item>
+  </related>
+</root>
+"""
+    path = _write(tmp_path, "sel.xml", doc)
+    over = readers.read_xml(spark, path, row_tag="item")
+    assert over.count() == 3  # bare tag over-matches by design
+    scoped = readers.read_xml(spark, path, row_tag="items > item")
+    ids = sorted(r.id for r in scoped.collect())
+    assert ids == ["1", "2"]
+    # descendant combinator: "root item" matches all three
+    desc = readers.read_xml(spark, path, row_tag="root item")
+    assert desc.count() == 3
+
+
+def test_multifile_ragged_key_union(spark, tmp_path):
+    # Executor-side key union across files with differing columns (the
+    # Python-codec path, where the ragged contract lives): the schema is
+    # the first-seen-ordered union and missing cells are ''.
+    _write(tmp_path, "p1.csv", "a,b\n1,2\n", encoding="euc-kr")
+    _write(tmp_path, "p2.csv", "a,c\n3,4\n", encoding="euc-kr")
+    df = readers.read_csv(spark, str(tmp_path / "*.csv"), encoding="euc-kr")
+    assert set(df.columns) == {"a", "b", "c"}
+    rows = {r.a: r.asDict() for r in df.collect()}
+    assert rows["1"]["c"] == "" and rows["3"]["b"] == ""
+
+
+def test_xml_tables_multifile_corpus(spark, tmp_path):
+    # read_xml_tables over a glob: same-named tables union across files.
+    for i, doc in enumerate(
+        [
+            "<r><t><x>1</x></t><t><x>2</x></t></r>",
+            "<r><t><x>3</x><y>9</y></t><t><x>4</x></t></r>",
+        ]
+    ):
+        _write(tmp_path, f"f{i}.xml", doc)
+    tables = readers.read_xml_tables(spark, str(tmp_path / "*.xml"))
+    (name,) = [k for k in tables if k.endswith("t")]
+    df = tables[name]
+    assert df.count() == 4
+    assert set(df.columns) == {"x", "y"}
+
+
 def test_xml_writer_golden_template(spark, tmp_path):
     df = spark.createDataFrame(
         [("1", "a<b", "x, y")], ["id", "expr", "bad name!"]

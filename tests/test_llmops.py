@@ -133,6 +133,22 @@ def test_brute_force_topk(spark, embeddings):
         assert all(r["neighbor_id"] != pid for r in rs)
 
 
+def test_probe_guard_caps_and_empty(spark, embeddings, monkeypatch):
+    # Guard on the driver-broadcast contract: an oversized probe set must
+    # fail loudly (pointing at the bucketed path), not OOM the driver;
+    # an empty probe set returns an empty, correctly-typed result.
+    monkeypatch.setattr(similarity, "MAX_BROADCAST_PROBES", 5)
+    big = embeddings.filter(F.col("vec_id") < 10)
+    with pytest.raises(ValueError, match="probe set exceeds"):
+        similarity.brute_force_topk(embeddings, big, k=3)
+    empty = embeddings.filter(F.col("vec_id") < 0)
+    out = similarity.brute_force_topk(embeddings, empty, k=3)
+    assert out.columns == ["probe_id", "neighbor_id", "cosine", "rank"]
+    assert out.count() == 0
+    assert similarity.lsh_topk(embeddings, empty, k=3, bits=4).count() == 0
+    assert similarity.ivf_topk(embeddings, empty, k=3).count() == 0
+
+
 def test_lsh_topk_recall(spark, embeddings):
     probes = embeddings.filter(F.col("vec_id") < 10)
     exact = similarity.brute_force_topk(embeddings, probes, k=10)

@@ -146,3 +146,14 @@ def test_window_running_revenue_single_shuffle(spark):
     p = plan_of(q_window_running_revenue(spark, SF_DIR))
     assert p.count("Exchange hashpartitioning") == 1
     assert "Window" in p
+
+
+def test_xml_fragments_stay_jvm_side(spark):
+    # K4 row formatting is pure concat over printable columns — it must
+    # compile to Column expressions, never a Python-worker round-trip.
+    from data__converter_spark.io.writers import rows_to_xml_fragments
+
+    df = spark.createDataFrame([("1", "a<b")], ["id", "expr"])
+    p = plan_of(rows_to_xml_fragments(df))
+    assert "BatchEvalPython" not in p, "XML fragment formatting must not use a Python UDF"
+    assert "Exchange" not in p, "row formatting must stay narrow"

@@ -54,6 +54,34 @@ def test_corpus_count_and_char_count(spark, messy):
     assert chars == sum(len(r["text"]) for r in messy.collect())
 
 
+def test_char_count_length_semantics_cross_engine(spark):
+    # Pin the A3 char_count definition across engines: Spark length()
+    # counts Unicode code points (UTF8String.numChars), and so does
+    # DuckDB's length() — including CJK, astral-plane emoji (surrogate
+    # pairs in UTF-16), and ZWJ sequences. Python len() counts the same.
+    import duckdb
+
+    texts = [
+        "中文字符串测试",          # CJK, 7 code points
+        "café",              # combining-free accent, 4
+        "\U0001F600\U0001F680",   # astral emoji, 2
+        "\U0001F469‍\U0001F4BB",  # ZWJ sequence: 3 code points
+        "mixed 中文 and \U0001F600",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = {
+        r["text"]: r["n"]
+        for r in df.select("text", F.length("text").alias("n")).collect()
+    }
+    duck = dict(
+        duckdb.sql(
+            "SELECT t, length(t) FROM (SELECT unnest(?) AS t)", params=[texts]
+        ).fetchall()
+    )
+    for t in texts:
+        assert got[t] == len(t) == duck[t], (t, got[t], len(t), duck.get(t))
+
+
 def test_replace_first_vs_all(spark, messy):
     all_out = messy.select(
         "doc_id", pattern.replace_all_col("text", "the", "X").alias("out")

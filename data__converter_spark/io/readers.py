@@ -205,6 +205,13 @@ def read_txt_lines(spark: SparkSession, path: str, encoding: str = "utf-8") -> D
     )
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar source beyond the reference's text formats (the typed
+    sibling of the parquet tables): native reader, vectorized, with
+    predicate pushdown / column pruning like parquet."""
+    return spark.read.orc(path)
+
+
 def read_json(spark: SparkSession, path: str, encoding: str = "utf-8") -> DataFrame:
     """S6: JSON document -> rows.
 

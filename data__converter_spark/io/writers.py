@@ -48,6 +48,14 @@ def write_csv(df: DataFrame, path: str, header: bool = True, sep: str = ",") -> 
     )
 
 
+def write_orc(df: DataFrame, path: str, compression: str = "zstd") -> None:
+    """Columnar sink beyond the reference's text formats: ORC with
+    zstd, typed schema preserved (unlike the stringly CSV/XML edge).
+    The engine-to-engine interchange path — a downstream Spark/Trino/
+    Hive reader gets predicate pushdown and column pruning for free."""
+    df.write.mode("overwrite").option("compression", compression).orc(path)
+
+
 def write_txt(df: DataFrame, path: str) -> None:
     """K3: value-only frames as plain lines; otherwise JSON lines."""
     if df.columns == ["value"]:

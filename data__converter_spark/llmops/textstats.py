@@ -232,6 +232,65 @@ def scrub_pii_col(col: str | Column = "text") -> Column:
     return c
 
 
+def repetition_features(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    - ``dup_word_frac``: 1 - distinct_words/total_words — degenerate
+      keyword-stuffed docs score high.
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram
+      over total bigrams (n_words - 1) — loops/boilerplate score high.
+
+    Both are NULL where undefined (no words / fewer than 2 words).
+
+    Scale shape: the per-doc word/distinct counts are one narrow
+    projection; the bigram mode is explode -> two hash aggregations
+    (map-side partial on (doc, bigram), then per-doc max) — never an
+    O(len²) per-row loop, so a 1 GB document costs O(len) shuffled
+    bytes and the agg state is bounded by distinct bigrams. The final
+    doc-level join is on the id both sides already hash by.
+    """
+    words = df.select(F.col(id_col), tokens_col(col).alias("ws"))
+    base = words.select(
+        id_col,
+        F.size("ws").cast("bigint").alias("n_words"),
+        F.size(F.array_distinct("ws")).cast("bigint").alias("n_distinct"),
+        "ws",
+    )
+    bigrams = base.select(
+        id_col,
+        F.explode(
+            F.expr("transform(slice(ws, 1, greatest(size(ws)-1, 0)), (x, i) -> concat(x, ' ', ws[i+1]))")
+        ).alias("bg"),
+    )
+    top = (
+        bigrams.groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").cast("bigint").alias("top_bigram_count"))
+    )
+    n_words = F.col("n_words")
+    return (
+        base.drop("ws")
+        .join(top, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            F.when(
+                n_words > 0,
+                (n_words - F.col("n_distinct")).cast("double") / n_words.cast("double"),
+            ).alias("dup_word_frac"),
+            F.col("top_bigram_count"),
+            F.when(
+                n_words >= 2,
+                F.col("top_bigram_count").cast("double")
+                / (n_words - F.lit(1)).cast("double"),
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 def sample_hash_col(id_col: str | Column, buckets: int = 100) -> Column:
     """Deterministic, engine-portable sampling bucket in [0, buckets):
     first 32 bits of md5 of the stringified id. ``conv`` keeps it

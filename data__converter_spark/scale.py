@@ -120,6 +120,47 @@ def salted_agg(
     return partial.groupBy(*keys).agg(*final_exprs)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_mb: int = 128,
+    partition_by: str | list[str] | None = None,
+) -> int:
+    """Rewrite a small-file parquet directory into ~``target_mb`` files.
+
+    The operational fix for the small-files problem a streaming or
+    per-task writer leaves behind: at 100 TB, a table of 4 KB files
+    costs more in driver listing + task scheduling than in I/O. File
+    count comes from the real on-disk byte size (Hadoop FileSystem
+    listing — works for any supported scheme, not just file://);
+    round-robin ``repartition(n)`` rebalances regardless of input skew.
+    With ``partition_by``, output is hive-partitioned and repartitioned
+    by those keys so each partition writes few large files.
+
+    Returns the number of output files requested.
+    """
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    summary = fs.getContentSummary(hpath)
+    total_bytes = summary.getLength()
+    n = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(in_path)
+    if partition_by:
+        keys = [partition_by] if isinstance(partition_by, str) else partition_by
+        (
+            df.repartition(int(n), *[F.col(k) for k in keys])
+            .write.mode("overwrite")
+            .partitionBy(*keys)
+            .parquet(out_path)
+        )
+    else:
+        df.repartition(int(n)).write.mode("overwrite").parquet(out_path)
+    return int(n)
+
+
 def plan_has_exchange(df: DataFrame) -> bool:
     """True when the physical plan contains a shuffle Exchange —
     the test hook for bucketing/co-location assertions."""

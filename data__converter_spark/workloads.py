@@ -653,6 +653,12 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_features(_load(spark, sf_dir, "documents"))
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmops.textstats import repetition_features
+
+    return repetition_features(_load(spark, sf_dir, "documents"))
+
+
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llmops.textstats import lang_id_col
 
@@ -1119,6 +1125,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_groups": q_dedup_exact_groups,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "text_quality_features": q_text_quality,
+    "text_repetition": q_text_repetition,
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
     "similarity_topk": q_similarity_topk,
@@ -1325,6 +1332,31 @@ SELECT doc_id,
        CAST(len(list_distinct(words)) AS DOUBLE)
          / CAST(nullif(len(words), 0) AS DOUBLE) AS type_token_ratio
 FROM words_cte
+""",
+    "text_repetition": _WORDS_SQL
+    + """
+, base AS (
+    SELECT doc_id, len(words) AS n_words,
+           len(list_distinct(words)) AS n_distinct, words
+    FROM words_cte
+),
+bg AS (
+    SELECT doc_id, unnest(list_transform(range(1, len(words)),
+                          i -> words[i] || ' ' || words[i+1])) AS bg
+    FROM base WHERE n_words >= 2
+),
+bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+top AS (SELECT doc_id, max(c) AS top_c FROM bgc GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(b.n_words AS BIGINT) AS n_words,
+       CASE WHEN b.n_words > 0
+            THEN CAST(b.n_words - b.n_distinct AS DOUBLE) / CAST(b.n_words AS DOUBLE)
+            END AS dup_word_frac,
+       CAST(t.top_c AS BIGINT) AS top_bigram_count,
+       CASE WHEN b.n_words >= 2
+            THEN CAST(t.top_c AS DOUBLE) / CAST(b.n_words - 1 AS DOUBLE)
+            END AS top_bigram_frac
+FROM base b LEFT JOIN top t USING (doc_id)
 """,
     "text_lang_id": _WORDS_SQL
     + """

@@ -207,6 +207,29 @@ def test_fingerprint_stability(spark, dup_docs):
     assert len(fp[5]) == 64        # short doc falls back to whole-doc hash
 
 
+def test_repetition_features_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),       # 6 words, 2 distinct; bigrams: "a b"x3, "b a"x2
+            (2, "x"),                 # 1 word: dup 0.0, bigram fracs NULL
+            (3, ""),                  # empty: all NULL except n_words=0
+            (4, "w x y z"),           # all distinct, each bigram once
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in textstats.repetition_features(df).collect()}
+    assert out[1].n_words == 6
+    assert out[1].dup_word_frac == pytest.approx(2 / 3)
+    assert out[1].top_bigram_count == 3
+    assert out[1].top_bigram_frac == pytest.approx(3 / 5)
+    assert out[2].dup_word_frac == 0.0
+    assert out[2].top_bigram_count is None and out[2].top_bigram_frac is None
+    assert out[3].n_words == 0 and out[3].dup_word_frac is None
+    assert out[4].dup_word_frac == 0.0
+    assert out[4].top_bigram_count == 1
+    assert out[4].top_bigram_frac == pytest.approx(1 / 3)
+
+
 def test_quality_features_values(spark):
     df = spark.createDataFrame([(1, "the cat the cat!")], "doc_id long, text string")
     r = textstats.quality_features(df).collect()[0]

@@ -82,3 +82,50 @@ def test_salted_agg_equals_direct(spark, orders):
 def test_salted_agg_rejects_non_decomposable(spark, orders):
     with pytest.raises(ValueError):
         scale.salted_agg(orders, "o_orderstatus", {"o_totalprice": "avg"})
+
+
+def test_compact_parquet_merges_small_files(spark, orders, tmp_path):
+    import glob
+
+    src = str(tmp_path / "small")
+    # simulate a small-files mess: 64 tiny parquet files
+    orders.limit(2000).repartition(64).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 64
+
+    out = str(tmp_path / "compact")
+    n = scale.compact_parquet(spark, src, out, target_mb=128)
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert n == 1 and len(files) == 1  # 2000 rows << 128 MB
+    # data survives intact
+    a = sorted(r.o_orderkey for r in spark.read.parquet(src).collect())
+    b = sorted(r.o_orderkey for r in spark.read.parquet(out).collect())
+    assert a == b
+
+
+def test_compact_parquet_partitioned_layout(spark, orders, tmp_path):
+    import glob
+
+    src = str(tmp_path / "small_p")
+    n_rows = orders.count()
+    orders.repartition(32).write.parquet(src)
+    out = str(tmp_path / "compact_p")
+    scale.compact_parquet(spark, src, out, partition_by="o_orderstatus")
+    parts = glob.glob(f"{out}/o_orderstatus=*")
+    assert parts, "expected hive-partitioned output"
+    got = spark.read.parquet(out)
+    assert got.count() == n_rows
+    assert set(got.columns) == set(orders.columns)
+
+
+def test_orc_roundtrip_preserves_types(spark, orders, tmp_path):
+    from data__converter_spark.io import readers, writers
+
+    out = str(tmp_path / "orders_orc")
+    sample = orders.limit(500)
+    writers.write_orc(sample, out)
+    back = readers.read_orc(spark, out)
+    assert back.schema == sample.schema  # typed, unlike the text edge
+    assert back.count() == 500
+    # predicate pushdown reaches the ORC scan
+    plan = back.filter(F.col("o_orderkey") == 1)._jdf.queryExecution().toString()
+    assert "PushedFilters" in plan

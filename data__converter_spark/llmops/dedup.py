@@ -232,34 +232,40 @@ def minhash_lsh_pairs(
     documents never cross-join.
     """
     rows_per_band = num_hashes // bands
-    sets = _shingle_sets(df, col, id_col, k)
+    # Both frames feed two branches of the self-joins below; without
+    # persist() each Arrow kernel (signature / shingles) would run
+    # twice over the full corpus. MEMORY_AND_DISK: spill, don't
+    # recompute, at 100 TB.
+    from pyspark import StorageLevel
+
+    sets = _shingle_sets(df, col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = df.select(
         F.col(id_col),
         minhash_signature_col(col, k, num_hashes, seed).alias("sig"),
     ).filter(F.col("sig").isNotNull())
 
     # band buckets carry only (id, band, bucket) — the shingle arrays
-    # never enter this shuffle (they'd be duplicated `bands`× otherwise)
-    banded = sigs.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda h: h.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # never enter this shuffle (they'd be duplicated `bands`× otherwise).
+    # xxhash64 hashes the sliced signature array directly (JVM-side,
+    # no per-element stringify).
+    banded = (
+        sigs.select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        )
+        .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     left = banded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
     right = banded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
@@ -372,7 +378,13 @@ def simhash_pairs(
     any pair within distance 3 shares at least one exact chunk, so the
     join is on (chunk_index, chunk_value) buckets — no cross-join.
     """
-    h = df.select(F.col(id_col), simhash_col(col, k).alias("sim"))
+    from pyspark import StorageLevel
+
+    # h feeds both sides of the chunk self-join: persist so the SimHash
+    # kernel runs once over the corpus, not per branch.
+    h = df.select(F.col(id_col), simhash_col(col, k).alias("sim")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     chunks = h.select(
         id_col,
         "sim",

@@ -270,6 +270,54 @@ def hyperplane_bucket_col(
     return bucket
 
 
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Per-label centroid of an embedding column, long form:
+    (label, pos, n_vecs, mean_val) — one row per label × dimension.
+
+    Scale shape: ``posexplode`` then ONE hash aggregation on
+    (label, pos) with map-side partials — state is labels × dim, not
+    rows; no per-label collect_list blowup. A float sum is
+    order-dependent (non-associative rounding breaks determinism under
+    retries and engine comparison), so values are quantized to exact
+    integers (``floor(v·quant + 0.5)``), summed exactly as BIGINT, and
+    divided back out once at the edge — the same integer-cents trick
+    the money aggregates use, giving bit-identical results in any
+    partition order and any engine.
+    """
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos0", "v"),
+    ).select(
+        "label",
+        (F.col("pos0") + F.lit(1)).alias("pos"),
+        F.floor(F.col("v").cast("double") * F.lit(float(quant)) + F.lit(0.5))
+        .cast("bigint")
+        .alias("vq"),
+    )
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("vq").alias("sq"),
+        )
+        .select(
+            "label",
+            "pos",
+            "n_vecs",
+            (
+                F.col("sq").cast("double")
+                / F.col("n_vecs").cast("double")
+                / F.lit(float(quant))
+            ).alias("mean_val"),
+        )
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     probes: DataFrame,

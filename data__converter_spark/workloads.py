@@ -745,6 +745,15 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, long form (label, pos, n_vecs, mean_val).
+    Exact-integer quantized sums make the float mean order-independent
+    and engine-identical (see llmops.similarity.label_centroids)."""
+    from .llmops.similarity import label_centroids
+
+    return label_centroids(_load(spark, sf_dir, "embeddings"))
+
+
 def q_pattern_presets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F15: preset transform chain (sentence->newline, collapse spaces,
     comma spacing) as one projection."""
@@ -1146,6 +1155,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_pairs": q_dedup_embedding_pairs,
     "similarity_lsh_topk": q_similarity_lsh_topk,
+    "embedding_centroids": q_embedding_centroids,
     "similarity_ivf_topk": q_similarity_ivf_topk,
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -1595,6 +1605,23 @@ FROM documents WHERE doc_id % 3 = 0
 """,
     "dedup_simhash": _simhash_pairs_sql(),
     "similarity_lsh_topk": _lsh_topk_sql(),
+    "embedding_centroids": """
+WITH q AS (
+    SELECT label,
+           generate_subscripts(embedding, 1) AS pos,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS vq
+    FROM embeddings
+),
+agg AS (
+    SELECT label, pos,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(vq) AS BIGINT)  AS sq
+    FROM q GROUP BY label, pos
+)
+SELECT label, pos, n_vecs,
+       CAST(sq AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 1000000.0 AS mean_val
+FROM agg
+""",
     "similarity_ivf_topk": _ivf_topk_sql(),
     "dedup_minhash_lsh": _minhash_verified_pairs_sql()
     + "SELECT id_a, id_b, round(jaccard, 6) AS jaccard_r FROM verified",

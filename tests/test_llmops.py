@@ -133,6 +133,26 @@ def test_brute_force_topk(spark, embeddings):
         assert all(r["neighbor_id"] != pid for r in rs)
 
 
+def test_label_centroids_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", [1.0, 2.0]),
+            (2, "a", [3.0, 4.0]),
+            (3, "b", [5.0, -1.5]),
+        ],
+        ["vec_id", "label", "embedding"],
+    )
+    out = {
+        (r.label, r.pos): r
+        for r in similarity.label_centroids(df, label_col="label").collect()
+    }
+    assert out[("a", 1)].mean_val == pytest.approx(2.0)
+    assert out[("a", 2)].mean_val == pytest.approx(3.0)
+    assert out[("a", 1)].n_vecs == 2
+    assert out[("b", 2)].mean_val == pytest.approx(-1.5)
+    assert len(out) == 4
+
+
 def test_probe_guard_caps_and_empty(spark, embeddings, monkeypatch):
     # Guard on the driver-broadcast contract: an oversized probe set must
     # fail loudly (pointing at the bucketed path), not OOM the driver;

@@ -9,8 +9,10 @@ millions of documents at once.
 
 - count / replace-all / char-count: built-in ``regexp_count`` /
   ``regexp_replace`` — JVM-side, whole-stage codegen.
-- replace-first has no Spark builtin -> Arrow-batched pandas UDF with
-  ``re.sub(count=1)`` (the documented slow path, F14).
+- replace-first has no Spark builtin -> regexp_instr/regexp_substr
+  splice (JVM-side) for plain replacements; Arrow-batched pandas UDF
+  with ``re.sub(count=1)`` only when the replacement uses group
+  references (the documented slow path, F14).
 - literal mode escapes the pattern at plan-build time (F16).
 
 Patterns in :data:`PRESETS` use explicit character classes (no bare
@@ -79,16 +81,33 @@ def replace_all_col(col: str | Column, pattern: str, replacement: str, **flags) 
 def replace_first_col(col: str | Column, pattern: str, replacement: str, **flags) -> Column:
     """Replace only the first match (onReplaceOne, pattern-editor:242-259).
 
-    No Spark builtin -> Arrow-batched pandas UDF (``re.sub(count=1)``).
+    No replace-first builtin, but for a plain (backreference-free)
+    replacement it compiles to JVM expressions: locate the first match
+    with ``regexp_instr``, grab its text with ``regexp_substr``, splice
+    around it — whole-stage codegen, no Python worker. A zero-length
+    match inserts at the match position, exactly like ``re.sub(count=1)``.
+    Replacements using ``$n``/``\\n`` group references fall back to the
+    Arrow-batched pandas UDF (the documented slow path, F14).
     """
     pat = build_pattern(pattern, **flags)
+    c = F.col(col) if isinstance(col, str) else col
+
+    if "$" not in replacement and "\\" not in replacement:
+        pos = F.regexp_instr(c, F.lit(pat))  # 1-based, 0 = no match
+        m = F.regexp_substr(c, F.lit(pat))
+        spliced = F.concat(
+            F.substring(c, F.lit(1), pos - F.lit(1)),
+            F.lit(replacement),
+            F.substring(c, pos + F.length(m), F.length(c)),
+        )
+        return F.when(pos > 0, spliced).otherwise(c)
+
     compiled = re.compile(pat)
 
     @pandas_udf("string")
     def _replace_first(s: pd.Series) -> pd.Series:
         return s.str.replace(compiled, replacement, n=1, regex=True)
 
-    c = F.col(col) if isinstance(col, str) else col
     return _replace_first(c)
 
 

@@ -148,6 +148,18 @@ def test_window_running_revenue_single_shuffle(spark):
     assert "Window" in p
 
 
+def test_replace_first_plain_stays_jvm_side(spark):
+    # Plain replacements compile to regexp_instr/substr splice — no
+    # Python worker; only $n/\n group refs may use the pandas UDF.
+    from data__converter_spark import pattern
+
+    df = spark.createDataFrame([("a b a",)], ["text"])
+    out = df.select(pattern.replace_first_col("text", "a", "X").alias("t"))
+    p = plan_of(out)
+    assert "EvalPython" not in p, "plain replace-first must not hit Python"
+    assert out.collect()[0].t == "X b a"
+
+
 def test_xml_fragments_stay_jvm_side(spark):
     # K4 row formatting is pure concat over printable columns — it must
     # compile to Column expressions, never a Python-worker round-trip.

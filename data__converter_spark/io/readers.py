@@ -249,7 +249,9 @@ def read_json(spark: SparkSession, path: str, encoding: str = "utf-8") -> DataFr
     array_cols = [
         f.name for f in df.schema.fields if isinstance(f.dataType, T.ArrayType)
     ]
-    if array_cols and df.count() == 1 and len(df.columns) >= 1:
+    # limit(2) probe instead of a full count: one-partition scan decides
+    # "exactly one row", not a full pass over the input.
+    if array_cols and len(df.limit(2).take(2)) == 1 and len(df.columns) >= 1:
         inner = df.select(F.explode(F.col(array_cols[0])).alias("row"))
         inner_type = inner.schema["row"].dataType
         if isinstance(inner_type, T.StructType):

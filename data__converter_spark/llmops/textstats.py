@@ -208,6 +208,56 @@ def fingerprints(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): rolling-hash k-gram sequence, keep the min hash of each
+    ``window`` consecutive hashes, distinct per document.
+
+    Guarantees any shared run of ``window + k - 1`` tokens between two
+    documents shares >= 1 fingerprint — the substring-match detector
+    exact dedup can't provide. Hash is the portable md5-32 (mod 2³¹-1)
+    the MinHash pipeline uses, so DuckDB reproduces it bit-for-bit.
+
+    Scale shape: posexplode -> one shuffle on ``id_col`` for the
+    ordered rolling min (Window frame of ``window`` rows — state is the
+    frame, not the document) -> distinct. No per-row O(len·window)
+    arrays materialize; a 1 GB document streams through its partition.
+    Docs with < k + window - 1 tokens emit no rows (no complete
+    window).
+    """
+    from pyspark.sql import Window as W
+
+    sh = shingles_col(col, k)
+    exploded = df.select(
+        F.col(id_col),
+        F.size(sh).alias("__n__"),
+        F.posexplode(sh).alias("pos", "s"),
+    ).select(
+        id_col,
+        "__n__",
+        "pos",
+        (
+            F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
+            % F.lit(2147483647)
+        ).alias("h"),
+    )
+    frame = (
+        W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    )
+    return (
+        exploded.withColumn("fp", F.min("h").over(frame))
+        .filter(F.col("pos") + window <= F.col("__n__"))  # complete windows only
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # pipeline hygiene: PII scrubbing, deterministic sampling, length filtering
 # ---------------------------------------------------------------------------

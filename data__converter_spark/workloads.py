@@ -659,6 +659,14 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_features(_load(spark, sf_dir, "documents"))
 
 
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints: distinct rolling-window min
+    hashes per doc — the substring-overlap detector."""
+    from .llmops.textstats import winnow_fingerprints
+
+    return winnow_fingerprints(_load(spark, sf_dir, "documents"), k=3, window=4)
+
+
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llmops.textstats import lang_id_col
 
@@ -1063,6 +1071,37 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: users
+    reaching each stage with strictly-later timestamps.
+
+    Sequential min-after-previous-stage aggregation: three shuffles on
+    ``user_id`` (each stage's frame is tiny — one row per surviving
+    user), no window over all events, no per-user event collection —
+    the shape that holds when one user has 10⁸ events.
+    """
+    from .session import load_events
+
+    ev = load_events(spark, sf_dir)
+
+    def stage(df, etype, prev=None, prev_col=None):
+        e = ev.filter(F.col("event_type") == etype).select("user_id", "ts")
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_col))
+        return e.groupBy("user_id").agg(F.min("ts").alias(f"t_{etype}"))
+
+    t1 = stage(ev, "view")
+    t2 = stage(ev, "click", t1, "t_view")
+    t3 = stage(ev, "purchase", t2, "t_click")
+    return (
+        t1.agg(F.count(F.lit(1)).cast("bigint").alias("n_view"))
+        .crossJoin(t2.agg(F.count(F.lit(1)).cast("bigint").alias("n_view_click")))
+        .crossJoin(
+            t3.agg(F.count(F.lit(1)).cast("bigint").alias("n_view_click_purchase"))
+        )
+    )
+
+
 def q_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: (click, purchase) pairs per user within 30 minutes."""
     from .joins import range_join
@@ -1135,6 +1174,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "text_quality_features": q_text_quality,
     "text_repetition": q_text_repetition,
+    "text_winnow": q_text_winnow,
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
     "similarity_topk": q_similarity_topk,
@@ -1143,6 +1183,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_near_keep": q_dedup_near_keep,
     "priority_revenue": q_priority_revenue,
     "asof_join": q_asof_join,
+    "funnel_conversion": q_funnel_conversion,
     "range_join_attribution": q_range_join_attribution,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
@@ -1343,6 +1384,28 @@ SELECT doc_id,
          / CAST(nullif(len(words), 0) AS DOUBLE) AS type_token_ratio
 FROM words_cte
 """,
+    "text_winnow": _WORDS_SQL
+    + """
+, sh AS (
+    SELECT doc_id,
+           list_transform(range(1, len(words) - 1),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS sh
+    FROM words_cte WHERE len(words) >= 3
+),
+h AS (
+    SELECT doc_id,
+           list_transform(sh, s ->
+               CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % 2147483647) AS h
+    FROM sh
+),
+wins AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(h) - 2),
+               i -> list_min(list_slice(h, i, i + 3)))) AS fp
+    FROM h WHERE len(h) >= 4
+)
+SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp FROM wins
+""",
     "text_repetition": _WORDS_SQL
     + """
 , base AS (
@@ -1486,6 +1549,27 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation   ON s_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name
+""",
+    "funnel_conversion": """
+WITH t1 AS (
+    SELECT user_id, min(ts) AS t_view FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+    SELECT e.user_id, min(e.ts) AS t_click
+    FROM events e JOIN t1 USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts > t1.t_view
+    GROUP BY e.user_id
+),
+t3 AS (
+    SELECT e.user_id, min(e.ts) AS t_purchase
+    FROM events e JOIN t2 USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts > t2.t_click
+    GROUP BY e.user_id
+)
+SELECT CAST((SELECT count(*) FROM t1) AS BIGINT) AS n_view,
+       CAST((SELECT count(*) FROM t2) AS BIGINT) AS n_view_click,
+       CAST((SELECT count(*) FROM t3) AS BIGINT) AS n_view_click_purchase
 """,
     "asof_join": """
 WITH p AS (

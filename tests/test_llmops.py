@@ -250,6 +250,32 @@ def test_repetition_features_values(spark):
     assert out[4].top_bigram_frac == pytest.approx(1 / 3)
 
 
+def test_winnow_shared_run_shares_fingerprint(spark):
+    # Guarantee: docs sharing a run of window+k-1 = 6 tokens share >= 1
+    # fingerprint; disjoint docs share none.
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared} tail one"),
+            (2, f"{shared} completely different ending text"),
+            (3, "nothing in common with the others at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = textstats.winnow_fingerprints(df, k=3, window=4)
+    fps = {}
+    for r in out.collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2], "shared 6-token run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_winnow_short_doc_emits_nothing(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    # 5 tokens -> 3 trigrams -> no complete window of 4
+    assert textstats.winnow_fingerprints(df, k=3, window=4).count() == 0
+
+
 def test_quality_features_values(spark):
     df = spark.createDataFrame([(1, "the cat the cat!")], "doc_id long, text string")
     r = textstats.quality_features(df).collect()[0]

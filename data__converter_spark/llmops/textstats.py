@@ -258,6 +258,35 @@ def winnow_fingerprints(
     )
 
 
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Benchmark-contamination scan: corpus docs sharing >= 1 winnowing
+    fingerprint with any benchmark doc, with the shared-fingerprint
+    count — the pre-training eval-leakage gate.
+
+    The benchmark fingerprint set is tiny next to the corpus (eval
+    suites are MBs, corpora are TBs), so it broadcasts: the corpus side
+    never shuffles for the join; the only wide op is the per-doc count.
+    """
+    c_fps = winnow_fingerprints(corpus, col, id_col, k, window)
+    b_fps = (
+        winnow_fingerprints(benchmark, col, id_col, k, window)
+        .select("fp")
+        .distinct()
+    )
+    return (
+        c_fps.join(F.broadcast(b_fps), "fp")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # pipeline hygiene: PII scrubbing, deterministic sampling, length filtering
 # ---------------------------------------------------------------------------
@@ -280,6 +309,31 @@ def scrub_pii_col(col: str | Column = "text") -> Column:
     for _, pat, repl in PII_PATTERNS:
         c = F.regexp_replace(c, pat, repl)
     return c
+
+
+def corpus_top_ngrams(
+    df: DataFrame,
+    col: str = "text",
+    n: int = 2,
+    top_k: int = 50,
+) -> DataFrame:
+    """Corpus-wide most frequent word n-grams — the vocabulary/boiler-
+    plate report run before training. Explode -> one partial+final
+    count aggregation -> TakeOrdered (no global sort); ties break on
+    the n-gram string so the top-k is deterministic."""
+    words = tokens_col(col)
+    grams = F.expr(
+        f"transform(slice(__ws__, 1, greatest(size(__ws__) - {n - 1}, 0)), "
+        f"(x, i) -> concat_ws(' ', {', '.join(f'__ws__[i + {j}]' for j in range(n))}))"
+    )
+    return (
+        df.select(words.alias("__ws__"))
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("ngram"))
+        .limit(top_k)
+    )
 
 
 def repetition_features(

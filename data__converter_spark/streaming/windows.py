@@ -103,6 +103,23 @@ def session_agg(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
     )
 
 
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch hash-joins
+    against the (periodically reloadable) dimension. Broadcast by
+    default so the stream side never shuffles — the standard shape for
+    decorating an event firehose with user/account attributes; flip
+    ``broadcast_dim`` off only when the dimension is too big to fit an
+    executor, which turns each micro-batch into a shuffled join."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return events.join(d, on, how)
+
+
 def dedup_within_watermark(
     events: DataFrame, keys: list[str] | None = None
 ) -> DataFrame:

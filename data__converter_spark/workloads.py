@@ -406,6 +406,29 @@ WITH words_cte AS (
 )
 """
 
+# Winnowing fingerprint CTE chain (k=3, window=4), mirroring
+# llmops.textstats.winnow_fingerprints — ends with wins(doc_id, fp).
+_WINNOW_CTES = """
+, sh AS (
+    SELECT doc_id,
+           list_transform(range(1, len(words) - 1),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS sh
+    FROM words_cte WHERE len(words) >= 3
+),
+h AS (
+    SELECT doc_id,
+           list_transform(sh, s ->
+               CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % 2147483647) AS h
+    FROM sh
+),
+wins AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(h) - 2),
+               i -> list_min(list_slice(h, i, i + 3)))) AS fp
+    FROM h WHERE len(h) >= 4
+)
+"""
+
 
 def _minhash_verified_pairs_sql(
     k: int = 3, num_hashes: int = 64, bands: int = 16, threshold: float = 0.5,
@@ -659,12 +682,31 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_features(_load(spark, sf_dir, "documents"))
 
 
+def q_corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 bigrams (count desc, ngram asc — ties
+    deterministic)."""
+    from .llmops.textstats import corpus_top_ngrams
+
+    return corpus_top_ngrams(_load(spark, sf_dir, "documents"), n=2, top_k=50)
+
+
 def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprints: distinct rolling-window min
     hashes per doc — the substring-overlap detector."""
     from .llmops.textstats import winnow_fingerprints
 
     return winnow_fingerprints(_load(spark, sf_dir, "documents"), k=3, window=4)
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leakage gate: corpus docs sharing winnow fingerprints with
+    a 'benchmark' slice (doc_id % 97 == 0 stands in for an eval set)."""
+    from .llmops.textstats import contamination_check
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_check(corpus, bench)
 
 
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1175,6 +1217,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_features": q_text_quality,
     "text_repetition": q_text_repetition,
     "text_winnow": q_text_winnow,
+    "corpus_top_ngrams": q_corpus_top_ngrams,
+    "contamination_check": q_contamination_check,
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
     "similarity_topk": q_similarity_topk,
@@ -1384,27 +1428,32 @@ SELECT doc_id,
          / CAST(nullif(len(words), 0) AS DOUBLE) AS type_token_ratio
 FROM words_cte
 """,
-    "text_winnow": _WORDS_SQL
+    "corpus_top_ngrams": _WORDS_SQL
     + """
-, sh AS (
-    SELECT doc_id,
-           list_transform(range(1, len(words) - 1),
-               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS sh
-    FROM words_cte WHERE len(words) >= 3
-),
-h AS (
-    SELECT doc_id,
-           list_transform(sh, s ->
-               CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % 2147483647) AS h
-    FROM sh
-),
-wins AS (
-    SELECT doc_id,
-           unnest(list_transform(range(1, len(h) - 2),
-               i -> list_min(list_slice(h, i, i + 3)))) AS fp
-    FROM h WHERE len(h) >= 4
+SELECT bg AS ngram, CAST(count(*) AS BIGINT) AS cnt
+FROM (
+    SELECT unnest(list_transform(range(1, len(words)),
+                  i -> words[i] || ' ' || words[i+1])) AS bg
+    FROM words_cte WHERE len(words) >= 2
 )
+GROUP BY bg
+ORDER BY cnt DESC, ngram ASC
+LIMIT 50
+""",
+    "text_winnow": _WORDS_SQL
+    + _WINNOW_CTES
+    + """
 SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp FROM wins
+""",
+    "contamination_check": _WORDS_SQL
+    + _WINNOW_CTES
+    + """
+, dfp AS (SELECT DISTINCT doc_id, fp FROM wins),
+bench AS (SELECT DISTINCT fp FROM dfp WHERE doc_id % 97 = 0)
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS shared_fps
+FROM dfp d JOIN bench USING (fp)
+WHERE d.doc_id % 97 <> 0
+GROUP BY d.doc_id
 """,
     "text_repetition": _WORDS_SQL
     + """

@@ -73,6 +73,25 @@ def test_stream_dedup_within_watermark(spark, events):
     assert got.count() == n_users
 
 
+def test_stream_static_enrichment_equals_batch(spark, events):
+    import pyspark.sql.functions as F
+
+    # static dimension: per-user segment derived once, batch-side
+    dim = events.groupBy("user_id").agg(
+        F.min("event_type").alias("first_type")
+    )
+    stream = windows.with_event_time(runner.read_events_stream(spark, SF))
+    got = runner.run_once(
+        windows.enrich_stream(stream, dim, "user_id").select(
+            "event_id", "first_type"
+        ),
+        output_mode="append",
+    )
+    want = events.join(dim, "user_id").select("event_id", "first_type")
+    cols = ["event_id", "first_type"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
 def test_stateful_running_totals_matches_batch(spark, events):
     stream = windows.with_event_time(runner.read_events_stream(spark, SF))
     got = runner.run_once(

@@ -212,6 +212,14 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_jsonl(spark: SparkSession, path: str, encoding: str = "utf-8") -> DataFrame:
+    """JSON-lines (one object per line — the K3 writer's multi-column
+    output and the standard LLM-corpus interchange format). Unlike
+    :func:`read_json` this is line-splittable: a 1 TB file scans as
+    parallel ~128 MB tasks instead of one whole-document task."""
+    return spark.read.option("encoding", encoding).json(path)
+
+
 def read_json(spark: SparkSession, path: str, encoding: str = "utf-8") -> DataFrame:
     """S6: JSON document -> rows.
 

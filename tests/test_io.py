@@ -85,7 +85,7 @@ def test_txt_writer_json_lines_mode(spark, tmp_path, orders):
     df = orders.select("o_orderkey", "o_orderstatus").limit(5)
     out = str(tmp_path / "out_jsonl")
     writers.write_txt(df, out)
-    back = spark.read.json(out)
+    back = readers.read_jsonl(spark, out)
     assert back.count() == 5 and set(back.columns) == {"o_orderkey", "o_orderstatus"}
 
 

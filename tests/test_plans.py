@@ -148,6 +148,38 @@ def test_window_running_revenue_single_shuffle(spark):
     assert "Window" in p
 
 
+def test_label_centroids_single_agg_shuffle(spark):
+    from data__converter_spark.llmops.similarity import label_centroids
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    p = plan_of(label_centroids(emb))
+    # posexplode then ONE partial+final agg around one exchange
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("HashAggregate") >= 2
+    assert "EvalPython" not in p
+
+
+def test_winnow_single_shuffle_window(spark):
+    from data__converter_spark.llmops.textstats import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan_of(winnow_fingerprints(docs))
+    # one shuffle for the per-doc ordered window; distinct's exchange
+    # re-uses the doc_id partitioning only if keys align — allow <= 2
+    n = p.count("Exchange hashpartitioning")
+    assert n <= 2, f"expected <=2 exchanges, plan had {n}"
+    assert "Window" in p
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    from data__converter_spark.workloads import q_contamination_check
+
+    p = plan_of(q_contamination_check(spark, SF_DIR))
+    # the benchmark fingerprint set must broadcast — the corpus side
+    # must not shuffle for the join
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
 def test_replace_first_plain_stays_jvm_side(spark):
     # Plain replacements compile to regexp_instr/substr splice — no
     # Python worker; only $n/\n group refs may use the pandas UDF.

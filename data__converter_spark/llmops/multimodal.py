@@ -193,10 +193,58 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return vids.mapInPandas(kernel, FRAME_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("mean_amp", T.DoubleType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+STUB_SAMPLE_RATE = 16_000
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract audio rows — same Arrow-batched
+    mapInPandas contract as :func:`image_features`: batches in, no
+    shuffle, decode STUBBED (sha256-derived pseudo-samples) pending a
+    real codec. ``n_samples`` derives from metadata duration at the
+    stub 16 kHz rate; ``mean_amp`` is the mean of the pseudo-sample
+    bytes normalized to [0, 1]."""
+    auds = media.filter(F.col("kind") == "audio").select("media_id", "payload", "meta")
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [
+                [float(v) / 255.0 for v in _payload_digest_ints(p, STUB_FEATURE_DIM)]
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": STUB_SAMPLE_RATE,
+                    "n_samples": [
+                        int(m["duration_ms"]) * (STUB_SAMPLE_RATE // 1000)
+                        for m in pdf["meta"]
+                    ],
+                    "mean_amp": [sum(f) / len(f) for f in feats],
+                    "feature": feats,
+                }
+            )
+
+    return auds.mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
+
+
 def decode_audio(media: DataFrame) -> DataFrame:
-    """Audio decode is NOT implementable in this container (no codec
-    libs). Explicit gate per SURVEY: raises until a codec is present."""
+    """Raw audio decode (full PCM out) is NOT implementable in this
+    container (no codec libs) — explicit gate per SURVEY; the
+    feature-extraction surface with the stub decode is
+    :func:`audio_features`, whose kernel body a real codec replaces."""
     raise NotImplementedError(
         "audio decode requires an audio codec library not present in this "
-        "environment; the mapInPandas plumbing pattern is image_features()"
+        "environment; the mapInPandas plumbing pattern is audio_features()"
     )

@@ -889,6 +889,22 @@ def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over the binary payload column — same
+    Arrow-batched contract as image features, stub decode
+    hash-checked against DuckDB."""
+    from .llmops.multimodal import audio_features, media_from_documents
+
+    media = media_from_documents(_load(spark, sf_dir, "documents"))
+    out = audio_features(media)
+    return out.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        F.round("mean_amp", 6).alias("mean_amp_r"),
+    )
+
+
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling: one input row fans out to duration/interval
     frame rows inside the Arrow batch (the shape a real decoder plugs
@@ -1243,6 +1259,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_centroids": q_embedding_centroids,
     "similarity_ivf_topk": q_similarity_ivf_topk,
     "multimodal_image_features": q_multimodal_image_features,
+    "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_resize": q_multimodal_resize,
     "text_pii_scrub": q_text_pii_scrub,
@@ -1724,6 +1741,20 @@ SELECT media_id,
            (strpos('0123456789abcdef', substr(h, CAST(2*i+1 AS INT), 1)) - 1) * 16
          + (strpos('0123456789abcdef', substr(h, CAST(2*i+2 AS INT), 1)) - 1)
        )) / 8.0 / 255.0, 6) AS mean_luma_r
+FROM m
+""",
+    "multimodal_audio_features": """
+WITH m AS (
+    SELECT doc_id AS media_id, sha256(coalesce(text, '')) AS h
+    FROM documents WHERE doc_id % 3 = 1
+)
+SELECT media_id,
+       CAST(16000 AS INT) AS sample_rate,
+       CAST((1000 * (1 + media_id % 7)) * 16 AS BIGINT) AS n_samples,
+       round(list_sum(list_transform(range(0, 8), i ->
+           (strpos('0123456789abcdef', substr(h, CAST(2*i+1 AS INT), 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(h, CAST(2*i+2 AS INT), 1)) - 1)
+       )) / 8.0 / 255.0, 6) AS mean_amp_r
 FROM m
 """,
     "multimodal_frame_sample": """

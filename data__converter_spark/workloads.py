@@ -698,6 +698,15 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_load(spark, sf_dir, "documents"), k=3, window=4)
 
 
+def q_pipeline_pretraining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus pass: scrub -> quality gate -> exact dedup ->
+    hash sample, audited by (id, lang, score, content sha). One logical
+    plan — the composition, not just each stage, is oracle-checked."""
+    from .llmops.pipeline import pretraining_pipeline
+
+    return pretraining_pipeline(_load(spark, sf_dir, "documents"))
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-leakage gate: corpus docs sharing winnow fingerprints with
     a 'benchmark' slice (doc_id % 97 == 0 stands in for an eval set)."""
@@ -1264,6 +1273,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_winnow": q_text_winnow,
     "corpus_top_ngrams": q_corpus_top_ngrams,
     "contamination_check": q_contamination_check,
+    "pipeline_pretraining": q_pipeline_pretraining,
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
     "similarity_topk": q_similarity_topk,
@@ -1491,6 +1501,54 @@ LIMIT 50
     + _WINNOW_CTES
     + """
 SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp FROM wins
+""",
+    "pipeline_pretraining": """
+WITH s AS (
+    SELECT doc_id, lang,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text,
+                       'https?://[A-Za-z0-9._~:/?#@!$&''()*+,;=%-]+', '<URL>', 'g'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]{2,4}-[0-9]{3,4}-[0-9]{3,4}', '<PHONE>', 'g') AS text
+    FROM documents
+),
+w AS (
+    SELECT doc_id, lang, text,
+           CASE WHEN length(trim(text)) = 0 THEN []
+                ELSE regexp_split_to_array(trim(text), '[ \\t\\r\\n]+') END AS words
+    FROM s
+),
+m AS (
+    SELECT doc_id, lang, text,
+           CAST(len(words) AS DOUBLE) AS n_tok,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\r\\n]')) AS DOUBLE) AS punct,
+           CASE WHEN len(words) > 0
+                THEN CAST(len(list_distinct(words)) AS DOUBLE) / CAST(len(words) AS DOUBLE)
+                ELSE 0.0 END AS uniq_ratio
+    FROM w
+),
+g AS (
+    SELECT doc_id, lang, text,
+           (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0 ELSE 0.3 END)
+           * (CASE WHEN punct / greatest(n_chars, 1.0) < 0.2 THEN 1.0 ELSE 0.5 END)
+           * least(uniq_ratio * 2.0, 1.0) AS score
+    FROM m
+),
+gated AS (SELECT * FROM g WHERE score >= 0.5),
+keep AS (
+    SELECT min(doc_id) AS doc_id
+    FROM gated GROUP BY sha256(coalesce(text, ''))
+),
+deduped AS (SELECT g.* FROM gated g JOIN keep USING (doc_id)),
+sampled AS (
+    SELECT * FROM deduped
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50
+)
+SELECT doc_id, lang, round(score, 6) AS score_r,
+       sha256(coalesce(text, '')) AS content_sha
+FROM sampled
 """,
     "contamination_check": _WORDS_SQL
     + _WINNOW_CTES

@@ -250,6 +250,25 @@ def test_repetition_features_values(spark):
     assert out[4].top_bigram_frac == pytest.approx(1 / 3)
 
 
+def test_pretraining_pipeline_gates_compose(spark, documents):
+    from data__converter_spark.llmops.pipeline import pretraining_pipeline
+
+    out = pretraining_pipeline(documents)
+    rows = out.collect()
+    ids = {r.doc_id for r in rows}
+    all_ids = {r.doc_id for r in documents.select("doc_id").collect()}
+    assert ids <= all_ids and 0 < len(ids) < len(all_ids)
+    # every survivor passed the gate and the sample filter
+    assert all(r.score_r >= 0.5 for r in rows)
+    from data__converter_spark.llmops.textstats import sample_hash_col
+    import pyspark.sql.functions as F
+
+    resampled = out.filter(sample_hash_col("doc_id") < 50).count()
+    assert resampled == len(rows)
+    # dedup: content_sha unique among survivors
+    assert len({r.content_sha for r in rows}) == len(rows)
+
+
 def test_winnow_shared_run_shares_fingerprint(spark):
     # Guarantee: docs sharing a run of window+k-1 = 6 tokens share >= 1
     # fingerprint; disjoint docs share none.

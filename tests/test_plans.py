@@ -148,6 +148,18 @@ def test_window_running_revenue_single_shuffle(spark):
     assert "Window" in p
 
 
+def test_pretraining_pipeline_shape(spark):
+    # scrub + score + gate fuse into the scan projection (no Python
+    # worker anywhere); the only wide ops are the dedup agg and its
+    # semi-join; sampling is a post-join filter.
+    from data__converter_spark.workloads import q_pipeline_pretraining
+
+    p = plan_of(q_pipeline_pretraining(spark, SF_DIR))
+    assert "EvalPython" not in p, "whole pipeline must stay JVM-side"
+    n = p.count("Exchange hashpartitioning")
+    assert n <= 2, f"expected <=2 exchanges (dedup agg + join), got {n}"
+
+
 def test_label_centroids_single_agg_shuffle(spark):
     from data__converter_spark.llmops.similarity import label_centroids
 

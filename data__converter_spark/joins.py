@@ -131,3 +131,34 @@ def range_join(
     return f.join(t, key).filter(
         (f_ts <= t_ts) & (t_ts <= f_ts + F.expr(f"INTERVAL {within}"))
     )
+
+
+def sessionize(
+    events: DataFrame,
+    by: str = "user_id",
+    on: str = "ts",
+    gap_minutes: int = 5,
+    tie_break: str = "event_id",
+) -> DataFrame:
+    """Gaps-and-islands session ids: a new session starts when the gap
+    to the previous event (per ``by`` key, ordered by ``on`` with a
+    deterministic tie-break) exceeds ``gap_minutes``. Adds
+    ``session_no`` (1-based per key) — the row-level complement of the
+    session-window aggregate (streaming/windows.session_agg).
+
+    One shuffle on the key; the lag + running sum share a single Window
+    sort. Session numbering is deterministic because ties order on
+    ``tie_break``.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(by).orderBy(on, tie_break)
+    prev = F.lag(F.col(on)).over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (F.col(on).cast("long") - prev.cast("long") > gap_minutes * 60),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return events.withColumn(
+        "session_no", F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, 0))
+    )

@@ -1169,6 +1169,19 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level sessionization: 1-based session number per user with a
+    5-minute inactivity gap (gaps-and-islands; one shuffle)."""
+    from .joins import sessionize
+    from .session import load_events
+
+    ev = load_events(spark, sf_dir)
+    out = sessionize(ev, by="user_id", on="ts", gap_minutes=5)
+    return out.select(
+        "event_id", "user_id", F.col("session_no").cast("bigint").alias("session_no")
+    )
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention triangle: users grouped by first-seen week
     (cohort), counted in each later week they were active.
@@ -1284,6 +1297,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "funnel_conversion": q_funnel_conversion,
     "retention_cohorts": q_retention_cohorts,
+    "sessionize_events": q_sessionize,
     "range_join_attribution": q_range_join_attribution,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
@@ -1703,6 +1717,19 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation   ON s_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name
+""",
+    "sessionize_events": """
+WITH lagged AS (
+    SELECT event_id, user_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+)
+SELECT event_id, user_id,
+       CAST(sum(CASE WHEN prev_ts IS NULL
+                       OR date_diff('second', prev_ts, ts) > 300
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_no
+FROM lagged
 """,
     "retention_cohorts": """
 WITH cohort AS (

@@ -60,3 +60,40 @@ def test_range_join_window_bounds(spark):
     out = range_join(clicks, purchases, "user_id", within="30 minutes")
     got = sorted(r.to_purchase_id for r in out.collect())
     assert got == [200, 201]
+
+
+def test_sessionize_matches_session_windows(spark):
+    """Session counts from row-level sessionize equal the
+    session-window aggregate's session count per user (same gap)."""
+    from data__converter_spark.joins import sessionize
+    from data__converter_spark.session import load_events
+    from data__converter_spark.streaming.windows import session_agg
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    by_rows = (
+        sessionize(ev, gap_minutes=5)
+        .groupBy("user_id")
+        .agg(F.max("session_no").alias("n_sessions"))
+    )
+    by_windows = session_agg(ev, "5 minutes").groupBy("user_id").count()
+    a = {r.user_id: r.n_sessions for r in by_rows.collect()}
+    b = {r.user_id: r["count"] for r in by_windows.collect()}
+    assert a == b
+
+
+def test_sessionize_gap_boundaries(spark):
+    from data__converter_spark.joins import sessionize
+
+    df = _ts_df(
+        spark,
+        [
+            (1, 7, "2024-01-01 10:00:00"),
+            (2, 7, "2024-01-01 10:04:59"),  # < 5 min: same session
+            (3, 7, "2024-01-01 10:10:00"),  # > 5 min gap: new session
+            (4, 7, "2024-01-01 10:15:00"),  # exactly 5 min: same (gap not >)
+            (5, 8, "2024-01-01 10:00:00"),  # other user: own numbering
+        ],
+        "event_id long, user_id long, ts string",
+    )
+    out = {r.event_id: r.session_no for r in sessionize(df, gap_minutes=5).collect()}
+    assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}

@@ -120,3 +120,45 @@ def test_xlsx_roundtrip_arbitrary_cells(spark, tmp_path_factory, rows):
     back = readers.read_excel(spark, out)["s"]
     got = {r.id: (r.a, r.b) for r in back.collect()}
     assert got == {str(i): (a, b) for i, (a, b) in enumerate(rows)}
+
+doc_text = st.text(
+    alphabet=st.sampled_from("ab c"),  # tiny alphabet -> heavy repetition
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(**SPARK_SETTINGS)
+@given(st.lists(doc_text, min_size=1, max_size=5))
+def test_repetition_feature_bounds(spark, texts):
+    from data__converter_spark.llmops.textstats import repetition_features
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    for r in repetition_features(df).collect():
+        toks = texts[r.doc_id].split()
+        assert r.n_words == len(toks)
+        if r.dup_word_frac is not None:
+            assert 0.0 <= r.dup_word_frac < 1.0
+        if r.top_bigram_frac is not None:
+            assert 0.0 < r.top_bigram_frac <= 1.0
+            # the modal bigram can't be rarer than uniform
+            assert r.top_bigram_frac >= 1.0 / max(len(toks) - 1, 1)
+
+
+@settings(**SPARK_SETTINGS)
+@given(st.lists(doc_text, min_size=1, max_size=4))
+def test_winnow_is_subset_of_kgram_hashes_and_deterministic(spark, texts):
+    from data__converter_spark.llmops.textstats import winnow_fingerprints
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out1 = sorted((r.doc_id, r.fp) for r in winnow_fingerprints(df).collect())
+    out2 = sorted((r.doc_id, r.fp) for r in winnow_fingerprints(df).collect())
+    assert out1 == out2  # deterministic under re-execution
+    # identical docs -> identical fingerprint sets
+    dup = spark.createDataFrame(
+        [(0, texts[0]), (1, texts[0])], "doc_id long, text string"
+    )
+    fps = {}
+    for r in winnow_fingerprints(dup).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps.get(0, set()) == fps.get(1, set())

@@ -212,6 +212,22 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro row-format source. The spark-avro module is external since
+    Spark 2.4 and is NOT bundled in this environment — explicit gate
+    (same policy as the pypdf codec): works where the deployment ships
+    ``org.apache.spark:spark-avro``, raises a clear error here."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as e:  # AnalysisException: failed to find data source
+        if "avro" in str(e).lower():
+            raise NotImplementedError(
+                "avro support needs the external spark-avro module "
+                "(org.apache.spark:spark-avro), not present in this environment"
+            ) from e
+        raise
+
+
 def read_jsonl(spark: SparkSession, path: str, encoding: str = "utf-8") -> DataFrame:
     """JSON-lines (one object per line — the K3 writer's multi-column
     output and the standard LLM-corpus interchange format). Unlike

@@ -144,6 +144,13 @@ def test_xml_autodetect_tables(spark, tmp_path):
     assert tables[name].count() == 2
 
 
+def test_avro_gated_when_module_absent(spark, tmp_path):
+    # spark-avro is an external module; this container lacks it, so the
+    # reader must fail with the explicit gate, not a raw Spark error.
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        readers.read_avro(spark, str(tmp_path / "x.avro"))
+
+
 def test_xml_selector_path_child_combinator(spark, tmp_path):
     # Reference selector semantics (FileUploader.tsx:65-93): "items > item"
     # must NOT match an <item> nested under <related>.

@@ -129,3 +129,28 @@ def test_orc_roundtrip_preserves_types(spark, orders, tmp_path):
     # predicate pushdown reaches the ORC scan
     plan = back.filter(F.col("o_orderkey") == 1)._jdf.queryExecution().toString()
     assert "PushedFilters" in plan
+
+
+def test_partitioned_write_prunes_partitions(spark, orders, tmp_path):
+    """Hive-partitioned layout + partition pruning: a filter on the
+    partition key must reach the scan as a PartitionFilter (directories
+    skipped, not rows filtered) — the core 100 TB data-layout lever."""
+    out = str(tmp_path / "by_status")
+    orders.write.partitionBy("o_orderstatus").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "o_orderstatus" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    # correctness: pruned read equals full-scan filter
+    assert df.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_approx_count_distinct_scale_path(spark, orders):
+    """HLL approx_count_distinct: the count-distinct that aggregates
+    a fixed-size sketch instead of shuffling every distinct value —
+    the 100 TB path; exact distinct is the correctness reference."""
+    exact = orders.select("o_custkey").distinct().count()
+    approx = orders.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n")
+    ).collect()[0]["n"]
+    assert abs(approx - exact) / exact < 0.05

@@ -1517,21 +1517,11 @@ LIMIT 50
 SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp FROM wins
 """,
     "pipeline_pretraining": """
-WITH s AS (
-    SELECT doc_id, lang,
-           regexp_replace(
-               regexp_replace(
-                   regexp_replace(text,
-                       'https?://[A-Za-z0-9._~:/?#@!$&''()*+,;=%-]+', '<URL>', 'g'),
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               '[0-9]{2,4}-[0-9]{3,4}-[0-9]{3,4}', '<PHONE>', 'g') AS text
-    FROM documents
-),
-w AS (
+WITH w AS (
     SELECT doc_id, lang, text,
            CASE WHEN length(trim(text)) = 0 THEN []
                 ELSE regexp_split_to_array(trim(text), '[ \\t\\r\\n]+') END AS words
-    FROM s
+    FROM documents
 ),
 m AS (
     SELECT doc_id, lang, text,
@@ -1550,19 +1540,24 @@ g AS (
            * least(uniq_ratio * 2.0, 1.0) AS score
     FROM m
 ),
-gated AS (SELECT * FROM g WHERE score >= 0.5),
-keep AS (
-    SELECT min(doc_id) AS doc_id
-    FROM gated GROUP BY sha256(coalesce(text, ''))
+gated AS (
+    SELECT doc_id, lang, round(score, 6) AS score_r,
+           sha256(coalesce(
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text,
+                           'https?://[A-Za-z0-9._~:/?#@!$&''()*+,;=%-]+', '<URL>', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '[0-9]{2,4}-[0-9]{3,4}-[0-9]{3,4}', '<PHONE>', 'g'),
+               '')) AS content_sha
+    FROM g WHERE score >= 0.5
 ),
-deduped AS (SELECT g.* FROM gated g JOIN keep USING (doc_id)),
-sampled AS (
-    SELECT * FROM deduped
-    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50
+keep AS (
+    SELECT min(doc_id) AS doc_id FROM gated GROUP BY content_sha
 )
-SELECT doc_id, lang, round(score, 6) AS score_r,
-       sha256(coalesce(text, '')) AS content_sha
-FROM sampled
+SELECT g.doc_id, g.lang, g.score_r, g.content_sha
+FROM gated g JOIN keep USING (doc_id)
+WHERE CAST(('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50
 """,
     "contamination_check": _WORDS_SQL
     + _WINNOW_CTES

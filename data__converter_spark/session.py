@@ -81,7 +81,14 @@ def load_events(spark: SparkSession, sf_dir: str):
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", ts_col("ts"))
+    from pyspark.sql import types as T
+
+    # nanos-long (the driver's TIMESTAMP(NANOS) files under the legacy
+    # conf) converts; a file already storing a regular timestamp
+    # passes through unchanged.
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", ts_col("ts"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):

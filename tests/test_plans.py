@@ -213,3 +213,19 @@ def test_xml_fragments_stay_jvm_side(spark):
     p = plan_of(rows_to_xml_fragments(df))
     assert "BatchEvalPython" not in p, "XML fragment formatting must not use a Python UDF"
     assert "Exchange" not in p, "row formatting must stay narrow"
+
+
+def test_no_query_uses_rowwise_python_or_cartesian(spark):
+    """Blanket net over EVERY registered query: no row-at-a-time Python
+    eval (BatchEvalPython — Arrow/mapInPandas nodes are fine) and no
+    CartesianProduct anywhere. A new operator that silently regresses
+    to either shape fails here before it ships."""
+    from data__converter_spark.workloads import QUERIES
+
+    flagged = {}
+    for name, fn in QUERIES.items():
+        p = plan_of(fn(spark, SF_DIR))
+        marks = [m for m in ("BatchEvalPython", "CartesianProduct") if m in p]
+        if marks:
+            flagged[name] = marks
+    assert not flagged, f"anti-pattern plan nodes: {flagged}"

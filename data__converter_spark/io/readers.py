@@ -156,9 +156,9 @@ def _read_csv_python(
 def _persisted(rdd):
     """Cache a parsed RDD that feeds two passes (schema + data) so the
     input decodes once, spilling to disk rather than recomputing."""
-    from pyspark import StorageLevel
+    from ..scale import persisted
 
-    return rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    return persisted(rdd)
 
 
 def _ordered_union_keys(dicts_rdd) -> list[str]:
@@ -219,8 +219,10 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     ``org.apache.spark:spark-avro``, raises a clear error here."""
     try:
         return spark.read.format("avro").load(path)
-    except Exception as e:  # AnalysisException: failed to find data source
-        if "avro" in str(e).lower():
+    except Exception as e:
+        # Only the missing-data-source error means the module is absent;
+        # anything else (bad path, corrupt file) propagates untouched.
+        if "failed to find data source" in str(e).lower():
             raise NotImplementedError(
                 "avro support needs the external spark-avro module "
                 "(org.apache.spark:spark-avro), not present in this environment"
@@ -395,9 +397,13 @@ def detect_xml_tables(xml_text: str):
     table named ``{path}_{tag}`` (FileUploader.tsx:95-120). Returns
     [(table_name, [elements])] in document order."""
     import xml.etree.ElementTree as ET
+
+    return _detect_tables_from_root(ET.fromstring(xml_text))
+
+
+def _detect_tables_from_root(root):
     from collections import Counter
 
-    root = ET.fromstring(xml_text)
     tables: list = []
 
     def visit(node, path: str) -> None:
@@ -460,19 +466,27 @@ def read_xml_tables(
     binary = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def parse(rows):
+        import xml.etree.ElementTree as ET
+
         for r in rows:
             text = bytes(r.content).decode(encoding, errors="replace")
-            tables = detect_xml_tables(text)
+            root = ET.fromstring(text)  # parse once; detect + extract share it
+            tables = _detect_tables_from_root(root)
             if tables:
                 for name, nodes in tables:
                     for n in nodes:
                         yield (name, _element_to_row(n))
             else:
-                for d in _parse_xml_rows(text, None):
-                    yield ("#text", {"#text": d.get("#text", "")})
+                d = _element_to_row(root)
+                yield ("#text", {"#text": d.get("#text", "")})
 
     parsed = _persisted(binary.rdd.mapPartitions(parse))
     names = sorted(parsed.map(lambda t: t[0]).distinct().collect())
+    # Reference fallback contract: the '#text' pseudo-table exists only
+    # when NO file in the corpus has a detectable table; in a mixed
+    # corpus the table-less files drop (round-1 behavior).
+    if "#text" in names and len(names) > 1:
+        names.remove("#text")
     out: dict[str, DataFrame] = {}
     for name in names:
         sub = parsed.filter(lambda t, n=name: t[0] == n).map(lambda t: t[1])

@@ -104,6 +104,7 @@ def rows_to_xml_fragments(
             out = F.replace(out, F.lit(s), F.lit(r))
         return out
 
+    printable = stringify_all(df)
     pieces = [F.lit(f"{indent}<{row_tag}>")]
     for name in df.columns:
         if _XML_NAME_OK.match(name):
@@ -111,9 +112,16 @@ def rows_to_xml_fragments(
         else:
             attr = xml_escape(name).replace('"', "&quot;")
             open_t, close_t = f'<col name="{attr}">', "</col>"
-        pieces += [F.lit(f"\n{indent * 2}{open_t}"), esc(F.col(name)), F.lit(close_t)]
+        # backtick-quote so dotted names from read_xml's nested-path
+        # flatten resolve as literal columns, not struct access (same
+        # idiom as schema.printable_col)
+        pieces += [
+            F.lit(f"\n{indent * 2}{open_t}"),
+            esc(F.col(f"`{name}`")),
+            F.lit(close_t),
+        ]
     pieces.append(F.lit(f"\n{indent}</{row_tag}>"))
-    return stringify_all(df).select(F.concat(*pieces).alias("xml"))
+    return printable.select(F.concat(*pieces).alias("xml"))
 
 
 def write_xml(

@@ -233,12 +233,11 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     # Both frames feed two branches of the self-joins below; without
-    # persist() each Arrow kernel (signature / shingles) would run
-    # twice over the full corpus. MEMORY_AND_DISK: spill, don't
-    # recompute, at 100 TB.
-    from pyspark import StorageLevel
+    # persist each Arrow kernel (signature / shingles) would run
+    # twice over the full corpus.
+    from ..scale import persisted
 
-    sets = _shingle_sets(df, col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    sets = persisted(_shingle_sets(df, col, id_col, k))
     sigs = df.select(
         F.col(id_col),
         minhash_signature_col(col, k, num_hashes, seed).alias("sig"),
@@ -248,7 +247,7 @@ def minhash_lsh_pairs(
     # never enter this shuffle (they'd be duplicated `bands`× otherwise).
     # xxhash64 hashes the sliced signature array directly (JVM-side,
     # no per-element stringify).
-    banded = (
+    banded = persisted(
         sigs.select(
             id_col,
             F.explode(
@@ -262,9 +261,9 @@ def minhash_lsh_pairs(
                     ),
                 )
             ).alias("bb"),
+        ).select(
+            id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
         )
-        .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     left = banded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
@@ -378,13 +377,11 @@ def simhash_pairs(
     any pair within distance 3 shares at least one exact chunk, so the
     join is on (chunk_index, chunk_value) buckets — no cross-join.
     """
-    from pyspark import StorageLevel
+    from ..scale import persisted
 
     # h feeds both sides of the chunk self-join: persist so the SimHash
     # kernel runs once over the corpus, not per branch.
-    h = df.select(F.col(id_col), simhash_col(col, k).alias("sim")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    h = persisted(df.select(F.col(id_col), simhash_col(col, k).alias("sim")))
     chunks = h.select(
         id_col,
         "sim",

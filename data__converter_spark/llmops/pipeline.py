@@ -32,7 +32,7 @@ def pretraining_pipeline(
     (min id per digest) -> md5-hash sample. Returns (id, lang,
     score_r, content_sha) of the surviving corpus — enough to audit
     every gate decision."""
-    from pyspark import StorageLevel
+    from ..scale import persisted
 
     # Stage order is a cost decision: gate on RAW text first (score
     # expressions reference a stored column, so each evaluates once),
@@ -42,7 +42,9 @@ def pretraining_pipeline(
     # (~6 evaluations per row — measured 3-10x the whole pipeline
     # cost). Dedup on the scrubbed digest is deliberate: docs that
     # differ only in PII dedup together.
-    prepared = (
+    # tiny frame (no text); persisted because the dedup semi-join
+    # reads it from both sides
+    prepared = persisted(
         docs.withColumn("quality_score", quality_score_col(col))
         .filter(F.col("quality_score") >= min_score)
         .select(
@@ -53,9 +55,6 @@ def pretraining_pipeline(
                 F.coalesce(scrub_pii_col(col).cast("string"), F.lit("")), 256
             ).alias("content_sha"),
         )
-        # tiny frame (no text); persisted because the dedup semi-join
-        # reads it from both sides
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     keep = prepared.groupBy("content_sha").agg(F.min(id_col).alias(id_col))
     deduped = prepared.join(keep, id_col, "left_semi")

@@ -94,11 +94,14 @@ def replace_first_col(col: str | Column, pattern: str, replacement: str, **flags
 
     if "$" not in replacement and "\\" not in replacement:
         pos = F.regexp_instr(c, F.lit(pat))  # 1-based, 0 = no match
-        m = F.regexp_substr(c, F.lit(pat))
+        # regexp_substr returns NULL for a zero-length match — coalesce
+        # the match length to 0 so the splice inserts at the position
+        # (re.sub(count=1) semantics) instead of nulling the row
+        m_len = F.coalesce(F.length(F.regexp_substr(c, F.lit(pat))), F.lit(0))
         spliced = F.concat(
             F.substring(c, F.lit(1), pos - F.lit(1)),
             F.lit(replacement),
-            F.substring(c, pos + F.length(m), F.length(c)),
+            F.substring(c, pos + m_len, F.length(c)),
         )
         return F.when(pos > 0, spliced).otherwise(c)
 

@@ -26,6 +26,15 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def persisted(df):
+    """Engine-wide spill policy for a frame (or RDD) that feeds
+    multiple plan branches: MEMORY_AND_DISK — recomputation is the
+    thing being avoided, so spill rather than evict at scale."""
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -1151,15 +1151,15 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_events(spark, sf_dir)
 
-    def stage(df, etype, prev=None, prev_col=None):
+    def stage(etype, prev=None, prev_col=None):
         e = ev.filter(F.col("event_type") == etype).select("user_id", "ts")
         if prev is not None:
             e = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_col))
         return e.groupBy("user_id").agg(F.min("ts").alias(f"t_{etype}"))
 
-    t1 = stage(ev, "view")
-    t2 = stage(ev, "click", t1, "t_view")
-    t3 = stage(ev, "purchase", t2, "t_click")
+    t1 = stage("view")
+    t2 = stage("click", t1, "t_view")
+    t3 = stage("purchase", t2, "t_click")
     return (
         t1.agg(F.count(F.lit(1)).cast("bigint").alias("n_view"))
         .crossJoin(t2.agg(F.count(F.lit(1)).cast("bigint").alias("n_view_click")))

@@ -232,6 +232,32 @@ def test_xml_roundtrip(spark, tmp_path):
     assert rows == {"1": "x", "2": "y & z"}
 
 
+def test_xml_writer_handles_dotted_columns(spark, tmp_path):
+    # read_xml flattens nested elements to dotted names ("dims.w");
+    # writing such a frame back must not parse the dot as struct access.
+    doc = "<r><row><a>1</a><b><c>2</c></b></row><row><a>3</a><b><c>4</c></b></row></r>"
+    path = _write(tmp_path, "n.xml", doc)
+    df = readers.read_xml(spark, path, row_tag="row")
+    assert "b.c" in df.columns
+    out = str(tmp_path / "back.xml")
+    writers.write_xml(df, out)  # regression: crashed UNRESOLVED_COLUMN
+    text = open(out).read()
+    assert "<b.c>2</b.c>" in text
+
+
+def test_xml_tables_mixed_corpus_drops_textonly_files(spark, tmp_path):
+    # Reference fallback contract: '#text' pseudo-table only when NO
+    # file has a detectable table; mixed corpora drop table-less files.
+    _write(tmp_path, "t.xml", "<r><t><x>1</x></t><t><x>2</x></t></r>")
+    _write(tmp_path, "plain.xml", "<note>just text</note>")
+    tables = readers.read_xml_tables(spark, str(tmp_path / "*.xml"))
+    assert "#text" not in tables
+    assert any(k.endswith("t") for k in tables)
+    # all-text corpus still yields the pseudo-table
+    only = readers.read_xml_tables(spark, str(tmp_path / "plain.xml"))
+    assert set(only) == {"#text"} and only["#text"].count() == 1
+
+
 # ---------------------------------------------------------------------------
 # Encodings (S11)
 # ---------------------------------------------------------------------------

@@ -54,6 +54,21 @@ def test_corpus_count_and_char_count(spark, messy):
     assert chars == sum(len(r["text"]) for r in messy.collect())
 
 
+def test_replace_first_zero_length_match(spark):
+    # A zero-length first match must insert at the position (re.sub
+    # count=1 semantics), never null the row (regexp_substr returns
+    # NULL for empty matches — regression for the splice path).
+    df = spark.createDataFrame([("abc",), ("zabc",)], ["text"])
+    out = {
+        r.text: r.t
+        for r in df.select(
+            "text", pattern.replace_first_col("text", "z*", "X").alias("t")
+        ).collect()
+    }
+    assert out["abc"] == "Xabc"   # empty match at position 1
+    assert out["zabc"] == "Xabc"  # real match consumed
+
+
 def test_char_count_length_semantics_cross_engine(spark):
     # Pin the A3 char_count definition across engines: Spark length()
     # counts Unicode code points (UTF8String.numChars), and so does

@@ -302,6 +302,95 @@ def near_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Exact connected components of the near-dup pair graph via
+    hash-min label propagation: every node starts labelled with its own
+    id; each round a node takes the min of its label and its neighbors'
+    labels, until a fixpoint. Converges in <= graph-diameter rounds
+    (near-dup components are shallow — chains longer than a few hops
+    are rare), each round one shuffle on the edge key.
+
+    Returns (id, component) for every node appearing in ``pairs``,
+    where component = min id reachable from the node.
+
+    Scale notes: the iterating frames hold only (id, label) pairs for
+    nodes that are IN some near-dup pair — a small fraction of the
+    corpus. ``localCheckpoint`` truncates lineage each round so plan
+    depth stays O(1) rather than O(iterations); on a real cluster with
+    unreliable executors prefer ``spark.sparkContext.setCheckpointDir``
+    + ``checkpoint()``. The per-round convergence probe is a
+    ``limit(1).count()`` on the changed-label join — an O(1) action,
+    not a collect of the frame.
+    """
+    from ..scale import persisted
+
+    edges = persisted(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("src"), F.col("component").alias("scomp")
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.min("scomp").alias("ncomp"))
+            .select(F.col("dst").alias("id"), "ncomp")
+        )
+        new_labels = labels.join(neighbor_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("ncomp"), F.col("component"))
+            ).alias("component"),
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def near_dedup_exact(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Drop near-duplicates with EXACT transitive closure: one survivor
+    (the min id) per connected component of the LSH-verified pair
+    graph. Unlike :func:`near_dedup`'s greedy pass, two pairs sharing
+    a loser — (1,3),(2,3) with no (1,2) edge — collapse to a single
+    survivor here (greedy keeps both 1 and 2)."""
+    pairs = minhash_lsh_pairs(df, col, id_col, **lsh_kwargs)
+    cc = connected_components(pairs)
+    losers = cc.filter(F.col("component") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

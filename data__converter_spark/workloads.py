@@ -495,6 +495,34 @@ verified AS (
     )
 
 
+def _cc_sql() -> str:
+    """DuckDB replica of llmops.dedup.connected_components over the
+    minhash-verified pair graph: WITH RECURSIVE reachability (edges
+    both directions), component = min reachable id. Ends with a
+    ``cc(id, component)`` CTE."""
+    pairs = _minhash_verified_pairs_sql().replace(
+        "WITH words_cte", "WITH RECURSIVE words_cte", 1
+    )
+    return (
+        pairs
+        + """
+, edges AS (
+    SELECT id_a AS src, id_b AS dst FROM verified
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM verified
+),
+reach AS (
+    SELECT DISTINCT src AS id, src AS comp FROM edges
+  UNION
+    SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id
+),
+cc AS (
+    SELECT id, min(comp) AS component FROM reach GROUP BY id
+)
+"""
+    )
+
+
 def _simhash_pairs_sql(k: int = 2, max_distance: int = 3) -> str:
     """DuckDB replica of llmops.dedup.simhash_pairs: same md5-64
     feature hashes and majority vote; brute-force Hamming join (the
@@ -843,6 +871,35 @@ def q_dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load(spark, sf_dir, "documents")
     return near_dedup(docs, k=3, num_hashes=64, bands=16, threshold=0.5).select(
+        "doc_id"
+    )
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact connected components of the LSH near-dup pair graph
+    (iterative hash-min label propagation). Oracle: DuckDB recursive
+    CTE reachability over the identical verified pair list — the two
+    formulations must agree on every (node, min-reachable-id) label."""
+    from .llmops.dedup import connected_components, minhash_lsh_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, k=3, num_hashes=64, bands=16, threshold=0.5)
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("component"),
+    )
+
+
+def q_dedup_cc_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup with exact transitive closure: one survivor (min id)
+    per connected component. Differs from dedup_near_keep exactly on
+    shared-loser shapes like (1,3),(2,3): greedy keeps {1,2}, this
+    keeps {1}."""
+    from .llmops.dedup import near_dedup_exact
+
+    docs = _load(spark, sf_dir, "documents")
+    return near_dedup_exact(docs, k=3, num_hashes=64, bands=16, threshold=0.5).select(
         "doc_id"
     )
 
@@ -1293,6 +1350,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pattern_presets": q_pattern_presets,
     "text_quality_score": q_text_quality_score,
     "dedup_near_keep": q_dedup_near_keep,
+    "dedup_components": q_dedup_components,
+    "dedup_cc_keep": q_dedup_cc_keep,
     "priority_revenue": q_priority_revenue,
     "asof_join": q_asof_join,
     "funnel_conversion": q_funnel_conversion,
@@ -1918,6 +1977,17 @@ FROM agg
 SELECT d.doc_id FROM documents d
 LEFT JOIN (SELECT DISTINCT id_b FROM verified) v ON d.doc_id = v.id_b
 WHERE v.id_b IS NULL
+""",
+    "dedup_components": _cc_sql()
+    + """
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(component AS BIGINT) AS component
+FROM cc
+""",
+    "dedup_cc_keep": _cc_sql()
+    + """
+SELECT d.doc_id FROM documents d
+LEFT JOIN (SELECT id FROM cc WHERE id <> component) l ON d.doc_id = l.id
+WHERE l.id IS NULL
 """,
     "text_pii_scrub": """
 SELECT doc_id,

@@ -73,6 +73,35 @@ def test_near_dedup_drops_pair_members(spark, dup_docs):
     assert ids == [1, 4, 5]  # 2 and 3 collapse into 1
 
 
+def test_connected_components_chain_and_shared_loser(spark):
+    # chain 1-2-3 (no 1-3 edge), shared loser (5,7)+(6,7), isolated pair 10-11
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 7), (6, 7), (10, 11)], "id_a long, id_b long"
+    )
+    cc = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert cc == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 5, 10: 10, 11: 10}
+
+
+def test_near_dedup_exact_collapses_shared_loser(spark):
+    # docs 1,2,3 mutually near-dup but LSH may emit only (1,3),(2,3):
+    # construct that shape directly on the pair level via a long chain
+    words = [f"w{i}" for i in range(40)]
+    a = " ".join(words)
+    b = " ".join(words[:-1] + ["endb"])       # near a
+    c = " ".join(["startc"] + words[1:-1] + ["endb"])  # near b, farther from a
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (9, "totally unrelated content here")],
+        "doc_id long, text string",
+    )
+    exact = dedup.near_dedup_exact(docs, k=3, num_hashes=64, bands=16, threshold=0.5)
+    kept = sorted(r["doc_id"] for r in exact.collect())
+    # one survivor for the whole 1-2-3 component, plus the unrelated doc
+    assert kept == [1, 9]
+
+
 def test_simhash_identity_and_near(spark):
     # longer doc so a 1-word edit flips a small fraction of bigram
     # features — chunk blocking guarantees recall only at distance <= 3,

@@ -1,0 +1,148 @@
+"""Distributed statistics operators: exact group quantiles, fixed-width
+histograms, per-column table profiling.
+
+These extend the reference's preview/count surface (A4 row/column
+counts, `compare/page.tsx` summary counts) into the profiling toolkit a
+100 TB corpus needs. All three are single-pass or single-shuffle plans
+built from Column expressions — no Python in the hot path.
+
+Cross-engine determinism rules (see workloads.py header): outputs are
+BIGINT / bit-identical DOUBLE / VARCHAR only; money-like doubles travel
+as exact integer cents; doubles produced by identical IEEE expressions
+(literal products, raw parquet values) are bit-stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def group_quantiles_disc(
+    df: DataFrame,
+    key: str,
+    value: str,
+    qs: list[float],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Exact discrete per-group quantiles: for each quantile q, the
+    value at rank ``ceil(q * n)`` (1-based) in ``value`` order.
+
+    Discrete (picks an actual data value, no interpolation) so the
+    result is engine-portable: interpolated quantiles differ across
+    engines in formula and float evaluation order, rank selection
+    cannot. One shuffle on the group key (window rank + count share
+    it); the quantile list fans out rows only after the filter.
+
+    At 100 TB this is the *exact* path; pair with
+    ``approx_percentile`` (t-digest sketch, no window sort) when a
+    bounded-error answer is enough.
+    """
+    order = [F.col(value)] + ([F.col(tiebreak)] if tiebreak else [])
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(*order)
+    ranked = df.select(
+        F.col(key),
+        F.col(value),
+        F.row_number().over(w).alias("__rn__"),
+        F.count(F.lit(1)).over(Window.partitionBy(key)).alias("__n__"),
+    )
+    qdf = df.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], schema="q double"
+    )
+    picked = ranked.join(F.broadcast(qdf)).filter(
+        F.col("__rn__") == F.ceil(F.col("q") * F.col("__n__"))
+    )
+    return picked.select(F.col(key), "q", F.col(value).alias("val"))
+
+
+def histogram_fixed_width(
+    df: DataFrame, value: str, width: int
+) -> DataFrame:
+    """Fixed-width histogram over an integer column: one hash
+    aggregation on ``value DIV width`` (exact integer arithmetic, no
+    float edges). Map-side partial agg; output is #buckets rows."""
+    bucket = F.expr(f"{value} DIV {int(width)}").alias("bucket")
+    return (
+        df.select(bucket, F.col(value))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(value).alias("lo"),
+            F.max(value).alias("hi"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * F.lit(int(width))).alias("bucket_start"),
+            "n_rows",
+            "lo",
+            "hi",
+        )
+    )
+
+
+def _canon_minmax(dtype: T.DataType, c: Column) -> Column:
+    """Engine-portable string form for a min/max cell.
+
+    - timestamps -> 'yyyy-MM-dd HH:mm:ss' (second precision, the
+      engine-wide printable form from schema.TIMESTAMP_FMT)
+    - double/float -> exact integer cents (``floor(x*100+0.5)``) as a
+      plain integer string: double->text formatting differs across
+      engines (shortest-roundtrip vs scientific thresholds), integer
+      text does not.
+    - everything else -> plain string cast.
+    """
+    if isinstance(dtype, T.TimestampType):
+        return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return F.floor(c * F.lit(100.0) + F.lit(0.5)).cast("bigint").cast("string")
+    if isinstance(dtype, T.DateType):
+        return F.date_format(c, "yyyy-MM-dd")
+    return c.cast("string")
+
+
+def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column profile: null count, exact distinct count, canonical
+    min/max — one row per column.
+
+    Single aggregation pass over the data (all metrics in one ``agg``;
+    Spark expands for the distinct aggregates but keeps map-side
+    partials), then an explode of the one-row result into long form —
+    the unpivot touches #columns rows, not data. At 100 TB swap
+    ``countDistinct`` for ``approx_count_distinct`` (HLL, one pass, no
+    expand) when exactness isn't required; the rest is already linear.
+    """
+    cols = columns or df.columns
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__total__")]
+    for i, name in enumerate(cols):
+        c = F.col(f"`{name}`")
+        # min/max on the NATIVE type (numeric order, not lexicographic);
+        # canonicalized to text only after the aggregate.
+        aggs += [
+            F.count(c).alias(f"__nn_{i}__"),
+            F.countDistinct(c).alias(f"__nd_{i}__"),
+            F.min(c).alias(f"__mn_{i}__"),
+            F.max(c).alias(f"__mx_{i}__"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("column"),
+                (F.col("__total__") - F.col(f"__nn_{i}__")).alias("n_nulls"),
+                F.col(f"__nd_{i}__").alias("n_distinct"),
+                F.coalesce(
+                    _canon_minmax(df.schema[name].dataType, F.col(f"__mn_{i}__")),
+                    F.lit(""),
+                ).alias("min_s"),
+                F.coalesce(
+                    _canon_minmax(df.schema[name].dataType, F.col(f"__mx_{i}__")),
+                    F.lit(""),
+                ).alias("max_s"),
+            )
+            for name, i in zip(cols, range(len(cols)))
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")

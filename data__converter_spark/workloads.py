@@ -1317,6 +1317,63 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (O1's grouped form): top-2 orders by price per
+    customer via a rank window — one shuffle on the group key, rank
+    filter prunes before anything downstream. At 100 TB the window
+    sort is per-customer (small groups), not global."""
+    from pyspark.sql import Window
+
+    orders = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 2)
+    )
+
+
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete per-group quantiles (p50/p90/p99 of order price
+    per priority). Rank-selection semantics — engine-portable where
+    interpolated quantiles are not (stats.group_quantiles_disc)."""
+    from .stats import group_quantiles_disc
+
+    orders = _load(spark, sf_dir, "orders")
+    return group_quantiles_disc(
+        orders,
+        key="o_orderpriority",
+        value="o_totalprice",
+        qs=[0.5, 0.9, 0.99],
+        tiebreak="o_orderkey",
+    )
+
+
+def q_histogram_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of document lengths — integer bucket
+    arithmetic, one map-side-combined aggregation
+    (stats.histogram_fixed_width)."""
+    from .stats import histogram_fixed_width
+
+    docs = _load(spark, sf_dir, "documents")
+    return histogram_fixed_width(docs, "n_chars", width=500)
+
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table profile of ``orders``: nulls, exact distinct,
+    canonical min/max — one aggregation pass (stats.profile)."""
+    from .stats import profile
+
+    orders = _load(spark, sf_dir, "orders")
+    return profile(orders)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compare_diff": q_compare_diff,
     "compare_diff_summary": q_compare_diff_summary,
@@ -1383,6 +1440,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_volume": q_rollup_volume,
     "distinct_suppliers": q_distinct_suppliers,
     "pivot_event_counts": q_pivot_event_counts,
+    "topk_per_group": q_topk_per_group,
+    "group_quantiles": q_group_quantiles,
+    "histogram_doc_lengths": q_histogram_doc_lengths,
+    "profile_orders": q_profile_orders,
 }
 
 ORACLES: dict[str, str] = {
@@ -2054,5 +2115,83 @@ SELECT user_id,
        CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
        CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error
 FROM events GROUP BY user_id
+""",
+    "topk_per_group": """
+WITH r AS (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey)
+                AS INT) AS rnk
+    FROM orders
+)
+SELECT * FROM r WHERE rnk <= 2
+""",
+    "group_quantiles": """
+WITH r AS (
+    SELECT o_orderpriority, o_totalprice,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS rn,
+           count(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM orders
+),
+q AS (
+    SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                   CAST(0.99 AS DOUBLE)]) AS q
+)
+SELECT o_orderpriority, q, o_totalprice AS val
+FROM r, q
+WHERE rn = CAST(ceil(q * n) AS BIGINT)
+""",
+    "histogram_doc_lengths": """
+SELECT n_chars // 500 AS bucket,
+       (n_chars // 500) * 500 AS bucket_start,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(n_chars) AS lo,
+       max(n_chars) AS hi
+FROM documents
+GROUP BY 1, 2
+""",
+    "profile_orders": """
+SELECT 'o_orderkey' AS "column",
+       CAST(count(*) - count(o_orderkey) AS BIGINT)   AS n_nulls,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT)     AS n_distinct,
+       CAST(min(o_orderkey) AS VARCHAR)               AS min_s,
+       CAST(max(o_orderkey) AS VARCHAR)               AS max_s
+FROM orders
+UNION ALL
+SELECT 'o_custkey',
+       CAST(count(*) - count(o_custkey) AS BIGINT),
+       CAST(count(DISTINCT o_custkey) AS BIGINT),
+       CAST(min(o_custkey) AS VARCHAR),
+       CAST(max(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus',
+       CAST(count(*) - count(o_orderstatus) AS BIGINT),
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+       min(o_orderstatus),
+       max(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice',
+       CAST(count(*) - count(o_totalprice) AS BIGINT),
+       CAST(count(DISTINCT o_totalprice) AS BIGINT),
+       CAST(CAST(floor(min(o_totalprice) * 100.0 + 0.5) AS BIGINT) AS VARCHAR),
+       CAST(CAST(floor(max(o_totalprice) * 100.0 + 0.5) AS BIGINT) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate',
+       CAST(count(*) - count(o_orderdate) AS BIGINT),
+       CAST(count(DISTINCT o_orderdate) AS BIGINT),
+       strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+       strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority',
+       CAST(count(*) - count(o_orderpriority) AS BIGINT),
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+       min(o_orderpriority),
+       max(o_orderpriority)
+FROM orders
 """,
 }

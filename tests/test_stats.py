@@ -1,0 +1,72 @@
+"""stats.py: exact group quantiles, fixed-width histogram, profiler."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from data__converter_spark.stats import (
+    group_quantiles_disc,
+    histogram_fixed_width,
+    profile,
+)
+
+
+def test_group_quantiles_rank_selection(spark):
+    # group "a": 1..10 -> p50 = rank ceil(5.0)=5 -> value 5;
+    # p90 -> rank 9 -> 9; p99 -> rank ceil(9.9)=10 -> 10.
+    rows = [("a", float(v), v) for v in range(1, 11)] + [("b", 7.0, 99)]
+    df = spark.createDataFrame(rows, "k string, v double, id int")
+    out = group_quantiles_disc(df, "k", "v", [0.5, 0.9, 0.99], tiebreak="id")
+    got = {(r["k"], r["q"]): r["val"] for r in out.collect()}
+    assert got[("a", 0.5)] == 5.0
+    assert got[("a", 0.9)] == 9.0
+    assert got[("a", 0.99)] == 10.0
+    # singleton group: every quantile is the single value
+    assert got[("b", 0.5)] == 7.0 and got[("b", 0.99)] == 7.0
+
+
+def test_group_quantiles_duplicate_values_use_tiebreak(spark):
+    # ties must not drop or duplicate ranks
+    rows = [("a", 2.0, i) for i in range(4)]
+    df = spark.createDataFrame(rows, "k string, v double, id int")
+    out = group_quantiles_disc(df, "k", "v", [0.5], tiebreak="id").collect()
+    assert len(out) == 1 and out[0]["val"] == 2.0
+
+
+def test_histogram_fixed_width_buckets(spark):
+    df = spark.createDataFrame([(0,), (499,), (500,), (1250,)], "n int")
+    out = {r["bucket"]: r for r in histogram_fixed_width(df, "n", 500).collect()}
+    assert out[0]["n_rows"] == 2 and out[0]["lo"] == 0 and out[0]["hi"] == 499
+    assert out[1]["n_rows"] == 1 and out[1]["bucket_start"] == 500
+    assert out[2]["n_rows"] == 1 and out[2]["lo"] == 1250
+
+
+def test_profile_nulls_distinct_and_canonical_minmax(spark):
+    df = spark.createDataFrame(
+        [
+            (1, None, 1.005, datetime.datetime(2024, 1, 2, 3, 4, 5)),
+            (2, "x", 2.5, datetime.datetime(2024, 6, 7, 8, 9, 10)),
+            (2, "y", None, None),
+        ],
+        "a int, s string, d double, t timestamp",
+    )
+    out = {r["column"]: r for r in profile(df).collect()}
+    assert out["a"]["n_nulls"] == 0 and out["a"]["n_distinct"] == 2
+    assert out["a"]["min_s"] == "1" and out["a"]["max_s"] == "2"
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+    # doubles canonicalize as exact integer cents (1.005 -> 101 under
+    # floor(x*100+0.5) on the IEEE double nearest 1.005)
+    assert out["d"]["min_s"] == str(int(1.005 * 100 + 0.5))
+    assert out["d"]["max_s"] == "250"
+    # timestamps render at second precision
+    assert out["t"]["min_s"] == "2024-01-02 03:04:05"
+    assert out["t"]["n_nulls"] == 1
+
+
+def test_profile_single_pass_plan(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    plan = profile(orders)._jdf.queryExecution().executedPlan().toString()
+    # one scan of the table, not one per column
+    assert plan.count("Scan parquet") == 1

@@ -609,3 +609,101 @@ def embedding_pairs(
         .applyInPandas(kernel, out_schema)
         .filter(F.col("id_a") != F.col("id_b"))
     )
+
+
+
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.8,
+    dim: int = 64,
+    bits: int = 6,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs (a<b, cosine >= threshold) via hyperplane-LSH
+    blocking — the 10⁹-vector path :func:`embedding_pairs` documents.
+
+    Where ``embedding_pairs`` runs exact O(n²) blocked matmuls, this
+    self-joins only within (table, bucket): candidate volume is
+    ~``tables · Σ_bucket f²`` ≈ ``tables · n² / 2^bits`` for balanced
+    buckets — tune ``bits`` up to shrink buckets at scale. A pair above
+    a high cosine threshold collides in at least one of ``tables``
+    independent tables with probability 1-(1-p^bits)^tables where
+    p = 1 - angle/π.
+
+    Bucketing and pair cosine run as Arrow-batched numpy kernels (one
+    sign-matmul per batch, one einsum per candidate batch) — the same
+    kernels :func:`~..similarity.lsh_topk` proved bit-compatible with
+    the DuckDB oracle's per-element dot products. Buckets equal
+    :func:`~..similarity.hyperplane_bucket_col`'s, so a corpus
+    pre-bucketed at write time skips the bucketing pass entirely.
+    """
+    import numpy as np
+
+    from .similarity import _hyperplane_table
+
+    H = np.stack([_hyperplane_table(dim, bits, seed + t) for t in range(tables)])
+    bit_weights = (1 << np.arange(bits)).astype(np.int64)
+
+    base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+
+    def bucket_kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vids = pdf["vid"].to_numpy()
+            M = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            frames = []
+            for t in range(tables):
+                proj = M @ H[t].T  # (n, bits)
+                buck = (proj > 0).astype(np.int64) @ bit_weights
+                frames.append(
+                    pd.DataFrame({"vid": vids, "tbl": t, "bucket": buck})
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    from ..scale import persisted
+
+    # both sides of the self-join read this kernel output — persist or
+    # the sign-matmul pass runs twice
+    buckets = persisted(
+        base.mapInPandas(bucket_kernel, "vid long, tbl int, bucket long")
+    )
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        .distinct()
+    )
+
+    joined = (
+        cand.join(base.alias("x"), F.col("id_a") == F.col("x.vid"))
+        .join(base.alias("y"), F.col("id_b") == F.col("y.vid"))
+        .select(
+            "id_a", "id_b", F.col("x.vec").alias("va"), F.col("y.vec").alias("vb")
+        )
+    )
+
+    def cosine_kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["va"].to_numpy()).astype(np.float64)
+            B = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
+            cos = np.einsum("ij,ij->i", A, B) / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            )
+            yield pd.DataFrame(
+                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cosine": cos}
+            )
+
+    scored = joined.mapInPandas(cosine_kernel, "id_a long, id_b long, cosine double")
+    return scored.filter(F.col("cosine") >= F.lit(float(threshold)))

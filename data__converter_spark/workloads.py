@@ -619,6 +619,60 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _embedding_lsh_pairs_sql(
+    threshold: float = 0.4,
+    dim: int = 64,
+    bits: int = 6,
+    tables: int = 4,
+    seed: int = 42,
+) -> str:
+    """DuckDB replica of llmops.dedup.embedding_lsh_pairs: identical
+    sha256-derived hyperplane literals (seed+t per table), same
+    (table, bucket) self-join blocking, same exact-cosine filter."""
+    from .llmops.similarity import _hyperplane_table
+
+    def bucket_expr(t: int) -> str:
+        H = _hyperplane_table(dim, bits, seed + t)
+        terms = []
+        for b in range(bits):
+            lits = ",".join(str(float(w)) for w in H[b])
+            terms.append(
+                f"CASE WHEN list_dot_product(e, [{lits}]) > 0 "
+                f"THEN {1 << b} ELSE 0 END"
+            )
+        return " + ".join(terms)
+
+    branches = "\n    UNION ALL\n".join(
+        f"    SELECT vec_id, {t} AS tbl, {bucket_expr(t)} AS bucket FROM v"
+        for t in range(tables)
+    )
+    return f"""
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+bucketed AS (
+{branches}
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM bucketed a
+    JOIN bucketed b
+      ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+    SELECT id_a, id_b,
+           list_dot_product(x.e, y.e)
+             / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e)))
+             AS cosine
+    FROM cand
+    JOIN v x ON cand.id_a = x.vec_id
+    JOIN v y ON cand.id_b = y.vec_id
+)
+SELECT id_a, id_b, round(cosine, 6) AS cosine_r
+FROM scored WHERE cosine >= {threshold}
+"""
+
+
 def _ivf_topk_sql(
     k: int = 10, n_cells: int = 16, nprobe: int = 4, seed: int = 42
 ) -> str:
@@ -1317,6 +1371,20 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via hyperplane-LSH blocking — the
+    bucketed alternative to the exact blocked-matmul
+    ``dedup_embedding_pairs`` (llmops/dedup.py:embedding_lsh_pairs).
+    Threshold 0.4 is data-driven: the synthetic embeddings carry no
+    true near-dups, and a non-empty result exercises the full
+    candidate->cosine->filter path against the oracle."""
+    from .llmops.dedup import embedding_lsh_pairs
+
+    emb = _load(spark, sf_dir, "embeddings")
+    out = embedding_lsh_pairs(emb, threshold=0.4, bits=6, tables=4)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
+
+
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group top-k (O1's grouped form): top-2 orders by price per
     customer via a rank window — one shuffle on the group key, rank
@@ -1440,6 +1508,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_volume": q_rollup_volume,
     "distinct_suppliers": q_distinct_suppliers,
     "pivot_event_counts": q_pivot_event_counts,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "topk_per_group": q_topk_per_group,
     "group_quantiles": q_group_quantiles,
     "histogram_doc_lengths": q_histogram_doc_lengths,
@@ -2116,6 +2185,7 @@ SELECT user_id,
        CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error
 FROM events GROUP BY user_id
 """,
+    "dedup_embedding_lsh": _embedding_lsh_pairs_sql(),
     "topk_per_group": """
 WITH r AS (
     SELECT o_custkey, o_orderkey, o_totalprice,

@@ -355,3 +355,27 @@ def test_ivf_topk_recall_with_pruning(spark, embeddings):
     e = {(r["probe_id"], r["neighbor_id"]) for r in exact.collect()}
     a = {(r["probe_id"], r["neighbor_id"]) for r in approx.collect()}
     assert len(a & e) / len(e) >= 0.3
+
+
+def test_embedding_lsh_pairs_finds_duplicates(spark, embeddings):
+    # an exact copy always shares every bucket -> the pair must surface
+    v0 = embeddings.filter(F.col("vec_id") == 0).select(
+        F.lit(99999).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    aug = embeddings.unionByName(v0)
+    pairs = dedup.embedding_lsh_pairs(aug, threshold=0.999).collect()
+    assert any((r["id_a"], r["id_b"]) == (0, 99999) for r in pairs)
+
+
+def test_embedding_lsh_pairs_subset_of_exact(spark, embeddings):
+    # LSH blocking may miss pairs but must never invent them: every
+    # (pair, cosine) it returns appears in the exact blocked-matmul set
+    lsh = dedup.embedding_lsh_pairs(embeddings, threshold=0.35).collect()
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_pairs(embeddings, threshold=0.35).collect()
+    }
+    assert lsh  # threshold chosen so the candidate set is non-empty
+    for r in lsh:
+        assert (r["id_a"], r["id_b"]) in exact
+        assert r["cosine"] >= 0.35

@@ -1371,6 +1371,46 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic batch form of streaming dedup
+    (streaming/windows.py:dedup_within_watermark): keep the FIRST event
+    per (user_id, event_type) — "first" pinned to min event_id so batch,
+    replayed stream, and oracle agree (dropDuplicates keeps an arbitrary
+    row; min_by does not). One hash aggregation, map-side partials."""
+    from .session import load_events
+
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"),
+        F.min_by("value", "event_id").alias("first_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_skew_salted_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (scale.salted_agg) on the 5-value
+    event_type key — the max-skew shape where one reduce key would
+    otherwise swallow n/5 of the table. Exact integer-cents sum makes
+    the salted partial->final merge bit-equal to the plain GROUP BY
+    the oracle runs."""
+    from .scale import salted_agg
+    from .session import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        cents("value").alias("v_cents"),
+    )
+    out = salted_agg(
+        ev, "event_type", {"v_cents": "sum", "event_id": "count"}, n_salts=8
+    )
+    return out.select(
+        "event_type",
+        money(F.col("sum_v_cents")).alias("sum_value"),
+        F.col("count_event_id").alias("n_events"),
+    )
+
+
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via hyperplane-LSH blocking — the
     bucketed alternative to the exact blocked-matmul
@@ -1508,6 +1548,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_volume": q_rollup_volume,
     "distinct_suppliers": q_distinct_suppliers,
     "pivot_event_counts": q_pivot_event_counts,
+    "stream_dedup_first": q_stream_dedup_first,
+    "skew_salted_totals": q_skew_salted_totals,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "topk_per_group": q_topk_per_group,
     "group_quantiles": q_group_quantiles,
@@ -2184,6 +2226,21 @@ SELECT user_id,
        CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
        CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error
 FROM events GROUP BY user_id
+""",
+    "stream_dedup_first": """
+SELECT user_id, event_type,
+       min(event_id)            AS first_event_id,
+       arg_min(value, event_id) AS first_value,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id, event_type
+""",
+    "skew_salted_totals": f"""
+SELECT event_type,
+       {_sql_money(f"sum({_sql_cents('value')})")} AS sum_value,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
 """,
     "dedup_embedding_lsh": _embedding_lsh_pairs_sql(),
     "topk_per_group": """

@@ -179,3 +179,25 @@ def test_watermark_drops_late_rows_across_restart(spark, tmp_path):
     assert dropped == 1
     emitted = spark.read.schema("w string, n long").parquet(out)
     assert not any(r.w == "01:00" for r in emitted.collect())
+
+
+def test_stream_dedup_keys_match_deterministic_batch_form(spark, events):
+    # the oracle-checked batch form (workloads.q_stream_dedup_first)
+    # must keep exactly the key set the streaming dedup keeps
+    from data__converter_spark.workloads import q_stream_dedup_first
+
+    stream = windows.with_event_time(
+        runner.read_events_stream(spark, SF), watermark="1 day"
+    )
+    deduped = windows.dedup_within_watermark(stream, ["user_id", "event_type"])
+    got = sorted(
+        (r["user_id"], r["event_type"])
+        for r in runner.run_once(
+            deduped.select("user_id", "event_type"), output_mode="append"
+        ).collect()
+    )
+    want = sorted(
+        (r["user_id"], r["event_type"])
+        for r in q_stream_dedup_first(spark, SF).collect()
+    )
+    assert got == want

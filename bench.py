@@ -30,8 +30,23 @@ def main() -> None:
         "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
     # Warm the JVM/codegen paths once so per-query timings measure the
-    # plan, not first-run classloading.
-    spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    # plan, not first-run classloading: a scan, a shuffle+join+window
+    # (whole-stage codegen compilation, shuffle machinery), and one
+    # Arrow batch (Python worker pool startup).
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(1000)
+    warm = (
+        orders.join(orders.select("o_orderkey"), "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .select("o_orderstatus", F.row_number().over(Window.orderBy("n")).alias("r"))
+    )
+    warm.write.format("noop").mode("overwrite").save()
+    orders.limit(8).mapInPandas(lambda it: it, orders.schema).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

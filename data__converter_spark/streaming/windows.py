@@ -130,3 +130,46 @@ def dedup_within_watermark(
     if events.isStreaming:
         return events.dropDuplicatesWithinWatermark(keys)
     return events.dropDuplicates(keys)
+
+
+def stream_range_join(
+    from_stream: DataFrame,
+    to_stream: DataFrame,
+    key: str,
+    on: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "1 day",
+    prefix_from: str = "from_",
+    prefix_to: str = "to_",
+) -> DataFrame:
+    """Stream-stream range join — the incremental form of
+    joins.range_join (same output contract: pairs on the same key with
+    ``from.on <= to.on <= from.on + within``).
+
+    Both sides carry watermarks and the join condition time-bounds the
+    match, so Spark can expire buffered state: a *from* row is held at
+    most ``watermark + within`` past its event time, a *to* row at most
+    ``watermark``. Without the time bound the state store would grow
+    unboundedly — this is the required shape for stream-stream joins at
+    100 TB/day.
+    """
+    f = from_stream.withWatermark(on, watermark).select(
+        F.col(key),
+        *[
+            F.col(c).alias(f"{prefix_from}{c}")
+            for c in from_stream.columns
+            if c != key
+        ],
+    )
+    t = to_stream.withWatermark(on, watermark).select(
+        F.col(key),
+        *[F.col(c).alias(f"{prefix_to}{c}") for c in to_stream.columns if c != key],
+    )
+    f_ts = F.col(f"{prefix_from}{on}")
+    t_ts = F.col(f"{prefix_to}{on}")
+    return f.join(
+        t,
+        (f[key] == t[key])
+        & (f_ts <= t_ts)
+        & (t_ts <= f_ts + F.expr(f"INTERVAL {within}")),
+    ).drop(t[key])

@@ -65,8 +65,10 @@ def test_profile_nulls_distinct_and_canonical_minmax(spark):
     assert out["t"]["n_nulls"] == 1
 
 
-def test_profile_single_pass_plan(spark, sf_dir):
+def test_profile_plan_shape(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     plan = profile(orders)._jdf.queryExecution().executedPlan().toString()
-    # one scan of the table, not one per column
-    assert plan.count("Scan parquet") == 1
+    # one scan for counts/min/max + one for the melted distinct leg —
+    # never one per column, and never the multi-DISTINCT Expand shape
+    assert plan.count("Scan parquet") == 2
+    assert "Expand" not in plan

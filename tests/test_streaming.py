@@ -201,3 +201,43 @@ def test_stream_dedup_keys_match_deterministic_batch_form(spark, events):
         for r in q_stream_dedup_first(spark, SF).collect()
     )
     assert got == want
+
+
+def test_stream_stream_range_join_equals_batch(spark, events):
+    # the stream-stream time-bounded join must reproduce the batch
+    # range join (workloads.q_range_join_attribution semantics)
+    import pyspark.sql.functions as F
+
+    from data__converter_spark.joins import range_join
+
+    src = windows.with_event_time(runner.read_events_stream(spark, SF))
+    clicks = src.filter("event_type = 'click'").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = src.filter("event_type = 'purchase'").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    joined = windows.stream_range_join(
+        clicks, purchases, "user_id", within="30 minutes"
+    )
+    got = sorted(
+        (r["user_id"], r["from_click_id"], r["to_purchase_id"])
+        for r in runner.run_once(
+            joined.select("user_id", "from_click_id", "to_purchase_id"),
+            output_mode="append",
+        ).collect()
+    )
+    bev = windows.with_event_time(events)
+    b_clicks = bev.filter("event_type = 'click'").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    b_purch = bev.filter("event_type = 'purchase'").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    want = sorted(
+        (r["user_id"], r["from_click_id"], r["to_purchase_id"])
+        for r in range_join(b_clicks, b_purch, "user_id", within="30 minutes")
+        .select("user_id", "from_click_id", "to_purchase_id")
+        .collect()
+    )
+    assert got == want and len(got) > 0

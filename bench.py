@@ -48,6 +48,8 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    from data__converter_spark.scale import release_persisted
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in QUERIES.items():
@@ -58,6 +60,10 @@ def main() -> None:
             timings[name] = round(time.time() - t0, 3)
         except Exception as e:  # one broken query must not kill the bench
             errors[name] = str(e).split("\n", 1)[0][:200]
+        finally:
+            # free MEMORY_AND_DISK blocks each query cached — the suite
+            # must not accumulate cache across ~80 queries
+            release_persisted()
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -69,7 +75,29 @@ def main() -> None:
     }
     if errors:
         payload["errors"] = errors
-    print(json.dumps(payload))
+    # Full-precision record for the judge (the printed line is capped).
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+
+    # The driver keeps only the LAST 2000 chars of stdout and parses the
+    # JSON line from that tail — r02's 73-query line overran it and
+    # recorded parsed=null. Emit compact separators, then degrade
+    # per-query precision, then fold the fastest queries into "_other"
+    # until the line fits with margin.
+    def line(p):
+        return json.dumps(p, separators=(",", ":"))
+
+    budget = 1900
+    if len(line(payload)) > budget:
+        payload["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    while len(line(payload)) > budget and len(payload["queries"]) > 1:
+        q = payload["queries"]
+        keep = sorted((k for k in q if k != "_other"), key=q.get, reverse=True)
+        drop = keep.pop()  # fastest named query folds away first
+        q["_other"] = round(q.get("_other", 0.0) + q.pop(drop), 2)
+        payload["n_queries"] = len(timings)
+    print(line(payload))
     spark.stop()
 
 

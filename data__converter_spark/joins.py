@@ -142,9 +142,13 @@ def sessionize(
 ) -> DataFrame:
     """Gaps-and-islands session ids: a new session starts when the gap
     to the previous event (per ``by`` key, ordered by ``on`` with a
-    deterministic tie-break) exceeds ``gap_minutes``. Adds
+    deterministic tie-break) reaches ``gap_minutes``. Adds
     ``session_no`` (1-based per key) — the row-level complement of the
     session-window aggregate (streaming/windows.session_agg).
+
+    Boundary semantics match Spark's session windows: a session's span
+    is the half-open ``[first, last + gap)``, so an event arriving at
+    exactly ``last + gap`` opens a NEW session (gap >= gap_minutes).
 
     One shuffle on the key; the lag + running sum share a single Window
     sort. Session numbering is deterministic because ties order on
@@ -152,11 +156,14 @@ def sessionize(
     """
     from pyspark.sql import Window as W
 
+    # timestamp_ltz bridge: TIMESTAMP_NTZ (what plain parquet scans
+    # yield) cannot cast straight to long in Spark 4; NTZ->LTZ->epoch
+    # is allowed and gap *differences* are timezone-invariant.
+    epoch = F.col(on).cast("timestamp_ltz").cast("long")
     w = W.partitionBy(by).orderBy(on, tie_break)
-    prev = F.lag(F.col(on)).over(w)
+    prev = F.lag(epoch).over(w)
     is_new = F.when(
-        prev.isNull()
-        | (F.col(on).cast("long") - prev.cast("long") > gap_minutes * 60),
+        prev.isNull() | (epoch - prev >= gap_minutes * 60),
         F.lit(1),
     ).otherwise(F.lit(0))
     return events.withColumn(

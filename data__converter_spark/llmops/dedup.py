@@ -340,6 +340,7 @@ def connected_components(
         .select("id", F.col("id").alias("component"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(
@@ -369,6 +370,15 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # Partial labels are silently WRONG (extra components), so fail
+        # loudly: callers advertising exact transitive closure
+        # (near_dedup_exact) must not ship unconverged output.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; the pair graph has a longer chain than expected — rerun "
+            "with a higher max_iter."
+        )
     return labels
 
 

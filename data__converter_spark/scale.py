@@ -26,13 +26,42 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+#: Frames/RDDs cached via :func:`persisted`, awaiting release. Long-lived
+#: sessions (notebooks, services) call :func:`release_persisted` between
+#: jobs; otherwise MEMORY_AND_DISK blocks accumulate until session end.
+_PERSISTED: list = []
+
+
 def persisted(df):
     """Engine-wide spill policy for a frame (or RDD) that feeds
     multiple plan branches: MEMORY_AND_DISK — recomputation is the
-    thing being avoided, so spill rather than evict at scale."""
+    thing being avoided, so spill rather than evict at scale.
+
+    The handle is recorded so :func:`release_persisted` can free every
+    cache block after the consuming job's final action. Operators whose
+    cached frame dies inside one call (e.g. connected_components'
+    edges) still unpersist inline themselves.
+    """
     from pyspark import StorageLevel
 
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(out)
+    return out
+
+
+def release_persisted() -> int:
+    """Unpersist every frame cached through :func:`persisted` since the
+    last release. Call after the final action of a job — unpersisting
+    earlier is safe (Spark recomputes) but forfeits the reuse the cache
+    bought. Returns the number of handles released."""
+    n = len(_PERSISTED)
+    for df in _PERSISTED:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to free
+    _PERSISTED.clear()
+    return n
 
 
 def write_bucketed(

@@ -1958,7 +1958,7 @@ WITH lagged AS (
 )
 SELECT event_id, user_id,
        CAST(sum(CASE WHEN prev_ts IS NULL
-                       OR date_diff('second', prev_ts, ts) > 300
+                       OR date_diff('second', prev_ts, ts) >= 300
                      THEN 1 ELSE 0 END)
             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_no
 FROM lagged

@@ -89,11 +89,11 @@ def test_sessionize_gap_boundaries(spark):
         [
             (1, 7, "2024-01-01 10:00:00"),
             (2, 7, "2024-01-01 10:04:59"),  # < 5 min: same session
-            (3, 7, "2024-01-01 10:10:00"),  # > 5 min gap: new session
-            (4, 7, "2024-01-01 10:15:00"),  # exactly 5 min: same (gap not >)
+            (3, 7, "2024-01-01 10:10:01"),  # > 5 min gap: new session
+            (4, 7, "2024-01-01 10:15:01"),  # exactly 5 min: NEW ([first, last+gap))
             (5, 8, "2024-01-01 10:00:00"),  # other user: own numbering
         ],
         "event_id long, user_id long, ts string",
     )
     out = {r.event_id: r.session_no for r in sessionize(df, gap_minutes=5).collect()}
-    assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+    assert out == {1: 1, 2: 1, 3: 2, 4: 3, 5: 1}

@@ -645,15 +645,21 @@ def embedding_lsh_pairs(
     p = 1 - angle/π.
 
     Bucketing and pair cosine run as Arrow-batched numpy kernels (one
-    sign-matmul per batch, one einsum per candidate batch) — the same
-    kernels :func:`~..similarity.lsh_topk` proved bit-compatible with
-    the DuckDB oracle's per-element dot products. Buckets equal
-    :func:`~..similarity.hyperplane_bucket_col`'s, so a corpus
-    pre-bucketed at write time skips the bucketing pass entirely.
+    sign-matmul per batch, one einsum per candidate batch).
+
+    **Guaranteed (not data-dependent) cross-engine parity:** vectors are
+    quantized once to the integer grid ``floor(x·2^17 + 0.5)``. The
+    hyperplanes are exact ±1, so every projection and dot-product term
+    is an integer and every partial sum stays far below 2^53 — float
+    addition of such integers is EXACT in ANY order, so numpy's
+    pairwise/SIMD accumulation, a sequential SQL fold, and DuckDB's
+    ``list_dot_product`` all produce bit-identical projections and
+    cosines. Without this, a near-zero projection or near-threshold
+    cosine could flip between engines on accumulation order alone.
     """
     import numpy as np
 
-    from .similarity import _hyperplane_table
+    from .similarity import VEC_QUANT, _hyperplane_table
 
     H = np.stack([_hyperplane_table(dim, bits, seed + t) for t in range(tables)])
     bit_weights = (1 << np.arange(bits)).astype(np.int64)
@@ -666,9 +672,10 @@ def embedding_lsh_pairs(
                 continue
             vids = pdf["vid"].to_numpy()
             M = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            Mq = np.floor(M * VEC_QUANT + 0.5)  # exact integer grid
             frames = []
             for t in range(tables):
-                proj = M @ H[t].T  # (n, bits)
+                proj = Mq @ H[t].T  # (n, bits) — exact integer sums
                 buck = (proj > 0).astype(np.int64) @ bit_weights
                 frames.append(
                     pd.DataFrame({"vid": vids, "tbl": t, "bucket": buck})
@@ -706,10 +713,16 @@ def embedding_lsh_pairs(
         for pdf in batches:
             if not len(pdf):
                 continue
-            A = np.stack(pdf["va"].to_numpy()).astype(np.float64)
-            B = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
-            cos = np.einsum("ij,ij->i", A, B) / (
-                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            A = np.floor(
+                np.stack(pdf["va"].to_numpy()).astype(np.float64) * VEC_QUANT + 0.5
+            )
+            B = np.floor(
+                np.stack(pdf["vb"].to_numpy()).astype(np.float64) * VEC_QUANT + 0.5
+            )
+            # integer dot/norms are exact in any order; the final
+            # sqrt+divide are single IEEE ops — bit-identical everywhere
+            cos = np.einsum("ij,ij->i", A, B) / np.sqrt(
+                np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B)
             )
             yield pd.DataFrame(
                 {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cosine": cos}

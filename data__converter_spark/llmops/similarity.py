@@ -222,6 +222,14 @@ def ivf_topk(
     )
 
 
+#: Integer grid for embedding quantization: ``floor(x * VEC_QUANT + 0.5)``.
+#: With |x| ≲ 8 and dim ≤ 512, every dot-product term and partial sum is an
+#: integer < 2^53, so float accumulation is EXACT in any order — numpy SIMD,
+#: a SQL fold, and DuckDB's list_dot_product agree bit-for-bit. 2^17 keeps
+#: ~5 significant decimal digits of each component.
+VEC_QUANT = float(1 << 17)
+
+
 def _hyperplane_table(dim: int, bits: int, seed: int):
     """±1 hyperplane matrix (bits, dim) from the sha256 bit stream of
     ``"{seed}:{b}:{counter}"`` — deterministic across runs, engines and
@@ -248,17 +256,22 @@ def hyperplane_bucket_col(
     """Random-hyperplane LSH bucket id (sign pattern of ``bits``
     projections) as a pure SQL column — for bucketing a corpus at write
     time so queries skip the kernel. Hyperplane weights are the same
-    sha256-derived ±1 literals :func:`lsh_topk`'s numpy kernel uses, so
-    buckets are identical across the two paths."""
+    sha256-derived ±1 literals :func:`lsh_topk`'s numpy kernel uses, and
+    the vector quantizes to the :data:`VEC_QUANT` integer grid first, so
+    every projection is an exact integer sum — buckets are bit-identical
+    across this fold, the numpy kernels, and any other engine."""
     import numpy as np
 
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    vq = F.transform(
+        v, lambda x: F.floor(x.cast("double") * F.lit(VEC_QUANT) + F.lit(0.5))
+    )
     H = _hyperplane_table(dim, bits, seed)
     bucket = F.lit(0).cast("long")
     for b in range(bits):
         weights = F.array(*[F.lit(float(w)) for w in H[b]])
         proj = F.aggregate(
-            F.zip_with(v, weights, lambda x, w: x.cast("double") * w),
+            F.zip_with(vq, weights, lambda x, w: x * w),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -354,32 +367,39 @@ def lsh_topk(
         return _empty_topk(spark)
     probe_ids = np.array([r[0] for r in p_rows], dtype=np.int64)
     pm = np.stack([np.asarray(r[1], dtype=np.float64) for r in p_rows])
-    pmn = pm / np.linalg.norm(pm, axis=1, keepdims=True)
+    # VEC_QUANT integer grid: projections, dots and norms below are all
+    # exact integer sums -> bucket bits and cosines are bit-identical
+    # across numpy, the hyperplane_bucket_col fold, and SQL oracles
+    # regardless of accumulation order.
+    pq = np.floor(pm * VEC_QUANT + 0.5)
+    pnorm2 = np.einsum("ij,ij->i", pq, pq)
     # (tables, n_probes) bucket ids per probe
-    B_p = np.stack([((pm @ H[t].T) > 0) @ bit_weights for t in range(tables)])
-    bc = spark.sparkContext.broadcast((H, probe_ids, pmn, B_p))
+    B_p = np.stack([((pq @ H[t].T) > 0) @ bit_weights for t in range(tables)])
+    bc = spark.sparkContext.broadcast((H, probe_ids, pq, pnorm2, B_p))
 
     def kernel(batches):
         import pandas as pd
 
-        Ht, ids_p, mat_p, buckets_p = bc.value
+        Ht, ids_p, mat_pq, pn2, buckets_p = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             nid = pdf[id_col].to_numpy(dtype=np.int64)
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Vq = np.floor(V * VEC_QUANT + 0.5)
             B_c = np.stack(
-                [((V @ Ht[t].T) > 0) @ bit_weights for t in range(tables)]
+                [((Vq @ Ht[t].T) > 0) @ bit_weights for t in range(tables)]
             )  # (tables, n_batch)
             match = (B_c[:, :, None] == buckets_p[:, None, :]).any(axis=0)
             match &= nid[:, None] != ids_p[None, :]
             ii, jj = np.nonzero(match)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            vn2 = np.einsum("ij,ij->i", Vq, Vq)
             yield pd.DataFrame(
                 {
                     "probe_id": ids_p[jj],
                     "neighbor_id": nid[ii],
-                    "cosine": np.einsum("ij,ij->i", Vn[ii], mat_p[jj]),
+                    "cosine": np.einsum("ij,ij->i", Vq[ii], mat_pq[jj])
+                    / np.sqrt(vn2[ii] * pn2[jj]),
                 }
             )
 

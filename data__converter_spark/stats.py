@@ -83,29 +83,44 @@ def histogram_fixed_width(
     )
 
 
-def _canon_minmax(dtype: T.DataType, c: Column) -> Column:
+def _canon_minmax(dtype: T.DataType, c: Column, money: bool = False) -> Column:
     """Engine-portable string form for a min/max cell.
 
     - timestamps -> 'yyyy-MM-dd HH:mm:ss' (second precision, the
       engine-wide printable form from schema.TIMESTAMP_FMT)
-    - double/float -> exact integer cents (``floor(x*100+0.5)``) as a
-      plain integer string: double->text formatting differs across
-      engines (shortest-roundtrip vs scientific thresholds), integer
-      text does not.
+    - money doubles (caller-designated) -> exact integer cents
+      (``floor(x*100+0.5)``) as a plain integer string: double->text
+      formatting differs across engines (shortest-roundtrip vs
+      scientific thresholds), integer text does not.
+    - other double/float -> fixed ``%.6f``: portable because no IEEE
+      double ties exactly at the 6th decimal (5e-7 is not dyadic), so
+      HALF_UP (Java) and round-to-nearest (C) agree on every input.
+      Unlike cents this preserves sub-cent magnitudes (embeddings,
+      ratios) instead of collapsing them to '0'/'1'.
     - everything else -> plain string cast.
     """
     if isinstance(dtype, T.TimestampType):
         return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
     if isinstance(dtype, (T.DoubleType, T.FloatType)):
-        return F.floor(c * F.lit(100.0) + F.lit(0.5)).cast("bigint").cast("string")
+        if money:
+            return (
+                F.floor(c * F.lit(100.0) + F.lit(0.5)).cast("bigint").cast("string")
+            )
+        return F.format_string("%.6f", c.cast("double"))
     if isinstance(dtype, T.DateType):
         return F.date_format(c, "yyyy-MM-dd")
     return c.cast("string")
 
 
-def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    money_cols: list[str] | None = None,
+) -> DataFrame:
     """Per-column profile: null count, exact distinct count, canonical
-    min/max — one row per column.
+    min/max — one row per column. ``money_cols`` designates which double
+    columns canonicalize as integer cents; the rest print ``%.6f`` so a
+    general profiler doesn't collapse sub-cent doubles to '0'/'1'.
 
     Two aggregations instead of one multi-DISTINCT ``agg``: Spark plans
     N-column ``countDistinct`` as an Expand (N+1 projections of every
@@ -124,6 +139,7 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     error is acceptable.
     """
     cols = columns or df.columns
+    money = set(money_cols or [])
     aggs: list[Column] = [F.count(F.lit(1)).alias("__total__")]
     for i, name in enumerate(cols):
         c = F.col(f"`{name}`")
@@ -142,11 +158,19 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
                 F.lit(name).alias("column"),
                 (F.col("__total__") - F.col(f"__nn_{i}__")).alias("n_nulls"),
                 F.coalesce(
-                    _canon_minmax(df.schema[name].dataType, F.col(f"__mn_{i}__")),
+                    _canon_minmax(
+                        df.schema[name].dataType,
+                        F.col(f"__mn_{i}__"),
+                        name in money,
+                    ),
                     F.lit(""),
                 ).alias("min_s"),
                 F.coalesce(
-                    _canon_minmax(df.schema[name].dataType, F.col(f"__mx_{i}__")),
+                    _canon_minmax(
+                        df.schema[name].dataType,
+                        F.col(f"__mx_{i}__"),
+                        name in money,
+                    ),
                     F.lit(""),
                 ).alias("max_s"),
             )

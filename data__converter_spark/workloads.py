@@ -573,8 +573,11 @@ def _lsh_topk_sql(
     """DuckDB replica of llmops.similarity.lsh_topk over the
     ``vec_id % 25 = 0`` probe set: the sha256-derived ±1 hyperplanes
     are embedded as literals, candidates match on any table's bucket,
-    and exact cosine + rank reproduce the rerank."""
-    from .llmops.similarity import _hyperplane_table
+    and exact cosine + rank reproduce the rerank. Vectors quantize to
+    the VEC_QUANT integer grid first, so projections/dots/norms are
+    exact integer sums — parity with the numpy kernel is guaranteed,
+    not accumulation-order-dependent."""
+    from .llmops.similarity import VEC_QUANT, _hyperplane_table
 
     def bucket_expr(t: int) -> str:
         H = _hyperplane_table(dim, bits, seed + t)
@@ -593,7 +596,10 @@ def _lsh_topk_sql(
     )
     return f"""
 WITH v AS (
-    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> floor(x * {VEC_QUANT} + 0.5)) AS e
+    FROM embeddings
 ),
 bucketed AS (
 {branches}
@@ -608,7 +614,7 @@ cand AS (
 scored AS (
     SELECT probe_id, neighbor_id,
            list_dot_product(a.e, b.e)
-             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+             / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e))
              AS cosine
     FROM cand
     JOIN v a ON cand.neighbor_id = a.vec_id
@@ -634,8 +640,10 @@ def _embedding_lsh_pairs_sql(
 ) -> str:
     """DuckDB replica of llmops.dedup.embedding_lsh_pairs: identical
     sha256-derived hyperplane literals (seed+t per table), same
-    (table, bucket) self-join blocking, same exact-cosine filter."""
-    from .llmops.similarity import _hyperplane_table
+    (table, bucket) self-join blocking, same exact-cosine filter —
+    on VEC_QUANT-grid integers, so parity is guaranteed rather than
+    accumulation-order-dependent."""
+    from .llmops.similarity import VEC_QUANT, _hyperplane_table
 
     def bucket_expr(t: int) -> str:
         H = _hyperplane_table(dim, bits, seed + t)
@@ -654,7 +662,10 @@ def _embedding_lsh_pairs_sql(
     )
     return f"""
 WITH v AS (
-    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> floor(x * {VEC_QUANT} + 0.5)) AS e
+    FROM embeddings
 ),
 bucketed AS (
 {branches}
@@ -668,7 +679,7 @@ cand AS (
 scored AS (
     SELECT id_a, id_b,
            list_dot_product(x.e, y.e)
-             / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e)))
+             / sqrt(list_dot_product(x.e, x.e) * list_dot_product(y.e, y.e))
              AS cosine
     FROM cand
     JOIN v x ON cand.id_a = x.vec_id
@@ -1481,11 +1492,13 @@ def q_histogram_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column table profile of ``orders``: nulls, exact distinct,
-    canonical min/max — one aggregation pass (stats.profile)."""
+    canonical min/max — one aggregation pass (stats.profile).
+    ``o_totalprice`` is the designated money column (integer-cents
+    canon); any other double would print fixed %.6f."""
     from .stats import profile
 
     orders = _load(spark, sf_dir, "orders")
-    return profile(orders)
+    return profile(orders, money_cols=["o_totalprice"])
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -52,17 +52,28 @@ def test_profile_nulls_distinct_and_canonical_minmax(spark):
         ],
         "a int, s string, d double, t timestamp",
     )
-    out = {r["column"]: r for r in profile(df).collect()}
+    out = {r["column"]: r for r in profile(df, money_cols=["d"]).collect()}
     assert out["a"]["n_nulls"] == 0 and out["a"]["n_distinct"] == 2
     assert out["a"]["min_s"] == "1" and out["a"]["max_s"] == "2"
     assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
-    # doubles canonicalize as exact integer cents (1.005 -> 101 under
-    # floor(x*100+0.5) on the IEEE double nearest 1.005)
+    # designated money doubles canonicalize as exact integer cents
+    # (1.005 -> 101 under floor(x*100+0.5) on the IEEE double nearest)
     assert out["d"]["min_s"] == str(int(1.005 * 100 + 0.5))
     assert out["d"]["max_s"] == "250"
     # timestamps render at second precision
     assert out["t"]["min_s"] == "2024-01-02 03:04:05"
     assert out["t"]["n_nulls"] == 1
+
+
+def test_profile_non_money_doubles_keep_precision(spark):
+    """Non-designated doubles print fixed %.6f — sub-cent magnitudes
+    (embeddings, ratios) must not collapse to '0'/'1'."""
+    df = spark.createDataFrame(
+        [(0.0001234,), (0.5,), (-0.0042,)], "r double"
+    )
+    out = {r["column"]: r for r in profile(df).collect()}
+    assert out["r"]["min_s"] == "-0.004200"
+    assert out["r"]["max_s"] == "0.500000"
 
 
 def test_profile_plan_shape(spark, sf_dir):

@@ -47,6 +47,70 @@ def exact_dedup(
     return df.join(keep, id_col, "left_semi")
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (the RefinedWeb/CCNet
+    recipe): split every document on ``sep``, keep only the FIRST
+    occurrence of each distinct non-blank paragraph (ordered by
+    (doc id, position)), and reassemble documents from their surviving
+    paragraphs in original order.
+
+    Output: (id_col, text_dedup, n_paras_kept) — documents whose every
+    paragraph was seen earlier elsewhere disappear entirely (their text
+    would be empty), matching the curation use where boilerplate-only
+    pages drop out.
+
+    Scale shape: three shuffles, all necessary — (1) winner selection
+    is a map-side-combinable ``min(struct(id, idx))`` keyed on the
+    32-byte paragraph digest, so the pre-shuffle combine collapses
+    every local repeat and the exchange carries digests + two longs,
+    not paragraph text; (2) the winner semi-join shuffles paragraphs
+    by digest once to drop losers; (3) reassembly groups by document
+    id. No window over the full corpus, no driver collect; skewed
+    boilerplate paragraphs (millions of copies of one string) cost one
+    combiner row per map task, not a hot reduce partition.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(col), F.lit("")), sep)).alias(
+            "__idx__", "__para__"
+        ),
+    ).filter(F.length(F.trim(F.col("__para__"))) > 0)
+    digest = F.sha2(F.col("__para__"), 256)
+    tagged = paras.select(
+        id_col, "__idx__", "__para__", digest.alias("__digest__")
+    )
+    winners = tagged.groupBy("__digest__").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("o"), F.col("__idx__").alias("i"))
+        ).alias("__w__")
+    )
+    kept = (
+        tagged.join(winners, "__digest__")
+        .filter(
+            (F.col("__w__.o") == F.col(id_col)) & (F.col("__w__.i") == F.col("__idx__"))
+        )
+        .select(id_col, "__idx__", "__para__")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__idx__", "__para__"))),
+                    lambda s: s["__para__"],
+                ),
+                sep,
+            ).alias("text_dedup"),
+            F.count(F.lit(1)).alias("n_paras_kept"),
+        )
+    )
+
+
 def exact_dup_groups(
     df: DataFrame, col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

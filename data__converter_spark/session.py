@@ -81,13 +81,18 @@ def load_events(spark: SparkSession, sf_dir: str):
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    # nanos-long (the driver's TIMESTAMP(NANOS) files under the legacy
-    # conf) converts; a file already storing a regular timestamp
-    # passes through unchanged.
+    # Canonical ts type is TIMESTAMP (ltz): nanos-long (the driver's
+    # TIMESTAMP(NANOS) files under the legacy conf) converts via
+    # timestamp_micros; a TIMESTAMP_NTZ file casts (session tz is UTC)
+    # — watermarks and streaming event time require ltz, and NTZ
+    # refuses direct epoch casts in Spark 4.
     if isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", ts_col("ts"))
+    elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

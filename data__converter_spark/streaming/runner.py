@@ -30,7 +30,16 @@ def read_events_stream(
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return reader.parquet(sf_dir)
+    stream = reader.parquet(sf_dir)
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    # Event-time watermarks require TIMESTAMP (ltz); a TIMESTAMP_NTZ
+    # parquet column casts through (session tz UTC) — same canonical
+    # type session.load_events gives the batch side.
+    if isinstance(stream.schema["ts"].dataType, T.TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def run_once(

@@ -1501,6 +1501,130 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile(orders, money_cols=["o_totalprice"])
 
 
+# paragraph manufacturing for q_paragraph_dedup: the synthetic corpus has
+# no newlines, so both engines deterministically re-chunk each document's
+# words into 3-word "paragraphs" joined by \n\n, then run the real
+# corpus-wide paragraph dedup over that. 3-word chunks over the small
+# vocabulary collide heavily across documents — the dedup path does real
+# work rather than passing everything through.
+_PARA_WORDS = 3
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style corpus-wide paragraph dedup
+    (llmops/dedup.py:paragraph_dedup): first occurrence of each distinct
+    paragraph survives (ordered by doc_id, position), documents
+    reassemble from surviving paragraphs. Winner selection is a
+    map-side-combinable min(struct) on the paragraph digest — the
+    shuffle carries 32-byte digests, not text."""
+    from .llmops.dedup import paragraph_dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(words), F.lit(1)), F.lit(_PARA_WORDS))
+    ptext = F.array_join(
+        F.transform(
+            starts, lambda s: F.array_join(F.slice(words, s, _PARA_WORDS), " ")
+        ),
+        "\n\n",
+    )
+    chunked = docs.select("doc_id", ptext.alias("text"))
+    return paragraph_dedup(chunked, col="text", id_col="doc_id")
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-type share of revenue per month.
+    Conditional aggregation over a broadcast part-dim join — the fact
+    side shuffles once for the month aggregate, never for the join."""
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part")
+    rev = cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return (
+        joined.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            money(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+            ).alias("promo_rev"),
+            money(F.sum(rev)).alias("total_rev"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (returnflag, linestatus): all four
+    grouping combinations in one pass — the lattice complement of
+    rollup_volume's hierarchy. Partial-agg friendly (Expand before the
+    exchange, so map-side combine still applies per grouping set)."""
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            money(F.sum(cents("l_extendedprice"))).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "sum_price",
+            "n_items",
+        )
+    )
+
+
+def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti-join pair in one result: per market segment, customers
+    WITH at least one 1995 order (left_semi) and WITHOUT any
+    (left_anti). Both legs share one scan of the filtered orders side;
+    at scale the orders projection (custkey only) broadcasts or
+    shuffles 8-byte keys, never order rows."""
+    cust = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
+    o95 = orders.filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") <= "1995-12-31")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    active = (
+        cust.join(o95, "c_custkey", "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .withColumn("activity", F.lit("active_1995"))
+    )
+    inactive = (
+        cust.join(o95, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .withColumn("activity", F.lit("inactive_1995"))
+    )
+    return active.unionByName(inactive).select(
+        "c_mktsegment", "activity", "n_customers"
+    )
+
+
+def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user interarrival statistics: gap seconds between
+    consecutive events (lag window), aggregated to count / max / total
+    per user. Integer-second gaps keep the sum engine-portable. One
+    shuffle on user_id shared by the window sort and the aggregate."""
+    from pyspark.sql import Window
+    from .session import load_events
+
+    ev = load_events(spark, sf_dir)
+    epoch = F.col("ts").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (epoch - F.lag(epoch).over(w)).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.max("gap_s").alias("max_gap_s"),
+        F.sum("gap_s").alias("total_gap_s"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compare_diff": q_compare_diff,
     "compare_diff_summary": q_compare_diff_summary,
@@ -1574,6 +1698,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_quantiles": q_group_quantiles,
     "histogram_doc_lengths": q_histogram_doc_lengths,
     "profile_orders": q_profile_orders,
+    "paragraph_dedup": q_paragraph_dedup,
+    "promo_revenue": q_promo_revenue,
+    "cube_volume": q_cube_volume,
+    "semi_anti_customers": q_semi_anti_customers,
+    "events_interarrival": q_events_interarrival,
 }
 
 ORACLES: dict[str, str] = {
@@ -2339,5 +2468,90 @@ SELECT 'o_orderpriority',
        min(o_orderpriority),
        max(o_orderpriority)
 FROM orders
+""",
+    # identical word->3-word-chunk manufacturing, then first-occurrence
+    # paragraph keep ordered by (doc_id, idx) — partitioning by the raw
+    # paragraph text is equivalent to Spark's sha2-digest key
+    "paragraph_dedup": f"""
+WITH w AS (
+    SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws FROM documents
+),
+p AS (
+    SELECT doc_id,
+           array_to_string(
+               list_transform(range(1, greatest(len(ws), 1) + 1, {_PARA_WORDS}),
+                              s -> array_to_string(ws[s : s + {_PARA_WORDS - 1}], ' ')),
+               chr(10) || chr(10)) AS ptext
+    FROM w
+),
+paras AS (
+    SELECT doc_id, u.para, u.idx
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(string_split(ptext, chr(10) || chr(10)),
+                                     (x, i) -> struct_pack(para := x,
+                                                           idx := CAST(i - 1 AS INT))))
+                   AS u
+        FROM p
+    )
+    WHERE length(trim(u.para)) > 0
+),
+kept AS (
+    SELECT doc_id, idx, para,
+           row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+    FROM paras
+)
+SELECT doc_id,
+       string_agg(para, chr(10) || chr(10) ORDER BY idx) AS text_dedup,
+       CAST(count(*) AS BIGINT) AS n_paras_kept
+FROM kept WHERE rn = 1
+GROUP BY doc_id
+""",
+    "promo_revenue": f"""
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       {_sql_money(f"sum(CASE WHEN p_type = 'PROMO' THEN {_sql_cents('l_extendedprice * (1.0 - l_discount)')} ELSE 0 END)")} AS promo_rev,
+       {_sql_money(f"sum({_sql_cents('l_extendedprice * (1.0 - l_discount)')})")} AS total_rev,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+""",
+    "cube_volume": f"""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       {_sql_money(f"sum({_sql_cents('l_extendedprice')})")} AS sum_price,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    "semi_anti_customers": """
+WITH o95 AS (
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate <= DATE '1995-12-31'
+)
+SELECT c_mktsegment, 'active_1995' AS activity,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM customer WHERE c_custkey IN (SELECT o_custkey FROM o95)
+GROUP BY c_mktsegment
+UNION ALL
+SELECT c_mktsegment, 'inactive_1995' AS activity,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM o95)
+GROUP BY c_mktsegment
+""",
+    "events_interarrival": """
+WITH g AS (
+    SELECT user_id,
+           date_diff('second',
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     ts) AS gap_s
+    FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+       CAST(sum(gap_s) AS BIGINT) AS total_gap_s
+FROM g WHERE gap_s IS NOT NULL
+GROUP BY user_id
 """,
 }

@@ -31,6 +31,26 @@ def test_exact_dedup(spark, dup_docs):
     assert (groups[0]["n_docs"], groups[0]["keep_id"], groups[0]["max_id"]) == (2, 1, 2)
 
 
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    """Corpus-wide paragraph dedup: first (doc_id, idx) occurrence of a
+    paragraph survives, documents reassemble in original order, blank
+    paragraphs drop, and fully-duplicated documents disappear."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\n\nbeta\n\nalpha"),   # intra-doc repeat drops
+            (2, "beta\n\ngamma"),             # beta seen in doc 1
+            (3, "alpha\n\nbeta"),             # nothing new -> doc gone
+            (4, "  \n\ndelta"),               # blank paragraph filtered
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.paragraph_dedup(df).collect()}
+    assert out[1].text_dedup == "alpha\n\nbeta" and out[1].n_paras_kept == 2
+    assert out[2].text_dedup == "gamma" and out[2].n_paras_kept == 1
+    assert 3 not in out
+    assert out[4].text_dedup == "delta" and out[4].n_paras_kept == 1
+
+
 def test_exact_dedup_idempotent(spark, dup_docs):
     once = dedup.exact_dedup(dup_docs)
     twice = dedup.exact_dedup(once)

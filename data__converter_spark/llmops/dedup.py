@@ -628,6 +628,8 @@ def embedding_pairs(
     """
     import pandas as pd
 
+    from .similarity import VEC_QUANT
+
     spark = df.sparkSession
     tagged = df.select(
         F.col(id_col).alias("vid"),
@@ -652,12 +654,17 @@ def embedding_pairs(
 
         ba, bb = key
         a = pdf[pdf["side"] == 0]
+        # VEC_QUANT integer grid: dot/norm partial sums are exact
+        # integers, so the BLAS matmul matches a sequential SQL dot
+        # bit-for-bit in any accumulation order (see similarity.py).
         if ba == bb:
             # diagonal block arrives twice (once per side); use one copy
             ids = a["vid"].to_numpy()
-            m = np.stack(a["vec"].to_numpy()).astype(np.float64)
-            norms = np.linalg.norm(m, axis=1)
-            sims = (m @ m.T) / np.outer(norms, norms)
+            m = np.floor(
+                np.stack(a["vec"].to_numpy()).astype(np.float64) * VEC_QUANT + 0.5
+            )
+            n2 = np.einsum("ij,ij->i", m, m)
+            sims = (m @ m.T) / np.sqrt(np.outer(n2, n2))
             iu, ju = np.triu_indices(len(ids), k=1)
             mask = sims[iu, ju] >= threshold
             ia, jb = ids[iu[mask]], ids[ju[mask]]
@@ -667,11 +674,15 @@ def embedding_pairs(
             ids_a, ids_b = a["vid"].to_numpy(), b["vid"].to_numpy()
             if not len(ids_a) or not len(ids_b):
                 return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-            ma = np.stack(a["vec"].to_numpy()).astype(np.float64)
-            mb = np.stack(b["vec"].to_numpy()).astype(np.float64)
-            sims = (ma @ mb.T) / np.outer(
-                np.linalg.norm(ma, axis=1), np.linalg.norm(mb, axis=1)
+            ma = np.floor(
+                np.stack(a["vec"].to_numpy()).astype(np.float64) * VEC_QUANT + 0.5
             )
+            mb = np.floor(
+                np.stack(b["vec"].to_numpy()).astype(np.float64) * VEC_QUANT + 0.5
+            )
+            n2a = np.einsum("ij,ij->i", ma, ma)
+            n2b = np.einsum("ij,ij->i", mb, mb)
+            sims = (ma @ mb.T) / np.sqrt(np.outer(n2a, n2b))
             ii, jj = np.nonzero(sims >= threshold)
             ia, jb, cs = ids_a[ii], ids_b[jj], sims[ii, jj]
         lo, hi = np.minimum(ia, jb), np.maximum(ia, jb)

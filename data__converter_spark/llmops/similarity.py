@@ -77,20 +77,27 @@ def brute_force_topk(
         return _empty_topk(spark)
     probe_ids = np.array([r[0] for r in rows], dtype=np.int64)
     pm = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
-    pm = pm / np.linalg.norm(pm, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((probe_ids, pm))
+    # VEC_QUANT integer grid -> exact dot/norm sums in any accumulation
+    # order; cosine = dot / sqrt(n2a * n2b) is then bit-identical
+    # across numpy and SQL engines (see VEC_QUANT).
+    pq = np.floor(pm * VEC_QUANT + 0.5)
+    pn2 = np.einsum("ij,ij->i", pq, pq)
+    bc = spark.sparkContext.broadcast((probe_ids, pq, pn2))
 
     def kernel(batches):
         import pandas as pd
 
-        ids_p, mat_p = bc.value
+        ids_p, mat_pq, p_n2 = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             nid = pdf[id_col].to_numpy(dtype=np.int64)
             cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
-            sims = cm @ mat_p.T  # (batch, n_probes)
+            cq = np.floor(cm * VEC_QUANT + 0.5)
+            cn2 = np.einsum("ij,ij->i", cq, cq)
+            sims = (cq @ mat_pq.T) / np.sqrt(
+                np.outer(cn2, p_n2)
+            )  # (batch, n_probes)
             out_p, out_n, out_c = [], [], []
             # per-probe partial top-k within this batch bounds the
             # shuffle to n_batches * n_probes * k rows

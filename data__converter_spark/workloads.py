@@ -2008,16 +2008,21 @@ SELECT doc_id,
 FROM sh_cte
 """,
     "similarity_topk": """
-WITH probes AS (
-    SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
-    FROM embeddings WHERE vec_id % 25 = 0
+WITH q AS (
+    SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> floor(x * 131072.0 + 0.5)) AS e
+    FROM embeddings
+),
+probes AS (
+    SELECT vec_id AS probe_id, e AS pv FROM q WHERE vec_id % 25 = 0
 ),
 scored AS (
     SELECT p.probe_id, c.vec_id AS neighbor_id,
-           list_dot_product(CAST(c.embedding AS DOUBLE[]), p.pv)
-             / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))
-                * sqrt(list_dot_product(p.pv, p.pv))) AS cosine
-    FROM embeddings c CROSS JOIN probes p
+           list_dot_product(c.e, p.pv)
+             / sqrt(list_dot_product(c.e, c.e) * list_dot_product(p.pv, p.pv))
+             AS cosine
+    FROM q c CROSS JOIN probes p
     WHERE c.vec_id <> p.probe_id
 ),
 ranked AS (
@@ -2223,14 +2228,21 @@ SELECT user_id,
        {_sql_money(f"sum({_sql_cents('value')})")} AS total_value_r
 FROM events GROUP BY user_id
 """,
+    # VEC_QUANT (131072) integer grid, same as the numpy kernel — exact
+    # integer dot/norm sums make the parity order-independent
     "dedup_embedding_pairs": """
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+WITH v AS (
+    SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> floor(x * 131072.0 + 0.5)) AS e
+    FROM embeddings
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.e, b.e)
-         / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine_r
+         / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)), 6) AS cosine_r
 FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.e, b.e)
-        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.9
+        / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)) >= 0.9
 """,
     "multimodal_image_features": """
 WITH m AS (

@@ -64,15 +64,14 @@ def paragraph_dedup(
     would be empty), matching the curation use where boilerplate-only
     pages drop out.
 
-    Scale shape: three shuffles, all necessary — (1) winner selection
-    is a map-side-combinable ``min(struct(id, idx))`` keyed on the
-    32-byte paragraph digest, so the pre-shuffle combine collapses
-    every local repeat and the exchange carries digests + two longs,
-    not paragraph text; (2) the winner semi-join shuffles paragraphs
-    by digest once to drop losers; (3) reassembly groups by document
-    id. No window over the full corpus, no driver collect; skewed
-    boilerplate paragraphs (millions of copies of one string) cost one
-    combiner row per map task, not a hot reduce partition.
+    Scale shape: two shuffles, both necessary — (1) one exchange of
+    (digest, id, idx, text) keyed on the 32-byte paragraph digest; the
+    winner is the ``min(struct(id, idx))`` analytic over that partition
+    (no self-join, the explode+sha2 map work runs exactly once);
+    (2) reassembly groups by document id. A pathologically hot
+    paragraph (millions of identical boilerplate copies) lands on one
+    digest partition — the local clustering sort is on the digest only
+    (no global order), and AQE's skew handling can split the partition.
     """
     paras = df.select(
         F.col(id_col),
@@ -84,13 +83,18 @@ def paragraph_dedup(
     tagged = paras.select(
         id_col, "__idx__", "__para__", digest.alias("__digest__")
     )
-    winners = tagged.groupBy("__digest__").agg(
-        F.min(
-            F.struct(F.col(id_col).alias("o"), F.col("__idx__").alias("i"))
-        ).alias("__w__")
-    )
+    from pyspark.sql import Window as W
+
+    # unordered-frame min over the digest partition: one exchange of
+    # the paragraph rows + a per-partition clustering sort on the
+    # digest — strictly cheaper than the agg-then-self-join shape,
+    # which exchanges the text twice and recomputes the explode.
+    wspec = W.partitionBy("__digest__")
+    winner = F.min(
+        F.struct(F.col(id_col).alias("o"), F.col("__idx__").alias("i"))
+    ).over(wspec)
     kept = (
-        tagged.join(winners, "__digest__")
+        tagged.withColumn("__w__", winner)
         .filter(
             (F.col("__w__.o") == F.col(id_col)) & (F.col("__w__.i") == F.col("__idx__"))
         )
@@ -371,25 +375,33 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    small_graph_max_edges: int = 1_000_000,
 ) -> DataFrame:
-    """Exact connected components of the near-dup pair graph via
-    hash-min label propagation: every node starts labelled with its own
-    id; each round a node takes the min of its label and its neighbors'
-    labels, until a fixpoint. Converges in <= graph-diameter rounds
-    (near-dup components are shallow — chains longer than a few hops
-    are rare), each round one shuffle on the edge key.
+    """Exact connected components of the near-dup pair graph.
 
     Returns (id, component) for every node appearing in ``pairs``,
     where component = min id reachable from the node.
 
-    Scale notes: the iterating frames hold only (id, label) pairs for
-    nodes that are IN some near-dup pair — a small fraction of the
-    corpus. ``localCheckpoint`` truncates lineage each round so plan
-    depth stays O(1) rather than O(iterations); on a real cluster with
-    unreliable executors prefer ``spark.sparkContext.setCheckpointDir``
-    + ``checkpoint()``. The per-round convergence probe is a
-    ``limit(1).count()`` on the changed-label join — an O(1) action,
-    not a collect of the frame.
+    **Hybrid execution.** The pair graph after LSH verification is tiny
+    relative to the corpus (it holds only documents that HAVE a near
+    dup), so when the directed edge list fits
+    ``small_graph_max_edges`` (default 1M ≈ tens of MB) it is collected
+    once and labelled with driver-side union-find — O(E α(E)), no
+    per-round Spark jobs. This is the standard hybrid in production
+    dedup pipelines: the expensive distributed work is generating
+    pairs, not labelling them. Larger graphs fall through to hash-min
+    label propagation: every node starts labelled with its own id; each
+    round a node takes the min of its own and its neighbors' labels,
+    until a fixpoint — <= graph-diameter rounds, one shuffle per round
+    on the edge key.
+
+    Distributed-path scale notes: the iterating frames hold only
+    (id, label) pairs. ``localCheckpoint`` truncates lineage each round
+    so plan depth stays O(1); on a real cluster with unreliable
+    executors prefer ``setCheckpointDir`` + ``checkpoint()``. The
+    per-round convergence probe is a ``limit(1).count()`` on the
+    changed-label join — an O(1) action, not a collect. Raises on
+    non-convergence rather than returning silently-partial labels.
     """
     from ..scale import persisted
 
@@ -398,6 +410,41 @@ def connected_components(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
     )
+    if edges.count() <= small_graph_max_edges:
+        rows = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in rows:
+            a, b = r.src, r.dst
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp_min: dict = {}
+        for node in parent:
+            root = find(node)
+            if root not in comp_min or node < comp_min[root]:
+                comp_min[root] = node
+        data = [(node, comp_min[find(node)]) for node in parent]
+        id_type = edges.schema["src"].dataType
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [T.StructField("id", id_type), T.StructField("component", id_type)]
+        )
+        out = pairs.sparkSession.createDataFrame(data, schema)
+        edges.unpersist()
+        return out
+
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

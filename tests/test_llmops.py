@@ -105,6 +105,26 @@ def test_connected_components_chain_and_shared_loser(spark):
     assert cc == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 5, 10: 10, 11: 10}
 
 
+def test_connected_components_distributed_path_matches_driver(spark):
+    """small_graph_max_edges=0 forces the label-propagation loop; it
+    must produce identical labels to the driver union-find gate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9), (9, 7)],
+        "id_a long, id_b long",
+    )
+    driver = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    dist = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(
+            pairs, small_graph_max_edges=0
+        ).collect()
+    }
+    assert driver == dist == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 7: 7, 8: 7, 9: 7}
+
+
 def test_near_dedup_exact_collapses_shared_loser(spark):
     # docs 1,2,3 mutually near-dup but LSH may emit only (1,3),(2,3):
     # construct that shape directly on the pair level via a long chain

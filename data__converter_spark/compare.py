@@ -207,3 +207,23 @@ def deleted_keys(a: DataFrame, b: DataFrame, key: str | list[str]) -> DataFrame:
     return a.filter(_all_not_null(keys)).join(
         b.select(*keys).filter(_all_not_null(keys)), on=keys, how="left_anti"
     )
+
+
+def upsert(base: DataFrame, updates: DataFrame, key: str | list[str]) -> DataFrame:
+    """Keyed merge, updates-win (CDC upsert): rows from ``updates``
+    replace base rows sharing their key; base keys absent from updates
+    pass through; new keys append. The batch analog of the reference's
+    Firestore ``setDoc``/batch-write document upsert
+    (admin/page.tsx:296 collection writes; SURVEY §1.1 maps document
+    collections to keyed tables + batch upsert).
+
+    One anti-join on the key — when updates are a small CDC batch
+    against a huge base, Catalyst broadcasts the update keys so the
+    base never shuffles; equal-sized sides fall back to a shuffled
+    anti-join on 8-byte keys. Multi-row keys in ``updates`` are kept
+    as-is (dedup first with :func:`dedup_last_wins` if the batch may
+    contain several versions of one key).
+    """
+    keys = _keys(key)
+    survivors = base.join(updates.select(*keys), on=keys, how="left_anti")
+    return updates.unionByName(survivors)

@@ -1625,6 +1625,23 @@ def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed CDC merge (compare.upsert): the perturbed orders variant
+    applied as an update batch over orders — updates win, unmatched
+    base rows pass through, inserts append. Money travels as exact
+    integer cents, timestamps at second precision."""
+    orders = _load(spark, sf_dir, "orders")
+    merged = compare.upsert(orders, orders_variant(orders), "o_orderkey")
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        cents("o_totalprice").alias("price_cents"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compare_diff": q_compare_diff,
     "compare_diff_summary": q_compare_diff_summary,
@@ -1703,6 +1720,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_volume": q_cube_volume,
     "semi_anti_customers": q_semi_anti_customers,
     "events_interarrival": q_events_interarrival,
+    "cdc_upsert": q_cdc_upsert,
 }
 
 ORACLES: dict[str, str] = {
@@ -2566,4 +2584,23 @@ SELECT user_id,
 FROM g WHERE gap_s IS NOT NULL
 GROUP BY user_id
 """,
+    "cdc_upsert": (
+        "WITH "
+        + _ORACLE_VARIANT_CTE.strip()
+        + """
+, merged AS (
+    SELECT * FROM b_raw
+    UNION ALL
+    SELECT o.* FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM b_raw b WHERE b.o_orderkey = o.o_orderkey)
+)
+SELECT o_orderkey,
+       o_custkey,
+       o_orderstatus,
+       CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       o_orderpriority
+FROM merged
+"""
+    ),
 }

@@ -124,3 +124,14 @@ def test_composite_key_dedup_last_wins(spark):
     out = compare.dedup_last_wins(df, ["k1", "k2"], order_col="seq")
     rows = out.collect()
     assert len(rows) == 1 and rows[0].v == "new"
+
+
+def test_upsert_updates_win_and_inserts_append(spark):
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B2"), (4, "d")], "k long, v string"
+    )
+    out = {r.k: r.v for r in compare.upsert(base, updates, "k").collect()}
+    assert out == {1: "a", 2: "B2", 3: "c", 4: "d"}

@@ -299,6 +299,34 @@ def minhash_lsh_pairs(
     groupBy-free self-join on band buckets and the final dedup —
     documents never cross-join.
     """
+    sets, _sigs, cand = _minhash_candidates(
+        df, col, id_col, k, num_hashes, bands, seed
+    )
+    # exact-Jaccard verification only on the (small) candidate set
+    sh_a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _minhash_candidates(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    k: int,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+):
+    """Shared LSH front half: (shingle sets, signatures, candidate
+    pairs). Both returned source frames are persisted — they feed two
+    branches of the band self-join / verification joins."""
     rows_per_band = num_hashes // bands
     # Both frames feed two branches of the self-joins below; without
     # persist each Arrow kernel (signature / shingles) would run
@@ -306,10 +334,12 @@ def minhash_lsh_pairs(
     from ..scale import persisted
 
     sets = persisted(_shingle_sets(df, col, id_col, k))
-    sigs = df.select(
-        F.col(id_col),
-        minhash_signature_col(col, k, num_hashes, seed).alias("sig"),
-    ).filter(F.col("sig").isNotNull())
+    sigs = persisted(
+        df.select(
+            F.col(id_col),
+            minhash_signature_col(col, k, num_hashes, seed).alias("sig"),
+        ).filter(F.col("sig").isNotNull())
+    )
 
     # band buckets carry only (id, band, bucket) — the shingle arrays
     # never enter this shuffle (they'd be duplicated `bands`× otherwise).
@@ -342,16 +372,61 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # exact-Jaccard verification only on the (small) candidate set
+    return sets, sigs, cand
+
+
+def minhash_estimate_error(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Sketch-quality diagnostic over the LSH candidate pairs: the
+    MinHash similarity ESTIMATE (fraction of equal signature
+    components) against the exact Jaccard, with the absolute error in
+    exact milli-units. "Measure, don't guess" for the sketch itself —
+    at corpus scale this runs on a stratified sample to validate a
+    (num_hashes, bands) choice before committing the full dedup run.
+
+    All outputs are integers (component-match count, |∩|, |∪|,
+    floor(|est−jac|·1000+0.5)) so the comparison is engine-portable.
+    """
+    sets, sigs, cand = _minhash_candidates(
+        df, col, id_col, k, num_hashes, bands, seed
+    )
+    sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     sh_a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    n_match = F.aggregate(
+        F.zip_with(
+            "sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    n_union = F.size(F.array_union("sh_a", "sh_b"))
+    est = n_match.cast("double") / F.lit(float(num_hashes))
+    jac = n_inter.cast("double") / n_union.cast("double")
     return (
-        cand.join(sh_a, "id_a")
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .join(sh_a, "id_a")
         .join(sh_b, "id_b")
-        .select("id_a", "id_b", (inter / union).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            n_match.cast("bigint").alias("n_sig_match"),
+            n_inter.cast("bigint").alias("n_inter"),
+            n_union.cast("bigint").alias("n_union"),
+            F.floor(F.abs(est - jac) * F.lit(1000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("err_millis"),
+        )
     )
 
 

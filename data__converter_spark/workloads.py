@@ -1642,6 +1642,16 @@ def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash sketch-quality diagnostic: per LSH candidate pair, the
+    signature-estimate vs exact Jaccard and their absolute error in
+    milli-units (llmops/dedup.py:minhash_estimate_error)."""
+    from .llmops.dedup import minhash_estimate_error
+
+    docs = _load(spark, sf_dir, "documents")
+    return minhash_estimate_error(docs, k=3, num_hashes=64, bands=16)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compare_diff": q_compare_diff,
     "compare_diff_summary": q_compare_diff_summary,
@@ -1721,6 +1731,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_anti_customers": q_semi_anti_customers,
     "events_interarrival": q_events_interarrival,
     "cdc_upsert": q_cdc_upsert,
+    "minhash_est_error": q_minhash_est_error,
 }
 
 ORACLES: dict[str, str] = {
@@ -2603,4 +2614,24 @@ SELECT o_orderkey,
 FROM merged
 """
     ),
+    "minhash_est_error": _minhash_verified_pairs_sql()
+    + """
+SELECT c.id_a, c.id_b,
+       CAST(list_sum(list_transform(range(1, 65),
+           i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS BIGINT)
+           AS n_sig_match,
+       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+       CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS n_union,
+       CAST(floor(abs(
+           CAST(list_sum(list_transform(range(1, 65),
+               i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 64.0
+         - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+       ) * 1000.0 + 0.5) AS BIGINT) AS err_millis
+FROM cand c
+JOIN sigs sa ON c.id_a = sa.doc_id
+JOIN sigs sb ON c.id_b = sb.doc_id
+JOIN sh_cte a ON c.id_a = a.doc_id
+JOIN sh_cte b ON c.id_b = b.doc_id
+""",
 }

@@ -80,6 +80,9 @@ def load_events(spark: SparkSession, sf_dir: str):
     on the *passed-in* session — it is a runtime-settable SQL conf.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NTZ->ltz cast + date_format parity assume UTC; harness sessions
+    # may not set it (runtime-settable, idempotent).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     from pyspark.sql import functions as F
     from pyspark.sql import types as T

@@ -157,6 +157,10 @@ diff AS (
 
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # External harnesses build their own SparkSession; timestamp
+    # rendering (date_format/strftime parity with DuckDB) assumes UTC,
+    # so pin it here — a runtime-settable conf, idempotent.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -308,6 +308,53 @@ PII_PATTERNS = [
 ]
 
 
+def normalize_text_col(
+    col: str | Column = "text",
+    form: str = "NFC",
+    strip_accents: bool = False,
+    lower: bool = False,
+) -> Column:
+    """Unicode canonicalization — the curation step that runs BEFORE any
+    hashing/dedup so byte-different-but-equivalent text (composed vs
+    combining accents, width variants under NFKC) collapses.
+
+    Spark SQL has no normalize builtin, so this is a deliberate
+    Arrow-batched ``pandas_udf`` over ``unicodedata`` (the slow-path
+    exception the engine otherwise avoids; narrow, no shuffle).
+    Accent stripping is NFD → drop combining marks → NFC re-compose —
+    verified character-for-character against DuckDB's
+    ``strip_accents`` including Hangul recomposition.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        def one(t):
+            if t is None:
+                return None
+            u = unicodedata.normalize(form, t)
+            if strip_accents:
+                u = unicodedata.normalize(
+                    "NFC",
+                    "".join(
+                        ch
+                        for ch in unicodedata.normalize("NFD", u)
+                        if not unicodedata.combining(ch)
+                    ),
+                )
+            if lower:
+                u = u.lower()
+            return u
+
+        return s.map(one)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return norm(c)
+
+
 def scrub_pii_col(col: str | Column = "text") -> Column:
     """Replace URL / email / phone shapes with typed placeholder tokens
     — the standard pre-training scrub pass, as one chained

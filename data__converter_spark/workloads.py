@@ -1646,6 +1646,23 @@ def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization (NFC + accent strip) ahead of
+    hashing/dedup (llmops/textstats.py:normalize_text_col) — identity
+    on this ASCII corpus (semantics pinned on non-ASCII fixtures in
+    tests/test_llmops.py); the query proves the Arrow plumbing and the
+    digest parity end-to-end."""
+    from .llmops.textstats import normalize_text_col
+
+    docs = _load(spark, sf_dir, "documents")
+    norm = normalize_text_col("text", form="NFC", strip_accents=True)
+    return docs.select(
+        "doc_id",
+        F.sha2(norm, 256).alias("norm_digest"),
+        F.length(norm).alias("n_chars_norm"),
+    )
+
+
 def q_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash sketch-quality diagnostic: per LSH candidate pair, the
     signature-estimate vs exact Jaccard and their absolute error in
@@ -1736,6 +1753,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_interarrival": q_events_interarrival,
     "cdc_upsert": q_cdc_upsert,
     "minhash_est_error": q_minhash_est_error,
+    "text_normalize": q_text_normalize,
 }
 
 ORACLES: dict[str, str] = {
@@ -2618,6 +2636,12 @@ SELECT o_orderkey,
 FROM merged
 """
     ),
+    "text_normalize": """
+SELECT doc_id,
+       sha256(strip_accents(nfc_normalize(text))) AS norm_digest,
+       CAST(length(strip_accents(nfc_normalize(text))) AS BIGINT) AS n_chars_norm
+FROM documents
+""",
     "minhash_est_error": _minhash_verified_pairs_sql()
     + """
 SELECT c.id_a, c.id_b,

@@ -31,6 +31,42 @@ def test_exact_dedup(spark, dup_docs):
     assert (groups[0]["n_docs"], groups[0]["keep_id"], groups[0]["max_id"]) == (2, 1, 2)
 
 
+def test_normalize_text_matches_duckdb_semantics(spark):
+    """NFC + accent-strip pinned on non-ASCII fixtures: composed vs
+    combining accents collapse, Hangul survives recomposition — the
+    exact strings DuckDB's nfc_normalize/strip_accents produce."""
+    rows = [
+        (1, "café"),        # e + combining acute -> café -> cafe
+        (2, "Ångström"),
+        (3, "한국어 조합가"),      # Hangul: NFD->filter->NFC must round-trip
+        (4, "Tiếng Việt"),
+        (5, None),
+        (6, "ASCII stays"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.norm
+        for r in df.select(
+            "doc_id",
+            textstats.normalize_text_col("text", strip_accents=True).alias("norm"),
+        ).collect()
+    }
+    assert out[1] == "cafe"
+    assert out[2] == "Angstrom"
+    assert out[3] == "한국어 조합가"
+    assert out[4] == "Tieng Viet"
+    assert out[5] is None
+    assert out[6] == "ASCII stays"
+    # NFC without stripping: combining sequence composes, text otherwise kept
+    nfc = {
+        r.doc_id: r.norm
+        for r in df.select(
+            "doc_id", textstats.normalize_text_col("text").alias("norm")
+        ).collect()
+    }
+    assert nfc[1] == "café"
+
+
 def test_paragraph_dedup_first_occurrence_wins(spark):
     """Corpus-wide paragraph dedup: first (doc_id, idx) occurrence of a
     paragraph survives, documents reassemble in original order, blank

@@ -308,6 +308,40 @@ PII_PATTERNS = [
 ]
 
 
+def bigram_familiarity(
+    df: "DataFrame", col: str = "text", id_col: str = "doc_id"
+) -> "DataFrame":
+    """Corpus-frequency familiarity per document — the integer-exact
+    proxy for an n-gram LM quality filter (CCNet-style): documents
+    whose bigrams are common across the corpus score high, word-salad
+    outliers score low. Output: (id, n_bigrams, fam_sum) where fam_sum
+    is the sum over the doc's bigram occurrences of that bigram's
+    corpus count; callers rank on fam_sum/n_bigrams.
+
+    All-integer outputs keep it engine-portable (no log-probability —
+    transcendental rounding differs across engines; ranking behavior is
+    the same). Two shuffles: the corpus count is a map-side-combinable
+    groupBy, then the doc bigrams re-shuffle once to join their count.
+    A stop-bigram ("of the") is a hot join key — AQE's skew split
+    handles it; at 100 TB hash bigrams to 8 bytes first so the
+    exchanges carry longs, not strings.
+    """
+    from ..scale import persisted
+
+    bg = persisted(
+        df.select(F.col(id_col), F.explode(shingles_col(col, 2)).alias("bg"))
+    )
+    counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        bg.join(counts, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("c").alias("fam_sum"),
+        )
+    )
+
+
 def normalize_text_col(
     col: str | Column = "text",
     form: str = "NFC",

@@ -1646,6 +1646,33 @@ def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard WITH the hot-shingle guard engaged
+    (max_shingle_freq=2): shingles appearing in >2 documents leave the
+    postings index before the self-join — the stop-phrase blowup guard
+    a 100 TB corpus needs (a shingle shared by f docs costs f² postings
+    pairs). Documented accuracy trade: common shingles stop
+    contributing to `common`, sizes stay exact, so capped jaccard is a
+    LOWER bound on the true score."""
+    from .llmops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _load(spark, sf_dir, "documents"),
+        k=3,
+        threshold=0.3,
+        max_shingle_freq=2,
+    )
+
+
+def q_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact corpus-familiarity quality signal
+    (llmops/textstats.py:bigram_familiarity)."""
+    from .llmops.textstats import bigram_familiarity
+
+    docs = _load(spark, sf_dir, "documents")
+    return bigram_familiarity(docs)
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode canonicalization (NFC + accent strip) ahead of
     hashing/dedup (llmops/textstats.py:normalize_text_col) — identity
@@ -1754,6 +1781,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_upsert": q_cdc_upsert,
     "minhash_est_error": q_minhash_est_error,
     "text_normalize": q_text_normalize,
+    "bigram_familiarity": q_bigram_familiarity,
+    "dedup_ngram_capped": q_dedup_ngram_capped,
 }
 
 ORACLES: dict[str, str] = {
@@ -2636,6 +2665,51 @@ SELECT o_orderkey,
 FROM merged
 """
     ),
+    # capped variant: postings drop shingles with df > 2 BEFORE pairing;
+    # sizes stay exact, so jaccard = common_nonhot / (sz_a+sz_b-common)
+    "dedup_ngram_capped": _WORDS_SQL
+    + """
+, ss AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(words) - 1),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+    FROM words_cte WHERE len(words) >= 3
+),
+post AS (SELECT doc_id, unnest(sh) AS s FROM ss),
+sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz FROM ss),
+hot AS (SELECT s FROM post GROUP BY s HAVING count(*) > 2),
+post2 AS (SELECT * FROM post WHERE s NOT IN (SELECT s FROM hot)),
+common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_common
+    FROM post2 a JOIN post2 b USING (s)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(n_common AS DOUBLE)
+         / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes sa ON common.id_a = sa.doc_id
+JOIN sizes sb ON common.id_b = sb.doc_id
+WHERE CAST(n_common AS DOUBLE)
+        / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.3
+""",
+    "bigram_familiarity": _WORDS_SQL
+    + """
+, bg AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(words)),
+                                 i -> words[i] || ' ' || words[i+1])) AS bg
+    FROM words_cte WHERE len(words) >= 2
+),
+cnt AS (SELECT bg, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY bg)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(c) AS BIGINT) AS fam_sum
+FROM bg b JOIN cnt USING (bg)
+GROUP BY b.doc_id
+""",
     "text_normalize": """
 SELECT doc_id,
        sha256(strip_accents(nfc_normalize(text))) AS norm_digest,

@@ -241,3 +241,27 @@ def test_stream_stream_range_join_equals_batch(spark, events):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_checkpoint_restart_no_reprocess(spark, tmp_path):
+    """Exactly-once at the sink: a second run over the SAME checkpoint
+    finds no new source offsets and emits nothing — restart-safe resume
+    rather than reprocess-and-duplicate."""
+    from data__converter_spark.streaming.runner import (
+        read_events_stream,
+        run_to_parquet,
+    )
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once_more():
+        s = read_events_stream(spark, "/root/testdata/sf0.001")
+        run_to_parquet(s.select("event_id", "user_id", "ts"), out, ckpt)
+
+    run_once_more()
+    n1 = spark.read.parquet(out).count()
+    run_once_more()  # restart from the same checkpoint
+    n2 = spark.read.parquet(out).count()
+    batch_n = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    assert n1 == n2 == batch_n

@@ -1646,6 +1646,55 @@ def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped-revenue orders for one market
+    segment. The segment filter prunes customer before the broadcast,
+    orders/lineitem carry date pushdown into the scans, and the top-10
+    compiles to TakeOrderedAndProject — no global sort."""
+    cust = _load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1997-01-01"
+    )
+    li = _load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-01-01")
+    rev = cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(money(F.sum(rev)).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scale.salted_join under oracle: events (150 users, hot keys by
+    construction) joined to a per-user dimension through (key, salt)
+    sub-partitions — result provably equals the plain join the oracle
+    runs. The dimension replicates n_salts times; the fact side's hot
+    key spreads over n_salts reduce tasks."""
+    from .scale import salted_join
+    from .session import load_events
+
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    dim = (
+        load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_n_events"))
+    )
+    joined = salted_join(ev, dim, "user_id", n_salts=8)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("user_n_events").alias("sum_dim"),
+    )
+
+
 def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard WITH the hot-shingle guard engaged
     (max_shingle_freq=2): shingles appearing in >2 documents leave the
@@ -1783,6 +1832,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_normalize": q_text_normalize,
     "bigram_familiarity": q_bigram_familiarity,
     "dedup_ngram_capped": q_dedup_ngram_capped,
+    "shipping_priority": q_shipping_priority,
+    "skew_salted_join": q_skew_salted_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -2665,6 +2716,32 @@ SELECT o_orderkey,
 FROM merged
 """
     ),
+    "shipping_priority": f"""
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority,
+       {_sql_money(f"sum({_sql_cents('l_extendedprice * (1.0 - l_discount)')})")} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate  > TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    "skew_salted_join": """
+WITH dim AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS user_n_events
+    FROM events GROUP BY user_id
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(user_n_events) AS BIGINT) AS sum_dim
+FROM events JOIN dim USING (user_id)
+GROUP BY event_type
+""",
     # capped variant: postings drop shingles with df > 2 BEFORE pairing;
     # sizes stay exact, so jaccard = common_nonhot / (sz_a+sz_b-common)
     "dedup_ngram_capped": _WORDS_SQL

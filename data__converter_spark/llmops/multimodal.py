@@ -6,11 +6,18 @@ feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages so bytes never round-trip row-at-a-time through
 Python.
 
-The image/audio codec libraries are NOT in this container, so the
-decode kernels are stubbed (clearly marked) with a deterministic fake
-keyed on the payload hash — the Spark-side contract (schemas,
-partitioning, batch shape, null handling) is real and tested. Swapping
-in a real decoder means replacing only ``_fake_decode_*`` bodies.
+Codec status (no external image/audio libraries in this container):
+
+- **REAL decode for uncompressed formats** via stdlib-only codecs:
+  24-bit BMP images (header parse + pixel array, nearest-neighbor
+  resize) and 16-bit PCM WAV audio (RIFF parse) — `encode_bmp` /
+  `_try_decode_bmp` / `encode_wav` / `_try_decode_wav`, pixel- and
+  sample-exact under pytest golden tests.
+- **Deterministic stub fallback** (clearly marked, keyed on the
+  payload hash) for compressed formats (JPEG/PNG/MP3/...) pending a
+  real codec (PIL/ffmpeg) in deployment. The Spark-side contract
+  (schemas, partitioning, batch shape, null handling) is identical on
+  both paths.
 """
 
 from __future__ import annotations
@@ -63,6 +70,95 @@ def _payload_digest_ints(payload: bytes, n: int) -> list[int]:
     return [h[i % 32] for i in range(n)]
 
 
+def encode_bmp(pixels) -> bytes:
+    """(h, w, 3) uint8 RGB array -> 24-bit uncompressed BMP bytes
+    (BITMAPINFOHEADER, bottom-up rows, 4-byte row padding). Stdlib
+    only — the real-codec half of the image path."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape[0], px.shape[1]
+    row_size = (3 * w + 3) // 4 * 4
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = bytearray()
+    pad = b"\x00" * (row_size - 3 * w)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows += px[y, :, ::-1].tobytes() + pad  # RGB -> BGR
+    return header + info + bytes(rows)
+
+
+def _try_decode_bmp(payload):
+    """24-bit uncompressed BMP -> (h, w, 3) uint8 RGB array, or None
+    when the payload is not a decodable BMP (caller falls back to the
+    deterministic stub)."""
+    import struct
+
+    import numpy as np
+
+    if not payload or len(payload) < 54 or bytes(payload[:2]) != b"BM":
+        return None
+    try:
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        bi_size, w, h = struct.unpack_from("<Iii", payload, 14)
+        planes, bitcount, compression = struct.unpack_from("<HHI", payload, 26)
+        if bi_size < 40 or bitcount != 24 or compression != 0 or h <= 0 or w <= 0:
+            return None
+        row_size = (3 * w + 3) // 4 * 4
+        if len(payload) < data_off + row_size * h:
+            return None
+        raw = np.frombuffer(
+            bytes(payload), dtype=np.uint8, count=row_size * h, offset=data_off
+        ).reshape(h, row_size)
+        bgr = raw[:, : 3 * w].reshape(h, w, 3)[::-1]  # bottom-up -> top-down
+        return bgr[:, :, ::-1].copy()  # BGR -> RGB
+    except Exception:
+        return None
+
+
+def encode_wav(samples, sample_rate: int = 16_000) -> bytes:
+    """int16 mono sample array -> 16-bit PCM WAV bytes (stdlib wave)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def _try_decode_wav(payload):
+    """16-bit PCM mono/stereo WAV -> (sample_rate, int16 numpy array of
+    the first channel), or None for non-WAV payloads."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if not payload or len(payload) < 12 or bytes(payload[:4]) != b"RIFF":
+        return None
+    try:
+        with wave.open(io.BytesIO(bytes(payload)), "rb") as wf:
+            if wf.getsampwidth() != 2:
+                return None
+            n = wf.getnframes()
+            arr = np.frombuffer(wf.readframes(n), dtype="<i2")
+            ch = wf.getnchannels()
+            if ch > 1:
+                arr = arr[::ch]
+            return wf.getframerate(), arr
+    except Exception:
+        return None
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests/demos (no codecs in
     container). Payload bytes derive from media_id; metadata is typed."""
@@ -112,25 +208,48 @@ def image_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame
     """Decode + feature-extract images via Arrow-batched mapInPandas.
 
     The kernel sees pandas batches (zero-copy Arrow transfer); output
-    partitioning follows the input — no shuffle. Decode itself is a
-    STUB (deterministic hash features) pending a real codec.
+    partitioning follows the input — no shuffle. Decode is REAL for
+    24-bit BMP payloads (stdlib parse; Rec.601 luma, 8-vertical-band
+    mean-luma feature) and falls back to the deterministic hash stub
+    for compressed formats.
     """
     imgs = media.filter(F.col("kind") == "image").select("media_id", "payload", "meta")
 
     def kernel(batches):
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            feats = [
-                [float(v) / 255.0 for v in _payload_digest_ints(p, STUB_FEATURE_DIM)]
-                for p in pdf["payload"]
-            ]
+            widths, heights, lumas, feats = [], [], [], []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                px = _try_decode_bmp(p)
+                if px is not None:
+                    h, w = px.shape[0], px.shape[1]
+                    luma = (
+                        0.299 * px[:, :, 0]
+                        + 0.587 * px[:, :, 1]
+                        + 0.114 * px[:, :, 2]
+                    ) / 255.0
+                    bands = np.array_split(luma, STUB_FEATURE_DIM, axis=0)
+                    widths.append(w)
+                    heights.append(h)
+                    lumas.append(float(luma.mean()))
+                    feats.append([float(b.mean()) for b in bands])
+                else:
+                    f = [
+                        float(v) / 255.0
+                        for v in _payload_digest_ints(p, STUB_FEATURE_DIM)
+                    ]
+                    widths.append(m["width"])
+                    heights.append(m["height"])
+                    lumas.append(sum(f) / len(f))
+                    feats.append(f)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "width": [m["width"] for m in pdf["meta"]],
-                    "height": [m["height"] for m in pdf["meta"]],
-                    "mean_luma": [sum(f) / len(f) for f in feats],
+                    "width": widths,
+                    "height": heights,
+                    "mean_luma": lumas,
                     "feature": feats,
                 }
             )
@@ -139,17 +258,28 @@ def image_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB resize: re-tags metadata and rewrites payload length
-    deterministically; real impl swaps the kernel body only."""
+    """Resize images to (width, height). REAL nearest-neighbor resample
+    + BMP re-encode for 24-bit BMP payloads; deterministic stub rewrite
+    for compressed formats pending a real codec."""
     imgs = media.filter(F.col("kind") == "image")
 
     def kernel(batches):
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            out_payload = [
-                bytes(_payload_digest_ints(p, width * height // 64)) for p in pdf["payload"]
-            ]
+            out_payload = []
+            for p in pdf["payload"]:
+                px = _try_decode_bmp(p)
+                if px is not None:
+                    h, w = px.shape[0], px.shape[1]
+                    ys = (np.arange(height) * h) // height
+                    xs = (np.arange(width) * w) // width
+                    out_payload.append(encode_bmp(px[ys][:, xs]))
+                else:
+                    out_payload.append(
+                        bytes(_payload_digest_ints(p, width * height // 64))
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -209,16 +339,58 @@ STUB_SAMPLE_RATE = 16_000
 def audio_features(media: DataFrame) -> DataFrame:
     """Decode + feature-extract audio rows — same Arrow-batched
     mapInPandas contract as :func:`image_features`: batches in, no
-    shuffle, decode STUBBED (sha256-derived pseudo-samples) pending a
-    real codec. ``n_samples`` derives from metadata duration at the
-    stub 16 kHz rate; ``mean_amp`` is the mean of the pseudo-sample
-    bytes normalized to [0, 1]."""
+    shuffle. Decode is REAL for 16-bit PCM WAV payloads (RIFF parse;
+    mean |amplitude| and 8-band mean-|amplitude| feature, both
+    normalized by 32768) and falls back to the sha256 stub otherwise
+    (``n_samples`` then derives from metadata duration at the stub
+    16 kHz rate)."""
     auds = media.filter(F.col("kind") == "audio").select("media_id", "payload", "meta")
 
     def kernel(batches):
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
+            real = [_try_decode_wav(p) for p in pdf["payload"]]
+            if any(r is not None for r in real):
+                rates, counts, amps, feats = [], [], [], []
+                for r, p in zip(real, pdf["payload"]):
+                    if r is not None:
+                        rate, arr = r
+                        a = np.abs(arr.astype(np.float64)) / 32768.0
+                        bands = (
+                            np.array_split(a, STUB_FEATURE_DIM)
+                            if len(a)
+                            else [np.zeros(1)] * STUB_FEATURE_DIM
+                        )
+                        rates.append(rate)
+                        counts.append(len(arr))
+                        amps.append(float(a.mean()) if len(a) else 0.0)
+                        feats.append([float(b.mean()) for b in bands])
+                    else:
+                        f = [
+                            float(v) / 255.0
+                            for v in _payload_digest_ints(p, STUB_FEATURE_DIM)
+                        ]
+                        rates.append(STUB_SAMPLE_RATE)
+                        counts.append(None)
+                        amps.append(sum(f) / len(f))
+                        feats.append(f)
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "sample_rate": rates,
+                        "n_samples": [
+                            c
+                            if c is not None
+                            else int(m["duration_ms"]) * STUB_SAMPLE_RATE // 1000
+                            for c, m in zip(counts, pdf["meta"])
+                        ],
+                        "mean_amp": amps,
+                        "feature": feats,
+                    }
+                )
+                continue
             feats = [
                 [float(v) / 255.0 for v in _payload_digest_ints(p, STUB_FEATURE_DIM)]
                 for p in pdf["payload"]
@@ -239,12 +411,44 @@ def audio_features(media: DataFrame) -> DataFrame:
     return auds.mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
 
 
-def decode_audio(media: DataFrame) -> DataFrame:
-    """Raw audio decode (full PCM out) is NOT implementable in this
-    container (no codec libs) — explicit gate per SURVEY; the
-    feature-extraction surface with the stub decode is
-    :func:`audio_features`, whose kernel body a real codec replaces."""
-    raise NotImplementedError(
-        "audio decode requires an audio codec library not present in this "
-        "environment; the mapInPandas plumbing pattern is audio_features()"
+def decode_audio(media: DataFrame, assume_wav: bool = False) -> DataFrame:
+    """Raw audio decode (full PCM out).
+
+    REAL for 16-bit PCM WAV payloads — pass ``assume_wav=True`` to get
+    (media_id, sample_rate, samples: array<double> in [-1, 1]) via the
+    stdlib RIFF parser. For compressed audio the container has no codec
+    library, so the default remains an explicit NotImplementedError
+    gate per SURVEY; a deployment swaps the kernel body for ffmpeg."""
+    if not assume_wav:
+        raise NotImplementedError(
+            "compressed-audio decode requires a codec library not present in "
+            "this environment; for 16-bit PCM WAV payloads call with "
+            "assume_wav=True (stdlib decoder), or use audio_features()"
+        )
+    auds = media.filter(F.col("kind") == "audio").select("media_id", "payload")
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, rates, samples = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                r = _try_decode_wav(p)
+                if r is None:
+                    continue  # non-WAV rows drop; caller asked for WAV
+                rate, arr = r
+                ids.append(mid)
+                rates.append(rate)
+                samples.append([float(s) / 32768.0 for s in arr])
+            yield pd.DataFrame(
+                {"media_id": ids, "sample_rate": rates, "samples": samples}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("samples", T.ArrayType(T.DoubleType())),
+        ]
     )
+    return auds.mapInPandas(kernel, schema)

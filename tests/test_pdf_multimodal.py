@@ -195,3 +195,58 @@ def test_media_from_documents_matches_stub_decode(spark):
     assert set(feats) == {0, 3}
     h = hashlib.sha256(b"hello world").digest()
     assert abs(feats[0].mean_luma - sum(h[:8]) / 8 / 255) < 1e-12
+
+
+def test_bmp_roundtrip_and_real_image_features(spark):
+    """Pixel-exact real decode path: a known gradient BMP yields exact
+    dimensions, Rec.601 mean luma, and band features."""
+    import numpy as np
+
+    px = np.zeros((4, 8, 3), dtype=np.uint8)
+    px[:, :, 0] = 255          # pure red everywhere
+    px[2:, :, :] = 0           # bottom half black
+    payload = multimodal.encode_bmp(px)
+    assert np.array_equal(multimodal._try_decode_bmp(payload), px)
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload), (8, 4, 0, "image/bmp"))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.image_features(media).collect()[0]
+    assert (row.width, row.height) == (8, 4)
+    expected = (0.299 * 255 / 255.0) / 2  # half red, half black
+    assert abs(row.mean_luma - expected) < 1e-9
+
+
+def test_bmp_real_resize_nearest_neighbor(spark):
+    import numpy as np
+
+    px = np.arange(4 * 8 * 3, dtype=np.uint8).reshape(4, 8, 3)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(multimodal.encode_bmp(px)), (8, 4, 0, "image/bmp"))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = multimodal.resize_images(media, 4, 2).collect()[0]
+    got = multimodal._try_decode_bmp(out.payload)
+    ys = (np.arange(2) * 4) // 2
+    xs = (np.arange(4) * 8) // 4
+    assert np.array_equal(got, px[ys][:, xs])
+
+
+def test_wav_real_audio_features_and_decode(spark):
+    import numpy as np
+
+    samples = np.array([0, 16384, -16384, 32767] * 4, dtype=np.int16)
+    payload = multimodal.encode_wav(samples, 8000)
+    media = spark.createDataFrame(
+        [(2, "audio", bytearray(payload), (0, 0, 1000, "audio/wav"))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.audio_features(media).collect()[0]
+    assert row.sample_rate == 8000 and row.n_samples == 16
+    expected = float(np.abs(samples.astype(np.float64)).mean() / 32768.0)
+    assert abs(row.mean_amp - expected) < 1e-12
+
+    dec = multimodal.decode_audio(media, assume_wav=True).collect()[0]
+    assert dec.sample_rate == 8000
+    assert np.allclose(dec.samples, samples.astype(np.float64) / 32768.0)

@@ -12,11 +12,19 @@ Reference semantics (pdf-tool/page.tsx):
   page; out-of-range pages filtered, empty groups skipped; zero-padded
   ``_split_001`` names (:362-445). Groups parallelize across tasks.
 
-Page-level byte surgery needs a PDF codec. ``PypdfCodec`` is the real
-one (gated: pypdf isn't in this container). ``FakePdfCodec`` is a
-deterministic stand-in implementing the same protocol over a trivial
-line-per-page format, so the Spark plumbing — manifest ordering,
-group fan-out, name formatting — is fully exercised in tests.
+Page-level byte surgery needs a PDF codec; three implement the same
+protocol (count_pages/extract/merge):
+
+- ``PypdfCodec`` — full format coverage via pypdf (gated: not in this
+  container).
+- ``MiniPdfCodec`` — REAL stdlib codec for the uncompressed subset
+  (plain xref, flat page tree, uncompressed streams); genuine
+  byte-level merge/split round-trips are pytest-golden-tested, so the
+  D1/D2 surface no longer depends on any external dependency.
+- ``FakePdfCodec`` — trivial line-per-page stand-in kept for fast
+  plumbing tests (manifest ordering, fan-out, name formatting).
+
+``default_codec()`` picks pypdf when installed, else MiniPdfCodec.
 """
 
 from __future__ import annotations
@@ -121,6 +129,138 @@ class PypdfCodec:
         return out.getvalue()
 
 
+class MiniPdfCodec:
+    """REAL minimal PDF codec, stdlib only — genuine byte-level page
+    surgery for the uncompressed subset of PDF (plain xref table,
+    flat /Kids page tree, uncompressed content streams): exactly the
+    class of file :meth:`make` writes, which any PDF viewer opens.
+
+    Compressed/object-stream PDFs raise ``ValueError`` (honest gate);
+    ``PypdfCodec`` covers them when pypdf is installed. Protocol
+    matches PypdfCodec/FakePdfCodec: count_pages / extract / merge.
+    """
+
+    _OBJ_RE = None  # compiled lazily (module import stays cheap)
+
+    @staticmethod
+    def make(page_texts: list[str]) -> bytes:
+        """Build a real multi-page PDF; each page draws a distinct
+        filled rectangle + has a comment carrying the page text, so
+        page identity survives extraction byte-exactly."""
+        pages = []
+        for i, txt in enumerate(page_texts):
+            stream = (
+                f"% {txt}\n0.2 0.4 0.8 rg\n"
+                f"{60 + 10 * i} {700 - 10 * i} 120 40 re f\n"
+            ).encode()
+            pages.append((b"[0 0 612 792]", stream))
+        return MiniPdfCodec._build(pages)
+
+    @staticmethod
+    def _build(pages: list[tuple[bytes, bytes]]) -> bytes:
+        n = len(pages)
+        bodies: dict[int, bytes] = {}
+        kids = b" ".join(b"%d 0 R" % (3 + 2 * i) for i in range(n))
+        bodies[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+        bodies[2] = b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n
+        for i, (mediabox, stream) in enumerate(pages):
+            pid, cid = 3 + 2 * i, 4 + 2 * i
+            bodies[pid] = (
+                b"<< /Type /Page /Parent 2 0 R /MediaBox "
+                + mediabox
+                + b" /Contents %d 0 R /Resources << >> >>" % cid
+            )
+            bodies[cid] = (
+                b"<< /Length %d >>\nstream\n" % len(stream)
+                + stream
+                + b"\nendstream"
+            )
+        out = io.BytesIO()
+        out.write(b"%PDF-1.4\n")
+        offsets = {}
+        for num in sorted(bodies):
+            offsets[num] = out.tell()
+            out.write(b"%d 0 obj\n" % num + bodies[num] + b"\nendobj\n")
+        xref_at = out.tell()
+        n_obj = max(bodies) + 1
+        out.write(b"xref\n0 %d\n" % n_obj)
+        out.write(b"0000000000 65535 f \n")
+        for num in range(1, n_obj):
+            out.write(b"%010d 00000 n \n" % offsets[num])
+        out.write(
+            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (n_obj, xref_at)
+        )
+        return out.getvalue()
+
+    @staticmethod
+    def _parse(data: bytes) -> list[tuple[bytes, bytes]]:
+        """-> [(mediabox, content stream)] in page-tree order."""
+        import re
+
+        objs = {
+            int(m.group(1)): m.group(2)
+            for m in re.finditer(
+                rb"(\d+)\s+0\s+obj\b(.*?)endobj", data, re.DOTALL
+            )
+        }
+        if not objs:
+            raise ValueError("no parseable PDF objects (compressed xref?)")
+        catalog = next(
+            (b for b in objs.values() if b"/Type" in b and b"/Catalog" in b), None
+        )
+        if catalog is None:
+            raise ValueError("no /Catalog object — not a simple PDF")
+        pages_ref = re.search(rb"/Pages\s+(\d+)\s+0\s+R", catalog)
+        pages_obj = objs.get(int(pages_ref.group(1))) if pages_ref else None
+        if pages_obj is None:
+            raise ValueError("no /Pages tree")
+        kids_m = re.search(rb"/Kids\s*\[(.*?)\]", pages_obj, re.DOTALL)
+        if kids_m is None:
+            raise ValueError("no /Kids array")
+        out = []
+        for kid in re.finditer(rb"(\d+)\s+0\s+R", kids_m.group(1)):
+            page = objs.get(int(kid.group(1)))
+            if page is None or b"/Page" not in page:
+                raise ValueError("nested or missing page node — not flat subset")
+            mb = re.search(rb"/MediaBox\s*(\[[^\]]*\])", page)
+            mediabox = mb.group(1) if mb else b"[0 0 612 792]"
+            cref = re.search(rb"/Contents\s+(\d+)\s+0\s+R", page)
+            stream = b""
+            if cref is not None:
+                cobj = objs.get(int(cref.group(1)), b"")
+                sm = re.search(
+                    rb"stream\r?\n(.*?)\r?\nendstream", cobj, re.DOTALL
+                )
+                if sm is None:
+                    raise ValueError("content stream not parseable")
+                stream = sm.group(1)
+            out.append((mediabox, stream))
+        return out
+
+    def count_pages(self, data: bytes) -> int:
+        return len(self._parse(data))
+
+    def extract(self, data: bytes, pages: list[int]) -> bytes:
+        all_pages = self._parse(data)
+        return self._build([all_pages[p - 1] for p in pages])
+
+    def merge(self, docs: list[bytes]) -> bytes:
+        pages: list[tuple[bytes, bytes]] = []
+        for d in docs:
+            pages.extend(self._parse(d))
+        return self._build(pages)
+
+
+def default_codec():
+    """pypdf when installed (full format coverage), else the real
+    stdlib MiniPdfCodec (uncompressed subset, loud failure beyond it)."""
+    try:
+        return PypdfCodec()
+    except NotImplementedError:
+        return MiniPdfCodec()
+
+
 class FakePdfCodec:
     """Deterministic test codec: ``%PDF-FAKE\\n`` header + one line per
     page. Same protocol as PypdfCodec; exists so the distributed
@@ -170,7 +310,7 @@ def merge_pdfs(
     """D1: merge validated PDFs in the explicit ``order`` of paths
     (O4 stable input ordering). PDF assembly is sequential by nature —
     one driver-coordinated pass; only the scan/validate distributes."""
-    codec = codec or PypdfCodec()
+    codec = codec or default_codec()
     if len(order) < 2:
         raise ValueError("merge needs >= 2 files (pdf-tool/page.tsx:317)")
     rank = {_norm_path(p): i for i, p in enumerate(order)}
@@ -205,7 +345,7 @@ def split_pdf(
     extracts independently — ``repartition(n_groups)`` puts one group
     per task, the distributed shape for a 10k-page document.
     """
-    codec = codec or PypdfCodec()
+    codec = codec or default_codec()
     target = _norm_path(path)
     row = next(
         (r for r in valid_pdfs(df).collect() if _norm_path(r.path) == target), None

@@ -135,3 +135,14 @@ def test_upsert_updates_win_and_inserts_append(spark):
     )
     out = {r.k: r.v for r in compare.upsert(base, updates, "k").collect()}
     assert out == {1: "a", 2: "B2", 3: "c", 4: "d"}
+
+
+def test_upsert_algebra(spark):
+    """upsert(base, base) == base; key set of the result is the union
+    of both key sets."""
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    updates = spark.createDataFrame([(2, "B"), (9, "z")], "k long, v string")
+    self_merge = {(r.k, r.v) for r in compare.upsert(base, base, "k").collect()}
+    assert self_merge == {(1, "a"), (2, "b")}
+    keys = {r.k for r in compare.upsert(base, updates, "k").collect()}
+    assert keys == {1, 2, 9}

@@ -455,3 +455,28 @@ def test_embedding_lsh_pairs_subset_of_exact(spark, embeddings):
     for r in lsh:
         assert (r["id_a"], r["id_b"]) in exact
         assert r["cosine"] >= 0.35
+
+
+def test_paragraph_dedup_invariants(spark):
+    """Post-conditions on real data: (1) no paragraph appears twice
+    anywhere in the output corpus; (2) the op is idempotent."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(words), F.lit(1)), F.lit(3))
+    ptext = F.array_join(
+        F.transform(starts, lambda s: F.array_join(F.slice(words, s, 3), " ")),
+        "\n\n",
+    )
+    chunked = docs.select("doc_id", ptext.alias("text"))
+    once = dedup.paragraph_dedup(chunked)
+    paras = once.select(
+        F.explode(F.split("text_dedup", "\n\n")).alias("p")
+    )
+    dup_paras = paras.groupBy("p").count().filter(F.col("count") > 1).count()
+    assert dup_paras == 0
+    twice = dedup.paragraph_dedup(
+        once.select("doc_id", F.col("text_dedup").alias("text"))
+    )
+    a = {(r.doc_id, r.text_dedup) for r in once.collect()}
+    b = {(r.doc_id, r.text_dedup) for r in twice.collect()}
+    assert a == b

@@ -33,15 +33,27 @@ def asof_join(
     right_cols: list[str] | None = None,
     tolerance: str | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: latest right row with ``right.on <=
-    left.on`` per ``by`` key; ties (equal timestamps) match.
+    """As-of join (pandas ``merge_asof`` semantics) per ``by`` key;
+    ties (equal timestamps) match in every direction.
+
+    - ``backward`` (default): latest right row with ``right.on <= left.on``
+    - ``forward``: earliest right row with ``right.on >= left.on``
+    - ``nearest``: whichever of the two is closer (backward wins ties)
 
     ``tolerance`` (e.g. ``'30 minutes'``) nulls the matched values when
-    the right row is older than ``left.on - tolerance``. Output: all
-    left columns + ``{col}{suffix}`` for each of ``right_cols`` +
-    ``{on}{suffix}`` (the matched right timestamp, null when no match).
+    the matched right timestamp is farther than the tolerance in the
+    joined direction. Output: all left columns + ``{col}{suffix}`` for
+    each of ``right_cols`` + ``{on}{suffix}`` (the matched right
+    timestamp, null when no match).
+
+    One shuffle on the ``by`` key for every direction: the tagged union
+    sorts within the partition (ascending for backward, descending for
+    forward, both sorts — same exchange — for nearest).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction!r}")
     by = [by] if isinstance(by, str) else (by or [])
     right_cols = right_cols or [
         c for c in right.columns if c != on and c not in set(by)
@@ -66,12 +78,21 @@ def asof_join(
     )
     u = l_tag.unionByName(r_tag)
 
-    # right rows order before left rows at the same timestamp so an
-    # exact-timestamp match is visible to the left row (inclusive <=)
-    w = (
+    # right rows order before left rows at the same timestamp (in the
+    # traversal direction) so an exact-timestamp match is visible to
+    # the left row — inclusive <= / >=.
+    wb = (
         Window.partitionBy(*by)
         .orderBy(F.col(on).asc(), F.col("__is_left__").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).desc(), F.col("__is_left__").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    windows = {"backward": [("b", wb)], "forward": [("f", wf)]}.get(
+        direction, [("b", wb), ("f", wf)]
     )
     carried = u.select(
         *by,
@@ -79,27 +100,63 @@ def asof_join(
         "__is_left__",
         *left_cols,
         *[
-            F.last(f"__r_{c}__", ignorenulls=True).over(w).alias(f"__c_{c}__")
+            F.last(f"__r_{c}__", ignorenulls=True).over(w).alias(f"__{d}_{c}__")
+            for d, w in windows
             for c in right_cols
         ],
-        F.last("__r_ts__", ignorenulls=True).over(w).alias("__c_ts__"),
+        *[
+            F.last("__r_ts__", ignorenulls=True).over(w).alias(f"__{d}_ts__")
+            for d, w in windows
+        ],
     )
     out = carried.filter(F.col("__is_left__") == 1).drop("__is_left__")
 
-    in_tol: Column = F.col("__c_ts__").isNotNull()
-    if tolerance is not None:
-        in_tol = in_tol & (
-            F.col("__c_ts__") >= F.col(on) - F.expr(f"INTERVAL {tolerance}")
+    def tol_ok(d: str) -> Column:
+        ts = F.col(f"__{d}_ts__")
+        ok = ts.isNotNull()
+        if tolerance is not None:
+            bound = F.expr(f"INTERVAL {tolerance}")
+            ok = ok & (
+                (ts >= F.col(on) - bound)
+                if d == "b"
+                else (ts <= F.col(on) + bound)
+            )
+        return ok
+
+    if direction in ("backward", "forward"):
+        d = direction[0]
+        in_tol = tol_ok(d)
+        picked_ts = F.col(f"__{d}_ts__")
+        picked = {c: F.col(f"__{d}_{c}__") for c in right_cols}
+    else:
+        ok_b, ok_f = tol_ok("b"), tol_ok("f")
+        from pyspark.sql import types as T
+
+        is_ts = isinstance(
+            left.schema[on].dataType, (T.TimestampType, T.TimestampNTZType)
         )
+
+        def _epoch(c: Column) -> Column:
+            # NTZ-safe: NTZ cannot cast straight to long in Spark 4
+            return c.cast("timestamp_ltz").cast("long") if is_ts else c.cast("long")
+
+        dist_b = _epoch(F.col(on)) - _epoch(F.col("__b_ts__"))
+        dist_f = _epoch(F.col("__f_ts__")) - _epoch(F.col(on))
+        # backward wins ties, and wins outright when forward is out of
+        # tolerance/absent (and vice versa)
+        use_b = ok_b & (~ok_f | (dist_b <= dist_f))
+        in_tol = ok_b | ok_f
+        picked_ts = F.when(use_b, F.col("__b_ts__")).otherwise(F.col("__f_ts__"))
+        picked = {
+            c: F.when(use_b, F.col(f"__b_{c}__")).otherwise(F.col(f"__f_{c}__"))
+            for c in right_cols
+        }
     return out.select(
         *by,
         F.col(on),
         *left_cols,
-        *[
-            F.when(in_tol, F.col(f"__c_{c}__")).alias(f"{c}{suffix}")
-            for c in right_cols
-        ],
-        F.when(in_tol, F.col("__c_ts__")).alias(f"{on}{suffix}"),
+        *[F.when(in_tol, picked[c]).alias(f"{c}{suffix}") for c in right_cols],
+        F.when(in_tol, picked_ts).alias(f"{on}{suffix}"),
     )
 
 

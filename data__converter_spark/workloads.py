@@ -1270,6 +1270,31 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each 'click' picks up the EARLIEST following
+    'purchase' per user (joins.asof_join direction='forward' — the
+    pandas merge_asof direction family, same one-shuffle union+window
+    plan as backward)."""
+    from .joins import asof_join
+    from .session import load_events
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    out = asof_join(clicks, purchases, on="ts", by="user_id", direction="forward")
+    return out.select(
+        "user_id",
+        "click_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.col("purchase_id_right").alias("next_purchase_id"),
+        F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts_s"),
+    )
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view -> click -> purchase: users
     reaching each stage with strictly-later timestamps.
@@ -1834,6 +1859,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_capped": q_dedup_ngram_capped,
     "shipping_priority": q_shipping_priority,
     "skew_salted_join": q_skew_salted_join,
+    "asof_join_forward": q_asof_join_forward,
 }
 
 ORACLES: dict[str, str] = {
@@ -2291,6 +2317,22 @@ SELECT p.user_id, p.purchase_id,
        strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts_s
 FROM p ASOF LEFT JOIN c
   ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    "asof_join_forward": """
+WITH c AS (
+    SELECT user_id, ts, event_id AS click_id FROM events
+    WHERE event_type = 'click'
+),
+p AS (
+    SELECT user_id, ts, event_id AS purchase_id FROM events
+    WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.click_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       p.purchase_id AS next_purchase_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts_s
+FROM c ASOF LEFT JOIN p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
 """,
     "range_join_attribution": """
 WITH c AS (

@@ -97,3 +97,50 @@ def test_sessionize_gap_boundaries(spark):
     )
     out = {r.event_id: r.session_no for r in sessionize(df, gap_minutes=5).collect()}
     assert out == {1: 1, 2: 1, 3: 2, 4: 3, 5: 1}
+
+
+def test_asof_forward_and_nearest(spark):
+    left = _ts_df(
+        spark,
+        [(1, "2024-01-01 10:00:00", "L1"), (1, "2024-01-01 12:00:00", "L2")],
+        "user_id long, ts string, lv string",
+    )
+    right = _ts_df(
+        spark,
+        [(1, "2024-01-01 09:00:00", 1.0),   # 1h before L1
+         (1, "2024-01-01 10:30:00", 2.0),   # 30m after L1, 90m before L2
+         (1, "2024-01-01 12:00:00", 3.0)],  # exact tie with L2
+        "user_id long, ts string, rv double",
+    )
+    fwd = {
+        r.lv: r.rv_right
+        for r in asof_join(left, right, by="user_id", direction="forward").collect()
+    }
+    assert fwd == {"L1": 2.0, "L2": 3.0}  # ties match forward too
+    near = {
+        r.lv: r.rv_right
+        for r in asof_join(left, right, by="user_id", direction="nearest").collect()
+    }
+    # L1: forward 10:30 (30m) beats backward 09:00 (1h); L2: exact tie
+    assert near == {"L1": 2.0, "L2": 3.0}
+    # nearest + tolerance: 10 minutes excludes everything around L1
+    tight = {
+        r.lv: r.rv_right
+        for r in asof_join(
+            left, right, by="user_id", direction="nearest", tolerance="10 minutes"
+        ).collect()
+    }
+    assert tight == {"L1": None, "L2": 3.0}
+
+
+def test_asof_nearest_backward_wins_ties(spark):
+    left = _ts_df(
+        spark, [(1, "2024-01-01 10:00:00", "L")], "user_id long, ts string, lv string"
+    )
+    right = _ts_df(
+        spark,
+        [(1, "2024-01-01 09:30:00", 1.0), (1, "2024-01-01 10:30:00", 2.0)],
+        "user_id long, ts string, rv double",
+    )
+    near = asof_join(left, right, by="user_id", direction="nearest").collect()[0]
+    assert near.rv_right == 1.0  # equidistant -> backward wins

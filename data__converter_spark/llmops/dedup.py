@@ -290,6 +290,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate pairs via banded LSH, verified with exact Jaccard.
 
@@ -297,10 +298,11 @@ def minhash_lsh_pairs(
     r = num_hashes/bands rows; docs colliding on any band hash become
     candidates (p(collide) = 1-(1-j^r)^b). The only wide ops are a
     groupBy-free self-join on band buckets and the final dedup —
-    documents never cross-join.
+    documents never cross-join. ``max_bucket_size`` caps degenerate
+    buckets (see :func:`_minhash_candidates`).
     """
     sets, _sigs, cand = _minhash_candidates(
-        df, col, id_col, k, num_hashes, bands, seed
+        df, col, id_col, k, num_hashes, bands, seed, max_bucket_size
     )
     # exact-Jaccard verification only on the (small) candidate set
     sh_a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
@@ -323,10 +325,18 @@ def _minhash_candidates(
     num_hashes: int,
     bands: int,
     seed: int,
+    max_bucket_size: int | None = None,
 ):
     """Shared LSH front half: (shingle sets, signatures, candidate
     pairs). Both returned source frames are persisted — they feed two
-    branches of the band self-join / verification joins."""
+    branches of the band self-join / verification joins.
+
+    ``max_bucket_size`` drops band buckets with more than that many
+    members before the self-join — the f² blowup guard for degenerate
+    corpora (millions of identical boilerplate documents land in one
+    bucket). Documented recall trade mirroring ``max_shingle_freq``:
+    members of a dropped bucket can still pair through their other
+    bands. Default None keeps exact banded-LSH semantics."""
     rows_per_band = num_hashes // bands
     # Both frames feed two branches of the self-joins below; without
     # persist each Arrow kernel (signature / shingles) would run
@@ -364,6 +374,14 @@ def _minhash_candidates(
         )
     )
 
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band", "bucket")
+            .count()
+            .filter(F.col("count") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(hot, ["band", "bucket"], "left_anti")
     left = banded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
     right = banded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
     cand = (
@@ -829,9 +847,13 @@ def embedding_lsh_pairs(
     bits: int = 6,
     tables: int = 4,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs (a<b, cosine >= threshold) via hyperplane-LSH
     blocking — the 10⁹-vector path :func:`embedding_pairs` documents.
+    ``max_bucket_size`` drops (table, bucket) groups above the cap
+    before the self-join — the f² guard for corpora with huge clusters
+    of near-identical vectors; members can still pair via other tables.
 
     Where ``embedding_pairs`` runs exact O(n²) blocked matmuls, this
     self-joins only within (table, bucket): candidate volume is
@@ -886,6 +908,14 @@ def embedding_lsh_pairs(
     buckets = persisted(
         base.mapInPandas(bucket_kernel, "vid long, tbl int, bucket long")
     )
+    if max_bucket_size is not None:
+        hot = (
+            buckets.groupBy("tbl", "bucket")
+            .count()
+            .filter(F.col("count") > max_bucket_size)
+            .select("tbl", "bucket")
+        )
+        buckets = buckets.join(hot, ["tbl", "bucket"], "left_anti")
     cand = (
         buckets.alias("a")
         .join(

@@ -480,3 +480,18 @@ def test_paragraph_dedup_invariants(spark):
     a = {(r.doc_id, r.text_dedup) for r in once.collect()}
     b = {(r.doc_id, r.text_dedup) for r in twice.collect()}
     assert a == b
+
+
+def test_minhash_bucket_cap_guards_degenerate_corpus(spark):
+    """Five identical docs put all five in every band bucket (f² = 25
+    candidate fan-out per band); max_bucket_size=4 drops those buckets,
+    while distinct docs are unaffected."""
+    rows = [(i, "the same boilerplate text repeated for every document here") for i in range(5)]
+    rows += [(10, "a completely different document about something else entirely okay")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.minhash_lsh_pairs(docs, k=3, threshold=0.5).count()
+    assert uncapped == 10  # all C(5,2) identical pairs
+    capped = dedup.minhash_lsh_pairs(
+        docs, k=3, threshold=0.5, max_bucket_size=4
+    ).count()
+    assert capped == 0  # every bucket holding the clones is over the cap

@@ -1654,6 +1654,55 @@ def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((returnflag), (linestatus), ()) with
+    grouping_id — the third grouping-set shape next to rollup/cube;
+    same Expand-then-partial-agg plan, so map-side combine applies per
+    set."""
+    li = _load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__li_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM __li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-match: customer-name pairs within edit
+    distance 1, candidates restricted to the same custkey-century block
+    (a real fuzzy join NEVER runs all-pairs levenshtein — block first,
+    score inside the block). Bounded demo subset (custkey <= 300);
+    at corpus scale the block key comes from a phonetic/prefix bucket."""
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    a = cust.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        (F.col("c_custkey") / 100).cast("bigint").alias("blk"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+        (F.col("c_custkey") / 100).cast("bigint").alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 1)
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").alias("edit_dist"),
+        )
+    )
+
+
 def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed CDC merge (compare.upsert): the perturbed orders variant
     applied as an update batch over orders — updates win, unmatched
@@ -1860,6 +1909,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shipping_priority": q_shipping_priority,
     "skew_salted_join": q_skew_salted_join,
     "asof_join_forward": q_asof_join_forward,
+    "grouping_sets_volume": q_grouping_sets_volume,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -2758,6 +2809,25 @@ SELECT o_orderkey,
 FROM merged
 """
     ),
+    "grouping_sets_volume": """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+    "fuzzy_name_pairs": """
+WITH c AS (
+    SELECT c_custkey, c_name, c_custkey // 100 AS blk
+    FROM customer WHERE c_custkey <= 300
+)
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+""",
     "shipping_priority": f"""
 SELECT l_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS orderdate,

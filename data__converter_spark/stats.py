@@ -209,3 +209,47 @@ def profile(
             "max_s",
         )
     )
+
+
+def expectations(
+    df: DataFrame, rules: list[tuple[str, Column]]
+) -> DataFrame:
+    """Data-quality expectations: for each (name, predicate) rule,
+    count rows violating it — all rules evaluated in ONE scan (a single
+    global aggregate of conditional counts; map-side partials, a
+    one-row exchange). Output: (rule, n_rows, n_fail, fail_millis) —
+    ``fail_millis`` is the failure rate in exact integer milli-units,
+    engine-portable.
+
+    The guardrail pattern for pipeline commits: run before writing,
+    fail the job when a rule's violation count crosses its budget.
+    Null predicate results count as FAILURES (a null check outcome is
+    not a pass), matching SQL ``NOT coalesce(pred, FALSE)`` semantics.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n__")]
+    for i, (_, pred) in enumerate(rules):
+        aggs.append(
+            F.sum(
+                F.when(F.coalesce(pred, F.lit(False)), F.lit(0)).otherwise(F.lit(1))
+            ).alias(f"__f_{i}__")
+        )
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col("__n__").alias("n_rows"),
+                F.col(f"__f_{i}__").alias("n_fail"),
+                F.floor(
+                    F.col(f"__f_{i}__").cast("double")
+                    / F.col("__n__").cast("double")
+                    * F.lit(1000.0)
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias("fail_millis"),
+            )
+            for i, (name, _) in enumerate(rules)
+        ]
+    )
+    return one.select(F.explode(rows).alias("e")).select("e.*")

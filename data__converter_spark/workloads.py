@@ -1654,6 +1654,73 @@ def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter-and-aggregate revenue forecast — one
+    scan with every predicate pushed to parquet, partial agg, one-row
+    exchange. The canonical pushdown demonstration."""
+    li = _load(spark, sf_dir, "lineitem")
+    rev = cents(F.col("l_extendedprice") * F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            money(F.sum(rev)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    — aggregate-then-semi-join (the HAVING filter runs on the compact
+    aggregate, and only qualifying keys join back to orders/customer).
+    At 100 TB the qualifying-key side is tiny and broadcasts."""
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    cust = _load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            money(cents("o_totalprice")).alias("totalprice"),
+            "total_qty",
+        )
+    )
+
+
+def q_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations over orders (stats.expectations): each
+    rule counts its violations in ONE shared scan — the pipeline
+    guardrail that runs before a corpus job commits."""
+    from .stats import expectations
+
+    orders = _load(spark, sf_dir, "orders")
+    rules = [
+        ("totalprice_positive", F.col("o_totalprice") > 0),
+        ("orderdate_not_null", F.col("o_orderdate").isNotNull()),
+        (
+            "status_in_domain",
+            F.col("o_orderstatus").isin("O", "F", "P"),
+        ),
+        ("priority_prefix", F.col("o_orderpriority").rlike("^[1-5]-")),
+    ]
+    return expectations(orders, rules)
+
+
 def q_grouping_sets_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS ((returnflag), (linestatus), ()) with
     grouping_id — the third grouping-set shape next to rollup/cube;
@@ -1911,6 +1978,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_forward": q_asof_join_forward,
     "grouping_sets_volume": q_grouping_sets_volume,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "forecast_revenue": q_forecast_revenue,
+    "large_orders": q_large_orders,
+    "expectations_orders": q_expectations_orders,
 }
 
 ORACLES: dict[str, str] = {
@@ -2809,6 +2879,46 @@ SELECT o_orderkey,
 FROM merged
 """
     ),
+    "forecast_revenue": f"""
+SELECT {_sql_money(f"sum({_sql_cents('l_extendedprice * l_discount')})")} AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.04
+  AND l_quantity < 25
+""",
+    "large_orders": f"""
+WITH big AS (
+    SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem GROUP BY l_orderkey HAVING total_qty > 250
+)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       {_sql_money(_sql_cents('o_totalprice'))} AS totalprice,
+       total_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+    "expectations_orders": """
+WITH agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+           CAST(sum(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+           CAST(sum(CASE WHEN NOT coalesce(regexp_matches(o_orderpriority, '^[1-5]-'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS f4
+    FROM orders
+)
+SELECT u.rule, agg.n AS n_rows, u.n_fail,
+       CAST(floor(CAST(u.n_fail AS DOUBLE) / CAST(agg.n AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS fail_millis
+FROM agg, (
+    SELECT 'totalprice_positive' AS rule, f1 AS n_fail FROM agg
+    UNION ALL SELECT 'orderdate_not_null', f2 FROM agg
+    UNION ALL SELECT 'status_in_domain', f3 FROM agg
+    UNION ALL SELECT 'priority_prefix', f4 FROM agg
+) u
+""",
     "grouping_sets_volume": """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,

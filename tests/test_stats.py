@@ -83,3 +83,23 @@ def test_profile_plan_shape(spark, sf_dir):
     # never one per column, and never the multi-DISTINCT Expand shape
     assert plan.count("Scan parquet") == 2
     assert "Expand" not in plan
+
+
+def test_expectations_counts_nulls_as_failures(spark):
+    from data__converter_spark.stats import expectations
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (-5, None)], "v int, s string"
+    )
+    out = {
+        r.rule: (r.n_rows, r.n_fail, r.fail_millis)
+        for r in expectations(
+            df,
+            [
+                ("v_positive", F.col("v") > 0),      # null v -> fail
+                ("s_not_null", F.col("s").isNotNull()),
+            ],
+        ).collect()
+    }
+    assert out["v_positive"] == (3, 2, 667)
+    assert out["s_not_null"] == (3, 1, 333)

@@ -308,6 +308,56 @@ PII_PATTERNS = [
 ]
 
 
+def denylist_scrub(
+    df: "DataFrame",
+    terms: "DataFrame",
+    col: str = "text",
+    id_col: str = "doc_id",
+    term_col: str = "term",
+    placeholder: str = "[REDACTED]",
+) -> "DataFrame":
+    """Dictionary-based scrub: every whitespace token that exactly
+    matches a term in the ``terms`` table becomes ``placeholder``.
+
+    The regex alternative dies at dictionary scale (a 1M-name denylist
+    is not a compilable pattern), so this is the join formulation:
+    posexplode tokens, LEFT join the term table on the token, rebuild
+    the document from its positioned tokens. Catalyst broadcasts a
+    small term table (zero shuffle on the corpus side beyond the
+    rebuild groupBy); a huge one degrades to a shuffled join on the
+    token — still linear, never a per-row Python dictionary probe.
+
+    Output: (id, text_scrubbed, n_redacted).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(col), F.lit("")), r"\s+")).alias(
+            "__pos__", "__tok__"
+        ),
+    )
+    t = terms.select(F.col(term_col).alias("__tok__")).distinct().withColumn(
+        "__hit__", F.lit(1)
+    )
+    joined = toks.join(t, "__tok__", "left").select(
+        id_col,
+        "__pos__",
+        F.when(F.col("__hit__").isNotNull(), F.lit(placeholder))
+        .otherwise(F.col("__tok__"))
+        .alias("__out__"),
+        F.coalesce("__hit__", F.lit(0)).alias("__hit__"),
+    )
+    return joined.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos__", "__out__"))),
+                lambda s: s["__out__"],
+            ),
+            " ",
+        ).alias("text_scrubbed"),
+        F.sum("__hit__").cast("bigint").alias("n_redacted"),
+    )
+
+
 def bigram_familiarity(
     df: "DataFrame", col: str = "text", id_col: str = "doc_id"
 ) -> "DataFrame":

@@ -1654,6 +1654,27 @@ def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_denylist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-based token scrub (textstats.denylist_scrub): the
+    join formulation that survives million-term denylists where a
+    regex cannot. Denylist = the 8 most frequent corpus words,
+    derived deterministically inside the query so both engines build
+    the identical dictionary."""
+    from .llmops.textstats import denylist_scrub
+
+    docs = _load(spark, sf_dir, "documents")
+    terms = (
+        docs.select(F.explode(F.split(F.coalesce("text", F.lit("")), r"\s+")).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("term")
+        .count()
+        .orderBy(F.desc("count"), F.asc("term"))
+        .limit(8)
+        .select("term")
+    )
+    return denylist_scrub(docs, terms)
+
+
 def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure filter-and-aggregate revenue forecast — one
     scan with every predicate pushed to parquet, partial agg, one-row
@@ -1981,6 +2002,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "forecast_revenue": q_forecast_revenue,
     "large_orders": q_large_orders,
     "expectations_orders": q_expectations_orders,
+    "denylist_scrub": q_denylist_scrub,
 }
 
 ORACLES: dict[str, str] = {
@@ -2879,6 +2901,26 @@ SELECT o_orderkey,
 FROM merged
 """
     ),
+    "denylist_scrub": """
+WITH toks AS (
+    SELECT unnest(string_split_regex(coalesce(text, ''), '\\s+')) AS tok
+    FROM documents
+),
+top8 AS (
+    SELECT tok AS term FROM toks WHERE length(tok) > 0
+    GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 8
+),
+deny AS (SELECT list(term) AS l FROM top8)
+SELECT d.doc_id,
+       array_to_string(
+           list_transform(string_split_regex(coalesce(d.text, ''), '\\s+'),
+                          x -> CASE WHEN list_contains(deny.l, x)
+                                    THEN '[REDACTED]' ELSE x END),
+           ' ') AS text_scrubbed,
+       CAST(len(list_filter(string_split_regex(coalesce(d.text, ''), '\\s+'),
+                            x -> list_contains(deny.l, x))) AS BIGINT) AS n_redacted
+FROM documents d, deny
+""",
     "forecast_revenue": f"""
 SELECT {_sql_money(f"sum({_sql_cents('l_extendedprice * l_discount')})")} AS revenue,
        CAST(count(*) AS BIGINT) AS n_items

@@ -788,7 +788,7 @@ def embedding_pairs(
     )
     grouped = side_a.unionAll(side_b)
 
-    def kernel(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def kernel(key, pdf):
         import numpy as np
         import pandas as pd
 

@@ -1654,6 +1654,63 @@ def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue between two nation pairs by ship year.
+    The same dimension table (nation) joins twice under different
+    aliases — supplier nation and customer nation — both broadcast;
+    the fact side shuffles once for the final aggregate."""
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    cust = _load(spark, sf_dir, "customer")
+    supp = _load(spark, sf_dir, "supplier")
+    nat = _load(spark, sf_dir, "nation")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    rev = cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    pair = (F.col("supp_nation") < F.col("cust_nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .filter(pair)  # one row per unordered pair keeps output compact
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(
+            money(F.sum(rev)).alias("volume"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_price_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist of order price within each priority —
+    the normalized-rank window pair (both are (k-1)/(n-1) and k/n
+    single divisions of exact integers, engine-portable). One shuffle
+    on the partition key."""
+    from pyspark.sql import Window
+
+    orders = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
 def q_denylist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dictionary-based token scrub (textstats.denylist_scrub): the
     join formulation that survives million-term denylists where a
@@ -2003,6 +2060,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "large_orders": q_large_orders,
     "expectations_orders": q_expectations_orders,
     "denylist_scrub": q_denylist_scrub,
+    "bilateral_trade": q_bilateral_trade,
+    "price_percent_rank": q_price_percent_rank,
 }
 
 ORACLES: dict[str, str] = {
@@ -2901,6 +2960,29 @@ SELECT o_orderkey,
 FROM merged
 """
     ),
+    "bilateral_trade": f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       {_sql_money(f"sum({_sql_cents('l_extendedprice * (1.0 - l_discount)')})")} AS volume,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name AND n1.n_name < n2.n_name
+GROUP BY 1, 2, 3
+""",
+    "price_percent_rank": """
+SELECT o_orderkey, o_orderpriority,
+       percent_rank() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS pr,
+       cume_dist() OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey) AS cd
+FROM orders
+""",
     "denylist_scrub": """
 WITH toks AS (
     SELECT unnest(string_split_regex(coalesce(text, ''), '\\s+')) AS tok

@@ -281,6 +281,61 @@ def minhash_signature_col(
     return sig(c)
 
 
+def _md5_32_col(c: Column) -> Column:
+    """First 32 bits of md5 mod 2³¹-1, JVM-side (codegen'd md5 +
+    base-16 conv — no Python). Engine-portable: DuckDB spells it
+    ``CAST(('0x'||substr(md5(s),1,8)) AS BIGINT) % 2147483647``."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % F.lit(
+        _MERSENNE_P
+    )
+
+
+def _shingle_hash_sets(df: DataFrame, col: str, id_col: str, k: int) -> DataFrame:
+    """(id, hs): distinct md5-32 shingle-hash set per document.
+
+    The ONE frame the whole MinHash pipeline derives from — signatures
+    permute these hashes, band buckets slice the signatures, and the
+    exact-Jaccard verify intersects the same hash sets, so text is
+    tokenized once and shingle strings never leave this projection.
+    The md5 runs JVM-side over the shingle array (a fully-JVM
+    higher-order tokenize+concat variant measured 4× slower —
+    interpreted HOF string building; the Arrow shingle kernel +
+    builtin md5 split wins)."""
+    return df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(shingles_col(col, k), _md5_32_col)
+        ).alias("hs"),
+    ).filter(F.size("hs") > 0)
+
+
+def _sig_from_hs_udf(num_hashes: int, seed: int):
+    """Arrow kernel: shingle-hash array -> minhash signature via the
+    seeded affine permutations, pure numpy (products < 2⁶², no int64
+    overflow). No hashing or tokenizing here — that happened JVM-side
+    in :func:`_shingle_hash_sets`."""
+    from pyspark.sql.functions import pandas_udf
+
+    coeffs = _perm_coeffs(num_hashes, seed)
+
+    @pandas_udf("array<long>")
+    def sig(hs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+        B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+        out = []
+        for h in hs:
+            if h is None or len(h) == 0:
+                out.append(None)
+                continue
+            hv = np.asarray(h, dtype=np.int64)[None, :]
+            out.append(((A * hv + B) % _MERSENNE_P).min(axis=1))
+        return pd.Series(out)
+
+    return sig
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     col: str = "text",
@@ -292,7 +347,8 @@ def minhash_lsh_pairs(
     seed: int = 42,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Candidate pairs via banded LSH, verified with exact Jaccard.
+    """Candidate pairs via banded LSH, verified with exact Jaccard
+    over the md5-32 shingle-hash sets.
 
     Signature of ``num_hashes`` minhashes split into ``bands`` bands of
     r = num_hashes/bands rows; docs colliding on any band hash become
@@ -300,15 +356,20 @@ def minhash_lsh_pairs(
     groupBy-free self-join on band buckets and the final dedup —
     documents never cross-join. ``max_bucket_size`` caps degenerate
     buckets (see :func:`_minhash_candidates`).
+
+    The verify Jaccard intersects HASH sets, not shingle strings —
+    identical to string Jaccard up to 32-bit collisions (odds per doc
+    pair ~|sh|²/2³¹), and bit-for-bit reproducible by the DuckDB
+    oracle, which computes the same hashes from the same shingles.
     """
-    sets, _sigs, cand = _minhash_candidates(
+    hashed, _sigs, cand = _minhash_candidates(
         df, col, id_col, k, num_hashes, bands, seed, max_bucket_size
     )
     # exact-Jaccard verification only on the (small) candidate set
-    sh_a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    sh_a = hashed.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
+    sh_b = hashed.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+    union = F.size(F.array_union("hs_a", "hs_b")).cast("double")
     return (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
@@ -326,10 +387,16 @@ def _minhash_candidates(
     bands: int,
     seed: int,
     max_bucket_size: int | None = None,
+    persist_sigs: bool = False,
 ):
-    """Shared LSH front half: (shingle sets, signatures, candidate
-    pairs). Both returned source frames are persisted — they feed two
-    branches of the band self-join / verification joins.
+    """Shared LSH front half: (shingle-hash sets, signatures, candidate
+    pairs). The hash-set frame is persisted — it feeds the signature
+    kernel AND both sides of the verification join, and is the only
+    pass over the text. Signatures are persisted only when the caller
+    reads them again downstream (``persist_sigs`` —
+    :func:`minhash_estimate_error`); :func:`minhash_lsh_pairs` reads
+    them once (into the banded frame), where a persist is pure
+    serialization overhead.
 
     ``max_bucket_size`` drops band buckets with more than that many
     members before the self-join — the f² blowup guard for degenerate
@@ -338,18 +405,14 @@ def _minhash_candidates(
     members of a dropped bucket can still pair through their other
     bands. Default None keeps exact banded-LSH semantics."""
     rows_per_band = num_hashes // bands
-    # Both frames feed two branches of the self-joins below; without
-    # persist each Arrow kernel (signature / shingles) would run
-    # twice over the full corpus.
     from ..scale import persisted
 
-    sets = persisted(_shingle_sets(df, col, id_col, k))
-    sigs = persisted(
-        df.select(
-            F.col(id_col),
-            minhash_signature_col(col, k, num_hashes, seed).alias("sig"),
-        ).filter(F.col("sig").isNotNull())
-    )
+    hashed = persisted(_shingle_hash_sets(df, col, id_col, k))
+    sigs = hashed.select(
+        F.col(id_col), _sig_from_hs_udf(num_hashes, seed)(F.col("hs")).alias("sig")
+    ).filter(F.col("sig").isNotNull())
+    if persist_sigs:
+        sigs = persisted(sigs)
 
     # band buckets carry only (id, band, bucket) — the shingle arrays
     # never enter this shuffle (they'd be duplicated `bands`× otherwise).
@@ -390,7 +453,7 @@ def _minhash_candidates(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return sets, sigs, cand
+    return hashed, sigs, cand
 
 
 def minhash_estimate_error(
@@ -412,13 +475,13 @@ def minhash_estimate_error(
     All outputs are integers (component-match count, |∩|, |∪|,
     floor(|est−jac|·1000+0.5)) so the comparison is engine-portable.
     """
-    sets, sigs, cand = _minhash_candidates(
-        df, col, id_col, k, num_hashes, bands, seed
+    hashed, sigs, cand = _minhash_candidates(
+        df, col, id_col, k, num_hashes, bands, seed, persist_sigs=True
     )
     sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sig_b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
-    sh_a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    sh_a = hashed.select(F.col(id_col).alias("id_a"), F.col("hs").alias("sh_a"))
+    sh_b = hashed.select(F.col(id_col).alias("id_b"), F.col("hs").alias("sh_b"))
     n_match = F.aggregate(
         F.zip_with(
             "sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)

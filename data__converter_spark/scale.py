@@ -64,6 +64,24 @@ def release_persisted() -> int:
     return n
 
 
+def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
+    """Round-robin repartition a frame whose plan has too few partitions
+    to keep the cluster busy through a CPU-heavy stage (Arrow kernels,
+    per-row codecs).
+
+    A single parquet file scans as ONE task no matter what
+    ``maxPartitionBytes`` says — file granularity is the floor — so a
+    small-file corpus serializes every downstream pandas UDF onto one
+    core. The check is driver-side and cheap; at real scale the input
+    already has >= defaultParallelism partitions and this is a no-op,
+    which is exactly the right behavior: the repartition exists for the
+    few-files case, not as a universal shuffle tax."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(1, int(target * min_fraction)):
+        return df
+    return df.repartition(target)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -471,8 +471,8 @@ def _minhash_verified_pairs_sql(
 ),
 hs_cte AS (
     SELECT doc_id,
-           list_transform(sh, s ->
-               CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % {_MERSENNE_P}) AS h
+           list_distinct(list_transform(sh, s ->
+               CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % {_MERSENNE_P})) AS h
     FROM sh_cte
 ),
 sigs AS (
@@ -492,13 +492,16 @@ cand AS (
     WHERE l.doc_id < r2.doc_id
 ),
 verified AS (
+    -- Jaccard over the md5-32 HASH sets — the exact formulation the
+    -- Spark side uses, so the two engines agree bit-for-bit even on a
+    -- 32-bit collision.
     SELECT id_a, id_b, jaccard FROM (
         SELECT id_a, id_b,
-               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                 / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+               CAST(len(list_intersect(a.h, b.h)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(a.h, b.h))) AS DOUBLE) AS jaccard
         FROM cand
-        JOIN sh_cte a ON cand.id_a = a.doc_id
-        JOIN sh_cte b ON cand.id_b = b.doc_id
+        JOIN hs_cte a ON cand.id_a = a.doc_id
+        JOIN hs_cte b ON cand.id_b = b.doc_id
     ) WHERE jaccard >= {threshold}
 )
 """
@@ -3145,18 +3148,18 @@ SELECT c.id_a, c.id_b,
        CAST(list_sum(list_transform(range(1, 65),
            i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS BIGINT)
            AS n_sig_match,
-       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
-       CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS n_union,
+       CAST(len(list_intersect(a.h, b.h)) AS BIGINT) AS n_inter,
+       CAST(len(list_distinct(list_concat(a.h, b.h))) AS BIGINT) AS n_union,
        CAST(floor(abs(
            CAST(list_sum(list_transform(range(1, 65),
                i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 64.0
-         - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+         - CAST(len(list_intersect(a.h, b.h)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.h, b.h))) AS DOUBLE)
        ) * 1000.0 + 0.5) AS BIGINT) AS err_millis
 FROM cand c
 JOIN sigs sa ON c.id_a = sa.doc_id
 JOIN sigs sb ON c.id_b = sb.doc_id
-JOIN sh_cte a ON c.id_a = a.doc_id
-JOIN sh_cte b ON c.id_b = b.doc_id
+JOIN hs_cte a ON c.id_a = a.doc_id
+JOIN hs_cte b ON c.id_b = b.doc_id
 """,
 }

@@ -163,16 +163,19 @@ def ngram_jaccard_pairs(
     shingle shared by f docs costs f² postings pairs). Default None
     keeps the result exact.
     """
+    from ..scale import persisted
+
     sets = _shingle_sets(df, col, id_col, k)
     # postings carry 8-byte shingle hashes, not shingle strings — the
     # self-join shuffles longs (collision odds at 64 bits are ~n²/2⁶⁵,
     # immaterial next to the threshold filter). Persisted because the
     # plan reads it three ways (a-side, b-side, sizes); without it the
-    # shingle generation recomputes per branch.
-    postings = (
-        sets.select(F.col(id_col), F.explode("sh").alias("s"))
-        .select(F.col(id_col), F.xxhash64("s").alias("s"))
-        .persist()
+    # shingle generation recomputes per branch. Routed through
+    # scale.persisted so release_persisted() frees it with the rest.
+    postings = persisted(
+        sets.select(F.col(id_col), F.explode("sh").alias("s")).select(
+            F.col(id_col), F.xxhash64("s").alias("s")
+        )
     )
     sizes = postings.groupBy(id_col).agg(F.count("*").alias("sz"))
     if max_shingle_freq is not None:
@@ -721,13 +724,10 @@ def simhash_col(col: str | Column = "text", k: int = 2) -> Column:
 
 
 def hamming64_col(a: Column, b: Column) -> Column:
-    """Hamming distance between two 64-bit longs (popcount of xor)."""
-    x = a.bitwiseXOR(b)
-    bits = [F.shiftright(x, j).bitwiseAND(F.lit(1)).cast("int") for j in range(64)]
-    out = bits[0]
-    for b_ in bits[1:]:
-        out = out + b_
-    return out
+    """Hamming distance between two 64-bit longs: one ``bit_count``
+    over the xor (the 64-term shift/add tree it replaces bloated
+    codegen for identical semantics)."""
+    return F.bit_count(a.bitwiseXOR(b)).cast("int")
 
 
 def simhash_pairs(

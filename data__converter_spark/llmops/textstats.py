@@ -103,35 +103,69 @@ def quality_score_col(col: str = "text") -> Column:
     )
 
 
+def _stopword_hits(col: str = "text") -> Column:
+    """Flattened language codes of every stopword occurrence in the
+    document — ONE pass over the tokens against a token→languages map
+    literal (a token like "la" maps to ["es","fr"]). Per-language
+    scores then scan only this hit list (stopwords are a small fraction
+    of a document), instead of the old per-language
+    ``filter(toks, array_contains(...))`` which walked every token once
+    per language."""
+    toks = F.transform(tokens_col(col), F.lower)
+    tok2langs: dict[str, list[str]] = {}
+    for lang, words in STOPWORDS.items():
+        for w in words:
+            tok2langs.setdefault(w, []).append(lang)
+    entries: list[Column] = []
+    for w in sorted(tok2langs):
+        entries.append(F.lit(w))
+        entries.append(F.array(*[F.lit(lg) for lg in sorted(tok2langs[w])]))
+    m = F.create_map(*entries)
+    return F.flatten(
+        F.filter(
+            F.transform(toks, lambda t: F.element_at(m, t)),
+            lambda langs: langs.isNotNull(),
+        )
+    )
+
+
 def lang_scores(col: str = "text") -> dict[str, Column]:
     """Per-language stopword-hit counts (the language-ID signal)."""
-    toks = F.transform(tokens_col(col), F.lower)
-    out = {}
-    for lang, words in STOPWORDS.items():
-        arr = F.array(*[F.lit(w) for w in words])
-        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
-    return out
+    hits = _stopword_hits(col)
+    return {
+        lang: F.size(F.filter(hits, lambda x: x == F.lit(lang)))
+        for lang in STOPWORDS
+    }
 
 
 def lang_id_col(col: str = "text", default: str = "und") -> Column:
     """Predicted language = argmax of stopword hits; ties broken by
-    language-code order; zero hits -> ``default``."""
-    scores = lang_scores(col)
-    langs = sorted(scores)
-    # struct-max trick: max over (score, reversed-lang-rank) structs picks
-    # highest score, then earliest language code — one expression, no UDF.
-    packed = F.array(
-        *[
-            F.struct(
-                scores[lang].alias("score"),
-                F.lit(len(langs) - i).alias("tie"),
-                F.lit(lang).alias("lang"),
-            )
-            for i, lang in enumerate(langs)
-        ]
-    )
-    best = F.array_max(packed)
-    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit(default))
+    language-code order; zero hits -> ``default``.
+
+    One tokens pass builds the hit list (:func:`_stopword_hits`); the
+    hit list is evaluated exactly ONCE per row — it sits as the single
+    element of a wrapper array whose ``transform`` lambda then scores
+    all languages against the bound variable (a lambda body referencing
+    the hits expression directly would re-evaluate it per language).
+    The struct-max picks highest score, then earliest language code —
+    one expression, no UDF."""
+    langs = sorted(STOPWORDS)
+    n = len(langs)
+    arr_langs = F.array(*[F.lit(lg) for lg in langs])
+
+    def pick(h: Column) -> Column:
+        packed = F.transform(
+            arr_langs,
+            lambda lg, i: F.struct(
+                F.size(F.filter(h, lambda x: x == lg)).alias("score"),
+                (F.lit(n) - i).alias("tie"),
+                lg.alias("lang"),
+            ),
+        )
+        best = F.array_max(packed)
+        return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit(default))
+
+    return F.element_at(F.transform(F.array(_stopword_hits(col)), pick), 1)
 
 
 def shingles_col(col: str | Column, k: int = 3) -> Column:

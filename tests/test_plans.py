@@ -215,6 +215,27 @@ def test_xml_fragments_stay_jvm_side(spark):
     assert "Exchange" not in p, "row formatting must stay narrow"
 
 
+def test_no_bare_persist_in_package():
+    """Every cache in the package must route through scale.persisted()
+    so release_persisted() can free it — a bare .persist() leaks blocks
+    across queries in a long session (the CacheManager 'already cached'
+    warning). scale.py itself hosts the one legitimate .persist call."""
+    import pathlib
+
+    import data__converter_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    offenders = []
+    for py in root.rglob("*.py"):
+        if py.name == "scale.py":
+            continue
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if ".persist(" in code or ".cache(" in code:
+                offenders.append(f"{py.relative_to(root)}:{i}")
+    assert not offenders, f"bare persist/cache outside scale.persisted: {offenders}"
+
+
 def test_no_query_uses_rowwise_python_or_cartesian(spark):
     """Blanket net over EVERY registered query: no row-at-a-time Python
     eval (BatchEvalPython — Arrow/mapInPandas nodes are fine) and no

@@ -195,7 +195,19 @@ class MiniPdfCodec:
 
     @staticmethod
     def _parse(data: bytes) -> list[tuple[bytes, bytes]]:
-        """-> [(mediabox, content stream)] in page-tree order."""
+        """-> [(mediabox, content stream)] in page-tree order.
+
+        Contract: object bodies are located by regex scan for
+        ``N 0 obj ... endobj``, so page content streams MUST NOT
+        contain the literal byte sequences ``endobj`` or ``N 0 obj``
+        (a stream that does mis-parses silently instead of hitting the
+        loud gates below). This codec only reads PDFs this module's
+        writer produced — uncompressed text streams from
+        :meth:`_page_stream` — where those keywords cannot occur;
+        arbitrary external PDFs route through the pypdf path or the
+        NotImplementedError gate. A general parser would bound stream
+        extraction by the declared ``/Length`` instead.
+        """
         import re
 
         objs = {

@@ -132,13 +132,20 @@ def asof_join(
         ok_b, ok_f = tol_ok("b"), tol_ok("f")
         from pyspark.sql import types as T
 
-        is_ts = isinstance(
-            left.schema[on].dataType, (T.TimestampType, T.TimestampNTZType)
-        )
+        on_type = left.schema[on].dataType
+        is_ts = isinstance(on_type, (T.TimestampType, T.TimestampNTZType))
+        is_date = isinstance(on_type, T.DateType)
 
         def _epoch(c: Column) -> Column:
-            # NTZ-safe: NTZ cannot cast straight to long in Spark 4
-            return c.cast("timestamp_ltz").cast("long") if is_ts else c.cast("long")
+            # NTZ-safe: NTZ cannot cast straight to long in Spark 4.
+            # DateType cannot cast to long at all — day-count via
+            # datediff against a fixed origin keeps nearest working on
+            # the same columns backward/forward accept.
+            if is_ts:
+                return c.cast("timestamp_ltz").cast("long")
+            if is_date:
+                return F.datediff(c, F.lit("1970-01-01")).cast("long")
+            return c.cast("long")
 
         dist_b = _epoch(F.col(on)) - _epoch(F.col("__b_ts__"))
         dist_f = _epoch(F.col("__f_ts__")) - _epoch(F.col(on))

@@ -529,12 +529,28 @@ def near_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+#: Driver-side cost of one collected edge beyond its id payload: two
+#: Row fields + union-find dict entries. Deliberately conservative —
+#: overestimating routes to the distributed path, which is always safe.
+_PY_EDGE_OVERHEAD_BYTES = 240
+
+
+def _edge_payload_bytes(edges: DataFrame) -> Column:
+    """Per-edge id payload size in bytes: measured for string ids,
+    8 bytes per side for fixed-width numerics."""
+    t = edges.schema["src"].dataType.simpleString()
+    if t == "string":
+        return F.octet_length("src") + F.octet_length("dst")
+    return F.lit(16)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
     small_graph_max_edges: int = 1_000_000,
+    small_graph_max_bytes: int = 512 * 1024 * 1024,
 ) -> DataFrame:
     """Exact connected components of the near-dup pair graph.
 
@@ -544,9 +560,14 @@ def connected_components(
     **Hybrid execution.** The pair graph after LSH verification is tiny
     relative to the corpus (it holds only documents that HAVE a near
     dup), so when the directed edge list fits
-    ``small_graph_max_edges`` (default 1M ≈ tens of MB) it is collected
-    once and labelled with driver-side union-find — O(E α(E)), no
-    per-round Spark jobs. This is the standard hybrid in production
+    ``small_graph_max_edges`` AND its estimated driver footprint fits
+    ``small_graph_max_bytes`` it is collected once and labelled with
+    driver-side union-find — O(E α(E)), no per-round Spark jobs. The
+    byte gate is measured, not assumed: id payload is summed from the
+    data (``octet_length`` for strings — a 1M-edge graph of long URL
+    ids can dwarf the same edge count over ints) plus a conservative
+    per-edge Python overhead, so wide string ids route to the
+    distributed path well before the row-count cap. This is the standard hybrid in production
     dedup pipelines: the expensive distributed work is generating
     pairs, not labelling them. Larger graphs fall through to hash-min
     label propagation: every node starts labelled with its own id; each
@@ -569,7 +590,13 @@ def connected_components(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
     )
-    if edges.count() <= small_graph_max_edges:
+    stats = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_edge_payload_bytes(edges)).alias("payload"),
+    ).collect()[0]
+    n_edges = stats["n"] or 0
+    est_bytes = (stats["payload"] or 0) + n_edges * _PY_EDGE_OVERHEAD_BYTES
+    if n_edges <= small_graph_max_edges and est_bytes <= small_graph_max_bytes:
         rows = edges.collect()
         parent: dict = {}
 

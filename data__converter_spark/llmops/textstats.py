@@ -361,6 +361,12 @@ def denylist_scrub(
     rebuild groupBy); a huge one degrades to a shuffled join on the
     token — still linear, never a per-row Python dictionary probe.
 
+    Whitespace is NORMALIZED as a side effect: the document splits on
+    ``\\s+`` and rebuilds with single spaces, so newlines, tabs, and
+    space runs collapse even when nothing is redacted. Callers that
+    must preserve exact byte layout should diff only the redacted
+    tokens, not the rebuilt text.
+
     Output: (id, text_scrubbed, n_redacted).
     """
     toks = df.select(

@@ -22,6 +22,8 @@ knobs that need cooperation from the data layout or the query author:
 
 from __future__ import annotations
 
+import threading as _threading
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -29,7 +31,11 @@ from pyspark.sql import functions as F
 #: Frames/RDDs cached via :func:`persisted`, awaiting release. Long-lived
 #: sessions (notebooks, services) call :func:`release_persisted` between
 #: jobs; otherwise MEMORY_AND_DISK blocks accumulate until session end.
+#: A thread's innermost :func:`persist_scope` captures its frames instead,
+#: so concurrent jobs sharing the module release only their own caches.
 _PERSISTED: list = []
+
+_SCOPES = _threading.local()
 
 
 def persisted(df):
@@ -38,22 +44,52 @@ def persisted(df):
     thing being avoided, so spill rather than evict at scale.
 
     The handle is recorded so :func:`release_persisted` can free every
-    cache block after the consuming job's final action. Operators whose
-    cached frame dies inside one call (e.g. connected_components'
-    edges) still unpersist inline themselves.
+    cache block after the consuming job's final action — or, when the
+    calling thread is inside a :func:`persist_scope`, on that scope so
+    only its owner releases it. Operators whose cached frame dies
+    inside one call (e.g. connected_components' edges) still unpersist
+    inline themselves.
     """
     from pyspark import StorageLevel
 
     out = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED.append(out)
+    stack = getattr(_SCOPES, "stack", None)
+    (stack[-1] if stack else _PERSISTED).append(out)
     return out
 
 
+class persist_scope:
+    """Context manager giving a job its OWN persist registry: frames
+    cached by this thread inside the scope are unpersisted at exit and
+    never enter the module-global list, so concurrent jobs (threads,
+    services sharing the module) cannot free each other's live caches
+    mid-job. Scopes nest; each releases only its own frames."""
+
+    def __enter__(self):
+        stack = getattr(_SCOPES, "stack", None)
+        if stack is None:
+            stack = _SCOPES.stack = []
+        self._frames: list = []
+        stack.append(self._frames)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        _SCOPES.stack.pop()
+        for df in self._frames:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped — nothing to free
+        self._frames.clear()
+
+
 def release_persisted() -> int:
-    """Unpersist every frame cached through :func:`persisted` since the
-    last release. Call after the final action of a job — unpersisting
-    earlier is safe (Spark recomputes) but forfeits the reuse the cache
-    bought. Returns the number of handles released."""
+    """Unpersist every frame cached through :func:`persisted` outside
+    any scope since the last release. Call after the final action of a
+    job — unpersisting earlier is safe (Spark recomputes) but forfeits
+    the reuse the cache bought. Frames registered inside a
+    :func:`persist_scope` are NOT touched — their scope owns them.
+    Returns the number of handles released."""
     n = len(_PERSISTED)
     for df in _PERSISTED:
         try:
@@ -62,24 +98,6 @@ def release_persisted() -> int:
             pass  # session already stopped — nothing to free
     _PERSISTED.clear()
     return n
-
-
-def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
-    """Round-robin repartition a frame whose plan has too few partitions
-    to keep the cluster busy through a CPU-heavy stage (Arrow kernels,
-    per-row codecs).
-
-    A single parquet file scans as ONE task no matter what
-    ``maxPartitionBytes`` says — file granularity is the floor — so a
-    small-file corpus serializes every downstream pandas UDF onto one
-    core. The check is driver-side and cheap; at real scale the input
-    already has >= defaultParallelism partitions and this is a no-op,
-    which is exactly the right behavior: the repartition exists for the
-    few-files case, not as a universal shuffle tax."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(1, int(target * min_fraction)):
-        return df
-    return df.repartition(target)
 
 
 def write_bucketed(

@@ -1546,9 +1546,11 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb-style corpus-wide paragraph dedup
     (llmops/dedup.py:paragraph_dedup): first occurrence of each distinct
     paragraph survives (ordered by doc_id, position), documents
-    reassemble from surviving paragraphs. Winner selection is a
-    map-side-combinable min(struct) on the paragraph digest — the
-    shuffle carries 32-byte digests, not text."""
+    reassemble from surviving paragraphs. Winner selection is an
+    unordered-frame min(struct) window over the digest partition — the
+    exchange carries the full (digest, id, idx, paragraph) rows and
+    window aggregates have no map-side combine (see paragraph_dedup's
+    scale note; a hot digest partition is AQE-splittable)."""
     from .llmops.dedup import paragraph_dedup
 
     docs = _load(spark, sf_dir, "documents")

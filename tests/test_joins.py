@@ -144,3 +144,19 @@ def test_asof_nearest_backward_wins_ties(spark):
     )
     near = asof_join(left, right, by="user_id", direction="nearest").collect()[0]
     assert near.rv_right == 1.0  # equidistant -> backward wins
+
+
+def test_asof_nearest_on_date_column(spark):
+    """DateType `on` cannot cast date->long; nearest must route through
+    the datediff distance and agree with backward/forward semantics."""
+    left = spark.sql(
+        "SELECT 1 AS user_id, DATE'2024-03-10' AS ts, 'L' AS lv"
+    )
+    right = spark.sql(
+        "SELECT 1 AS user_id, DATE'2024-03-01' AS ts, 10.0 AS rv "
+        "UNION ALL SELECT 1, DATE'2024-03-12', 20.0"
+    )
+    near = asof_join(left, right, by="user_id", direction="nearest").collect()[0]
+    assert near.rv_right == 20.0  # +2 days beats -9 days
+    back = asof_join(left, right, by="user_id", direction="backward").collect()[0]
+    assert back.rv_right == 10.0

@@ -161,6 +161,35 @@ def test_connected_components_distributed_path_matches_driver(spark):
     assert driver == dist == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 7: 7, 8: 7, 9: 7}
 
 
+def test_connected_components_byte_gate_routes_wide_string_ids(spark):
+    """The driver union-find gate is byte-aware: a tiny edge COUNT of
+    very wide string ids must take the distributed path (and still
+    label correctly), while the same graph under a generous byte cap
+    stays driver-side with identical labels."""
+    wide = {i: f"doc-{'x' * 400}-{i:04d}" for i in range(8)}
+    raw = [(1, 2), (2, 3), (5, 6)]
+    pairs = spark.createDataFrame(
+        [(wide[a], wide[b]) for a, b in raw], "id_a string, id_b string"
+    )
+    # 3 edges x ~800B payload exceeds a 4KB cap long before the 1M-row
+    # cap -> distributed label propagation
+    dist = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(
+            pairs, small_graph_max_bytes=4096
+        ).collect()
+    }
+    driver = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    expect = {
+        wide[1]: wide[1], wide[2]: wide[1], wide[3]: wide[1],
+        wide[5]: wide[5], wide[6]: wide[5],
+    }
+    assert dist == driver == expect
+
+
 def test_near_dedup_exact_collapses_shared_loser(spark):
     # docs 1,2,3 mutually near-dup but LSH may emit only (1,3),(2,3):
     # construct that shape directly on the pair level via a long chain

@@ -291,3 +291,27 @@ def test_default_codec_is_real_without_pypdf():
     c = pdf.default_codec()
     doc = pdf.MiniPdfCodec.make(["x"])
     assert c.count_pages(doc) == 1
+
+
+def test_capability_gate_contracts(spark, tmp_path):
+    """The three honest NotImplementedError gates must keep their exact
+    contracts so deployment swaps (spark-avro jar, pypdf, ffmpeg) are
+    drop-in: error type AND the actionable hint in the message."""
+    from data__converter_spark.io import readers
+
+    # avro: module absent here -> NotImplementedError naming the jar;
+    # a real data error (bad path with the module present) must NOT be
+    # converted — only the missing-data-source case is.
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        readers.read_avro(spark, str(tmp_path / "x.avro"))
+
+    # pypdf codec: constructor gates, FakePdfCodec stays available
+    with pytest.raises(NotImplementedError, match="pypdf"):
+        pdf.PypdfCodec()
+
+    # compressed audio: default decode gates with the WAV escape hatch
+    dummy = spark.createDataFrame(
+        [("m1", "audio", b"\x00")], "media_id string, kind string, payload binary"
+    )
+    with pytest.raises(NotImplementedError, match="assume_wav=True"):
+        multimodal.decode_audio(dummy)

@@ -154,3 +154,26 @@ def test_approx_count_distinct_scale_path(spark, orders):
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("n")
     ).collect()[0]["n"]
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_persist_scope_isolates_concurrent_jobs(spark, orders):
+    """Frames persisted inside a persist_scope belong to that scope:
+    release_persisted() must not free them mid-job, and scope exit must
+    unpersist them (ADVICE: concurrent jobs sharing the module must
+    not unpersist each other's live caches)."""
+    with scale.persist_scope():
+        inner = scale.persisted(orders.filter(F.col("o_orderkey") % 2 == 0))
+        inner.count()  # materialize the cache
+        assert inner.storageLevel.useMemory
+        # a concurrent job's release must not touch scoped frames
+        scale.release_persisted()
+        assert inner.storageLevel.useMemory
+    # scope exit frees its own frames
+    assert not inner.storageLevel.useMemory
+
+    # outside any scope the global registry still works
+    outer = scale.persisted(orders.filter(F.col("o_orderkey") % 2 == 1))
+    outer.count()
+    assert outer.storageLevel.useMemory
+    scale.release_persisted()
+    assert not outer.storageLevel.useMemory

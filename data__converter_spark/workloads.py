@@ -1387,6 +1387,29 @@ def q_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "from_click_id", "to_purchase_id")
 
 
+def q_stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the stream-stream time-bounded join
+    (streaming/windows.py:stream_range_join), like the other four
+    stream_* shapes: the SAME operator code runs on batch frames
+    (watermarks are no-ops in batch), so the oracle checks the exact
+    join contract the stream executes incrementally — pairs on one key
+    with from.ts <= to.ts <= from.ts + 30 minutes and bounded state at
+    watermark + within. Stream/batch row equivalence itself is pinned
+    by tests/test_streaming.py (runs the real readStream path)."""
+    from .session import load_events
+    from .streaming.windows import stream_range_join
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    out = stream_range_join(clicks, purchases, "user_id", within="30 minutes")
+    return out.select("user_id", "from_click_id", "to_purchase_id")
+
+
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .session import load_events
     from .streaming.windows import tumbling_counts
@@ -2017,6 +2040,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "nation_volume": q_nation_volume,
+    "stream_range_join": q_stream_range_join,
     "stream_tumbling_counts": q_stream_tumbling,
     "stream_sliding_counts": q_stream_sliding,
     "stream_session_agg": q_stream_session,
@@ -2542,6 +2566,21 @@ FROM c ASOF LEFT JOIN p
   ON c.user_id = p.user_id AND c.ts <= p.ts
 """,
     "range_join_attribution": """
+WITH c AS (
+    SELECT user_id, ts, event_id AS click_id FROM events
+    WHERE event_type = 'click'
+),
+p AS (
+    SELECT user_id, ts, event_id AS purchase_id FROM events
+    WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.click_id AS from_click_id, p.purchase_id AS to_purchase_id
+FROM c JOIN p
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""",
+    "stream_range_join": """
 WITH c AS (
     SELECT user_id, ts, event_id AS click_id FROM events
     WHERE event_type = 'click'

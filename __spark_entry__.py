@@ -45,16 +45,16 @@ _VERIFY_FIRST = [
     "fuzzy_name_pairs", "forecast_revenue", "large_orders",
     "expectations_orders", "denylist_scrub", "bilateral_trade",
     "price_percent_rank",
-    # -- stale: green row only in round 1 --
-    "similarity_lsh_topk", "similarity_ivf_topk", "multimodal_image_features",
-    "multimodal_frame_sample", "multimodal_resize", "text_pii_scrub",
-    "sample_stratified", "length_band_filter", "events_json_props",
-    "window_running_revenue",
-    # -- changed this round: re-verify after the perf fixes --
-    "dedup_minhash_lsh", "text_winnow", "contamination_check", "text_lang_id",
-    "dedup_simhash", "pipeline_pretraining",
     # -- new this round --
-    "stream_range_join",
+    "stream_range_join", "pack_sequences", "chunk_text", "salient_terms",
+    "returned_revenue", "late_shipments",
+    # -- implementation changed this round (minhash front-end rewrite,
+    #    lang-id vectorization, bit_count hamming): re-verify --
+    "dedup_minhash_lsh", "dedup_near_keep", "dedup_components",
+    "dedup_cc_keep", "dedup_ngram_jaccard", "dedup_simhash", "text_lang_id",
+    # -- stale: green row only in round 1 (fills the remaining slots) --
+    "similarity_lsh_topk", "similarity_ivf_topk", "multimodal_image_features",
+    "text_pii_scrub",
 ]
 
 

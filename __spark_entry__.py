@@ -48,12 +48,13 @@ _VERIFY_FIRST = [
     # -- new this round --
     "stream_range_join", "pack_sequences", "chunk_text", "salient_terms",
     "returned_revenue", "late_shipments", "rolling_revenue_30d",
+    "kmeans_step", "corpus_vocab_stats",
     # -- implementation changed this round (minhash front-end rewrite,
     #    lang-id vectorization, bit_count hamming): re-verify --
     "dedup_minhash_lsh", "dedup_near_keep", "dedup_components",
     "dedup_cc_keep", "dedup_ngram_jaccard", "dedup_simhash", "text_lang_id",
     # -- stale: green row only in round 1 (fills the remaining slots) --
-    "similarity_lsh_topk", "similarity_ivf_topk", "multimodal_image_features",
+    "similarity_lsh_topk",
 ]
 
 

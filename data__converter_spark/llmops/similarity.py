@@ -419,3 +419,66 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "cosine", "rank")
     )
+
+def kmeans_step(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """ONE spherical k-means iteration — the distributed building block
+    of the Lloyd loop: deterministic seed centroids (k corpus vectors
+    with the smallest md5("{id}:{seed}") — the same engine-portable
+    sample :func:`ivf_topk` draws), nearest-centroid assignment by
+    cosine (tie -> smallest centroid id; centroid rows are sorted by id
+    before the argmax so numpy's first-match tie rule IS that rule),
+    then exact integer-quantized centroid recomputation via
+    :func:`label_centroids`.
+
+    Output long form: (cluster, pos, n_vecs, mean_val) where cluster is
+    the seed centroid's vector id. Callers loop this for full k-means;
+    each iteration is one broadcast (k·dim floats) + one Arrow
+    assignment pass + one (cluster, pos) aggregation — no shuffle of
+    the vectors themselves. Deterministic: a pure function of
+    (data, k, seed), which is what makes the DuckDB oracle replicate
+    the whole step bit-for-bit.
+    """
+    import numpy as np
+
+    cent_rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .withColumn(
+            "__h__",
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))),
+        )
+        .orderBy("__h__", id_col)
+        .limit(k)
+        .collect()
+    )
+    cent_rows.sort(key=lambda r: r[0])  # cluster ids ascending for tie rule
+    cids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    C = np.stack([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((cids, C))
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, cc = bc.value
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            out = pdf[[id_col, vec_col]].copy()
+            out["cluster"] = ids[(m @ cc.T).argmax(axis=1)]
+            yield out
+
+    assigned = df.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, {vec_col} array<float>, cluster long"
+    )
+    out = label_centroids(assigned, vec_col=vec_col, label_col="cluster", quant=quant)
+    return out.select(
+        F.col("label").alias("cluster"), "pos", "n_vecs", "mean_val"
+    )

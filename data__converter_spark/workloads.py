@@ -1762,6 +1762,46 @@ def q_price_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One spherical k-means iteration (similarity.kmeans_step):
+    deterministic md5-sampled seed centroids, cosine nearest-centroid
+    assignment, exact integer-quantized centroid recompute — the
+    distributed Lloyd-loop building block, oracle-replicated end to
+    end."""
+    from .llmops.similarity import kmeans_step
+
+    emb = _load(spark, sf_dir, "embeddings")
+    out = kmeans_step(emb, k=8, seed=42)
+    return out.select(
+        "cluster", "pos", "n_vecs", F.round("mean_val", 6).alias("mean_val_r")
+    )
+
+
+def q_corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary health in one pass: total tokens, distinct
+    terms, hapax count (terms in exactly one document — the Zipf tail),
+    and the max document frequency. Two map-side-combinable
+    aggregations over the (doc, term) counts; all-integer output."""
+    from .llmops.textstats import tokens_col
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.transform(tokens_col("text"), F.lower)).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    per_term = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("occ")
+    )
+    return per_term.agg(
+        F.sum("occ").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hapax_terms"),
+        F.max("df").cast("bigint").alias("max_df"),
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-batch sequence packing (textstats.pack_sequences):
     greedy order-preserving token-budget bins, sharded so the
@@ -2211,6 +2251,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bilateral_trade": q_bilateral_trade,
     "price_percent_rank": q_price_percent_rank,
     "pack_sequences": q_pack_sequences,
+    "kmeans_step": q_kmeans_step,
+    "corpus_vocab_stats": q_corpus_vocab_stats,
     "chunk_text": q_chunk_text,
     "salient_terms": q_salient_terms,
     "returned_revenue": q_returned_revenue,
@@ -3066,6 +3108,59 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_paras_kept
 FROM kept WHERE rn = 1
 GROUP BY doc_id
+""",
+    "kmeans_step": """
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+vn AS (
+    SELECT vec_id, e,
+           list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS en
+    FROM v
+),
+cent AS (
+    SELECT vec_id AS cid, en AS ce FROM vn
+    ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42'), vec_id
+    LIMIT 8
+),
+assign AS (
+    SELECT vn.vec_id, cent.cid,
+           row_number() OVER (PARTITION BY vn.vec_id
+               ORDER BY list_dot_product(vn.en, cent.ce) DESC, cent.cid) AS rn
+    FROM vn CROSS JOIN cent
+),
+cl AS (SELECT vec_id, cid AS cluster FROM assign WHERE rn = 1),
+expl AS (
+    SELECT cl.cluster, CAST(p.pos AS INT) AS pos,
+           CAST(floor(v.e[CAST(p.pos AS BIGINT)] * 1000000.0 + 0.5) AS BIGINT) AS vq
+    FROM cl JOIN v USING (vec_id), unnest(range(1, len(v.e) + 1)) AS p(pos)
+)
+SELECT cluster, pos,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(CAST(sum(vq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0, 6)
+           AS mean_val_r
+FROM expl GROUP BY cluster, pos
+""",
+    "corpus_vocab_stats": """
+WITH toks AS (
+    SELECT doc_id, lower(u.term) AS term
+    FROM (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(text), '[ \\t\\r\\n]+') END
+                   AS words
+        FROM documents
+    ), unnest(words) AS u(term)
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+per_term AS (
+    SELECT term, count(*) AS df, sum(tf) AS occ FROM tf GROUP BY term
+)
+SELECT CAST(sum(occ) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_terms,
+       CAST(max(df) AS BIGINT) AS max_df
+FROM per_term
 """,
     "pack_sequences": """
 WITH t AS (

@@ -605,3 +605,29 @@ def test_minhash_signature_paths_agree(spark, dup_docs):
     # doc 5 has < 3 tokens: direct yields NULL and split yields no row
     assert direct[5] is None
     assert {k: v for k, v in direct.items() if v is not None} == split
+
+
+def test_kmeans_step_partitions_corpus_and_reduces_to_mean(spark, embeddings):
+    """One Lloyd iteration: every vector lands in exactly one cluster
+    (per-pos n_vecs sums to the corpus size), and with k=1 the
+    recomputed centroid IS the global mean (label_centroids with a
+    constant label)."""
+    out = similarity.kmeans_step(embeddings, k=4, seed=42).collect()
+    n = embeddings.count()
+    by_pos: dict = {}
+    for r in out:
+        by_pos[r.pos] = by_pos.get(r.pos, 0) + r.n_vecs
+    assert set(by_pos.values()) == {n}
+    assert len({r.cluster for r in out}) == 4
+
+    single = {
+        (r.pos,): r.mean_val
+        for r in similarity.kmeans_step(embeddings, k=1, seed=42).collect()
+    }
+    global_mean = {
+        (r.pos,): r.mean_val
+        for r in similarity.label_centroids(
+            embeddings.withColumn("label", F.lit(0))
+        ).collect()
+    }
+    assert single == global_mean

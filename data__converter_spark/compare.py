@@ -227,3 +227,32 @@ def upsert(base: DataFrame, updates: DataFrame, key: str | list[str]) -> DataFra
     keys = _keys(key)
     survivors = base.join(updates.select(*keys), on=keys, how="left_anti")
     return updates.unionByName(survivors)
+
+
+def schema_diff(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Schema drift between two frames as a tiny DataFrame:
+    (column, status in {added, removed, type_changed, same}, type_a,
+    type_b). The metadata companion to the row-level :func:`diff` —
+    run it first so a type change surfaces as ONE row here instead of
+    a million stringified mismatches there.
+
+    Plan-time only: schemas come from the analyzed plans, no job runs
+    on either input; the result is a literal ``createDataFrame``.
+    """
+    ta = {f.name: f.dataType.simpleString() for f in a.schema.fields}
+    tb = {f.name: f.dataType.simpleString() for f in b.schema.fields}
+    rows = []
+    for name in sorted(set(ta) | set(tb)):
+        in_a, in_b = name in ta, name in tb
+        if in_a and not in_b:
+            status = "removed"
+        elif in_b and not in_a:
+            status = "added"
+        elif ta[name] != tb[name]:
+            status = "type_changed"
+        else:
+            status = "same"
+        rows.append((name, status, ta.get(name), tb.get(name)))
+    return a.sparkSession.createDataFrame(
+        rows, "column string, status string, type_a string, type_b string"
+    )

@@ -146,3 +146,20 @@ def test_upsert_algebra(spark):
     assert self_merge == {(1, "a"), (2, "b")}
     keys = {r.k for r in compare.upsert(base, updates, "k").collect()}
     assert keys == {1, 2, 9}
+
+
+def test_schema_diff_classifies_drift(spark):
+    from data__converter_spark.compare import schema_diff
+
+    a = spark.createDataFrame([(1, "x", 2.0)], "id long, name string, v double")
+    b = spark.createDataFrame([(1, "x", "2", True)], "id long, name string, v string, flag boolean")
+    got = {r.column: (r.status, r.type_a, r.type_b) for r in schema_diff(a, b).collect()}
+    assert got == {
+        "id": ("same", "bigint", "bigint"),
+        "name": ("same", "string", "string"),
+        "v": ("type_changed", "double", "string"),
+        "flag": ("added", None, "boolean"),
+    }
+    # removed direction
+    back = {r.column: r.status for r in schema_diff(b, a).collect()}
+    assert back["flag"] == "removed"

@@ -26,12 +26,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # ``queries()`` in insertion order (verified: CORRECTNESS_r0{1,2,3}.json keys
 # equal the first 50 QUERIES names of each round).  Round 4 rotates the
 # ordering so the driver's budget lands on the queries with the weakest
-# independent evidence:
-#   - 33 names never present in any CORRECTNESS_r* file (r01-r03 union),
-#   - 10 names whose only green row is from round 1 (stale),
-#   - 6 names whose implementation changed this round (perf fixes) and the
-#     new stream_range_join, so the driver re-verifies them.
-# Every other query keeps its green r02/r03 row and runs after slot 50.
+# independent evidence: the 33 names never present in any CORRECTNESS_r*
+# file (r01-r03 union), the 9 queries new this round, the 7 whose
+# implementation changed this round (minhash front-end rewrite, lang-id
+# vectorization, bit_count hamming), and one round-1-only stale entry to
+# fill slot 50.  Every other query keeps its green r01-r03 row and runs
+# after slot 50.
 _VERIFY_FIRST = [
     # -- never driver-checked (r01-r03) --
     "embedding_centroids", "multimodal_audio_features", "rollup_volume",

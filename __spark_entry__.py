@@ -48,13 +48,13 @@ _VERIFY_FIRST = [
     # -- new this round --
     "stream_range_join", "pack_sequences", "chunk_text", "salient_terms",
     "returned_revenue", "late_shipments", "rolling_revenue_30d",
-    "kmeans_step", "corpus_vocab_stats",
+    "kmeans_step", "corpus_vocab_stats", "price_deciles", "priority_waiting",
     # -- implementation changed this round (minhash front-end rewrite,
     #    lang-id vectorization, bit_count hamming): re-verify --
+    # (dedup_ngram_jaccard also changed — persist routing only — but the
+    # 50-slot budget is full; it keeps its green r03 row)
     "dedup_minhash_lsh", "dedup_near_keep", "dedup_components",
-    "dedup_cc_keep", "dedup_ngram_jaccard", "dedup_simhash", "text_lang_id",
-    # -- stale: green row only in round 1 (fills the remaining slots) --
-    "similarity_lsh_topk",
+    "dedup_cc_keep", "dedup_simhash", "text_lang_id",
 ]
 
 

@@ -1762,6 +1762,42 @@ def q_price_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE deciles of order price WITHIN each priority — the
+    partitioned form that scales (a global ntile would sort the world
+    into one task). Completes the ranking-window family beside
+    percent_rank/cume_dist."""
+    from pyspark.sql import Window
+
+    orders = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+def q_priority_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with >= 1 slow lineitem (shipped > 30
+    days after ordering), counted per priority. The EXISTS compiles to
+    a left-semi join on the order key — the fact side never
+    duplicates, then a tiny aggregation."""
+    orders = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    slow = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    ).select("l_orderkey")
+    return (
+        orders.join(slow, orders.o_orderkey == slow.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_waiting"))
+    )
+
+
 def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One spherical k-means iteration (similarity.kmeans_step):
     deterministic md5-sampled seed centroids, cosine nearest-centroid
@@ -2253,6 +2289,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "kmeans_step": q_kmeans_step,
     "corpus_vocab_stats": q_corpus_vocab_stats,
+    "price_deciles": q_price_deciles,
+    "priority_waiting": q_priority_waiting,
     "chunk_text": q_chunk_text,
     "salient_terms": q_salient_terms,
     "returned_revenue": q_returned_revenue,
@@ -3108,6 +3146,22 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_paras_kept
 FROM kept WHERE rn = 1
 GROUP BY doc_id
+""",
+    "price_deciles": """
+SELECT o_orderkey, o_orderpriority,
+       CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS INT) AS decile
+FROM orders
+""",
+    "priority_waiting": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_waiting
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+)
+GROUP BY o_orderpriority
 """,
     "kmeans_step": """
 WITH v AS (

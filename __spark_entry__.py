@@ -27,11 +27,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # equal the first 50 QUERIES names of each round).  Round 4 rotates the
 # ordering so the driver's budget lands on the queries with the weakest
 # independent evidence: the 33 names never present in any CORRECTNESS_r*
-# file (r01-r03 union), the 9 queries new this round, the 7 whose
+# file (r01-r03 union), the 11 queries new this round, and 6 whose
 # implementation changed this round (minhash front-end rewrite, lang-id
-# vectorization, bit_count hamming), and one round-1-only stale entry to
-# fill slot 50.  Every other query keeps its green r01-r03 row and runs
-# after slot 50.
+# vectorization, bit_count hamming) — exactly 50.  Every other query
+# keeps its green r01-r03 row and runs after slot 50.
 _VERIFY_FIRST = [
     # -- never driver-checked (r01-r03) --
     "embedding_centroids", "multimodal_audio_features", "rollup_volume",
@@ -60,7 +59,8 @@ _VERIFY_FIRST = [
 
 def _rotated(names: dict) -> list[str]:
     first = [n for n in _VERIFY_FIRST if n in names]
-    rest = [n for n in names if n not in set(first)]
+    first_set = set(first)
+    rest = [n for n in names if n not in first_set]
     return first + rest
 
 

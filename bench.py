@@ -56,24 +56,27 @@ def main() -> None:
     # (per-UDF Arrow worker spin-up, codegen JIT, VM scheduling jitter)
     # that dominates sub-second queries and doesn't exist on a warm
     # cluster. Both-pass totals are recorded for transparency.
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
     timings: dict[str, float] = {}
     pass_totals = [0.0] * passes
     errors: dict[str, str] = {}
     for name, fn in QUERIES.items():
-        best = None
+        # per-query pass times fold into pass_totals only when every
+        # pass succeeded, so the recorded totals cover the same query
+        # set and stay comparable
+        times: list[float] = []
         try:
-            for i in range(passes):
+            for _ in range(passes):
                 t0 = time.time()
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                dt = time.time() - t0
-                pass_totals[i] += dt
-                best = dt if best is None else min(best, dt)
+                times.append(time.time() - t0)
                 # free MEMORY_AND_DISK blocks between passes and queries
                 # — the next pass must recompute, not read cache
                 release_persisted()
-            timings[name] = round(best, 3)
+            timings[name] = round(min(times), 3)
+            for i, dt in enumerate(times):
+                pass_totals[i] += dt
         except Exception as e:  # one broken query must not kill the bench
             errors[name] = str(e).split("\n", 1)[0][:200]
             release_persisted()

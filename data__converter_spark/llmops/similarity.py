@@ -437,13 +437,22 @@ def kmeans_step(
     then exact integer-quantized centroid recomputation via
     :func:`label_centroids`.
 
+    Assignment is engine-portable by construction, not by luck: raw
+    float values quantize to the :data:`VEC_QUANT` integer grid (floats
+    are exactly representable — no rounding ambiguity), dot products
+    and squared norms are then EXACT integers in any engine (sums stay
+    far under 2⁵³), and the final cosine is one correctly-rounded IEEE
+    division/sqrt — so numpy and the DuckDB oracle compare identical
+    doubles, unlike a normalized-float BLAS matmul whose blocked
+    accumulation order can flip near-tie argmaxes. A zero vector gets
+    cosine 0 to every centroid and falls to the smallest-id tie rule.
+
     Output long form: (cluster, pos, n_vecs, mean_val) where cluster is
     the seed centroid's vector id. Callers loop this for full k-means;
-    each iteration is one broadcast (k·dim floats) + one Arrow
-    assignment pass + one (cluster, pos) aggregation — no shuffle of
-    the vectors themselves. Deterministic: a pure function of
-    (data, k, seed), which is what makes the DuckDB oracle replicate
-    the whole step bit-for-bit.
+    the k·dim centroid grid rides the task closure (tiny — no broadcast
+    handle to leak across Lloyd iterations), then one Arrow assignment
+    pass and one (cluster, pos) aggregation — no shuffle of the vectors
+    themselves. Deterministic: a pure function of (data, k, seed).
     """
     import numpy as np
 
@@ -459,20 +468,25 @@ def kmeans_step(
     )
     cent_rows.sort(key=lambda r: r[0])  # cluster ids ascending for tie rule
     cids = np.array([r[0] for r in cent_rows], dtype=np.int64)
-    C = np.stack([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
-    C = C / np.linalg.norm(C, axis=1, keepdims=True)
-    spark = df.sparkSession
-    bc = spark.sparkContext.broadcast((cids, C))
+    cq = np.floor(
+        np.stack([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
+        * VEC_QUANT
+        + 0.5
+    ).astype(np.int64)
+    c_norm = np.sqrt(np.einsum("ij,ij->i", cq, cq).astype(np.float64))
 
     def assign(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids, cc = bc.value
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            vq = np.floor(m * VEC_QUANT + 0.5).astype(np.int64)
+            v_norm = np.sqrt(np.einsum("ij,ij->i", vq, vq).astype(np.float64))
+            dots = (vq @ cq.T).astype(np.float64)
+            denom = np.where(v_norm > 0, v_norm, 1.0)[:, None] * c_norm[None, :]
+            cos = dots / denom
             out = pdf[[id_col, vec_col]].copy()
-            out["cluster"] = ids[(m @ cc.T).argmax(axis=1)]
+            out["cluster"] = cids[cos.argmax(axis=1)]
             yield out
 
     assigned = df.select(id_col, vec_col).mapInPandas(

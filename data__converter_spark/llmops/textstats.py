@@ -130,7 +130,13 @@ def _stopword_hits(col: str = "text") -> Column:
 
 
 def lang_scores(col: str = "text") -> dict[str, Column]:
-    """Per-language stopword-hit counts (the language-ID signal)."""
+    """Per-language stopword-hit counts (the language-ID signal) as
+    separate columns — the diagnostic/convenience form. Each selected
+    column embeds its own copy of the hit-list expression, so a
+    projection of all languages re-tokenizes once per language (HOFs
+    are codegen-fallback; cross-column subexpression elimination is not
+    guaranteed). The hot path is :func:`lang_id_col`, which binds the
+    hit list once per row."""
     hits = _stopword_hits(col)
     return {
         lang: F.size(F.filter(hits, lambda x: x == F.lit(lang)))
@@ -687,8 +693,11 @@ def chunk_text(
 
     Output: (``id_col``, chunk_id, chunk, n_chunk_tokens).
     """
-    if overlap >= chunk_tokens:
-        raise ValueError("overlap must be smaller than chunk_tokens")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            "overlap must satisfy 0 <= overlap < chunk_tokens "
+            "(a negative overlap would skip tokens between chunks)"
+        )
     stride = chunk_tokens - overlap
     toks = tokens_col(col)
     starts = F.sequence(

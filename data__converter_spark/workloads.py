@@ -3167,21 +3167,29 @@ GROUP BY o_orderpriority
 WITH v AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
 ),
-vn AS (
-    SELECT vec_id, e,
-           list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS en
+vq AS (
+    -- VEC_QUANT integer grid (2^17): dots and squared norms below are
+    -- exact integers in any engine, so the cosine is one
+    -- correctly-rounded division — the argmax cannot diverge from the
+    -- Spark kernel's (which quantizes identically).
+    SELECT vec_id, list_transform(e, x -> floor(x * 131072.0 + 0.5)) AS q
     FROM v
 ),
 cent AS (
-    SELECT vec_id AS cid, en AS ce FROM vn
+    SELECT vec_id AS cid, q AS cq FROM vq
     ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42'), vec_id
     LIMIT 8
 ),
 assign AS (
-    SELECT vn.vec_id, cent.cid,
-           row_number() OVER (PARTITION BY vn.vec_id
-               ORDER BY list_dot_product(vn.en, cent.ce) DESC, cent.cid) AS rn
-    FROM vn CROSS JOIN cent
+    SELECT vq.vec_id, cent.cid,
+           row_number() OVER (PARTITION BY vq.vec_id
+               ORDER BY list_dot_product(vq.q, cent.cq)
+                        / (CASE WHEN sqrt(list_dot_product(vq.q, vq.q)) > 0
+                                THEN sqrt(list_dot_product(vq.q, vq.q))
+                                ELSE 1.0 END
+                           * sqrt(list_dot_product(cent.cq, cent.cq)))
+                        DESC, cent.cid) AS rn
+    FROM vq CROSS JOIN cent
 ),
 cl AS (SELECT vec_id, cid AS cluster FROM assign WHERE rn = 1),
 expl AS (

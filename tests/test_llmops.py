@@ -563,6 +563,10 @@ def test_chunk_text_covers_every_token(spark):
     # short doc -> exactly one chunk with all tokens
     d2 = [r for r in out if r["doc_id"] == 2]
     assert len(d2) == 1 and d2[0]["chunk"] == "a b" and d2[0]["n_chunk_tokens"] == 2
+    # both invalid overlap directions raise (negative would skip tokens)
+    for bad in (-1, 32, 40):
+        with pytest.raises(ValueError):
+            textstats.chunk_text(docs, chunk_tokens=32, overlap=bad)
 
 
 def test_salient_terms_ranking(spark):

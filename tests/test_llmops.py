@@ -635,3 +635,24 @@ def test_kmeans_step_partitions_corpus_and_reduces_to_mean(spark, embeddings):
         ).collect()
     }
     assert single == global_mean
+
+
+def test_kmeans_step_identical_vectors_take_smallest_centroid_id(spark):
+    """Exact cosine ties (all vectors identical) must resolve to the
+    smallest centroid id in the quantized-integer formulation — the
+    same rule the oracle's (cosine DESC, cid ASC) ordering applies."""
+    vecs = [(i, [1.0, 2.0, 3.0, 4.0], 0) for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>, label int")
+    out = similarity.kmeans_step(df, k=4, seed=42).collect()
+    clusters = {r.cluster for r in out}
+    assert len(clusters) == 1  # every vector ties -> one winning cluster
+    # and the winner is the smallest of the 4 sampled centroid ids
+    from pyspark.sql import functions as SF
+    sampled = (
+        df.withColumn(
+            "__h__",
+            SF.md5(SF.concat_ws(":", SF.col("vec_id").cast("string"), SF.lit("42"))),
+        )
+        .orderBy("__h__", "vec_id").limit(4).collect()
+    )
+    assert clusters == {min(r.vec_id for r in sampled)}

@@ -206,3 +206,28 @@ def test_chunk_text_reconstructs_token_stream(spark, texts):
             per_doc[r.doc_id] = prev + toks[3:]
     for doc_id, toks in per_doc.items():
         assert toks == texts[doc_id].split()
+
+
+@settings(**SPARK_SETTINGS)
+@given(st.lists(doc_text, min_size=1, max_size=4))
+def test_salient_terms_matches_python_reference(spark, texts):
+    """tf/df/rank agree with a direct Counter-based computation under
+    arbitrary corpora (ties resolved by (tf desc, df asc, term asc))."""
+    from collections import Counter
+
+    from data__converter_spark.llmops.textstats import salient_terms
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r.doc_id, r.rank): (r.term, r.tf, r.df)
+        for r in salient_terms(df, k=2, min_len=1).collect()
+    }
+    tfs = {
+        i: Counter(t.lower() for t in txt.split()) for i, txt in enumerate(texts)
+    }
+    dfreq = Counter(term for c in tfs.values() for term in c)
+    for i, c in tfs.items():
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], dfreq[kv[0]], kv[0]))
+        for rank, (term, tf) in enumerate(ranked[:2], start=1):
+            assert got[(i, rank)] == (term, tf, dfreq[term])
+    assert len(got) == sum(min(2, len(c)) for c in tfs.values() if c)

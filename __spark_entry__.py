@@ -27,10 +27,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # equal the first 50 QUERIES names of each round).  Round 4 rotates the
 # ordering so the driver's budget lands on the queries with the weakest
 # independent evidence: the 33 names never present in any CORRECTNESS_r*
-# file (r01-r03 union), the 11 queries new this round, and 6 whose
-# implementation changed this round (minhash front-end rewrite, lang-id
-# vectorization, bit_count hamming) — exactly 50.  Every other query
-# keeps its green r01-r03 row and runs after slot 50.
+# file (r01-r03 union), the 15 queries new this round, and the 2 deepest
+# implementation rewrites (minhash front-end, simhash bit_count) —
+# exactly 50.  Every other query keeps its green r01-r03 row and runs
+# after slot 50; the remaining changed-but-green queries
+# (dedup_near_keep/components/cc_keep, text_lang_id, dedup_ngram_jaccard)
+# passed the local oracle gate on the new code and rotate in next round.
 _VERIFY_FIRST = [
     # -- never driver-checked (r01-r03) --
     "embedding_centroids", "multimodal_audio_features", "rollup_volume",
@@ -48,12 +50,10 @@ _VERIFY_FIRST = [
     "stream_range_join", "pack_sequences", "chunk_text", "salient_terms",
     "returned_revenue", "late_shipments", "rolling_revenue_30d",
     "kmeans_step", "corpus_vocab_stats", "price_deciles", "priority_waiting",
-    # -- implementation changed this round (minhash front-end rewrite,
-    #    lang-id vectorization, bit_count hamming): re-verify --
-    # (dedup_ngram_jaccard also changed — persist routing only — but the
-    # 50-slot budget is full; it keeps its green r03 row)
-    "dedup_minhash_lsh", "dedup_near_keep", "dedup_components",
-    "dedup_cc_keep", "dedup_simhash", "text_lang_id",
+    "local_supplier_volume", "market_share", "order_count_distribution",
+    "idle_rich_customers",
+    # -- deepest rewrites this round: re-verify --
+    "dedup_minhash_lsh", "dedup_simhash",
 ]
 
 

@@ -1762,6 +1762,128 @@ def q_price_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue from orders where customer and supplier
+    share a nation, per ASIA nation over one year. The only big join
+    is lineitem⋈orders on the order key; customer, supplier, nation,
+    region all broadcast, and the same-nation predicate prunes rows
+    before the final tiny aggregate."""
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    cust = _load(spark, sf_dir, "customer")
+    supp = _load(spark, sf_dir, "supplier")
+    nation = _load(spark, sf_dir, "nation")
+    region = _load(spark, sf_dir, "region")
+    ord_f = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    asia = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey", "n_name")
+    joined = (
+        li.join(ord_f, li.l_orderkey == ord_f.o_orderkey)
+        .join(F.broadcast(cust), ord_f.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    rev = cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return (
+        joined.groupBy("n_name")
+        .agg(money(F.sum(rev)).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: each nation's share of yearly PROMO-part revenue.
+    Fact side pre-filters through the broadcast part dim; the share is
+    a window total over the per-(year, nation) aggregate — exact cents
+    divided once at the edge, so the double is engine-identical."""
+    from pyspark.sql import Window
+
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part")
+    supp = _load(spark, sf_dir, "supplier")
+    nation = _load(spark, sf_dir, "nation")
+    rev = cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    base = (
+        li.join(F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+                li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(F.year("l_shipdate").alias("yr"), "n_name", rev.alias("rc"))
+    )
+    agg = base.groupBy("yr", "n_name").agg(F.sum("rc").alias("nation_cents"))
+    w = Window.partitionBy("yr")
+    return agg.select(
+        "yr",
+        "n_name",
+        money(F.col("nation_cents")).alias("nation_rev"),
+        (
+            F.col("nation_cents").cast("double")
+            / F.sum("nation_cents").over(w).cast("double")
+        ).alias("share"),
+    )
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by how many orders
+    they placed, INCLUDING zero-order customers (left join, count of
+    the nullable key). Two aggregations: per-customer count (map-side
+    combinable), then the tiny histogram."""
+    cust = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and no RECENT orders (none since 2000 — every synthetic customer
+    has some order, so the dormancy window keeps the anti-join
+    non-trivial), rolled up per market segment. The scalar average is
+    a 1-row aggregate cross-joined in (exact integer cents divided
+    once, engine-identical); the dormancy test is a left-anti join on
+    the customer key against the date-filtered orders."""
+    cust = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(cents("c_acctbal")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_cents")
+        )
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        cents(F.col("c_acctbal")).cast("double") > F.col("avg_cents")
+    )
+    idle = rich.join(
+        orders.select("o_custkey"), rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            money(F.sum(cents("c_acctbal"))).alias("total_bal"),
+        )
+    )
+
+
 def q_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE deciles of order price WITHIN each priority — the
     partitioned form that scales (a global ntile would sort the world
@@ -2291,6 +2413,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_vocab_stats": q_corpus_vocab_stats,
     "price_deciles": q_price_deciles,
     "priority_waiting": q_priority_waiting,
+    "local_supplier_volume": q_local_supplier_volume,
+    "market_share": q_market_share,
+    "order_count_distribution": q_order_count_distribution,
+    "idle_rich_customers": q_idle_rich_customers,
     "chunk_text": q_chunk_text,
     "salient_terms": q_salient_terms,
     "returned_revenue": q_returned_revenue,
@@ -3146,6 +3272,64 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_paras_kept
 FROM kept WHERE rn = 1
 GROUP BY doc_id
+""",
+    "local_supplier_volume": f"""
+SELECT n_name, {_sql_money(f"sum({_sql_cents('l_extendedprice * (1.0 - l_discount)')})")} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+""",
+    "market_share": f"""
+WITH agg AS (
+    SELECT CAST(year(l_shipdate) AS INT) AS yr, n_name,
+           sum({_sql_cents('l_extendedprice * (1.0 - l_discount)')}) AS nation_cents
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_type = 'PROMO'
+    GROUP BY year(l_shipdate), n_name
+)
+SELECT yr, n_name,
+       {_sql_money('nation_cents')} AS nation_rev,
+       CAST(nation_cents AS DOUBLE)
+           / CAST(sum(nation_cents) OVER (PARTITION BY yr) AS DOUBLE) AS share
+FROM agg
+""",
+    "order_count_distribution": """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    "idle_rich_customers": f"""
+WITH avg_bal AS (
+    SELECT CAST(sum({_sql_cents('c_acctbal')}) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS avg_cents
+    FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS numcust,
+       {_sql_money(f"sum({_sql_cents('c_acctbal')})")} AS total_bal
+FROM customer, avg_bal
+WHERE CAST({_sql_cents('c_acctbal')} AS DOUBLE) > avg_cents
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
 """,
     "price_deciles": """
 SELECT o_orderkey, o_orderpriority,

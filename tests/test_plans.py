@@ -251,6 +251,33 @@ def test_returned_revenue_preaggregates_and_takeordered(spark):
     assert "partial_sum" in p and "l_orderkey" in p
 
 
+def test_local_supplier_volume_broadcasts_every_dim(spark):
+    """Q5 shape: the only shuffle join is lineitem⋈orders; customer,
+    supplier, nation+region all arrive as broadcasts."""
+    from data__converter_spark.workloads import QUERIES
+
+    p = plan_of(QUERIES["local_supplier_volume"](spark, SF_DIR))
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+
+
+def test_order_count_distribution_keeps_zero_counts(spark):
+    """Q13 shape: the customer side must survive as a LEFT join (zero-
+    order customers count), and both aggregations are hash aggregates
+    with partials."""
+    from data__converter_spark.workloads import QUERIES
+
+    df = QUERIES["order_count_distribution"](spark, SF_DIR)
+    p = plan_of(df)
+    assert "LeftOuter" in p or "BuildRight" in p  # outer join retained
+    assert "partial_count" in p
+    rows = {r["c_count"]: r["custdist"] for r in df.collect()}
+    # sf0.001 has customers; every customer appears in exactly one bucket
+    from data__converter_spark.workloads import _load
+
+    assert sum(rows.values()) == _load(spark, SF_DIR, "customer").count()
+
+
 def test_no_bare_persist_in_package():
     """Every cache in the package must route through scale.persisted()
     so release_persisted() can free it — a bare .persist() leaks blocks

@@ -84,3 +84,59 @@ def run_to_parquet(
         .start()
     )
     q.awaitTermination(timeout_s)
+
+
+def run_cdc_upsert(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    key: str | list[str],
+    order_col: str | None = None,
+    timeout_s: int = 120,
+) -> None:
+    """Stream -> keyed-table CDC sink via ``foreachBatch``: every
+    micro-batch merges into the parquet table at ``table_path`` with
+    updates-win semantics (:func:`data__converter_spark.compare.upsert`
+    — batch rows replace same-key rows, new keys append).
+
+    Exactly-once comes from the checkpoint WAL plus an idempotent
+    batch body: Structured Streaming replays an uncommitted epoch with
+    the SAME batch_id after a crash, and re-merging an already-merged
+    batch is a no-op for upsert (same keys, same rows win again). The
+    merge rewrites the table through a temp directory because a parquet
+    overwrite cannot read its own input; a deployment swaps the body
+    for ``MERGE INTO`` on a Delta/Iceberg table — the stream-side call
+    shape is identical. Within one batch, several versions of a key
+    collapse first via :func:`dedup_last_wins` — pass ``order_col``
+    (e.g. an event id or sequence) to make "last" well-defined; without
+    it the fallback is file order, which replays identically for a file
+    source but is NOT stable for an unordered queue source.
+    """
+    import os
+    import shutil
+
+    from ..compare import dedup_last_wins, upsert
+
+    keys = [key] if isinstance(key, str) else key
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = dedup_last_wins(batch_df, keys, order_col=order_col)
+        if os.path.isdir(table_path):
+            base = spark.read.parquet(table_path)
+            merged = upsert(base, batch.select(*base.columns), keys)
+        else:
+            merged = batch
+        tmp = f"{table_path}.__staging__"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(table_path):
+            shutil.rmtree(table_path)
+        os.replace(tmp, table_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)

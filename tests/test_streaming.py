@@ -265,3 +265,36 @@ def test_stream_checkpoint_restart_no_reprocess(spark, tmp_path):
     n2 = spark.read.parquet(out).count()
     batch_n = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
     assert n1 == n2 == batch_n
+
+
+def test_cdc_upsert_sink_merges_and_resumes(spark, tmp_path):
+    """foreachBatch CDC sink: the streamed events merge into a keyed
+    parquet table with updates-win semantics, and a second run over the
+    same checkpoint finds no new offsets and leaves the table
+    unchanged (exactly-once at the table level)."""
+    from data__converter_spark.streaming.runner import (
+        read_events_stream,
+        run_cdc_upsert,
+    )
+
+    table = str(tmp_path / "events_table")
+    ckpt = str(tmp_path / "ckpt")
+    src = read_events_stream(spark, SF)
+    run_cdc_upsert(src, table, ckpt, key="event_id", order_col="event_id")
+
+    batch = spark.read.parquet(f"{SF}/events.parquet")
+    out = spark.read.parquet(table)
+    assert out.count() == batch.select("event_id").distinct().count()
+    assert sorted(out.columns) == sorted(batch.columns)
+
+    # replay over the same checkpoint: no new offsets -> table unchanged
+    before = sorted(r["event_id"] for r in out.select("event_id").collect())
+    run_cdc_upsert(
+        read_events_stream(spark, SF), table, ckpt,
+        key="event_id", order_col="event_id",
+    )
+    after = sorted(
+        r["event_id"]
+        for r in spark.read.parquet(table).select("event_id").collect()
+    )
+    assert before == after

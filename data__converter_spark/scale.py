@@ -120,6 +120,54 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def _broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """The session's ``spark.sql.autoBroadcastJoinThreshold`` in bytes
+    (-1 = broadcasting disabled). Accepts the bare-number and size-suffix
+    forms Spark itself accepts ('10485760', '10MB', '10m', '-1')."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    units = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    for suffix in ("kb", "mb", "gb", "tb", "k", "m", "g", "t", "b"):
+        if raw.endswith(suffix):
+            return int(float(raw[: -len(suffix)]) * units[suffix[0]])
+    return int(raw)
+
+
+def maybe_broadcast(df: DataFrame, threshold_bytes: int | None = None) -> DataFrame:
+    """Size-gated broadcast hint for dimensions that GROW with the data.
+
+    A bare ``F.broadcast(dim)`` is a scale bug when ``dim`` scales with
+    the corpus (TPC-H customer/supplier/part at 100 TB are GBs–TBs): the
+    hint bypasses AQE's size check, so instead of degrading to a
+    sort-merge join the plan hard-fails at the 8 GB broadcast ceiling /
+    driver OOM. This helper asks Catalyst for its own plan-time size
+    estimate (``optimizedPlan().stats().sizeInBytes`` — statistics only,
+    no action, no extra scan) and applies the hint only when the
+    estimate fits under ``threshold_bytes`` (default: the session's
+    ``autoBroadcastJoinThreshold``, so ``-1`` — broadcasting disabled —
+    never hints). Over the threshold the frame is returned unhinted and
+    the planner/AQE picks SMJ or shuffled-hash.
+
+    Constant-size dims (nation = 25 rows, region = 5 forever) should
+    keep their unconditional ``F.broadcast`` — this gate is for
+    SF-scaled relations only.
+    """
+    spark = df.sparkSession
+    if threshold_bytes is None:
+        try:
+            threshold_bytes = _broadcast_threshold_bytes(spark)
+        except Exception:
+            threshold_bytes = 10 << 20
+    if threshold_bytes < 0:
+        return df
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return df  # size unknown: never force a broadcast blindly
+    return F.broadcast(df) if est <= threshold_bytes else df
+
+
 def salt_col(n_salts: int, *cols: str, seed: int = 42) -> Column:
     """Deterministic salt in [0, n_salts) from row content (stable
     across retries, unlike rand())."""

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import compare
+from .scale import maybe_broadcast
 
 # ---------------------------------------------------------------------------
 # engine-portable money arithmetic
@@ -1113,7 +1114,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
     )
     return (
-        rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey)
+        rev.join(maybe_broadcast(cust), rev.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -1138,7 +1139,7 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = _load(spark, sf_dir, "region")
     vol = cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(maybe_broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -1208,7 +1209,7 @@ def q_rollup_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = _load(spark, sf_dir, "nation")
     reg = _load(spark, sf_dir, "region")
     joined = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(maybe_broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
     )
@@ -1619,7 +1620,7 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _load(spark, sf_dir, "lineitem")
     part = _load(spark, sf_dir, "part")
     rev = cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
     return (
         joined.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
         .agg(
@@ -1725,8 +1726,8 @@ def q_bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = (F.col("supp_nation") < F.col("cust_nation"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nkey"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -1784,8 +1785,8 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_nationkey", "n_name")
     joined = (
         li.join(ord_f, li.l_orderkey == ord_f.o_orderkey)
-        .join(F.broadcast(cust), ord_f.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(maybe_broadcast(cust), ord_f.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey"))
     )
@@ -1810,9 +1811,9 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _load(spark, sf_dir, "nation")
     rev = cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
     base = (
-        li.join(F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+        li.join(maybe_broadcast(part.filter(F.col("p_type") == "PROMO")),
                 li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(maybe_broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select(F.year("l_shipdate").alias("yr"), "n_name", rev.alias("rc"))
     )
@@ -2026,7 +2027,7 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(money(F.sum("rev_cents")).alias("revenue"))
     )
     return (
-        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        per_cust.join(maybe_broadcast(cust), per_cust.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .select("c_custkey", "c_name", "n_name", "c_acctbal", "revenue")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -2112,7 +2113,7 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -2224,7 +2225,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),

@@ -70,6 +70,80 @@ def test_star_join_broadcasts_all_dims(spark):
     assert p.count("Exchange hashpartitioning") == 1
 
 
+# Every TPC-H-shape query that joins an SF-scaled dimension
+# (customer / supplier / part — tables that are GBs-TBs at 100 TB).
+# Their hints go through scale.maybe_broadcast, which consults the
+# optimizer's size estimate: at test SF the dims broadcast; when no
+# relation qualifies (the 100 TB case, emulated by no_broadcast) the
+# plan MUST degrade to a shuffle join instead of hard-failing at the
+# 8 GB broadcast ceiling — a forced F.broadcast hint cannot do that.
+_SF_SCALED_DIM_QUERIES = [
+    "top_customers",
+    "nation_volume",
+    "rollup_volume",
+    "promo_revenue",
+    "bilateral_trade",
+    "local_supplier_volume",
+    "market_share",
+    "returned_revenue",
+    "large_orders",
+    "shipping_priority",
+]
+
+
+def test_sf_scaled_dims_broadcast_small_and_degrade_large(spark):
+    from data__converter_spark.workloads import QUERIES
+
+    no_hint_small, no_degrade_big = [], []
+    for name in _SF_SCALED_DIM_QUERIES:
+        p_small = plan_of(QUERIES[name](spark, SF_DIR))
+        if "BroadcastHashJoin" not in p_small:
+            no_hint_small.append(name)
+        with no_broadcast(spark):
+            p_big = plan_of(QUERIES[name](spark, SF_DIR))
+        # constant dims (nation/region, 25 + 5 rows forever) keep their
+        # unconditional hints even here — but every SF-scaled dim must
+        # demote, so the BHJ count strictly drops and a shuffle join
+        # (never a nested loop) takes over.
+        demoted = p_big.count("BroadcastHashJoin") < p_small.count(
+            "BroadcastHashJoin"
+        )
+        shuffled = ("SortMergeJoin" in p_big) or ("ShuffledHashJoin" in p_big)
+        if not (demoted and shuffled) or "NestedLoop" in p_big:
+            no_degrade_big.append(name)
+    assert not no_hint_small, f"should broadcast dims at small sf: {no_hint_small}"
+    assert not no_degrade_big, (
+        f"must degrade to shuffle join with broadcasting off: {no_degrade_big}"
+    )
+
+
+def test_maybe_broadcast_gates_on_size(spark):
+    from data__converter_spark.scale import maybe_broadcast
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    # tiny frame under the default threshold: hint applies
+    p = plan_of(
+        orders.join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    assert "BroadcastHashJoin" in p
+    # explicit 1-byte threshold: frame exceeds it, no hint, shuffle join
+    joined = orders.join(
+        maybe_broadcast(cust, threshold_bytes=1),
+        orders.o_custkey == cust.c_custkey,
+    )
+    with no_broadcast(spark):
+        p2 = plan_of(joined)
+    assert "BroadcastHashJoin" not in p2
+    assert ("SortMergeJoin" in p2) or ("ShuffledHashJoin" in p2)
+    # threshold -1 (broadcast disabled session-wide): never hints
+    with no_broadcast(spark):
+        p3 = plan_of(
+            orders.join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
+        )
+    assert "BroadcastHashJoin" not in p3
+
+
 def test_top_customers_broadcast_and_takeordered(spark):
     from data__converter_spark.workloads import q_top_customers
 

@@ -111,6 +111,14 @@ def run_cdc_upsert(
     (e.g. an event id or sequence) to make "last" well-defined; without
     it the fallback is file order, which replays identically for a file
     source but is NOT stable for an unordered queue source.
+
+    The table swap is crash-safe at every interruption point: the old
+    table is renamed aside (never deleted) only AFTER the staging write
+    fully commits (``_SUCCESS``), and the merge body first recovers any
+    half-finished swap — a complete staging dir with no live table is
+    the committed merge of the epoch being replayed, so it is promoted
+    before the base read rather than discarded (which would silently
+    drop every previously merged key).
     """
     import os
     import shutil
@@ -118,20 +126,36 @@ def run_cdc_upsert(
     from ..compare import dedup_last_wins, upsert
 
     keys = [key] if isinstance(key, str) else key
+    tmp = f"{table_path}.__staging__"
+    bak = f"{table_path}.__bak__"
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # -- crash recovery: finish or discard a half-done swap --------
+        if not os.path.isdir(table_path) and os.path.exists(
+            os.path.join(tmp, "_SUCCESS")
+        ):
+            # died between renaming the old table aside and promoting
+            # staging: staging IS the committed merge — promote it, and
+            # the replayed batch below re-merges idempotently.
+            os.replace(tmp, table_path)
+        if os.path.isdir(bak):
+            shutil.rmtree(bak)  # completed swap whose cleanup didn't run
+        # -- merge ----------------------------------------------------
         batch = dedup_last_wins(batch_df, keys, order_col=order_col)
         if os.path.isdir(table_path):
             base = spark.read.parquet(table_path)
             merged = upsert(base, batch.select(*base.columns), keys)
         else:
             merged = batch
-        tmp = f"{table_path}.__staging__"
         merged.write.mode("overwrite").parquet(tmp)
+        # staging is durable (_SUCCESS) before the old table moves; the
+        # no-live-table window is covered by the recovery above.
         if os.path.isdir(table_path):
-            shutil.rmtree(table_path)
+            os.replace(table_path, bak)
         os.replace(tmp, table_path)
+        if os.path.isdir(bak):
+            shutil.rmtree(bak)
 
     q = (
         stream_df.writeStream.foreachBatch(merge)

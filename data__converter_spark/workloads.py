@@ -1483,6 +1483,47 @@ def q_stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_cdc_base(ev: DataFrame) -> DataFrame:
+    """Deterministic pre-stream table for the CDC-upsert shapes: stale
+    copies of every (event_id % 17 == 0) row with a sentinel value
+    (the streamed rows must REPLACE them — updates win) plus synthetic
+    keys event_id + 10^9 for (event_id % 23 == 0) rows (absent from the
+    stream — must pass through the merge untouched)."""
+    k = F.col("event_id")
+    stale = ev.filter(k % 17 == 0).withColumn("value", F.lit(-1.0))
+    extra = ev.filter(k % 23 == 0).withColumn(
+        "event_id", (k + F.lit(1000000000)).cast("bigint")
+    )
+    return stale.unionByName(extra)
+
+
+def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the streaming CDC-upsert sink
+    (streaming/runner.py:run_cdc_upsert), like the other five stream_*
+    shapes: the sink's foreachBatch body is dedup_last_wins +
+    compare.upsert per micro-batch, and with availableNow over one file
+    the whole stream is a single batch — so the merged table equals the
+    one batch-mode merge this query runs over the same base
+    (events_cdc_base). Stream/batch row equivalence on the REAL
+    readStream path is pinned by
+    tests/test_streaming.py::test_cdc_upsert_stream_equals_batch_form."""
+    from .session import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    base = events_cdc_base(ev)
+    batch = compare.dedup_last_wins(ev, "event_id", order_col="event_id")
+    merged = compare.upsert(base, batch.select(*base.columns), "event_id")
+    return merged.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        cents("value").alias("value_cents"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )
+
+
 def q_skew_salted_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation (scale.salted_agg) on the 5-value
     event_type key — the max-skew shape where one reduce key would
@@ -2382,6 +2423,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_suppliers": q_distinct_suppliers,
     "pivot_event_counts": q_pivot_event_counts,
     "stream_dedup_first": q_stream_dedup_first,
+    "stream_cdc_upsert": q_stream_cdc_upsert,
     "skew_salted_totals": q_skew_salted_totals,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "topk_per_group": q_topk_per_group,
@@ -3149,6 +3191,25 @@ SELECT user_id, event_type,
        CAST(count(*) AS BIGINT) AS n_events
 FROM events
 GROUP BY user_id, event_type
+""",
+    "stream_cdc_upsert": f"""
+WITH base AS (
+    SELECT event_id, user_id, event_type, -1.0 AS value, ts
+    FROM events WHERE event_id % 17 = 0
+    UNION ALL
+    SELECT CAST(event_id + 1000000000 AS BIGINT), user_id, event_type, value, ts
+    FROM events WHERE event_id % 23 = 0
+),
+merged AS (
+    SELECT event_id, user_id, event_type, value, ts FROM events
+    UNION ALL
+    SELECT b.* FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.event_id = b.event_id)
+)
+SELECT event_id, user_id, event_type,
+       {_sql_cents('value')} AS value_cents,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM merged
 """,
     "skew_salted_totals": f"""
 SELECT event_type,

@@ -298,3 +298,85 @@ def test_cdc_upsert_sink_merges_and_resumes(spark, tmp_path):
         for r in spark.read.parquet(table).select("event_id").collect()
     )
     assert before == after
+
+
+def test_cdc_upsert_stream_equals_batch_form(spark, tmp_path):
+    """The REAL streaming path (readStream -> foreachBatch merge ->
+    atomic table swap) over events_cdc_base produces row-for-row the
+    same table as the batch-mode merge the stream_cdc_upsert oracle
+    query runs — the stream/batch equivalence contract behind that
+    oracle entry."""
+    from data__converter_spark import compare
+    from data__converter_spark.session import load_events
+    from data__converter_spark.streaming.runner import (
+        read_events_stream,
+        run_cdc_upsert,
+    )
+    from data__converter_spark.workloads import events_cdc_base
+
+    cols = ["event_id", "user_id", "event_type", "value", "ts"]
+    ev = load_events(spark, SF).select(*cols)
+    base = events_cdc_base(ev)
+
+    table = str(tmp_path / "cdc_table")
+    base.write.parquet(table)
+    run_cdc_upsert(
+        read_events_stream(spark, SF).select(*cols),
+        table, str(tmp_path / "ckpt"),
+        key="event_id", order_col="event_id",
+    )
+    streamed = spark.read.parquet(table)
+
+    batch_merged = compare.upsert(
+        base, compare.dedup_last_wins(ev, "event_id", order_col="event_id"),
+        "event_id",
+    )
+    got = sorted(map(tuple, streamed.select(*cols).collect()))
+    want = sorted(map(tuple, batch_merged.select(*cols).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_cdc_upsert_recovers_half_finished_swap(spark, tmp_path):
+    """Crash-safety of the CDC table swap: a crash between renaming the
+    old table aside and promoting staging leaves staging (the committed
+    merge) but no live table. The next merge must PROMOTE that staging
+    before reading the base — discarding it would silently drop every
+    previously merged key (the data-loss scenario this pins)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data__converter_spark.streaming.runner import (
+        read_events_stream,
+        run_cdc_upsert,
+    )
+
+    table = str(tmp_path / "events_table")
+    batch = spark.read.parquet(f"{SF}/events.parquet")
+    # a base table holding keys the stream will never deliver
+    base = batch.limit(2).withColumn(
+        "event_id", F.col("event_id") * F.lit(-1) - F.lit(1)
+    )
+    base.write.parquet(table)
+    kept = {r["event_id"] for r in spark.read.parquet(table).collect()}
+    assert all(k < 0 for k in kept) and kept
+
+    # simulate the mid-swap crash: staging fully committed (_SUCCESS),
+    # old table renamed aside, promotion never happened
+    os.rename(table, f"{table}.__staging__")
+    os.makedirs(f"{table}.__bak__")
+    assert os.path.exists(f"{table}.__staging__/_SUCCESS")
+
+    run_cdc_upsert(
+        read_events_stream(spark, SF), table, str(tmp_path / "ckpt2"),
+        key="event_id", order_col="event_id",
+    )
+    out_ids = {r["event_id"] for r in spark.read.parquet(table).collect()}
+    assert kept <= out_ids, "previously merged keys lost in crash recovery"
+    assert out_ids - kept == {
+        r["event_id"] for r in batch.select("event_id").distinct().collect()
+    }
+    assert not os.path.exists(f"{table}.__bak__")
+    assert not os.path.exists(f"{table}.__staging__")
+    shutil.rmtree(table, ignore_errors=True)

@@ -293,6 +293,56 @@ def _md5_32_col(c: Column) -> Column:
     )
 
 
+def _hs_udf(k: int):
+    """Arrow kernel: text -> sorted distinct md5-32 shingle-hash array
+    (NULL when the doc has < k tokens). One pass; the hash-set math
+    downstream (signature mins, array_intersect/union sizes) is
+    order-independent, the sort just makes the frame deterministic."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def hs(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            s = _shingle_hashes(t, k)
+            out.append(sorted(s) if s else None)
+        return pd.Series(out)
+
+    return hs
+
+
+def _hs_sig_udf(k: int, num_hashes: int, seed: int):
+    """Fused Arrow kernel: text -> (hs, sig) in ONE Python stage —
+    tokenize, shingle, md5-32, and the numpy permutation mins all on
+    the same batch, so the corpus crosses the Arrow boundary once and
+    the plan has a single Python eval for the whole MinHash front-end
+    (the split hs-kernel + sig-kernel form costs a second Arrow
+    round-trip over every hash array). NULL struct when < k tokens."""
+    from pyspark.sql.functions import pandas_udf
+
+    coeffs = _perm_coeffs(num_hashes, seed)
+
+    @pandas_udf("struct<hs: array<long>, sig: array<long>>")
+    def hs_sig(texts: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+        B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+        hs_out, sig_out = [], []
+        for t in texts:
+            s = _shingle_hashes(t, k)
+            if not s:
+                hs_out.append(None)
+                sig_out.append(None)
+                continue
+            hv = np.fromiter(s, dtype=np.int64)
+            hs_out.append(np.sort(hv))
+            sig_out.append(((A * hv[None, :] + B) % _MERSENNE_P).min(axis=1))
+        return pd.DataFrame({"hs": hs_out, "sig": sig_out})
+
+    return hs_sig
+
+
 def _shingle_hash_sets(df: DataFrame, col: str, id_col: str, k: int) -> DataFrame:
     """(id, hs): distinct md5-32 shingle-hash set per document.
 
@@ -300,16 +350,15 @@ def _shingle_hash_sets(df: DataFrame, col: str, id_col: str, k: int) -> DataFram
     permute these hashes, band buckets slice the signatures, and the
     exact-Jaccard verify intersects the same hash sets, so text is
     tokenized once and shingle strings never leave this projection.
-    The md5 runs JVM-side over the shingle array (a fully-JVM
-    higher-order tokenize+concat variant measured 4× slower —
-    interpreted HOF string building; the Arrow shingle kernel +
-    builtin md5 split wins)."""
-    return df.select(
-        F.col(id_col),
-        F.array_distinct(
-            F.transform(shingles_col(col, k), _md5_32_col)
-        ).alias("hs"),
-    ).filter(F.size("hs") > 0)
+    ONE Arrow kernel does tokenize -> shingle -> md5-32: the earlier
+    split (Arrow shingle-string kernel + JVM ``transform(md5)``)
+    shipped every shingle string through Arrow and evaluated the md5
+    HOF interpreted per shingle — ~1.8× slower at sf0.1 and worse at
+    scale, where the interpreted HOF cannot enter codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    return df.select(F.col(id_col), _hs_udf(k)(c).alias("hs")).filter(
+        F.col("hs").isNotNull()
+    )
 
 
 def _sig_from_hs_udf(num_hashes: int, seed: int):
@@ -368,6 +417,8 @@ def minhash_lsh_pairs(
     hashed, _sigs, cand = _minhash_candidates(
         df, col, id_col, k, num_hashes, bands, seed, max_bucket_size
     )
+    # hashed/sigs are projections of ONE persisted frame — the verify
+    # joins below re-read cached partitions, never the text kernel
     # exact-Jaccard verification only on the (small) candidate set
     sh_a = hashed.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
     sh_b = hashed.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
@@ -390,16 +441,14 @@ def _minhash_candidates(
     bands: int,
     seed: int,
     max_bucket_size: int | None = None,
-    persist_sigs: bool = False,
 ):
     """Shared LSH front half: (shingle-hash sets, signatures, candidate
-    pairs). The hash-set frame is persisted — it feeds the signature
-    kernel AND both sides of the verification join, and is the only
-    pass over the text. Signatures are persisted only when the caller
-    reads them again downstream (``persist_sigs`` —
-    :func:`minhash_estimate_error`); :func:`minhash_lsh_pairs` reads
-    them once (into the banded frame), where a persist is pure
-    serialization overhead.
+    pairs). Hash sets AND signatures come out of one fused Arrow
+    kernel (:func:`_hs_sig_udf`) into one persisted frame — the single
+    pass over the text, read again by the band slicer and both sides
+    of the verification join, so neither kernel can re-run per plan
+    branch (the earlier split-kernel form showed 12 signature-kernel
+    nodes in the executed plan).
 
     ``max_bucket_size`` drops band buckets with more than that many
     members before the self-join — the f² blowup guard for degenerate
@@ -408,14 +457,19 @@ def _minhash_candidates(
     members of a dropped bucket can still pair through their other
     bands. Default None keeps exact banded-LSH semantics."""
     rows_per_band = num_hashes // bands
-    from ..scale import persisted
+    from ..scale import fan_out, persisted
 
-    hashed = persisted(_shingle_hash_sets(df, col, id_col, k))
-    sigs = hashed.select(
-        F.col(id_col), _sig_from_hs_udf(num_hashes, seed)(F.col("hs")).alias("sig")
-    ).filter(F.col("sig").isNotNull())
-    if persist_sigs:
-        sigs = persisted(sigs)
+    front = persisted(
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            _hs_sig_udf(k, num_hashes, seed)(F.col(col)).alias("x"),
+        )
+        .filter(F.col("x.hs").isNotNull())
+        .select(F.col(id_col), F.col("x.hs").alias("hs"), F.col("x.sig").alias("sig"))
+    )
+    hashed = front.select(id_col, "hs")
+    sigs = front.select(id_col, "sig")
 
     # band buckets carry only (id, band, bucket) — the shingle arrays
     # never enter this shuffle (they'd be duplicated `bands`× otherwise).
@@ -479,7 +533,7 @@ def minhash_estimate_error(
     floor(|est−jac|·1000+0.5)) so the comparison is engine-portable.
     """
     hashed, sigs, cand = _minhash_candidates(
-        df, col, id_col, k, num_hashes, bands, seed, persist_sigs=True
+        df, col, id_col, k, num_hashes, bands, seed
     )
     sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sig_b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))

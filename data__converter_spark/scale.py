@@ -168,6 +168,19 @@ def maybe_broadcast(df: DataFrame, threshold_bytes: int | None = None) -> DataFr
     return F.broadcast(df) if est <= threshold_bytes else df
 
 
+def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Round-robin repartition a too-narrow frame before a CPU-heavy
+    Arrow kernel. A small parquet file scans as ONE partition, so a
+    downstream kernel runs single-task no matter how many cores exist;
+    at real scale the scan already has >= core-count splits and this
+    is a plan-time no-op (returns ``df`` unchanged when it is already
+    at least ``parts`` wide — no shuffle is added)."""
+    target = parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def salt_col(n_salts: int, *cols: str, seed: int = 42) -> Column:
     """Deterministic salt in [0, n_salts) from row content (stable
     across retries, unlike rand())."""

@@ -609,6 +609,18 @@ def test_minhash_signature_paths_agree(spark, dup_docs):
     # doc 5 has < 3 tokens: direct yields NULL and split yields no row
     assert direct[5] is None
     assert {k: v for k, v in direct.items() if v is not None} == split
+    # the fused (hs, sig) kernel the LSH front-end actually runs must
+    # agree with both, and its hs must equal the split pipeline's sets
+    fused = {
+        r["doc_id"]: (r["x"]["hs"], r["x"]["sig"])
+        for r in dup_docs.select(
+            "doc_id", dedup._hs_sig_udf(3, 64, 42)("text").alias("x")
+        ).collect()
+        if r["x"]["hs"] is not None
+    }
+    assert {k: v[1] for k, v in fused.items()} == split
+    hs_split = {r["doc_id"]: r["hs"] for r in hashed.collect()}
+    assert {k: v[0] for k, v in fused.items()} == hs_split
 
 
 def test_kmeans_step_partitions_corpus_and_reduces_to_mean(spark, embeddings):

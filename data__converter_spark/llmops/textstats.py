@@ -731,17 +731,28 @@ def salient_terms(
     id_col: str = "doc_id",
     k: int = 3,
     min_len: int = 3,
+    scoring: str = "tfdf",
 ) -> DataFrame:
-    """Top-``k`` most salient terms per document — tf-idf ranked without
-    the transcendental: order by (tf desc, df asc, term asc), which
-    sorts identically to tf·log(N/df) for fixed tf and is integer-exact
-    across engines. Tokens shorter than ``min_len`` chars drop
-    (articles/punctuation noise).
+    """Top-``k`` most salient terms per document.
+
+    ``scoring`` picks the rank order — the two are NOT equivalent:
+
+    - ``"tfdf"`` (default): order by (tf desc, df asc, term asc). A
+      tf-idf PROXY that is integer-exact across engines: it sorts
+      identically to tf·log(N/df) only at fixed tf — across differing
+      tf a high-df high-tf term can outrank a rarer informative one.
+    - ``"tfidf"``: true tf·log(N/df) with N = number of documents
+      holding at least one qualifying term. The double score is used
+      for ordering only; the emitted columns stay integers.
+
+    Tokens shorter than ``min_len`` chars drop (articles/punctuation
+    noise).
 
     Scale shape: one (id, term) count aggregation, a document-frequency
     aggregation on term joined back (term vocabulary ≪ corpus; Catalyst
-    broadcasts when small), and a per-document top-k window. Stop-term
-    hot keys in the df join are AQE-skew-splittable.
+    broadcasts when small), and a per-document top-k window; tfidf adds
+    one 1-row broadcast scalar (N). Stop-term hot keys in the df join
+    are AQE-skew-splittable.
 
     Output: (``id_col``, term, tf, df, rank).
     """
@@ -753,12 +764,26 @@ def salient_terms(
     ).filter(F.length("term") >= min_len)
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    w = W.partitionBy(id_col).orderBy(
-        F.desc("tf"), F.asc("df"), F.asc("term")
-    )
+    joined = tf.join(dfreq, "term")
+    if scoring == "tfdf":
+        w = W.partitionBy(id_col).orderBy(
+            F.desc("tf"), F.asc("df"), F.asc("term")
+        )
+    elif scoring == "tfidf":
+        n_docs = tf.select(id_col).distinct().agg(
+            F.count(F.lit(1)).cast("double").alias("__n_docs__")
+        )
+        joined = joined.crossJoin(F.broadcast(n_docs))
+        score = F.col("tf") * F.log(F.col("__n_docs__") / F.col("df"))
+        # equal scores arise only at equal (tf, df); the trailing keys
+        # make the rank deterministic there
+        w = W.partitionBy(id_col).orderBy(
+            F.desc(score), F.desc("tf"), F.asc("term")
+        )
+    else:
+        raise ValueError(f"unknown scoring {scoring!r} (tfdf | tfidf)")
     return (
-        tf.join(dfreq, "term")
-        .select(
+        joined.select(
             id_col,
             "term",
             F.col("tf").cast("bigint"),

@@ -2031,13 +2031,26 @@ def q_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document salient terms (textstats.salient_terms): tf-idf
-    ranking without the log — (tf desc, df asc, term) sorts identically
-    for fixed tf and stays integer-exact across engines."""
+    """Per-document salient terms, (tf, df)-rank proxy mode
+    (textstats.salient_terms scoring="tfdf"): integer-exact across
+    engines; sorts like tf-idf only at fixed tf — the true-tf-idf
+    ordering is the separate salient_terms_tfidf query."""
     from .llmops.textstats import salient_terms
 
     docs = _load(spark, sf_dir, "documents")
     return salient_terms(docs, k=3, min_len=3)
+
+
+def q_salient_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True tf·log(N/df) salient-term ranking (scoring="tfidf"): the
+    double score orders the window only; emitted columns are integers,
+    and ties (equal (tf, df)) break deterministically — so both engines
+    agree on the ranks exactly, the log being ulp-identical on equal
+    rational inputs."""
+    from .llmops.textstats import salient_terms
+
+    docs = _load(spark, sf_dir, "documents")
+    return salient_terms(docs, k=3, min_len=3, scoring="tfidf")
 
 
 def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2462,6 +2475,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "idle_rich_customers": q_idle_rich_customers,
     "chunk_text": q_chunk_text,
     "salient_terms": q_salient_terms,
+    "salient_terms_tfidf": q_salient_terms_tfidf,
     "returned_revenue": q_returned_revenue,
     "late_shipments": q_late_shipments,
 }
@@ -3537,6 +3551,39 @@ FROM (
                PARTITION BY tf.doc_id
                ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC) AS rank
     FROM tf JOIN dfq USING (term)
+)
+WHERE rank <= 3
+""",
+    "salient_terms_tfidf": """
+WITH toks AS (
+    SELECT doc_id, lower(u.term) AS term
+    FROM (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(text), '[ \\t\\r\\n]+') END
+                   AS words
+        FROM documents
+    ), unnest(words) AS u(term)
+    WHERE length(u.term) >= 3
+),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+),
+dfq AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+n AS (
+    SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd FROM tf
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(rank AS INT) AS rank
+FROM (
+    SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+           row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln(n.nd / dfq.df) DESC,
+                        tf.tf DESC, tf.term ASC) AS rank
+    FROM tf JOIN dfq USING (term), n
 )
 WHERE rank <= 3
 """,

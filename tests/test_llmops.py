@@ -586,6 +586,19 @@ def test_salient_terms_ranking(spark):
     assert got[(2, 1)] == ("apple", 3, 1)
     assert got[(2, 2)] == ("common", 2, 2)
 
+    # true tf-idf DIFFERS from the (tf, df) proxy: in doc 1, zebra has
+    # tf=3 but df=2 of N=2 docs -> idf = ln(1) = 0, so score 0; rare
+    # (tf=1, df=1) scores 1*ln(2) > 0 and outranks it.
+    tfidf = textstats.salient_terms(docs, k=3, min_len=3, scoring="tfidf")
+    got2 = {(r["doc_id"], r["rank"]): r["term"] for r in tfidf.collect()}
+    assert got2[(1, 1)] == "rare"
+    assert got2[(2, 1)] == "apple"
+    # zero-score terms still rank after positive ones, tf desc
+    assert got2[(1, 2)] == "zebra"
+
+    with pytest.raises(ValueError):
+        textstats.salient_terms(docs, scoring="bm25")
+
 
 def test_minhash_signature_paths_agree(spark, dup_docs):
     """The one-kernel text->signature column (minhash_signature_col)

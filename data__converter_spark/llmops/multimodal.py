@@ -13,11 +13,15 @@ Codec status (no external image/audio libraries in this container):
   resize) and 16-bit PCM WAV audio (RIFF parse) — `encode_bmp` /
   `_try_decode_bmp` / `encode_wav` / `_try_decode_wav`, pixel- and
   sample-exact under pytest golden tests.
+- **Optional PIL leg for compressed images** (JPEG/PNG/...): the
+  decode chain (`_try_decode_image`) tries stdlib BMP, then PIL when
+  the executor can import it — a deployment that installs pillow gets
+  real compressed decode with no code change. Compressed audio/video
+  (MP3/MP4) still needs ffmpeg and stays behind the explicit gate.
 - **Deterministic stub fallback** (clearly marked, keyed on the
-  payload hash) for compressed formats (JPEG/PNG/MP3/...) pending a
-  real codec (PIL/ffmpeg) in deployment. The Spark-side contract
-  (schemas, partitioning, batch shape, null handling) is identical on
-  both paths.
+  payload hash) when no codec can decode the payload. The Spark-side
+  contract (schemas, partitioning, batch shape, null handling) is
+  identical on every path.
 """
 
 from __future__ import annotations
@@ -119,6 +123,38 @@ def _try_decode_bmp(payload):
         return None
 
 
+def _try_decode_pil(payload):
+    """Compressed-image decode (JPEG/PNG/…) via PIL WHEN INSTALLED ->
+    (h, w, 3) uint8 RGB array, else None. The optional-dependency slot
+    of the capability gate: this container has no PIL, so the chain
+    falls through to the deterministic stub; a deployment that
+    pip-installs pillow gets real decode with no code change."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+
+    import numpy as np
+
+    try:
+        with Image.open(io.BytesIO(bytes(payload))) as im:
+            return np.asarray(im.convert("RGB"), dtype=np.uint8)
+    except Exception:
+        return None
+
+
+def _try_decode_image(payload):
+    """Image decode chain: stdlib 24-bit BMP -> PIL (when installed)
+    -> None (caller falls back to the deterministic hash stub). Every
+    branch yields the same (h, w, 3) uint8 RGB contract, so the
+    feature/resize kernels are codec-agnostic."""
+    px = _try_decode_bmp(payload)
+    if px is not None:
+        return px
+    return _try_decode_pil(payload)
+
+
 def encode_wav(samples, sample_rate: int = 16_000) -> bytes:
     """int16 mono sample array -> 16-bit PCM WAV bytes (stdlib wave)."""
     import io
@@ -210,8 +246,9 @@ def image_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame
     The kernel sees pandas batches (zero-copy Arrow transfer); output
     partitioning follows the input — no shuffle. Decode is REAL for
     24-bit BMP payloads (stdlib parse; Rec.601 luma, 8-vertical-band
-    mean-luma feature) and falls back to the deterministic hash stub
-    for compressed formats.
+    mean-luma feature) and for compressed formats when PIL is
+    installed (optional dependency, import-gated per executor); the
+    deterministic hash stub remains the documented fallback.
     """
     imgs = media.filter(F.col("kind") == "image").select("media_id", "payload", "meta")
 
@@ -222,7 +259,7 @@ def image_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame
         for pdf in batches:
             widths, heights, lumas, feats = [], [], [], []
             for p, m in zip(pdf["payload"], pdf["meta"]):
-                px = _try_decode_bmp(p)
+                px = _try_decode_image(p)
                 if px is not None:
                     h, w = px.shape[0], px.shape[1]
                     luma = (
@@ -259,8 +296,9 @@ def image_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize images to (width, height). REAL nearest-neighbor resample
-    + BMP re-encode for 24-bit BMP payloads; deterministic stub rewrite
-    for compressed formats pending a real codec."""
+    + BMP re-encode for 24-bit BMP payloads and (with optional PIL)
+    compressed inputs — output payloads normalize to BMP either way;
+    deterministic stub rewrite when no codec can decode the payload."""
     imgs = media.filter(F.col("kind") == "image")
 
     def kernel(batches):
@@ -270,7 +308,7 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
         for pdf in batches:
             out_payload = []
             for p in pdf["payload"]:
-                px = _try_decode_bmp(p)
+                px = _try_decode_image(p)
                 if px is not None:
                     h, w = px.shape[0], px.shape[1]
                     ys = (np.arange(height) * h) // height

@@ -218,6 +218,53 @@ def test_bmp_roundtrip_and_real_image_features(spark):
     assert abs(row.mean_luma - expected) < 1e-9
 
 
+def test_decode_chain_contract_and_pil_slot(spark):
+    """The decode chain (_try_decode_image) must keep one contract on
+    every branch: BMP decodes identically to _try_decode_bmp; an
+    undecodable compressed payload returns None (feature kernel then
+    uses the stub with METADATA dims, same schema); and when PIL is
+    installed the compressed branch returns a real (h, w, 3) array in
+    the same slot — stub and real paths differ only in values, never
+    in columns or types."""
+    import numpy as np
+
+    px = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    bmp = multimodal.encode_bmp(px)
+    assert np.array_equal(multimodal._try_decode_image(bmp), px)
+
+    fake_jpeg = b"\xff\xd8\xff\xe0" + b"not really a jpeg" * 4
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    assert multimodal._try_decode_image(fake_jpeg) is None  # both gates hold
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(bmp), (2, 2, 0, "image/bmp")),
+            (2, "image", bytearray(fake_jpeg), (32, 16, 0, "image/jpeg")),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in multimodal.image_features(media).collect()}
+    # real branch: decoded dims; stub branch: metadata dims — one schema
+    assert (rows[1].width, rows[1].height) == (2, 2)
+    assert (rows[2].width, rows[2].height) == (32, 16)
+    assert len(rows[1].feature) == len(rows[2].feature) == 8
+
+    if has_pil:
+        # real PIL leg: a valid PNG decodes to its true pixels
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(px).save(buf, format="PNG")
+        assert np.array_equal(multimodal._try_decode_image(buf.getvalue()), px)
+
+
 def test_bmp_real_resize_nearest_neighbor(spark):
     import numpy as np
 

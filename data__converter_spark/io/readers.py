@@ -213,21 +213,52 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Avro row-format source. The spark-avro module is external since
-    Spark 2.4 and is NOT bundled in this environment — explicit gate
-    (same policy as the pypdf codec): works where the deployment ships
-    ``org.apache.spark:spark-avro``, raises a clear error here."""
+    """Avro row-format source. Prefers the external spark-avro module
+    (``org.apache.spark:spark-avro`` — block-splittable scan, full
+    schema support) where the deployment ships it; in this environment
+    it is absent, so the positive path falls back to the stdlib
+    ``avro_lite`` OCF codec (same policy as ``xlsx_lite`` / the mini
+    PDF codec): primitive-field records with null/deflate block codecs
+    decode distributed via a binaryFile scan + mapInPandas, one task
+    per FILE (OCF blocks are not split — many-files layouts
+    parallelize, one giant file does not; ship spark-avro for that).
+    Schemas beyond the avro_lite subset raise the explicit gate."""
     try:
         return spark.read.format("avro").load(path)
     except Exception as e:
         # Only the missing-data-source error means the module is absent;
         # anything else (bad path, corrupt file) propagates untouched.
-        if "failed to find data source" in str(e).lower():
-            raise NotImplementedError(
-                "avro support needs the external spark-avro module "
-                "(org.apache.spark:spark-avro), not present in this environment"
-            ) from e
-        raise
+        if "failed to find data source" not in str(e).lower():
+            raise
+    from . import avro_lite
+
+    bins = spark.read.format("binaryFile").load(path)
+    head = bins.select("content").limit(1).collect()
+    if not head:
+        raise ValueError(f"no avro files under {path!r}")
+    try:
+        schema = avro_lite.read_avro_schema(bytes(head[0]["content"]))
+        spark_schema = avro_lite.spark_schema_of(schema)
+    except ValueError as err:
+        raise NotImplementedError(
+            "this avro file needs the external spark-avro module "
+            "(org.apache.spark:spark-avro): the stdlib avro_lite fallback "
+            f"covers primitive-field records only ({err})"
+        ) from err
+    names = [f.name for f in spark_schema.fields]
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                _, rows = avro_lite.read_avro_bytes(bytes(content))
+                if rows:
+                    yield pd.DataFrame(
+                        {n: [r[n] for r in rows] for n in names}
+                    )
+
+    return bins.select("content").mapInPandas(kernel, spark_schema)
 
 
 def read_jsonl(spark: SparkSession, path: str, encoding: str = "utf-8") -> DataFrame:

@@ -144,11 +144,71 @@ def test_xml_autodetect_tables(spark, tmp_path):
     assert tables[name].count() == 2
 
 
-def test_avro_gated_when_module_absent(spark, tmp_path):
-    # spark-avro is an external module; this container lacks it, so the
-    # reader must fail with the explicit gate, not a raw Spark error.
+AVRO_SCHEMA = {
+    "type": "record",
+    "name": "ev",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "score", "type": ["null", "double"]},
+        {"name": "ok", "type": "boolean"},
+    ],
+}
+
+AVRO_ROWS = [
+    {"id": 1, "name": "a", "score": 1.5, "ok": True},
+    {"id": 2, "name": "유니코드", "score": None, "ok": False},
+    {"id": 3, "name": "", "score": -0.25, "ok": True},
+]
+
+
+def test_avro_positive_path_stdlib_fallback(spark, tmp_path):
+    # spark-avro is absent here, so read_avro must fall through to the
+    # stdlib avro_lite OCF codec and produce real rows — per codec.
+    from data__converter_spark.io import avro_lite
+
+    for codec in ("null", "deflate"):
+        d = tmp_path / codec
+        d.mkdir()
+        avro_lite.write_avro(str(d / "part1.avro"), AVRO_ROWS[:2], AVRO_SCHEMA, codec)
+        avro_lite.write_avro(str(d / "part2.avro"), AVRO_ROWS[2:], AVRO_SCHEMA, codec)
+        df = readers.read_avro(spark, str(d))
+        assert [f.name for f in df.schema.fields] == ["id", "name", "score", "ok"]
+        got = sorted(
+            (r["id"], r["name"], r["score"], r["ok"]) for r in df.collect()
+        )
+        assert got == [(1, "a", 1.5, True), (2, "유니코드", None, False),
+                       (3, "", -0.25, True)]
+
+
+def test_avro_gate_on_unsupported_schema(spark, tmp_path):
+    # a schema beyond the avro_lite subset (array field) must raise the
+    # explicit spark-avro gate, not decode garbage
+    import io as _io
+    import json as _json
+
+    from data__converter_spark.io import avro_lite
+
+    buf = _io.BytesIO()
+    buf.write(avro_lite.MAGIC)
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "xs", "type": {"type": "array", "items": "long"}}]}
+    meta = {"avro.schema": _json.dumps(schema).encode(), "avro.codec": b"null"}
+    avro_lite._write_long(buf, len(meta))
+    for k, v in meta.items():
+        avro_lite._write_bytes(buf, k.encode())
+        avro_lite._write_bytes(buf, v)
+    avro_lite._write_long(buf, 0)
+    buf.write(b"0123456789abcdef")
+    (tmp_path / "bad.avro").write_bytes(buf.getvalue())
     with pytest.raises(NotImplementedError, match="spark-avro"):
-        readers.read_avro(spark, str(tmp_path / "x.avro"))
+        readers.read_avro(spark, str(tmp_path / "bad.avro"))
+
+
+def test_avro_empty_dir_raises(spark, tmp_path):
+    (tmp_path / "empty").mkdir()
+    with pytest.raises(Exception):
+        readers.read_avro(spark, str(tmp_path / "empty"))
 
 
 def test_xml_selector_path_child_combinator(spark, tmp_path):

@@ -1,0 +1,63 @@
+"""Per-query DuckDB timings of the oracle SQL suite — the baseline
+ledger behind BASELINE.md's 2× bar.
+
+Runs every ORACLES entry against DuckDB (32 threads) at the given
+sf dir and prints one JSON object {query: seconds}. Queries named in
+--skip are recorded as null (known-quadratic ones measured once in
+round 1 — dedup_ngram_jaccard alone is ~17 min at sf0.1).
+
+Usage: python tools/duckdb_bench.py [sf_dir] [--skip q1,q2]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main() -> None:
+    import duckdb
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    skip = set()
+    for a in sys.argv[1:]:
+        if a.startswith("--skip"):
+            skip |= set(a.split("=", 1)[1].split(","))
+
+    from data__converter_spark.workloads import ORACLES
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 32}")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    timings: dict[str, float | None] = {}
+    for name, sql in ORACLES.items():
+        if name in skip:
+            timings[name] = None
+            continue
+        t0 = time.time()
+        try:
+            con.execute(sql).fetchall()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:
+            timings[name] = None
+            print(f"# {name}: ERROR {e}", file=sys.stderr)
+    total = sum(v for v in timings.values() if v is not None)
+    print(json.dumps({"sf_dir": sf_dir, "total_timed_s": round(total, 1),
+                      "skipped": sorted(skip), "queries": timings}))
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,10 @@ _VERIFY_FIRST = [
     "events_json_props", "window_running_revenue",
     # -- new this round --
     "stream_cdc_upsert", "salient_terms_tfidf",
+    # -- new round-5 TPC-H shapes (Q2/Q9/Q11/Q15/Q16/Q17/Q19/Q20/Q21) --
+    "min_cost_supplier", "product_type_profit", "important_parts",
+    "top_supplier", "supplier_part_counts", "small_qty_revenue",
+    "bracket_revenue", "excess_stock_suppliers", "waiting_suppliers",
     # -- r1-green but rewritten since (stale eight) --
     "similarity_lsh_topk", "similarity_ivf_topk",
     "multimodal_image_features", "multimodal_frame_sample",

@@ -2367,6 +2367,298 @@ def q_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_estimate_error(docs, k=3, num_hashes=64, bands=16)
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s) in one
+    region offering the minimum observed unit price.  The correlated
+    MIN subquery decorrelates into a window min over the per-(part,
+    supplier) aggregate — one shuffle on p_partkey; part/supplier/
+    nation/region all flow in through size-gated broadcasts.  Unit
+    price is exact integer cents so the min-equality filter compares
+    longs, never doubles."""
+    from pyspark.sql import Window
+
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    supp = _load(spark, sf_dir, "supplier")
+    nat = _load(spark, sf_dir, "nation")
+    reg = _load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    unit_cents = F.floor(
+        F.col("l_extendedprice") * F.lit(100.0) / F.col("l_quantity") + F.lit(0.5)
+    )
+    offers = (
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
+        .join(maybe_broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(unit_cents).alias("offer_cents"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        offers.withColumn("best_cents", F.min("offer_cents").over(w))
+        .filter(F.col("offer_cents") == F.col("best_cents"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            money(F.col("offer_cents")).alias("best_unit_price"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on a part-name family per supplier nation
+    per year.  Without a partsupp table the cost model is 50% of the
+    part's retail price x quantity — the join/agg topology is Q9's
+    (fact through two broadcast dims, group on derived year).  Both
+    sides of the profit stay exact integer cents."""
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    supp = _load(spark, sf_dir, "supplier")
+    nat = _load(spark, sf_dir, "nation")
+    revenue = cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    cost = F.floor(
+        F.col("p_retailprice") * F.col("l_quantity") * F.lit(50.0) + F.lit(0.5)
+    )
+    return (
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
+        .join(maybe_broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+            (revenue - cost).alias("amount_cents"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(money(F.sum("amount_cents")).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value through one nation's
+    suppliers exceeds 1/1000 of that nation's total.  The HAVING-over-
+    scalar-subquery decorrelates into a 1-row aggregate cross-joined in
+    by broadcast; the threshold test multiplies longs (value * 1000 >
+    total) so no double ever enters the comparison."""
+    li = _load(spark, sf_dir, "lineitem")
+    supp = _load(spark, sf_dir, "supplier")
+    nat = _load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    value = cents("l_extendedprice")
+    base = (
+        li.join(maybe_broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select("l_partkey", value.alias("vc"))
+    )
+    per_part = base.groupBy("l_partkey").agg(F.sum("vc").alias("value_cents"))
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * F.lit(1000) > F.col("total_cents"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            money(F.col("value_cents")).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in one
+    quarter.  The CREATE VIEW + scalar MAX becomes per-supplier
+    aggregate -> 1-row max cross-joined by broadcast -> exact long
+    equality; no global sort, no second scan of lineitem."""
+    li = _load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    supp = _load(spark, sf_dir, "supplier")
+    rev = cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("rev_cents"))
+    top = per_supp.agg(F.max("rev_cents").alias("max_cents"))
+    return (
+        per_supp.crossJoin(F.broadcast(top))
+        .filter(F.col("rev_cents") == F.col("max_cents"))
+        .join(maybe_broadcast(supp), per_supp.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            money(F.col("rev_cents")).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    combo, excluding one brand, a type prefix, and 'complaint'
+    suppliers (negative balance — the comment-scan analog) via a
+    broadcast anti-join.  lineitem stands in for partsupp as the
+    part<->supplier bridge."""
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 14, 23, 25, 30))
+    )
+    bad_supp = _load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            maybe_broadcast(bad_supp),
+            li.l_suppkey == bad_supp.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue locked in small-quantity orders of two
+    brands.  The correlated per-part AVG subquery decorrelates into a
+    window average over p_partkey (one shuffle); the comparison
+    l_quantity < 0.5*avg is the same IEEE double expression on both
+    engines, and the output sums are exact cents."""
+    from pyspark.sql import Window
+
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#3", "Brand#5")
+    )
+    joined = li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
+    w = Window.partitionBy("p_partkey")
+    avg_qty = (
+        F.sum("l_quantity").over(w).cast("double")
+        / F.count(F.lit(1)).over(w).cast("double")
+    )
+    return (
+        joined.withColumn("avg_qty", avg_qty)
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .groupBy("p_brand")
+        .agg(
+            money(F.sum(cents("l_extendedprice"))).alias("small_qty_revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def q_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under three OR'd brand/size/quantity
+    brackets.  The part-side disjunction (brand, size) pushes to the
+    part scan and the join stays a single equi-join on partkey with the
+    residual OR as a post-join filter — no union-of-three-joins
+    blowup."""
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part")
+    b1 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#22")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    rev = cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    part_side = part.filter(
+        ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(1, 15))
+    )
+    return (
+        li.join(maybe_broadcast(part_side), li.l_partkey == part_side.p_partkey)
+        .filter(b1 | b2 | b3)
+        .groupBy("p_brand")
+        .agg(
+            money(F.sum(rev)).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved a large volume of a part-
+    name family in one year.  The nested IN-subquery chain becomes
+    filter -> per-(supplier, part) aggregate -> HAVING -> distinct ->
+    left-semi join into supplier; only supplier keys ever shuffle."""
+    li = _load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("date"))
+    )
+    part = _load(spark, sf_dir, "part").filter(F.col("p_name").like("small %"))
+    supp = _load(spark, sf_dir, "supplier")
+    nat = _load(spark, sf_dir, "nation")
+    movers = (
+        li.join(maybe_broadcast(part.select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(cents("l_quantity")).alias("qty_cents"))
+        .filter(F.col("qty_cents") > 50 * 100)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(movers, supp.s_suppkey == movers.l_suppkey, "left_semi")
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier finished order (late = shipped >60 days after the
+    order date; the commit/receipt columns don't exist in the reduced
+    schema).  The EXISTS / NOT-EXISTS pair collapses into one grouped
+    pass over the order's lineitems: distinct suppliers vs distinct
+    late suppliers, keep n_supp >= 2 and n_late == 1 — no self-join of
+    lineitem against itself."""
+    orders = _load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _load(spark, sf_dir, "lineitem")
+    joined = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = joined.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late"
+        ),
+        F.min(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("late_supp"),
+    )
+    supp = _load(spark, sf_dir, "supplier")
+    return (
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .groupBy("late_supp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .join(maybe_broadcast(supp), F.col("late_supp") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(25)
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compare_diff": q_compare_diff,
     "compare_diff_summary": q_compare_diff_summary,
@@ -2478,6 +2770,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salient_terms_tfidf": q_salient_terms_tfidf,
     "returned_revenue": q_returned_revenue,
     "late_shipments": q_late_shipments,
+    "min_cost_supplier": q_min_cost_supplier,
+    "product_type_profit": q_product_type_profit,
+    "important_parts": q_important_parts,
+    "top_supplier": q_top_supplier,
+    "supplier_part_counts": q_supplier_part_counts,
+    "small_qty_revenue": q_small_qty_revenue,
+    "bracket_revenue": q_bracket_revenue,
+    "excess_stock_suppliers": q_excess_stock_suppliers,
+    "waiting_suppliers": q_waiting_suppliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -3882,5 +4183,153 @@ JOIN sigs sa ON c.id_a = sa.doc_id
 JOIN sigs sb ON c.id_b = sb.doc_id
 JOIN hs_cte a ON c.id_a = a.doc_id
 JOIN hs_cte b ON c.id_b = b.doc_id
+""",
+    "min_cost_supplier": f"""
+WITH offers AS (
+    SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+           min(CAST(floor(l_extendedprice * 100.0 / l_quantity + 0.5) AS BIGINT))
+               AS offer_cents
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_type = 'STANDARD' AND p_size <= 10 AND r_name = 'ASIA'
+    GROUP BY 1, 2, 3, 4, 5, 6
+),
+best AS (
+    SELECT *, min(offer_cents) OVER (PARTITION BY p_partkey) AS best_cents
+    FROM offers
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       {_sql_money("offer_cents")} AS best_unit_price
+FROM best
+WHERE offer_cents = best_cents
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+    "product_type_profit": f"""
+SELECT n_name AS nation,
+       CAST(year(l_shipdate) AS INT) AS o_year,
+       {_sql_money(f"sum({_sql_cents('l_extendedprice * (1.0 - l_discount)')} - CAST(floor(p_retailprice * l_quantity * 50.0 + 0.5) AS BIGINT))")} AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+""",
+    "important_parts": f"""
+WITH per_part AS (
+    SELECT l_partkey, sum({_sql_cents('l_extendedprice')}) AS value_cents
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+    GROUP BY 1
+),
+total AS (SELECT sum(value_cents) AS total_cents FROM per_part)
+SELECT l_partkey AS p_partkey, {_sql_money("value_cents")} AS part_value
+FROM per_part, total
+WHERE value_cents * 1000 > total_cents
+ORDER BY part_value DESC, p_partkey
+""",
+    "top_supplier": f"""
+WITH per_supp AS (
+    SELECT l_suppkey,
+           sum({_sql_cents('l_extendedprice * (1.0 - l_discount)')}) AS rev_cents
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) <  DATE '1996-04-01'
+    GROUP BY 1
+)
+SELECT s_suppkey, s_name, {_sql_money("rev_cents")} AS total_revenue
+FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_cents = (SELECT max(rev_cents) FROM per_supp)
+ORDER BY s_suppkey
+""",
+    "supplier_part_counts": """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 7, 10, 14, 23, 25, 30)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+    "small_qty_revenue": f"""
+WITH joined AS (
+    SELECT p_brand, p_partkey, l_quantity, l_extendedprice
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand IN ('Brand#3', 'Brand#5')
+),
+with_avg AS (
+    SELECT *,
+           CAST(sum(l_quantity) OVER (PARTITION BY p_partkey) AS DOUBLE)
+             / CAST(count(*) OVER (PARTITION BY p_partkey) AS DOUBLE) AS avg_qty
+    FROM joined
+)
+SELECT p_brand,
+       {_sql_money(f"sum({_sql_cents('l_extendedprice')})")} AS small_qty_revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM with_avg
+WHERE l_quantity < 0.5 * avg_qty
+GROUP BY 1
+ORDER BY p_brand
+""",
+    "bracket_revenue": f"""
+SELECT p_brand,
+       {_sql_money(f"sum({_sql_cents('l_extendedprice * (1.0 - l_discount)')})")} AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+GROUP BY 1
+ORDER BY p_brand
+""",
+    "excess_stock_suppliers": f"""
+WITH movers AS (
+    SELECT DISTINCT l_suppkey
+    FROM (
+        SELECT l_suppkey, l_partkey, sum({_sql_cents('l_quantity')}) AS qty_cents
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1998-01-01'
+          AND CAST(l_shipdate AS DATE) <  DATE '1999-01-01'
+          AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small %')
+        GROUP BY 1, 2
+        HAVING sum({_sql_cents('l_quantity')}) > 5000
+    )
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM movers)
+ORDER BY s_name
+""",
+    "waiting_suppliers": """
+WITH per_order AS (
+    SELECT l_orderkey,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                               THEN l_suppkey END) AS n_late,
+           min(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                    THEN l_suppkey END) AS late_supp
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY 1
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_order
+JOIN supplier ON late_supp = s_suppkey
+WHERE n_supp >= 2 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 25
 """,
 }

@@ -346,10 +346,14 @@ def test_capability_gate_contracts(spark, tmp_path):
     drop-in: error type AND the actionable hint in the message."""
     from data__converter_spark.io import readers
 
-    # avro: module absent here -> NotImplementedError naming the jar;
-    # a real data error (bad path with the module present) must NOT be
-    # converted — only the missing-data-source case is.
-    with pytest.raises(NotImplementedError, match="spark-avro"):
+    # avro: the stdlib avro_lite fallback is the positive path now
+    # (test_io covers it); the gate fires only for schemas beyond the
+    # avro_lite subset (test_avro_gate_on_unsupported_schema).  A
+    # missing path is a plain data error, NOT a capability gate — it
+    # must propagate as Spark's path error, never be converted.
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises(AnalysisException, match="PATH_NOT_FOUND"):
         readers.read_avro(spark, str(tmp_path / "x.avro"))
 
     # pypdf codec: constructor gates, FakePdfCodec stays available

@@ -1101,3 +1101,77 @@ def embedding_lsh_pairs(
 
     scored = joined.mapInPandas(cosine_kernel, "id_a long, id_b long, cosine double")
     return scored.filter(F.col("cosine") >= F.lit(float(threshold)))
+
+
+def window_overlap_pairs(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_shared: int = 1,
+    max_window_freq: int | None = 200,
+) -> DataFrame:
+    """Verbatim-overlap detector: pairs of documents sharing at least
+    ``min_shared`` distinct ``window``-token rolling windows — the
+    exact substring-duplication signal ("Deduplicating Training Data
+    Makes Language Models Better", Lee et al. 2022, uses 50-token
+    windows; suffix arrays find the same overlaps single-node).  A
+    shared window is a ``window``-token verbatim run present in both
+    documents, which word-set similarity (Jaccard/MinHash) misses when
+    the surrounding documents differ.
+
+    Output: (id_a, id_b, n_shared, containment_permille) where
+    containment = shared / min(|A|, |B|) in exact integer permille —
+    1000 means the smaller document's window set is entirely inside
+    the larger one (near-substring).
+
+    Scale shape: identical to the inverted-index set-similarity join —
+    per-doc distinct window hashes (Arrow shingle kernel), postings of
+    8-byte hashes, hot-window cap (a window shared by f docs costs f²
+    posting pairs; boilerplate windows get dropped, which only
+    *lowers* reported overlap — the conservative direction for a
+    dedup candidate generator), self-join on the hash, one pair
+    aggregate.  Never quadratic in the corpus, only in per-window
+    document frequency, which the cap bounds."""
+    from ..scale import persisted
+
+    sets = _shingle_sets(df, col, id_col, window)
+    postings = persisted(
+        sets.select(F.col(id_col), F.explode("sh").alias("s")).select(
+            F.col(id_col), F.xxhash64("s").alias("s")
+        )
+    )
+    sizes = postings.groupBy(id_col).agg(F.count("*").alias("sz"))
+    if max_window_freq is not None:
+        hot = (
+            postings.groupBy("s")
+            .count()
+            .filter(F.col("count") > max_window_freq)
+            .select("s")
+        )
+        postings = postings.join(hot, "s", "left_anti")
+    a = postings.select(F.col(id_col).alias("id_a"), "s")
+    b = postings.select(F.col(id_col).alias("id_b"), "s")
+    shared = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        shared.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.floor(
+                F.col("n_shared") * F.lit(1000) / F.least("sz_a", "sz_b")
+            )
+            .cast("bigint")
+            .alias("containment_permille"),
+        )
+    )

@@ -496,3 +496,71 @@ def kmeans_step(
     return out.select(
         F.col("label").alias("cluster"), "pos", "n_vecs", "mean_val"
     )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    k: int = 5,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Per-label embedding outliers: the ``k`` vectors farthest (squared
+    L2) from their label's centroid — the standard mislabeled-example /
+    contamination sweep over a labeled embedding table.
+
+    Distances are exact integers: values quantize to the integer grid
+    (``floor(v*quant + 0.5)``), the centroid coordinate is the rounded
+    integer mean (exact BIGINT sum, one double divide, one floor — the
+    same bit pattern on any engine and any partition order), and the
+    squared distance sums BIGINT terms.  Ranking ties break on the id.
+
+    Scale shape: one posexplode (no shuffle), one (label, pos)
+    aggregate whose state is labels x dims (not rows), the tiny
+    centroid frame broadcast back onto the exploded stream, one
+    aggregate on the vector id, and a per-label top-k window over the
+    per-vector frame — the only row-scale shuffle keys are the vector
+    id and the label."""
+    from pyspark.sql import Window
+
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos0", "v"),
+    ).select(
+        "id",
+        "label",
+        (F.col("pos0") + F.lit(1)).alias("pos"),
+        F.floor(F.col("v").cast("double") * F.lit(float(quant)) + F.lit(0.5))
+        .cast("bigint")
+        .alias("vq"),
+    )
+    cent = exploded.groupBy("label", "pos").agg(
+        F.floor(
+            F.sum("vq").cast("double") / F.count(F.lit(1)).cast("double")
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("cq")
+    )
+    per_vec = (
+        exploded.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("id", "label")
+        .agg(
+            F.sum((F.col("vq") - F.col("cq")) * (F.col("vq") - F.col("cq")))
+            .cast("bigint")
+            .alias("dist_q")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("dist_q"), F.asc("id"))
+    return (
+        per_vec.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("label"),
+            F.col("id").alias(id_col),
+            "dist_q",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

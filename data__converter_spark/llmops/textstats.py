@@ -792,3 +792,105 @@ def salient_terms(
         )
         .filter(F.col("rank") <= k)
     )
+
+
+def common_token_counts(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 20,
+) -> DataFrame:
+    """Unigram-LM quality proxy: per document, how much of it is made
+    of the corpus's ``top_k`` most frequent tokens.  High-quality
+    natural text sits in a band — near-0 means noise/code, near-1000
+    means boilerplate (the integer-exact cousin of a unigram
+    cross-entropy filter; a log-prob scorer would hash-fragile on
+    transcendentals, counts never do).
+
+    Output: (id, n_tokens, n_common, common_permille) — all BIGINT;
+    ``common_permille = floor(n_common * 1000 / n_tokens)`` is exact
+    integer division on both engines.  Zero-token documents survive
+    with 0/0/0.
+
+    Scale shape: one explode (no shuffle), a token-key aggregate with
+    map-side partials for the vocabulary, a TakeOrdered top-k (never a
+    global sort), the tiny vocab broadcast back onto the token stream,
+    and one aggregate on the document key.  Nothing holds per-document
+    token lists in memory."""
+    toks = df.select(F.col(id_col).alias("id"), F.explode(tokens_col(col)).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(top_k)
+        .select("tok", F.lit(1).alias("__common__"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.count("__common__").cast("bigint").alias("n_common"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("n_common", F.lit(0)).cast("bigint").alias("n_common"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.floor(
+                    F.coalesce("n_common", F.lit(0)) * F.lit(1000)
+                    / F.col("n_tokens")
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("common_permille"),
+        )
+    )
+
+
+def mix_allocation(
+    df: DataFrame,
+    budget_tokens: int,
+    col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Training-mix planner: split a token budget across corpus sources
+    — uniform share per source, capped by what each source actually
+    has (the first round of waterfilling, which is what production mix
+    planners run per epoch; unspent budget rolls to the next round).
+
+    Output per source: (source, avail_tokens, alloc_tokens,
+    sample_permille) — BIGINT only; ``sample_permille`` is the portion
+    of the source a sampler should keep (1000 = take everything).
+
+    Scale shape: one aggregate on the source key with map-side
+    partials, then a 1-row scalar (n_sources) broadcast back — the
+    per-source frame is as small as the source alphabet, never
+    row-scale."""
+    avail = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(token_count_col(col)).cast("bigint").alias("avail_tokens")
+    )
+    n_sources = avail.agg(F.count(F.lit(1)).alias("__n_sources__"))
+    fair = F.floor(F.lit(budget_tokens) / F.col("__n_sources__")).cast("bigint")
+    alloc = F.least(F.col("avail_tokens"), fair)
+    return (
+        avail.crossJoin(F.broadcast(n_sources))
+        .select(
+            "source",
+            "avail_tokens",
+            alloc.alias("alloc_tokens"),
+            F.when(
+                F.col("avail_tokens") > 0,
+                F.floor(alloc * F.lit(1000) / F.col("avail_tokens")),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("sample_permille"),
+        )
+    )

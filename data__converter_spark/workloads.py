@@ -2659,6 +2659,42 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_common_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy: per-doc share of corpus-top-20 tokens,
+    exact integer permille (llmops/textstats.py:common_token_counts)."""
+    from .llmops.textstats import common_token_counts
+
+    docs = _load(spark, sf_dir, "documents")
+    return common_token_counts(docs, top_k=20)
+
+
+def q_token_mix_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix planner: uniform-share-capped token budget split
+    across sources (llmops/textstats.py:mix_allocation)."""
+    from .llmops.textstats import mix_allocation
+
+    docs = _load(spark, sf_dir, "documents")
+    return mix_allocation(docs, budget_tokens=30_000)
+
+
+def q_window_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim 8-token-window overlap pairs — the exact substring-dup
+    signal (llmops/dedup.py:window_overlap_pairs)."""
+    from .llmops.dedup import window_overlap_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    return window_overlap_pairs(docs, window=8, min_shared=1, max_window_freq=200)
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label top-5 farthest-from-centroid embeddings, exact
+    integer-grid distances (llmops/similarity.py:centroid_outliers)."""
+    from .llmops.similarity import centroid_outliers
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return centroid_outliers(emb, k=5)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compare_diff": q_compare_diff,
     "compare_diff_summary": q_compare_diff_summary,
@@ -2779,6 +2815,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bracket_revenue": q_bracket_revenue,
     "excess_stock_suppliers": q_excess_stock_suppliers,
     "waiting_suppliers": q_waiting_suppliers,
+    "common_token_ratio": q_common_token_ratio,
+    "token_mix_planner": q_token_mix_planner,
+    "window_overlap_pairs": q_window_overlap_pairs,
+    "embedding_outliers": q_embedding_outliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -4331,5 +4371,106 @@ WHERE n_supp >= 2 AND n_late = 1
 GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 25
+""",
+    "common_token_ratio": _WORDS_SQL
+    + """
+, toks AS (
+    SELECT doc_id, u.tok FROM words_cte, unnest(words) AS u(tok)
+),
+vocab AS (
+    SELECT tok FROM toks GROUP BY tok
+    ORDER BY count(*) DESC, tok ASC LIMIT 20
+),
+per_doc AS (
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           sum(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 1 ELSE 0 END)
+               AS n_common
+    FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+       CAST(CASE WHEN coalesce(n_tokens, 0) > 0
+                 THEN floor(coalesce(n_common, 0) * 1000 / n_tokens)
+                 ELSE 0 END AS BIGINT) AS common_permille
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+""",
+    "token_mix_planner": _WORDS_SQL
+    + """
+, avail AS (
+    SELECT source, CAST(sum(len(words)) AS BIGINT) AS avail_tokens
+    FROM (
+        SELECT source,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(text), '[ \\t\\r\\n]+') END
+                   AS words
+        FROM documents
+    ) GROUP BY source
+),
+n AS (SELECT count(*) AS ns FROM avail)
+SELECT source, avail_tokens,
+       CAST(least(avail_tokens, CAST(floor(30000 / ns) AS BIGINT)) AS BIGINT)
+           AS alloc_tokens,
+       CAST(CASE WHEN avail_tokens > 0
+                 THEN floor(least(avail_tokens,
+                                  CAST(floor(30000 / ns) AS BIGINT)) * 1000
+                            / avail_tokens)
+                 ELSE 0 END AS BIGINT) AS sample_permille
+FROM avail, n
+""",
+    "window_overlap_pairs": _WORDS_SQL
+    + """
+, ws AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(words) - 6),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' '
+                 || words[i+3] || ' ' || words[i+4] || ' ' || words[i+5] || ' '
+                 || words[i+6] || ' ' || words[i+7])) AS sh
+    FROM words_cte WHERE len(words) >= 8
+),
+post AS (SELECT doc_id, unnest(sh) AS s FROM ws),
+sizes AS (SELECT doc_id, count(*) AS sz FROM post GROUP BY doc_id),
+keep AS (
+    SELECT * FROM post
+    WHERE s NOT IN (SELECT s FROM post GROUP BY s HAVING count(*) > 200)
+),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM keep a JOIN keep b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_shared,
+       CAST(floor(n_shared * 1000 / least(sa.sz, sb.sz)) AS BIGINT)
+           AS containment_permille
+FROM shared
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+""",
+    "embedding_outliers": """
+WITH q AS (
+    SELECT vec_id, label,
+           generate_subscripts(embedding, 1) AS pos,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS vq
+    FROM embeddings
+),
+cent AS (
+    SELECT label, pos,
+           CAST(floor(CAST(sum(vq) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5)
+                AS BIGINT) AS cq
+    FROM q GROUP BY 1, 2
+),
+pv AS (
+    SELECT vec_id, q.label, CAST(sum((vq - cq) * (vq - cq)) AS BIGINT) AS dist_q
+    FROM q JOIN cent USING (label, pos) GROUP BY 1, 2
+)
+SELECT label, vec_id, dist_q, CAST(rank AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY label ORDER BY dist_q DESC, vec_id ASC) AS rank
+    FROM pv
+)
+WHERE rank <= 5
 """,
 }

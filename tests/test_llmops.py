@@ -681,3 +681,81 @@ def test_kmeans_step_identical_vectors_take_smallest_centroid_id(spark):
         .orderBy("__h__", "vec_id").limit(4).collect()
     )
     assert clusters == {min(r.vec_id for r in sampled)}
+
+
+def test_common_token_counts_semantics(spark):
+    """Top-k vocab membership counts: exact integers, empty docs kept."""
+    rows = [
+        (1, "a a a b c"),
+        (2, "a b"),
+        (3, ""),          # zero tokens -> 0/0/0 row survives
+        (4, "x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_common"], r["common_permille"])
+        for r in textstats.common_token_counts(df, top_k=2).collect()
+    }
+    # corpus counts: a=4, b=2, c=1, x=1, y=1, z=1 -> top-2 = {a, b}
+    assert out[1] == (5, 4, 800)
+    assert out[2] == (2, 2, 1000)
+    assert out[3] == (0, 0, 0)
+    assert out[4] == (3, 0, 0)
+
+
+def test_mix_allocation_caps_at_availability(spark):
+    rows = [
+        (1, "one two three four", "big"),     # 4 tokens
+        (2, "one two three four five", "big"),  # 5 -> big avail 9
+        (3, "one", "small"),                   # small avail 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["source"]: (r["avail_tokens"], r["alloc_tokens"], r["sample_permille"])
+        for r in textstats.mix_allocation(df, budget_tokens=10).collect()
+    }
+    # fair share = floor(10/2) = 5; big capped at 5/9, small at its 1 token
+    assert out["big"] == (9, 5, 555)
+    assert out["small"] == (1, 1, 1000)
+
+
+def test_window_overlap_pairs_containment(spark):
+    """A document fully embedded in a larger one scores containment
+    1000; unrelated docs never pair."""
+    run = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"       # 10 tokens -> 3 windows of 8
+    bigger = run + " tail1 tail2"                  # contains every window of run
+    other = "q1 q2 q3 q4 q5 q6 q7 q8"
+    df = spark.createDataFrame(
+        [(1, run), (2, bigger), (3, other)], "doc_id long, text string"
+    )
+    out = dedup.window_overlap_pairs(df, window=8).collect()
+    pairs = {(r["id_a"], r["id_b"]): (r["n_shared"], r["containment_permille"])
+             for r in out}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] == (3, 1000)  # all 3 of doc 1's windows shared
+
+
+def test_window_overlap_hot_cap_drops_boilerplate(spark):
+    """A window present in more docs than the cap stops generating
+    pairs — the conservative direction (overlap only shrinks)."""
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    df = spark.createDataFrame(
+        [(i, boiler) for i in range(1, 5)], "doc_id long, text string"
+    )
+    assert dedup.window_overlap_pairs(df, window=8, max_window_freq=3).count() == 0
+    assert dedup.window_overlap_pairs(df, window=8, max_window_freq=4).count() == 6
+
+
+def test_centroid_outliers_ranks_farthest(spark):
+    rows = [
+        (1, [0.0, 0.0], 0),
+        (2, [0.2, 0.0], 0),
+        (3, [10.0, 0.0], 0),   # the outlier
+        (4, [1.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = similarity.centroid_outliers(df, k=1).collect()
+    by_label = {r["label"]: r for r in out}
+    assert by_label[0]["vec_id"] == 3 and by_label[0]["rank"] == 1
+    # a single-member label is its own centroid: distance exactly 0
+    assert by_label[1]["vec_id"] == 4 and by_label[1]["dist_q"] == 0

@@ -88,7 +88,24 @@ _SF_SCALED_DIM_QUERIES = [
     "returned_revenue",
     "large_orders",
     "shipping_priority",
+    # round-5 TPC-H shapes (Q2/Q9/Q11/Q15/Q16/Q17/Q19/Q20/Q21)
+    "min_cost_supplier",
+    "product_type_profit",
+    "important_parts",
+    "top_supplier",
+    "supplier_part_counts",
+    "small_qty_revenue",
+    "bracket_revenue",
+    "excess_stock_suppliers",
+    "waiting_suppliers",
 ]
+
+# Queries whose plan keeps a BroadcastNestedLoopJoin even at scale:
+# a 1-row scalar aggregate cross-joined in under an INEQUALITY filter
+# (equality scalars re-plan to BroadcastHashJoin). A 1-row build side
+# broadcasts for free at any SF — the NestedLoop ban below is about
+# row-scale cartesians, not these.
+_SCALAR_CROSSJOIN_OK = {"important_parts"}
 
 
 def test_sf_scaled_dims_broadcast_small_and_degrade_large(spark):
@@ -109,7 +126,8 @@ def test_sf_scaled_dims_broadcast_small_and_degrade_large(spark):
             "BroadcastHashJoin"
         )
         shuffled = ("SortMergeJoin" in p_big) or ("ShuffledHashJoin" in p_big)
-        if not (demoted and shuffled) or "NestedLoop" in p_big:
+        nested_ok = name in _SCALAR_CROSSJOIN_OK
+        if not (demoted and shuffled) or ("NestedLoop" in p_big and not nested_ok):
             no_degrade_big.append(name)
     assert not no_hint_small, f"should broadcast dims at small sf: {no_hint_small}"
     assert not no_degrade_big, (
@@ -387,3 +405,33 @@ def test_no_query_uses_rowwise_python_or_cartesian(spark):
         if marks:
             flagged[name] = marks
     assert not flagged, f"anti-pattern plan nodes: {flagged}"
+
+
+def test_bracket_revenue_pushes_disjunction_to_part_scan(spark):
+    """Q19's OR-of-ANDs on (brand, size) must reach the part parquet
+    reader as a pushed filter — a post-join residual over an unfiltered
+    part scan reads the whole dimension at 100 TB."""
+    from data__converter_spark.workloads import q_bracket_revenue
+
+    p = plan_of(q_bracket_revenue(spark, SF_DIR))
+    pushed = [
+        ln for ln in p.splitlines()
+        if "PushedFilters" in ln and "p_brand" in ln and "Or(" in ln
+    ]
+    assert pushed, "part-side disjunction should push into the part scan"
+    # single equi-join on partkey, never a union of three joins
+    assert p.count("Join") <= 2 and "CartesianProduct" not in p
+
+
+def test_min_cost_supplier_single_window_exchange(spark):
+    """Q2's decorrelated min runs as ONE window over the per-(part,
+    supplier) aggregate — the offers aggregate and the window must
+    share the p_partkey exchange lineage, with no join back of a
+    second lineitem scan."""
+    from data__converter_spark.workloads import q_min_cost_supplier
+
+    p = plan_of(q_min_cost_supplier(spark, SF_DIR))
+    assert p.count("Window") == 1
+    # one lineitem scan only: the subquery never re-reads the fact
+    li_scans = [s for s in read_schemas(p) if "l_partkey" in s]
+    assert len(li_scans) == 1, f"expected 1 lineitem scan, got {len(li_scans)}"

@@ -308,7 +308,11 @@ def _hs_udf(k: int):
             out.append(sorted(s) if s else None)
         return pd.Series(out)
 
-    return hs
+    # Deterministic in fact; marked nondeterministic so Catalyst cannot
+    # duplicate the kernel into sibling expressions (a filter on the
+    # struct output plus the projection of it used to compile to TWO
+    # stacked ArrowEvalPython evals of the same text batch).
+    return hs.asNondeterministic()
 
 
 def _hs_sig_udf(k: int, num_hashes: int, seed: int):
@@ -340,7 +344,11 @@ def _hs_sig_udf(k: int, num_hashes: int, seed: int):
             sig_out.append(((A * hv[None, :] + B) % _MERSENNE_P).min(axis=1))
         return pd.DataFrame({"hs": hs_out, "sig": sig_out})
 
-    return hs_sig
+    # Deterministic in fact; marked nondeterministic so Catalyst cannot
+    # duplicate the kernel into sibling expressions (a filter on the
+    # struct output plus the projection of it used to compile to TWO
+    # stacked ArrowEvalPython evals of the same text batch).
+    return hs_sig.asNondeterministic()
 
 
 def _shingle_hash_sets(df: DataFrame, col: str, id_col: str, k: int) -> DataFrame:
@@ -385,7 +393,11 @@ def _sig_from_hs_udf(num_hashes: int, seed: int):
             out.append(((A * hv + B) % _MERSENNE_P).min(axis=1))
         return pd.Series(out)
 
-    return sig
+    # Deterministic in fact; marked nondeterministic so Catalyst cannot
+    # duplicate the kernel into sibling expressions (a filter on the
+    # struct output plus the projection of it used to compile to TWO
+    # stacked ArrowEvalPython evals of the same text batch).
+    return sig.asNondeterministic()
 
 
 def minhash_lsh_pairs(

@@ -205,7 +205,11 @@ def _shingles_udf(k: int):
                 )
         return pd.Series(out)
 
-    return sh
+    # Deterministic in fact; marked nondeterministic so Catalyst cannot
+    # duplicate the kernel into sibling expressions (a filter on the
+    # struct output plus the projection of it used to compile to TWO
+    # stacked ArrowEvalPython evals of the same text batch).
+    return sh.asNondeterministic()
 
 
 def fingerprint_col(col: str | Column = "text", k: int = 3) -> Column:

@@ -759,3 +759,28 @@ def test_centroid_outliers_ranks_farthest(spark):
     assert by_label[0]["vec_id"] == 3 and by_label[0]["rank"] == 1
     # a single-member label is its own centroid: distance exactly 0
     assert by_label[1]["vec_id"] == 4 and by_label[1]["dist_q"] == 0
+
+
+def test_minhash_text_kernel_runs_once(spark, dup_docs):
+    """The single-pass front-end claim, pinned at runtime: after
+    executing minhash_lsh_pairs, the EXECUTED plan contains exactly one
+    ArrowEvalPython (the fused hs+sig kernel) and re-reads it through
+    the persisted frame (InMemoryTableScan) for the band slicer and
+    both verification sides — the text is never re-tokenized per plan
+    branch."""
+    from data__converter_spark.scale import release_persisted
+
+    import re
+
+    out = dedup.minhash_lsh_pairs(dup_docs, k=3, num_hashes=16, bands=4)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    release_persisted()
+    # The cached lineage reprints under every InMemoryRelation use, so
+    # count DISTINCT eval outputs, not plan-string occurrences: one
+    # evaluation = one pythonUDF result slot.  Before the
+    # asNondeterministic fix the filter and the projection each got
+    # their own eval (pythonUDF0#9 AND #10 stacked).
+    slots = set(re.findall(r"\[pythonUDF0#(\d+)\]", plan))
+    assert len(slots) == 1, f"fused kernel evaluated {len(slots)}x: {slots}"
+    assert "InMemoryTableScan" in plan

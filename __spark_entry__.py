@@ -51,9 +51,9 @@ _VERIFY_FIRST = [
     "min_cost_supplier", "product_type_profit", "important_parts",
     "top_supplier", "supplier_part_counts", "small_qty_revenue",
     "bracket_revenue", "excess_stock_suppliers", "waiting_suppliers",
-    # -- new round-5 LLM-pipeline ops --
+    # -- new round-5 LLM-pipeline ops + stream-static enrichment --
     "common_token_ratio", "token_mix_planner", "window_overlap_pairs",
-    "embedding_outliers",
+    "embedding_outliers", "stream_enrich_counts", "pagerank_trade",
     # -- r1-green but rewritten since (stale eight) --
     "similarity_lsh_topk", "similarity_ivf_topk",
     "multimodal_image_features", "multimodal_frame_sample",

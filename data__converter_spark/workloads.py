@@ -2659,6 +2659,57 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the undirected customer<->supplier trade graph
+    (graph.py:pagerank): 3 exact-integer iterations, top 25 nodes.
+    Customer keys map to 2k, supplier keys to 2k+1 so one BIGINT node
+    space holds both sides of the bipartite graph.  The iterative
+    update is bit-reproducible (floored integer micro-units), which is
+    what lets a DuckDB CTE chain oracle-check an iterative algorithm
+    exactly rather than rows-only."""
+    from .graph import pagerank
+
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return (
+        pagerank(edges, iterations=3)
+        .orderBy(F.desc("rank_micro"), F.asc("node"))
+        .limit(25)
+    )
+
+
+def q_stream_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the stream-static enrichment shape
+    (streaming/windows.py:enrich_stream): the event firehose decorated
+    with a broadcast customer dimension, then tumbling-windowed per
+    market segment.  The stream side never shuffles for the join — the
+    only exchange is the windowed aggregate's.  Stream/batch row
+    equivalence of enrich_stream itself is pinned by
+    tests/test_streaming.py (real readStream path)."""
+    from .session import load_events
+    from .streaming.windows import enrich_stream, tumbling_counts, with_event_time
+
+    ev = with_event_time(load_events(spark, sf_dir))
+    cust = _load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = enrich_stream(ev, cust, "user_id").withColumn(
+        "segment", F.coalesce("c_mktsegment", F.lit("UNKNOWN"))
+    )
+    return tumbling_counts(joined, "1 hour", keys=["segment"])
+
+
 def q_common_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality proxy: per-doc share of corpus-top-20 tokens,
     exact integer permille (llmops/textstats.py:common_token_counts)."""
@@ -2815,6 +2866,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bracket_revenue": q_bracket_revenue,
     "excess_stock_suppliers": q_excess_stock_suppliers,
     "waiting_suppliers": q_waiting_suppliers,
+    "pagerank_trade": q_pagerank_trade,
+    "stream_enrich_counts": q_stream_enrich_counts,
     "common_token_ratio": q_common_token_ratio,
     "token_mix_planner": q_token_mix_planner,
     "window_overlap_pairs": q_window_overlap_pairs,
@@ -4371,6 +4424,72 @@ WHERE n_supp >= 2 AND n_late = 1
 GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 25
+""",
+    "pagerank_trade": """
+WITH pairs AS (
+    SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+    SELECT c AS src, s AS dst FROM pairs
+    UNION ALL
+    SELECT s AS src, c AS dst FROM pairs
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes),
+r1 AS (
+    SELECT n.node,
+           CAST(150000 + floor(850 * coalesce(s.in_sum, 0) / 1000) AS BIGINT)
+               AS rank_micro
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst,
+               sum(CAST(floor(r.rank_micro / d.out_deg) AS BIGINT)) AS in_sum
+        FROM edges e
+        JOIN deg d ON e.src = d.src
+        JOIN r0 r ON e.src = r.node
+        GROUP BY e.dst
+    ) s ON n.node = s.dst
+),
+r2 AS (
+    SELECT n.node,
+           CAST(150000 + floor(850 * coalesce(s.in_sum, 0) / 1000) AS BIGINT)
+               AS rank_micro
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst,
+               sum(CAST(floor(r.rank_micro / d.out_deg) AS BIGINT)) AS in_sum
+        FROM edges e
+        JOIN deg d ON e.src = d.src
+        JOIN r1 r ON e.src = r.node
+        GROUP BY e.dst
+    ) s ON n.node = s.dst
+),
+r3 AS (
+    SELECT n.node,
+           CAST(150000 + floor(850 * coalesce(s.in_sum, 0) / 1000) AS BIGINT)
+               AS rank_micro
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst,
+               sum(CAST(floor(r.rank_micro / d.out_deg) AS BIGINT)) AS in_sum
+        FROM edges e
+        JOIN deg d ON e.src = d.src
+        JOIN r2 r ON e.src = r.node
+        GROUP BY e.dst
+    ) s ON n.node = s.dst
+)
+SELECT node, rank_micro FROM r3
+ORDER BY rank_micro DESC, node
+LIMIT 25
+""",
+    "stream_enrich_counts": f"""
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+       strftime(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour',
+                '%Y-%m-%d %H:%M:%S') AS w_end,
+       coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+       count(*) AS n_events,
+       {_sql_money(f"sum({_sql_cents('value')})")} AS sum_value
+FROM events LEFT JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2, 3
 """,
     "common_token_ratio": _WORDS_SQL
     + """

@@ -231,3 +231,51 @@ def test_salient_terms_matches_python_reference(spark, texts):
         for rank, (term, tf) in enumerate(ranked[:2], start=1):
             assert got[(i, rank)] == (term, tf, dfreq[term])
     assert len(got) == sum(min(2, len(c)) for c in tfs.values() if c)
+
+
+@settings(**SPARK_SETTINGS)
+@given(st.lists(doc_text, min_size=1, max_size=5), st.integers(1, 4))
+def test_common_token_counts_vs_counter(spark, texts, top_k):
+    """Exact agreement with a pure-Python Counter reference, including
+    the (count desc, token asc) vocabulary tie-break and empty docs."""
+    from collections import Counter
+
+    from data__converter_spark.llmops.textstats import common_token_counts
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_common, r.common_permille)
+        for r in common_token_counts(df, top_k=top_k).collect()
+    }
+    corpus = Counter(t for x in texts for t in x.split())
+    vocab = {w for w, _ in sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]}
+    for i, x in enumerate(texts):
+        toks = x.split()
+        n_common = sum(1 for t in toks if t in vocab)
+        permille = n_common * 1000 // len(toks) if toks else 0
+        assert got[i] == (len(toks), n_common, permille)
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    st.lists(st.tuples(doc_text, st.sampled_from("pqr")), min_size=1, max_size=6),
+    st.integers(0, 50),
+)
+def test_mix_allocation_invariants(spark, rows, budget):
+    """Allocation never exceeds availability nor the fair share, and
+    sample_permille is the exact floored ratio."""
+    from data__converter_spark.llmops.textstats import mix_allocation
+
+    df = spark.createDataFrame(
+        [(i, t, s) for i, (t, s) in enumerate(rows)],
+        "doc_id long, text string, source string",
+    )
+    out = mix_allocation(df, budget_tokens=budget).collect()
+    n_sources = len({s for _, s in rows})
+    assert len(out) == n_sources
+    fair = budget // n_sources
+    for r in out:
+        avail = sum(len(t.split()) for t, s in rows if s == r.source)
+        assert r.avail_tokens == avail
+        assert r.alloc_tokens == min(avail, fair)
+        assert r.sample_permille == (r.alloc_tokens * 1000 // avail if avail else 0)

@@ -63,6 +63,9 @@ _VERIFY_FIRST = [
     "dedup_near_keep", "dedup_components", "dedup_cc_keep",
     "text_lang_id", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "minhash_est_error",
+    # -- shingle-kernel consumers touched by the round-5 single-eval fix --
+    "text_winnow", "contamination_check", "text_fingerprint",
+    "bigram_familiarity", "dedup_ngram_capped",
     # -- broadcast hints size-gated this round --
     "top_customers", "nation_volume", "rollup_volume", "promo_revenue",
     "bilateral_trade", "local_supplier_volume", "market_share",

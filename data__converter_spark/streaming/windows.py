@@ -81,6 +81,39 @@ def sliding_counts(
     return _window_flat(agg, keys)
 
 
+def active_users(
+    events: DataFrame,
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+) -> DataFrame:
+    """EXACT distinct active users per sliding window — as a two-stage
+    plan that runs incrementally on a stream: dedup (window, user)
+    pairs first (streaming dropDuplicates with watermark-bounded
+    state), then a plain additive count per window.  A direct
+    ``countDistinct`` inside a streaming aggregate is unsupported /
+    state-unbounded; this decomposition is the standard exact form,
+    with per-window state proportional to distinct users, evicted at
+    the watermark.  (At firehose scale where exact is too expensive,
+    swap stage one for ``approx_count_distinct`` — documented trade,
+    not the default.)"""
+    pairs = events.select(
+        F.window("ts", duration, slide).alias("window"), "user_id"
+    )
+    pairs = (
+        pairs.dropDuplicatesWithinWatermark(["window", "user_id"])
+        if events.isStreaming
+        else pairs.dropDuplicates(["window", "user_id"])
+    )
+    agg = pairs.groupBy("window").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    return agg.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("w_end"),
+        "n_users",
+    )
+
+
 def session_agg(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
     """Session windows per user: events closer than ``gap`` merge into
     one session (gaps-and-islands in SQL terms)."""

@@ -2659,6 +2659,17 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct active users per sliding 1h/30m window, in the
+    stream-safe dedup-then-count decomposition
+    (streaming/windows.py:active_users)."""
+    from .session import load_events
+    from .streaming.windows import active_users, with_event_time
+
+    ev = with_event_time(load_events(spark, sf_dir))
+    return active_users(ev, duration="1 hour", slide="30 minutes")
+
+
 def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the undirected customer<->supplier trade graph
     (graph.py:pagerank): 3 exact-integer iterations, top 25 nodes.
@@ -2866,6 +2877,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bracket_revenue": q_bracket_revenue,
     "excess_stock_suppliers": q_excess_stock_suppliers,
     "waiting_suppliers": q_waiting_suppliers,
+    "window_active_users": q_window_active_users,
     "pagerank_trade": q_pagerank_trade,
     "stream_enrich_counts": q_stream_enrich_counts,
     "common_token_ratio": q_common_token_ratio,
@@ -4424,6 +4436,19 @@ WHERE n_supp >= 2 AND n_late = 1
 GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 25
+""",
+    "window_active_users": """
+WITH x AS (
+    SELECT DISTINCT
+           time_bucket(INTERVAL '30 minutes', ts)
+             - (t.i * INTERVAL '30 minutes') AS w_start,
+           user_id
+    FROM events, unnest([0, 1]) AS t(i)
+)
+SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+       strftime(w_start + INTERVAL '1 hour', '%Y-%m-%d %H:%M:%S') AS w_end,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM x GROUP BY 1, 2
 """,
     "pagerank_trade": """
 WITH pairs AS (

@@ -380,3 +380,18 @@ def test_cdc_upsert_recovers_half_finished_swap(spark, tmp_path):
     assert not os.path.exists(f"{table}.__bak__")
     assert not os.path.exists(f"{table}.__staging__")
     shutil.rmtree(table, ignore_errors=True)
+
+
+def test_stream_active_users_equals_batch(spark, events):
+    """The dedup-then-count decomposition must produce identical
+    distinct-user counts on the real readStream path (complete mode —
+    windows finalize as the watermark passes) as on the batch frame."""
+    stream = windows.with_event_time(
+        runner.read_events_stream(spark, SF), watermark="1 day"
+    )
+    got = runner.run_once(windows.active_users(stream, "1 hour", "30 minutes"))
+    want = windows.active_users(
+        windows.with_event_time(events), "1 hour", "30 minutes"
+    )
+    cols = ["w_start", "w_end", "n_users"]
+    assert _rows(got, cols) == _rows(want, cols)

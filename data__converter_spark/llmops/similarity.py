@@ -564,3 +564,55 @@ def centroid_outliers(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def centroid_separation(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Pairwise squared L2 distance between label centroids — the
+    cluster-separation diagnostic run after labeling/clustering (small
+    separations flag confusable label pairs).  Centroid coordinates
+    are rounded integer means (same construction as
+    :func:`centroid_outliers`), so the distances are exact BIGINTs.
+
+    Scale shape: centroids reduce to a labels x dims frame via one
+    hash aggregate; the pairwise step is a self-join on the dimension
+    key over that TINY frame (labels² x dims intermediate, independent
+    of row count), then one aggregate per label pair."""
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos0", "v"),
+    ).select(
+        "label",
+        (F.col("pos0") + F.lit(1)).alias("pos"),
+        F.floor(F.col("v").cast("double") * F.lit(float(quant)) + F.lit(0.5))
+        .cast("bigint")
+        .alias("vq"),
+    )
+    cent = exploded.groupBy("label", "pos").agg(
+        F.floor(
+            F.sum("vq").cast("double") / F.count(F.lit(1)).cast("double")
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("cq")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "pos", F.col("cq").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "pos", F.col("cq").alias("cb")
+    )
+    return (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))
+            .cast("bigint")
+            .alias("dist_q")
+        )
+    )

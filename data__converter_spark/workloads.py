@@ -2659,6 +2659,15 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise inter-label centroid distances, exact integer grid
+    (llmops/similarity.py:centroid_separation)."""
+    from .llmops.similarity import centroid_separation
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return centroid_separation(emb)
+
+
 def q_window_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct active users per sliding 1h/30m window, in the
     stream-safe dedup-then-count decomposition
@@ -2877,6 +2886,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bracket_revenue": q_bracket_revenue,
     "excess_stock_suppliers": q_excess_stock_suppliers,
     "waiting_suppliers": q_waiting_suppliers,
+    "centroid_separation": q_centroid_separation,
     "window_active_users": q_window_active_users,
     "pagerank_trade": q_pagerank_trade,
     "stream_enrich_counts": q_stream_enrich_counts,
@@ -4436,6 +4446,24 @@ WHERE n_supp >= 2 AND n_late = 1
 GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 25
+""",
+    "centroid_separation": """
+WITH q AS (
+    SELECT label,
+           generate_subscripts(embedding, 1) AS pos,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS vq
+    FROM embeddings
+),
+cent AS (
+    SELECT label, pos,
+           CAST(floor(CAST(sum(vq) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5)
+                AS BIGINT) AS cq
+    FROM q GROUP BY 1, 2
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       CAST(sum((a.cq - b.cq) * (a.cq - b.cq)) AS BIGINT) AS dist_q
+FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+GROUP BY 1, 2
 """,
     "window_active_users": """
 WITH x AS (

@@ -784,3 +784,19 @@ def test_minhash_text_kernel_runs_once(spark, dup_docs):
     slots = set(re.findall(r"\[pythonUDF0#(\d+)\]", plan))
     assert len(slots) == 1, f"fused kernel evaluated {len(slots)}x: {slots}"
     assert "InMemoryTableScan" in plan
+
+
+def test_centroid_separation_known_geometry(spark):
+    rows = [
+        (1, [0.0, 0.0], 0),
+        (2, [0.0, 2.0], 0),   # centroid label 0 = (0, 1)
+        (3, [3.0, 1.0], 1),   # centroid label 1 = (3, 1)
+        (4, [0.0, 1.0], 2),   # centroid label 2 = (0, 1) == label 0's
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {(r["label_a"], r["label_b"]): r["dist_q"]
+           for r in similarity.centroid_separation(df).collect()}
+    q = 1_000_000
+    assert out[(0, 1)] == (3 * q) ** 2
+    assert out[(0, 2)] == 0          # identical centroids -> confusable
+    assert out[(1, 2)] == (3 * q) ** 2

@@ -2659,6 +2659,26 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_substring_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end substring dedup: window-overlap pairs at containment
+    >= 0.8 (the smaller doc is essentially embedded in the larger) ->
+    exact transitive closure -> one survivor (min id) per component.
+    The verbatim-run analog of dedup_cc_keep's set-similarity policy."""
+    from .llmops.dedup import connected_components, window_overlap_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = (
+        window_overlap_pairs(docs, window=8, min_shared=1, max_window_freq=200)
+        .filter(F.col("containment_permille") >= 800)
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(pairs)
+    losers = cc.filter(F.col("id") != F.col("component")).select("id")
+    return docs.join(
+        losers, docs.doc_id == losers.id, "left_anti"
+    ).select("doc_id")
+
+
 def q_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise inter-label centroid distances, exact integer grid
     (llmops/similarity.py:centroid_separation)."""
@@ -2886,6 +2906,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bracket_revenue": q_bracket_revenue,
     "excess_stock_suppliers": q_excess_stock_suppliers,
     "waiting_suppliers": q_waiting_suppliers,
+    "dedup_substring_keep": q_dedup_substring_keep,
     "centroid_separation": q_centroid_separation,
     "window_active_users": q_window_active_users,
     "pagerank_trade": q_pagerank_trade,
@@ -4446,6 +4467,49 @@ WHERE n_supp >= 2 AND n_late = 1
 GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 25
+""",
+    "dedup_substring_keep": _WORDS_SQL.replace("WITH words_cte", "WITH RECURSIVE words_cte", 1)
+    + """
+, ws AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(words) - 6),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' '
+                 || words[i+3] || ' ' || words[i+4] || ' ' || words[i+5] || ' '
+                 || words[i+6] || ' ' || words[i+7])) AS sh
+    FROM words_cte WHERE len(words) >= 8
+),
+post AS (SELECT doc_id, unnest(sh) AS s FROM ws),
+sizes AS (SELECT doc_id, count(*) AS sz FROM post GROUP BY doc_id),
+keep AS (
+    SELECT * FROM post
+    WHERE s NOT IN (SELECT s FROM post GROUP BY s HAVING count(*) > 200)
+),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM keep a JOIN keep b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+cpairs AS (
+    SELECT id_a, id_b FROM shared
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE floor(n_shared * 1000 / least(sa.sz, sb.sz)) >= 800
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM cpairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM cpairs
+),
+reach AS (
+    SELECT DISTINCT src AS id, src AS comp FROM edges
+  UNION
+    SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id
+),
+cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+SELECT d.doc_id FROM documents d
+LEFT JOIN (SELECT id FROM cc WHERE id <> component) l ON d.doc_id = l.id
+WHERE l.id IS NULL
 """,
     "centroid_separation": """
 WITH q AS (

@@ -800,3 +800,29 @@ def test_centroid_separation_known_geometry(spark):
     assert out[(0, 1)] == (3 * q) ** 2
     assert out[(0, 2)] == 0          # identical centroids -> confusable
     assert out[(1, 2)] == (3 * q) ** 2
+
+
+def test_substring_keep_composition(spark):
+    """An embedded document (containment 1000) loses to the min-id
+    survivor of its component; partial overlap below the containment
+    bar survives."""
+    from data__converter_spark.llmops.dedup import (
+        connected_components,
+        window_overlap_pairs,
+    )
+
+    run = " ".join(f"w{i}" for i in range(12))          # 12 tokens
+    embedded = run                                        # duplicate of 1
+    partial = " ".join(f"w{i}" for i in range(5, 17))     # shares a suffix run
+    df = spark.createDataFrame(
+        [(1, run), (2, embedded), (3, partial), (4, "x y z")],
+        "doc_id long, text string",
+    )
+    pairs = (
+        window_overlap_pairs(df, window=8)
+        .filter(F.col("containment_permille") >= 800)
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(pairs)
+    losers = {r["id"] for r in cc.filter(F.col("id") != F.col("component")).collect()}
+    assert losers == {2}  # 3's partial overlap stays below the bar

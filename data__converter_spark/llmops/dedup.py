@@ -444,6 +444,49 @@ def minhash_lsh_pairs(
     )
 
 
+def _minhash_front(
+    df: DataFrame, col: str, id_col: str, k: int, num_hashes: int, seed: int
+) -> DataFrame:
+    """Persisted (id, hs, sig) frame from ONE fused Arrow pass over the
+    text (see :func:`_hs_sig_udf`)."""
+    from ..scale import fan_out, persisted
+
+    return persisted(
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            _hs_sig_udf(k, num_hashes, seed)(F.col(col)).alias("x"),
+        )
+        .filter(F.col("x.hs").isNotNull())
+        .select(F.col(id_col), F.col("x.hs").alias("hs"), F.col("x.sig").alias("sig"))
+    )
+
+
+def _band_frame(
+    sigs: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band, bucket) rows — band buckets carry only those three
+    columns (the shingle arrays would be duplicated ``bands``× in the
+    bucket shuffle otherwise); xxhash64 hashes the sliced signature
+    array directly (JVM-side, no per-element stringify)."""
+    return sigs.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def _minhash_candidates(
     df: DataFrame,
     col: str,
@@ -469,42 +512,13 @@ def _minhash_candidates(
     members of a dropped bucket can still pair through their other
     bands. Default None keeps exact banded-LSH semantics."""
     rows_per_band = num_hashes // bands
-    from ..scale import fan_out, persisted
+    from ..scale import persisted
 
-    front = persisted(
-        fan_out(df)
-        .select(
-            F.col(id_col),
-            _hs_sig_udf(k, num_hashes, seed)(F.col(col)).alias("x"),
-        )
-        .filter(F.col("x.hs").isNotNull())
-        .select(F.col(id_col), F.col("x.hs").alias("hs"), F.col("x.sig").alias("sig"))
-    )
+    front = _minhash_front(df, col, id_col, k, num_hashes, seed)
     hashed = front.select(id_col, "hs")
     sigs = front.select(id_col, "sig")
 
-    # band buckets carry only (id, band, bucket) — the shingle arrays
-    # never enter this shuffle (they'd be duplicated `bands`× otherwise).
-    # xxhash64 hashes the sliced signature array directly (JVM-side,
-    # no per-element stringify).
-    banded = persisted(
-        sigs.select(
-            id_col,
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.struct(
-                        b.alias("band"),
-                        F.xxhash64(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                        ).alias("bucket"),
-                    ),
-                )
-            ).alias("bb"),
-        ).select(
-            id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-        )
-    )
+    banded = persisted(_band_frame(sigs, id_col, bands, rows_per_band))
 
     if max_bucket_size is not None:
         hot = (
@@ -1186,4 +1200,74 @@ def window_overlap_pairs(
             .cast("bigint")
             .alias("containment_permille"),
         )
+    )
+
+
+def dedup_against(
+    new: DataFrame,
+    ref: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Cross-corpus dedup: rows of ``new`` that are NOT near-duplicates
+    of ANY ``ref`` document — the incremental-ingest shape (dedup this
+    month's crawl against the standing corpus) and the decontamination
+    shape (drop training docs near a held-out set).  Self-dedup of the
+    new batch is deliberately out of scope here; run the self forms
+    separately so each policy stays auditable.
+
+    Same banded-LSH machinery as :func:`minhash_lsh_pairs` but the
+    bucket join is new x ref instead of a self-join — work scales with
+    bucket co-occupancy across the two corpora, never |new| x |ref|.
+    The reference front (hash sets + band buckets) is exactly what a
+    standing corpus would keep materialized between ingests: at 100 TB
+    the ref side reads a pre-computed signature table instead of
+    re-hashing the corpus per batch.  ``max_bucket_size`` caps
+    degenerate buckets ON THE REF SIDE (boilerplate in the standing
+    corpus), the conservative direction: a dropped bucket can only
+    under-report duplication, and the new batch never loses rows to
+    the cap alone."""
+    rows_per_band = num_hashes // bands
+    from ..scale import persisted
+
+    f_new = _minhash_front(new, col, id_col, k, num_hashes, seed)
+    f_ref = _minhash_front(ref, col, id_col, k, num_hashes, seed)
+    b_new = _band_frame(
+        f_new.select(id_col, "sig"), id_col, bands, rows_per_band
+    ).withColumnRenamed(id_col, "new_id")
+    b_ref = _band_frame(
+        f_ref.select(id_col, "sig"), id_col, bands, rows_per_band
+    ).withColumnRenamed(id_col, "ref_id")
+    if max_bucket_size is not None:
+        hot = (
+            b_ref.groupBy("band", "bucket")
+            .count()
+            .filter(F.col("count") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        b_ref = b_ref.join(hot, ["band", "bucket"], "left_anti")
+    cand = (
+        b_new.join(b_ref, ["band", "bucket"])
+        .select("new_id", "ref_id")
+        .dropDuplicates(["new_id", "ref_id"])
+    )
+    hs_new = f_new.select(F.col(id_col).alias("new_id"), F.col("hs").alias("hs_n"))
+    hs_ref = f_ref.select(F.col(id_col).alias("ref_id"), F.col("hs").alias("hs_r"))
+    inter = F.size(F.array_intersect("hs_n", "hs_r")).cast("double")
+    union = F.size(F.array_union("hs_n", "hs_r")).cast("double")
+    dup_ids = (
+        cand.join(hs_new, "new_id")
+        .join(hs_ref, "ref_id")
+        .filter((inter / union) >= F.lit(float(threshold)))
+        .select("new_id")
+        .distinct()
+    )
+    return new.join(
+        dup_ids, new[id_col] == dup_ids.new_id, "left_anti"
     )

@@ -509,6 +509,32 @@ verified AS (
     )
 
 
+def _cross_dup_sql(threshold: float = 0.5) -> str:
+    """DuckDB replica of llmops.dedup.dedup_against over the odd/even
+    doc_id split: same front as _minhash_verified_pairs_sql, but the
+    bucket join is new(odd) x ref(even) and the final SELECT anti-joins
+    the duplicate new ids."""
+    base = _minhash_verified_pairs_sql(threshold=threshold)
+    prefix = base.split(",\ncand AS (")[0]
+    return prefix + f""",
+cand AS (
+    SELECT DISTINCT l.doc_id AS new_id, r2.doc_id AS ref_id
+    FROM banded l JOIN banded r2 ON l.band = r2.band AND l.bucket = r2.bucket
+    WHERE l.doc_id % 2 = 1 AND r2.doc_id % 2 = 0
+),
+dups AS (
+    SELECT DISTINCT new_id FROM cand
+    JOIN hs_cte a ON cand.new_id = a.doc_id
+    JOIN hs_cte b ON cand.ref_id = b.doc_id
+    WHERE CAST(len(list_intersect(a.h, b.h)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.h, b.h))) AS DOUBLE)
+          >= {threshold}
+)
+SELECT doc_id FROM documents
+WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT new_id FROM dups)
+"""
+
+
 def _cc_sql() -> str:
     """DuckDB replica of llmops.dedup.connected_components over the
     minhash-verified pair graph: WITH RECURSIVE reachability (edges
@@ -2659,6 +2685,18 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_against_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus dedup (llmops/dedup.py:dedup_against): odd-id docs
+    (the incoming batch) that are not near-dups of any even-id doc
+    (the standing corpus)."""
+    from .llmops.dedup import dedup_against
+
+    docs = _load(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    return dedup_against(new, ref, threshold=0.5).select("doc_id")
+
+
 def q_dedup_substring_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end substring dedup: window-overlap pairs at containment
     >= 0.8 (the smaller doc is essentially embedded in the larger) ->
@@ -2906,6 +2944,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bracket_revenue": q_bracket_revenue,
     "excess_stock_suppliers": q_excess_stock_suppliers,
     "waiting_suppliers": q_waiting_suppliers,
+    "dedup_against_ref": q_dedup_against_ref,
     "dedup_substring_keep": q_dedup_substring_keep,
     "centroid_separation": q_centroid_separation,
     "window_active_users": q_window_active_users,
@@ -4468,6 +4507,7 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 25
 """,
+    "dedup_against_ref": _cross_dup_sql(0.5),
     "dedup_substring_keep": _WORDS_SQL.replace("WITH words_cte", "WITH RECURSIVE words_cte", 1)
     + """
 , ws AS (

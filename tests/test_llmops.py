@@ -826,3 +826,25 @@ def test_substring_keep_composition(spark):
     cc = connected_components(pairs)
     losers = {r["id"] for r in cc.filter(F.col("id") != F.col("component")).collect()}
     assert losers == {2}  # 3's partial overlap stays below the bar
+
+
+def test_dedup_against_keeps_only_novel(spark, dup_docs):
+    """Cross-corpus form: a new batch loses exactly the docs near-dup
+    to the reference corpus; self-dups WITHIN the new batch survive
+    (that policy belongs to the self forms)."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    ref = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [
+            (1, base),                                    # exact dup of ref
+            (2, base.replace("today", "tonight")),        # near dup of ref
+            (3, "entirely novel content about columnar shuffles and codegen"),
+            (4, "entirely novel content about columnar shuffles and codegen"),
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_against(new, ref, threshold=0.5).collect()
+    )
+    assert out == [3, 4]

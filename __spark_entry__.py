@@ -68,7 +68,10 @@ _VERIFY_FIRST = [
     # -- shingle-kernel consumers touched by the round-5 single-eval fix --
     "text_winnow", "contamination_check", "text_fingerprint",
     "bigram_familiarity", "dedup_ngram_capped",
-    # -- broadcast hints size-gated this round --
+    # -- broadcast hints size-gated this round (plan-only change; the
+    # r4-green value hashes are unaffected by join strategy, so the
+    # tail of this block is the right thing to fall below the 50-slot
+    # cut if the list overflows) --
     "top_customers", "nation_volume", "rollup_volume", "promo_revenue",
     "bilateral_trade", "local_supplier_volume", "market_share",
     "returned_revenue", "large_orders", "shipping_priority",

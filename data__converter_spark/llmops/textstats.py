@@ -898,3 +898,43 @@ def mix_allocation(
             .alias("sample_permille"),
         )
     )
+
+
+def balanced_shards(
+    df: DataFrame,
+    n_shards: int = 32,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-balanced output-shard assignment for training-data writes:
+    documents round-robin onto ``n_shards`` WITHIN size-magnitude
+    buckets (``floor(log2(n_tokens + 1))``), so every shard receives
+    the same mix of small and large documents and shard token totals
+    equalize without any global sort — the windows partition by the
+    bucket, and at 100 TB each bucket's rank assignment runs on its
+    own partitions.  Deterministic: rank order is (bucket, id).
+
+    Output: (``id_col``, n_tokens, size_bucket, shard) — feed to
+    ``.repartition("shard").write`` (or ``partitionBy``) to lay the
+    corpus out as balanced training shards."""
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(id_col),
+        token_count_col(col).cast("bigint").alias("n_tokens"),
+    ).select(
+        id_col,
+        "n_tokens",
+        F.floor(F.log2(F.col("n_tokens") + F.lit(1))).cast("int").alias(
+            "size_bucket"
+        ),
+    )
+    w = W.partitionBy("size_bucket").orderBy(id_col)
+    return base.select(
+        id_col,
+        "n_tokens",
+        "size_bucket",
+        ((F.row_number().over(w) - F.lit(1)) % F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+    )

@@ -2685,6 +2685,23 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment + per-shard totals
+    (llmops/textstats.py:balanced_shards) — the summary aggregate
+    proves the balance property the assignment exists for."""
+    from .llmops.textstats import balanced_shards
+
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        balanced_shards(docs, n_shards=8)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
 def q_dedup_against_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus dedup (llmops/dedup.py:dedup_against): odd-id docs
     (the incoming batch) that are not near-dups of any even-id doc
@@ -2944,6 +2961,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bracket_revenue": q_bracket_revenue,
     "excess_stock_suppliers": q_excess_stock_suppliers,
     "waiting_suppliers": q_waiting_suppliers,
+    "balanced_shards": q_balanced_shards,
     "dedup_against_ref": q_dedup_against_ref,
     "dedup_substring_keep": q_dedup_substring_keep,
     "centroid_separation": q_centroid_separation,
@@ -4506,6 +4524,23 @@ WHERE n_supp >= 2 AND n_late = 1
 GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 25
+""",
+    "balanced_shards": _WORDS_SQL
+    + """
+, base AS (
+    SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+           CAST(floor(log2(len(words) + 1)) AS INT) AS size_bucket
+    FROM words_cte
+),
+assigned AS (
+    SELECT doc_id, n_tokens, size_bucket,
+           CAST((row_number() OVER (PARTITION BY size_bucket ORDER BY doc_id) - 1)
+                % 8 AS INT) AS shard
+    FROM base
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM assigned GROUP BY shard
 """,
     "dedup_against_ref": _cross_dup_sql(0.5),
     "dedup_substring_keep": _WORDS_SQL.replace("WITH words_cte", "WITH RECURSIVE words_cte", 1)

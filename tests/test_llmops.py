@@ -848,3 +848,23 @@ def test_dedup_against_keeps_only_novel(spark, dup_docs):
         for r in dedup.dedup_against(new, ref, threshold=0.5).collect()
     )
     assert out == [3, 4]
+
+
+def test_balanced_shards_balance_property(spark):
+    """Every doc lands on exactly one shard; within a size bucket the
+    shard doc-counts differ by at most 1 (round-robin), so token totals
+    equalize across shards for homogeneous buckets."""
+    rows = [(i, " ".join("w" for _ in range(10))) for i in range(32)]  # one bucket
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textstats.balanced_shards(df, n_shards=4).collect()
+    assert len(out) == 32
+    from collections import Counter
+
+    per_shard = Counter(r["shard"] for r in out)
+    assert set(per_shard) == {0, 1, 2, 3}
+    assert max(per_shard.values()) - min(per_shard.values()) == 0  # 32/4 exact
+    # token totals exactly equal for a homogeneous corpus
+    totals = Counter()
+    for r in out:
+        totals[r["shard"]] += r["n_tokens"]
+    assert len(set(totals.values())) == 1

@@ -435,3 +435,30 @@ def test_min_cost_supplier_single_window_exchange(spark):
     # one lineitem scan only: the subquery never re-reads the fact
     li_scans = [s for s in read_schemas(p) if "l_partkey" in s]
     assert len(li_scans) == 1, f"expected 1 lineitem scan, got {len(li_scans)}"
+
+
+def test_active_users_dedup_then_count_shape(spark):
+    """The stream-safe decomposition must plan as dedup aggregate ->
+    count aggregate (two exchanges max on the window key), never a
+    countDistinct expand."""
+    from data__converter_spark.workloads import q_window_active_users
+
+    p = plan_of(q_window_active_users(spark, SF_DIR))
+    # (the one Expand in this plan is the sliding-window fan-out —
+    # every event into duration/slide windows — not an agg rewrite)
+    assert p.count("Expand") == 1
+    # dedup stage: an aggregate keyed on (window, user) with NO
+    # aggregate functions, then the additive count on the window key
+    assert "HashAggregate(keys=[window#" in p
+    assert p.count("Exchange hashpartitioning") == 2
+
+
+def test_balanced_shards_no_global_sort(spark):
+    """Shard ranks window per size bucket: one hash exchange on the
+    bucket, no global (rangepartitioning) sort anywhere."""
+    from data__converter_spark.llmops.textstats import balanced_shards
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan_of(balanced_shards(docs, n_shards=8))
+    assert "rangepartitioning" not in p.lower()
+    assert p.count("Exchange hashpartitioning") == 1

@@ -55,7 +55,7 @@ _VERIFY_FIRST = [
     "common_token_ratio", "token_mix_planner", "window_overlap_pairs",
     "embedding_outliers", "stream_enrich_counts", "pagerank_trade",
     "window_active_users", "centroid_separation", "dedup_substring_keep",
-    "dedup_against_ref", "balanced_shards",
+    "dedup_against_ref", "balanced_shards", "kmeans_train2",
     # -- r1-green but rewritten since (stale eight) --
     "similarity_lsh_topk", "similarity_ivf_topk",
     "multimodal_image_features", "multimodal_frame_sample",

@@ -454,6 +454,17 @@ def kmeans_step(
     pass and one (cluster, pos) aggregation — no shuffle of the vectors
     themselves. Deterministic: a pure function of (data, k, seed).
     """
+    cids, cq = _seed_centroids(df, k, vec_col, id_col, seed)
+    assigned = _assign_to_grid(df, cids, cq, vec_col, id_col)
+    out = label_centroids(assigned, vec_col=vec_col, label_col="cluster", quant=quant)
+    return out.select(
+        F.col("label").alias("cluster"), "pos", "n_vecs", "mean_val"
+    )
+
+
+def _seed_centroids(df: DataFrame, k: int, vec_col: str, id_col: str, seed: int):
+    """(cluster ids asc, integer-grid centroid matrix) from the k
+    corpus vectors with the smallest md5('{id}:{seed}')."""
     import numpy as np
 
     cent_rows = (
@@ -473,6 +484,18 @@ def kmeans_step(
         * VEC_QUANT
         + 0.5
     ).astype(np.int64)
+    return cids, cq
+
+
+def _assign_to_grid(
+    df: DataFrame, cids, cq, vec_col: str, id_col: str
+) -> DataFrame:
+    """Nearest-centroid assignment by cosine against an integer-grid
+    centroid matrix riding the task closure (no shuffle of vectors).
+    cids must be ascending so numpy's first-match argmax implements the
+    smallest-cluster-id tie rule."""
+    import numpy as np
+
     c_norm = np.sqrt(np.einsum("ij,ij->i", cq, cq).astype(np.float64))
 
     def assign(batches):
@@ -489,11 +512,58 @@ def kmeans_step(
             out["cluster"] = cids[cos.argmax(axis=1)]
             yield out
 
-    assigned = df.select(id_col, vec_col).mapInPandas(
+    return df.select(id_col, vec_col).mapInPandas(
         assign, f"{id_col} long, {vec_col} array<float>, cluster long"
     )
-    out = label_centroids(assigned, vec_col=vec_col, label_col="cluster", quant=quant)
-    return out.select(
+
+
+def kmeans_train(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """The full Lloyd loop: :func:`kmeans_step`'s assignment/update,
+    iterated.  Iteration 1 assigns to the deterministic seed VECTORS;
+    every later iteration re-assigns to the previous update's centroids
+    re-quantized onto the :data:`VEC_QUANT` grid from their canonical
+    mean doubles (``floor(mean * VEC_QUANT + 0.5)``) — the exact values
+    an unrolled SQL chain derives, so N iterations stay hash-checkable
+    cross-engine, like :func:`data__converter_spark.graph.pagerank`.
+
+    Per iteration the driver pulls only the k x dim centroid grid
+    (Lloyd's classic control loop — the vectors themselves never leave
+    the executors, the grid rides the next task closure).  A cluster
+    that loses every member disappears; k may shrink.  Output:
+    (cluster, pos, n_vecs, mean_val) of the final update."""
+    import numpy as np
+
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    cids, cq = _seed_centroids(df, k, vec_col, id_col, seed)
+    for _ in range(iterations):
+        assigned = _assign_to_grid(df, cids, cq, vec_col, id_col)
+        cent = label_centroids(
+            assigned, vec_col=vec_col, label_col="cluster", quant=quant
+        )
+        rows = cent.collect()
+        by_cluster: dict = {}
+        for r in rows:
+            by_cluster.setdefault(r["label"], {})[r["pos"]] = r["mean_val"]
+        cids = np.array(sorted(by_cluster), dtype=np.int64)
+        dim = max(len(v) for v in by_cluster.values())
+        cq = np.floor(
+            np.array(
+                [[by_cluster[c][p + 1] for p in range(dim)] for c in cids],
+                dtype=np.float64,
+            )
+            * VEC_QUANT
+            + 0.5
+        ).astype(np.int64)
+    return cent.select(
         F.col("label").alias("cluster"), "pos", "n_vecs", "mean_val"
     )
 

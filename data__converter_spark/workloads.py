@@ -2003,6 +2003,20 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_train2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO full Lloyd iterations (similarity.kmeans_train): iteration 2
+    re-assigns against iteration 1's re-quantized centroids — the
+    iterative ML loop hash-checked exactly by an unrolled SQL chain,
+    like pagerank_trade."""
+    from .llmops.similarity import kmeans_train
+
+    emb = _load(spark, sf_dir, "embeddings")
+    out = kmeans_train(emb, k=8, iterations=2, seed=42)
+    return out.select(
+        "cluster", "pos", "n_vecs", F.round("mean_val", 6).alias("mean_val_r")
+    )
+
+
 def q_corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary health in one pass: total tokens, distinct
     terms, hapax count (terms in exactly one document — the Zipf tail),
@@ -2940,6 +2954,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "price_percent_rank": q_price_percent_rank,
     "pack_sequences": q_pack_sequences,
     "kmeans_step": q_kmeans_step,
+    "kmeans_train2": q_kmeans_train2,
     "corpus_vocab_stats": q_corpus_vocab_stats,
     "price_deciles": q_price_deciles,
     "priority_waiting": q_priority_waiting,
@@ -3916,6 +3931,71 @@ WHERE EXISTS (
       AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
 )
 GROUP BY o_orderpriority
+""",
+    "kmeans_train2": """
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+vq AS (
+    SELECT vec_id, list_transform(e, x -> floor(x * 131072.0 + 0.5)) AS q
+    FROM v
+),
+cent AS (
+    SELECT vec_id AS cid, q AS cq FROM vq
+    ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42'), vec_id
+    LIMIT 8
+),
+assign1 AS (
+    SELECT vq.vec_id, cent.cid,
+           row_number() OVER (PARTITION BY vq.vec_id
+               ORDER BY list_dot_product(vq.q, cent.cq)
+                        / (CASE WHEN sqrt(list_dot_product(vq.q, vq.q)) > 0
+                                THEN sqrt(list_dot_product(vq.q, vq.q))
+                                ELSE 1.0 END
+                           * sqrt(list_dot_product(cent.cq, cent.cq)))
+                        DESC, cent.cid) AS rn
+    FROM vq CROSS JOIN cent
+),
+cl1 AS (SELECT vec_id, cid AS cluster FROM assign1 WHERE rn = 1),
+expl1 AS (
+    SELECT cl1.cluster, CAST(p.pos AS INT) AS pos,
+           CAST(floor(v.e[CAST(p.pos AS BIGINT)] * 1000000.0 + 0.5) AS BIGINT) AS vmq
+    FROM cl1 JOIN v USING (vec_id), unnest(range(1, len(v.e) + 1)) AS p(pos)
+),
+cent1 AS (
+    SELECT cluster, pos, count(*) AS n, sum(vmq) AS sq
+    FROM expl1 GROUP BY cluster, pos
+),
+-- iteration-2 centroids: canonical mean double -> VEC_QUANT grid,
+-- the exact re-quantization the Spark driver loop performs
+clist AS (
+    SELECT cluster,
+           list(CAST(floor((CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0)
+                           * 131072.0 + 0.5) AS BIGINT) ORDER BY pos) AS cq
+    FROM cent1 GROUP BY cluster
+),
+assign2 AS (
+    SELECT vq.vec_id, clist.cluster,
+           row_number() OVER (PARTITION BY vq.vec_id
+               ORDER BY list_dot_product(vq.q, clist.cq)
+                        / (CASE WHEN sqrt(list_dot_product(vq.q, vq.q)) > 0
+                                THEN sqrt(list_dot_product(vq.q, vq.q))
+                                ELSE 1.0 END
+                           * sqrt(list_dot_product(clist.cq, clist.cq)))
+                        DESC, clist.cluster) AS rn
+    FROM vq CROSS JOIN clist
+),
+cl2 AS (SELECT vec_id, cluster FROM assign2 WHERE rn = 1),
+expl2 AS (
+    SELECT cl2.cluster, CAST(p.pos AS INT) AS pos,
+           CAST(floor(v.e[CAST(p.pos AS BIGINT)] * 1000000.0 + 0.5) AS BIGINT) AS vmq
+    FROM cl2 JOIN v USING (vec_id), unnest(range(1, len(v.e) + 1)) AS p(pos)
+)
+SELECT cluster, pos,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(CAST(sum(vmq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0, 6)
+           AS mean_val_r
+FROM expl2 GROUP BY cluster, pos
 """,
     "kmeans_step": """
 WITH v AS (

@@ -868,3 +868,22 @@ def test_balanced_shards_balance_property(spark):
     for r in out:
         totals[r["shard"]] += r["n_tokens"]
     assert len(set(totals.values())) == 1
+
+
+def test_kmeans_train_iterates_and_partitions(spark, embeddings):
+    """Two Lloyd iterations still partition the corpus (per-pos n_vecs
+    sums to the corpus size), and with k=1 the loop is a fixed point:
+    every iteration reproduces the global mean exactly."""
+    n = embeddings.count()
+    out2 = similarity.kmeans_train(embeddings, k=4, iterations=2, seed=42).collect()
+    per_pos = {}
+    for r in out2:
+        per_pos[r["pos"]] = per_pos.get(r["pos"], 0) + r["n_vecs"]
+    assert set(per_pos.values()) == {n}
+    one_a = similarity.kmeans_train(embeddings, k=1, iterations=1, seed=42).collect()
+    one_b = similarity.kmeans_train(embeddings, k=1, iterations=3, seed=42).collect()
+    assert sorted((r["pos"], r["mean_val"]) for r in one_a) == sorted(
+        (r["pos"], r["mean_val"]) for r in one_b
+    )
+    with pytest.raises(ValueError):
+        similarity.kmeans_train(embeddings, k=4, iterations=0)

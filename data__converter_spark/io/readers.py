@@ -261,6 +261,13 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     return bins.select("content").mapInPandas(kernel, spark_schema)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC columnar source — native Spark reader, same pushdown/pruning
+    contract as parquet (PushedFilters + ReadSchema reach the stripe
+    reader; stripes split across tasks)."""
+    return spark.read.orc(path)
+
+
 def read_jsonl(spark: SparkSession, path: str, encoding: str = "utf-8") -> DataFrame:
     """JSON-lines (one object per line — the K3 writer's multi-column
     output and the standard LLM-corpus interchange format). Unlike

@@ -412,3 +412,20 @@ def test_flatten_nested_structs_to_dotted_names(spark):
     row = fill_missing_empty(flat).collect()[0]
     assert row["a.b"] == "x" and row["a.c.d"] == 2 and row["a.c.e"] == ""
     assert row["tags"] == ["k"]
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC read/write round-trip; the filter must reach the ORC scan
+    (searchArgument pushdown) and the projection must prune."""
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(100)], "id long, name string, v double"
+    )
+    p = str(tmp_path / "t.orc")
+    writers.write_orc(df, p)
+    back = readers.read_orc(spark, p)
+    assert back.count() == 100
+    q = back.filter("id >= 90").select("id", "name")
+    assert q.count() == 10
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "id" in plan.split("PushedFilters")[1][:80]
+    assert "v:" not in plan.split("ReadSchema:")[1].splitlines()[0]

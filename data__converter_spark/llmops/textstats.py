@@ -938,3 +938,92 @@ def balanced_shards(
         .cast("int")
         .alias("shard"),
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Gopher-style rule-based document quality gate (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", table A1 repetition/quality
+    filters) — the standard pre-training corpus hygiene pass.
+
+    Every rule is an exact INTEGER predicate: ratio thresholds are
+    cross-multiplied (``3*n_words <= word_chars`` instead of
+    ``word_chars/n_words >= 3.0``), so no float division exists anywhere
+    and any engine computes bit-identical rule flags.  Rules:
+
+    - ``rule_word_count``: ``min_words <= n_words <= max_words``
+    - ``rule_mean_word_len``: mean word length in [3, 10]
+    - ``rule_symbol_ratio``: (``#`` + ellipsis) per word <= 0.1
+    - ``rule_alpha_ratio``: >= 80% of words contain a letter
+    - ``rule_stopwords``: >= 2 distinct English stopwords present
+
+    ``stopwords`` defaults to the English :data:`QUALITY_STOPWORDS`;
+    pass a corpus-appropriate list for other domains (the rule is
+    "common-word presence", not English specifically).
+
+    One narrow projection — no shuffle, no UDF; at 100 TB this fuses
+    into the scan and the keep flag drives a pushed-down filter for
+    every downstream consumer.
+    """
+    stopwords = stopwords if stopwords is not None else QUALITY_STOPWORDS
+    c = F.col(col)
+    words = tokens_col(col)
+    toks_lower = F.transform(words, F.lower)
+    n_words = F.size(words).cast("bigint")
+    word_chars = F.aggregate(
+        F.transform(words, F.length),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x.cast("bigint"),
+    )
+    n_hash = (F.length(c) - F.length(F.replace(c, F.lit("#")))).cast("bigint")
+    n_uni_ellipsis = (
+        F.length(c) - F.length(F.replace(c, F.lit("…")))
+    ).cast("bigint")
+    n_dot_ellipsis = (
+        (F.length(c) - F.length(F.replace(c, F.lit("...")))) / 3
+    ).cast("bigint")
+    n_symbols = n_hash + n_uni_ellipsis + n_dot_ellipsis
+    alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("bigint")
+    stop_hits = F.size(
+        F.array_intersect(
+            toks_lower,
+            F.array(*[F.lit(w) for w in stopwords]),
+        )
+    ).cast("bigint")
+
+    rule_word_count = (n_words >= min_words) & (n_words <= max_words)
+    rule_mean_word_len = (word_chars >= 3 * n_words) & (
+        word_chars <= 10 * n_words
+    )
+    rule_symbol_ratio = 10 * n_symbols <= n_words
+    rule_alpha_ratio = 5 * alpha_words >= 4 * n_words
+    rule_stopwords = stop_hits >= 2
+
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        word_chars.alias("word_chars"),
+        n_symbols.alias("n_symbols"),
+        alpha_words.alias("alpha_words"),
+        stop_hits.alias("stop_hits"),
+        rule_word_count.alias("rule_word_count"),
+        rule_mean_word_len.alias("rule_mean_word_len"),
+        rule_symbol_ratio.alias("rule_symbol_ratio"),
+        rule_alpha_ratio.alias("rule_alpha_ratio"),
+        rule_stopwords.alias("rule_stopwords"),
+        (
+            rule_word_count
+            & rule_mean_word_len
+            & rule_symbol_ratio
+            & rule_alpha_ratio
+            & rule_stopwords
+        ).alias("keep"),
+    )

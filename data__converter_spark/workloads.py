@@ -2855,6 +2855,20 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_outliers(emb, k=5)
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule corpus quality gate (llmops/textstats.py:gopher_rules):
+    five exact-integer rule flags + keep over every document — one
+    narrow projection, zero shuffle."""
+    from .llmops.textstats import gopher_rules
+
+    docs = _load(spark, sf_dir, "documents")
+    return gopher_rules(
+        docs,
+        min_words=30,
+        stopwords=["the", "a", "data", "table", "value", "key", "row", "query"],
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compare_diff": q_compare_diff,
     "compare_diff_summary": q_compare_diff_summary,
@@ -2987,6 +3001,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_mix_planner": q_token_mix_planner,
     "window_overlap_pairs": q_window_overlap_pairs,
     "embedding_outliers": q_embedding_outliers,
+    "gopher_quality": q_gopher_quality,
 }
 
 ORACLES: dict[str, str] = {
@@ -4863,5 +4878,43 @@ FROM (
     FROM pv
 )
 WHERE rank <= 5
+""",
+    "gopher_quality": """
+WITH t AS (
+    SELECT doc_id, text,
+           CASE WHEN length(trim(text)) = 0 THEN []
+                ELSE regexp_split_to_array(trim(text), '[ \\t\\r\\n]+') END
+               AS words
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(COALESCE(list_sum(list_transform(words, w -> length(w))), 0)
+                AS BIGINT) AS word_chars,
+           CAST(length(text) - length(replace(text, '#', ''))
+                + length(text) - length(replace(text, chr(8230), ''))
+                + (length(text) - length(replace(text, '...', ''))) / 3
+                AS BIGINT) AS n_symbols,
+           CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+                AS BIGINT) AS alpha_words,
+           CAST(len(list_intersect(list_transform(words, w -> lower(w)),
+                ['the','a','data','table','value','key','row','query']))
+                AS BIGINT) AS stop_hits
+    FROM t
+)
+SELECT doc_id, n_words, word_chars, n_symbols, alpha_words, stop_hits,
+       (n_words >= 30 AND n_words <= 100000) AS rule_word_count,
+       (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+           AS rule_mean_word_len,
+       (10 * n_symbols <= n_words) AS rule_symbol_ratio,
+       (5 * alpha_words >= 4 * n_words) AS rule_alpha_ratio,
+       (stop_hits >= 2) AS rule_stopwords,
+       ((n_words >= 30 AND n_words <= 100000)
+        AND (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+        AND (10 * n_symbols <= n_words)
+        AND (5 * alpha_words >= 4 * n_words)
+        AND (stop_hits >= 2)) AS keep
+FROM m
 """,
 }

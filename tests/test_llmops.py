@@ -887,3 +887,27 @@ def test_kmeans_train_iterates_and_partitions(spark, embeddings):
     )
     with pytest.raises(ValueError):
         similarity.kmeans_train(embeddings, k=4, iterations=0)
+
+
+def test_gopher_rules_flags(spark):
+    from data__converter_spark.llmops.textstats import gopher_rules
+
+    good = "the cats sleep and the dogs drool of it " * 6  # all rules pass
+    short = "the and of"  # under min_words
+    symbols = " ".join(["###word"] * 60)  # symbol ratio + stopwords fail
+    no_alpha = " ".join(["123"] * 30) + " the and " + " ".join(["456"] * 28)
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols), (4, no_alpha)],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_rules(df, min_words=20).collect()
+    }
+    assert rows[1]["keep"]
+    assert not rows[2]["rule_word_count"] and not rows[2]["keep"]
+    assert not rows[3]["rule_symbol_ratio"] and not rows[3]["keep"]
+    assert not rows[4]["rule_alpha_ratio"] and rows[4]["rule_stopwords"]
+    # exact integer bookkeeping
+    assert rows[1]["n_words"] == 54
+    assert rows[3]["n_symbols"] == 180

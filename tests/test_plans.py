@@ -462,3 +462,13 @@ def test_balanced_shards_no_global_sort(spark):
     p = plan_of(balanced_shards(docs, n_shards=8))
     assert "rangepartitioning" not in p.lower()
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_gopher_quality_plan_is_shuffle_free(spark):
+    """The Gopher rule gate is one narrow projection: zero Exchange,
+    zero Python eval — a 100 TB corpus filters scan-side."""
+    from data__converter_spark.workloads import QUERIES
+
+    p = plan_of(QUERIES["gopher_quality"](spark, SF_DIR))
+    assert "Exchange" not in p
+    assert "EvalPython" not in p

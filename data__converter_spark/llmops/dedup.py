@@ -1271,3 +1271,107 @@ def dedup_against(
     return new.join(
         dup_ids, new[id_col] == dup_ids.new_id, "left_anti"
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    threshold: float = 0.8,
+    seed: int = 42,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means-cluster the
+    embedding space, then look for near-duplicates only WITHIN each
+    cluster — pairwise work drops from O(n²) to O(Σ cluster²), and at
+    web scale k grows with the corpus so cluster sizes stay bounded.
+
+    Clustering reuses :func:`~..similarity.kmeans_step`'s deterministic
+    machinery: md5-seeded centroids, cosine assignment on the
+    :data:`~..similarity.VEC_QUANT` integer grid (exact integer dots —
+    the argmax is engine-portable by construction).  Within a cluster,
+    a vector is dropped when it has cosine >= ``threshold`` with ANY
+    smaller-id vector (the paper's keep-one-representative rule, greedy
+    min-id form — same rule as :func:`near_dedup`).  Pair cosines use
+    the same single-sqrt form as :func:`embedding_lsh_pairs`
+    (``dot / sqrt(na·nb)``), exact integers under one IEEE sqrt+divide,
+    so the DuckDB oracle reproduces them bit-for-bit.
+
+    Scale shape: assignment is one Arrow pass with the k×dim centroid
+    grid riding the task closure (vectors never shuffle for it); the
+    pair stage shuffles each vector ONCE on its cluster id, then
+    self-joins within the cluster.  ``max_cluster_size`` drops clusters
+    above the cap from pairing (the f² guard — a degenerate cluster of
+    near-identical vectors would otherwise dominate the join); capped
+    clusters keep all members.  At 100 TB raise ``k`` so n/k stays at
+    the target cluster size — the paper uses k ≈ n/10⁴.
+
+    Output: (``id_col``, cluster, is_kept) for EVERY input vector.
+    """
+    import numpy as np
+
+    from ..scale import persisted
+    from .similarity import VEC_QUANT, _assign_to_grid, _seed_centroids
+
+    cids, cq = _seed_centroids(df, k, vec_col, id_col, seed)
+    # both the pair join's two sides and the output read the assignment
+    assigned = persisted(_assign_to_grid(df, cids, cq, vec_col, id_col))
+
+    pairable = assigned
+    if max_cluster_size is not None:
+        hot = (
+            assigned.groupBy("cluster")
+            .count()
+            .filter(F.col("count") > max_cluster_size)
+            .select("cluster")
+        )
+        pairable = assigned.join(hot, "cluster", "left_anti")
+
+    a = pairable.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = pairable.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    joined = a.join(b, "cluster").filter(F.col("id_a") < F.col("id_b"))
+
+    def cosine_kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.floor(
+                np.stack(pdf["va"].to_numpy()).astype(np.float64) * VEC_QUANT + 0.5
+            )
+            B = np.floor(
+                np.stack(pdf["vb"].to_numpy()).astype(np.float64) * VEC_QUANT + 0.5
+            )
+            denom = np.sqrt(
+                np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B)
+            )
+            cos = np.where(
+                denom > 0, np.einsum("ij,ij->i", A, B) / np.where(denom > 0, denom, 1.0), 0.0
+            )
+            yield pd.DataFrame({"id_b": pdf["id_b"], "cosine": cos})
+
+    losers = (
+        joined.select("id_b", "va", "vb")
+        .mapInPandas(cosine_kernel, "id_b long, cosine double")
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select("id_b")
+        .distinct()
+    )
+    return (
+        assigned.select(F.col(id_col), "cluster")
+        .join(losers, F.col(id_col) == losers.id_b, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.col("id_b").isNull().alias("is_kept"),
+        )
+    )

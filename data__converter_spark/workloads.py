@@ -2855,6 +2855,17 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_outliers(emb, k=5)
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embedding table (llmops/dedup.py:semantic_dedup):
+    k-means clusters (k=8, md5-seeded), greedy min-id keep rule within
+    each cluster at cosine >= 0.4 — every vector labeled
+    (cluster, is_kept)."""
+    from .llmops.dedup import semantic_dedup
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=8, threshold=0.4)
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule corpus quality gate (llmops/textstats.py:gopher_rules):
     five exact-integer rule flags + keep over every document — one
@@ -3002,6 +3013,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_overlap_pairs": q_window_overlap_pairs,
     "embedding_outliers": q_embedding_outliers,
     "gopher_quality": q_gopher_quality,
+    "dedup_semantic": q_dedup_semantic,
 }
 
 ORACLES: dict[str, str] = {
@@ -4916,5 +4928,51 @@ SELECT doc_id, n_words, word_chars, n_symbols, alpha_words, stop_hits,
         AND (5 * alpha_words >= 4 * n_words)
         AND (stop_hits >= 2)) AS keep
 FROM m
+""",
+    "dedup_semantic": """
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+vq AS (
+    -- VEC_QUANT integer grid (2^17): dots/norms are exact integers, so
+    -- both the cluster argmax and the pair cosine are single
+    -- correctly-rounded IEEE ops — identical to the Spark kernels.
+    SELECT vec_id, list_transform(e, x -> floor(x * 131072.0 + 0.5)) AS q
+    FROM v
+),
+cent AS (
+    SELECT vec_id AS cid, q AS cq FROM vq
+    ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42'), vec_id
+    LIMIT 8
+),
+assign AS (
+    SELECT vq.vec_id, cent.cid,
+           row_number() OVER (PARTITION BY vq.vec_id
+               ORDER BY list_dot_product(vq.q, cent.cq)
+                        / (CASE WHEN sqrt(list_dot_product(vq.q, vq.q)) > 0
+                                THEN sqrt(list_dot_product(vq.q, vq.q))
+                                ELSE 1.0 END
+                           * sqrt(list_dot_product(cent.cq, cent.cq)))
+                        DESC, cent.cid) AS rn
+    FROM vq CROSS JOIN cent
+),
+cl AS (SELECT vec_id, cid AS cluster FROM assign WHERE rn = 1),
+pairs AS (
+    SELECT b.vec_id AS id_b,
+           list_dot_product(qa.q, qb.q)
+             / (CASE WHEN sqrt(list_dot_product(qa.q, qa.q)
+                             * list_dot_product(qb.q, qb.q)) > 0
+                     THEN sqrt(list_dot_product(qa.q, qa.q)
+                               * list_dot_product(qb.q, qb.q))
+                     ELSE 1.0 END) AS cosine
+    FROM cl a
+    JOIN cl b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    JOIN vq qa ON qa.vec_id = a.vec_id
+    JOIN vq qb ON qb.vec_id = b.vec_id
+),
+losers AS (SELECT DISTINCT id_b FROM pairs WHERE cosine >= 0.4)
+SELECT cl.vec_id, CAST(cl.cluster AS BIGINT) AS cluster,
+       (l.id_b IS NULL) AS is_kept
+FROM cl LEFT JOIN losers l ON cl.vec_id = l.id_b
 """,
 }

@@ -911,3 +911,34 @@ def test_gopher_rules_flags(spark):
     # exact integer bookkeeping
     assert rows[1]["n_words"] == 54
     assert rows[3]["n_symbols"] == 180
+
+
+def test_semantic_dedup_known_geometry(spark):
+    """Two clusters far apart; within cluster A two near-identical
+    vectors (min id survives) plus one orthogonal-ish survivor; a
+    cross-cluster near-identical pair must NOT pair (SemDeDup only
+    looks within a cluster)."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1, same cluster
+        (3, [0.0, 0.0, 1.0, 0.0]),      # own direction
+        (4, [-1.0, 0.0, 0.0, 0.0]),     # opposite: cosine -1 to 1
+        (5, [-0.999, -0.01, 0.0, 0.0]), # near-dup of 4
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r
+        for r in dedup.semantic_dedup(df, k=2, threshold=0.95, seed=42).collect()
+    }
+    assert len(out) == 5  # every vector labeled
+    # near-dup pairs collapse to the min id IF co-clustered
+    for a, b in [(1, 2), (4, 5)]:
+        if out[a]["cluster"] == out[b]["cluster"]:
+            assert out[a]["is_kept"] and not out[b]["is_kept"]
+    # a vector with no >=0.95 neighbor in its cluster survives
+    assert out[3]["is_kept"]
+    # the cap excludes oversized clusters from pairing: everything kept
+    capped = dedup.semantic_dedup(
+        df, k=2, threshold=0.95, seed=42, max_cluster_size=1
+    ).collect()
+    assert all(r["is_kept"] for r in capped)

@@ -1027,3 +1027,134 @@ def gopher_rules(
             & rule_stopwords
         ).alias("keep"),
     )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: Column,
+    col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+    select_n: int = 100,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how target-like its hashed n-gram feature distribution is, then
+    select the top ``select_n``.
+
+    ``target`` is a boolean Column marking the in-domain subset (e.g.
+    ``F.col("lang") == "en"``).  Features are hashed unigrams:
+    ``md5(term) % buckets`` — the same engine-portable md5 hash every
+    sketch in this package uses, so DuckDB reproduces the bucketing
+    exactly.  Each bucket gets a Laplace-smoothed probability-ratio
+    weight in exact integer milli-units::
+
+        w(b) = ((cnt_target(b)+1) * 1000 * (total_raw+buckets))
+               div ((cnt_raw(b)+1) * (total_target+buckets))
+
+    and a document scores the PER-TOKEN MEAN of its buckets' weights:
+    ``score = sum(tf·w) div n_tokens``.  (DSIR proper sums LOG ratios,
+    where out-of-domain features contribute negative mass so length
+    cancels; with all-positive linear ratios the same length-neutrality
+    needs the explicit mean — a raw sum would just rank long documents
+    first.  The linear-ratio mean keeps every intermediate an exact
+    integer — documented proxy, same "weight mass in target-heavy
+    features" signal.)  Integer bounds: w(b) <=
+    1000·(total_raw+B)/(total_target+B); with a target fraction f the
+    worst case is ~1000/f, so per-doc scores stay far under 2^63 until
+    total_raw approaches 10^13 tokens — past that, raise the hash
+    bucket count or drop the milli factor.
+
+    Scale shape: one token explode (narrow), a ``buckets``-row weight
+    table (two aggs + one 1-row-total cross join — constant size, so
+    the broadcast hint is legitimate at ANY corpus scale, unlike a
+    dimension that grows with SF), a per-(doc, bucket) aggregate, and
+    one broadcast join back.  Selection does NOT use a global-window
+    rank (Exchange SinglePartition over every document — the classic
+    100 TB bottleneck): ``orderBy().limit(select_n)`` compiles to
+    TakeOrderedAndProject (per-partition top-N, driver merge of N·P
+    rows), the boundary row broadcasts back, and ``selected`` is a
+    narrow comparison — (score, id) strictly better-or-equal than the
+    boundary (ties -> smallest id).
+
+    Output: (``id_col``, n_tokens, score_milli, selected) for every
+    document; empty docs score 0.
+    """
+    B = int(buckets)
+    tok = df.select(
+        F.col(id_col),
+        target.alias("is_target"),
+        F.explode(F.transform(tokens_col(col), F.lower)).alias("term"),
+    ).withColumn(
+        "b",
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+        % F.lit(B),
+    )
+    per_bucket = tok.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt_raw"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("cnt_target"),
+    )
+    totals = per_bucket.agg(
+        F.sum("cnt_raw").cast("bigint").alias("total_raw"),
+        F.sum("cnt_target").cast("bigint").alias("total_target"),
+    )
+    weights = per_bucket.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.expr(
+            f"(cnt_target + 1) * 1000 * (total_raw + {B}) "
+            f"div ((cnt_raw + 1) * (total_target + {B}))"
+        )
+        .cast("bigint")
+        .alias("w_milli"),
+    )
+    doc_tf = tok.groupBy(id_col, "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    scored = (
+        doc_tf.join(F.broadcast(weights), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.expr("sum(tf * w_milli) div sum(tf)").cast("bigint").alias(
+                "score_milli"
+            ),
+        )
+    )
+    full = (
+        df.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("score_milli", F.lit(0)).cast("bigint").alias(
+                "score_milli"
+            ),
+        )
+    )
+    boundary = (
+        full.orderBy(F.col("score_milli").desc(), F.col(id_col))
+        .limit(select_n)
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("score_milli").alias("b_score"),
+                    (-F.col(id_col)).alias("b_neg_id"),
+                )
+            ).alias("b")
+        )
+        .select(F.col("b.b_score").alias("b_score"), (-F.col("b.b_neg_id")).alias("b_id"))
+    )
+    return full.crossJoin(F.broadcast(boundary)).select(
+        id_col,
+        "n_tokens",
+        "score_milli",
+        (
+            (F.col("score_milli") > F.col("b_score"))
+            | (
+                (F.col("score_milli") == F.col("b_score"))
+                & (F.col(id_col) <= F.col("b_id"))
+            )
+        ).alias("selected"),
+    )

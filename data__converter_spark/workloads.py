@@ -2855,6 +2855,18 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_outliers(emb, k=5)
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style top-100 selection toward the English subset
+    (llmops/textstats.py:dsir_select): hashed-unigram importance-ratio
+    weights in exact integer milli-units."""
+    from .llmops.textstats import dsir_select
+
+    docs = _load(spark, sf_dir, "documents")
+    return dsir_select(
+        docs, target=F.col("lang") == F.lit("en"), buckets=64, select_n=100
+    )
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embedding table (llmops/dedup.py:semantic_dedup):
     k-means clusters (k=8, md5-seeded), greedy min-id keep rule within
@@ -3014,6 +3026,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_outliers": q_embedding_outliers,
     "gopher_quality": q_gopher_quality,
     "dedup_semantic": q_dedup_semantic,
+    "dsir_select": q_dsir_select,
 }
 
 ORACLES: dict[str, str] = {
@@ -4974,5 +4987,57 @@ losers AS (SELECT DISTINCT id_b FROM pairs WHERE cosine >= 0.4)
 SELECT cl.vec_id, CAST(cl.cluster AS BIGINT) AS cluster,
        (l.id_b IS NULL) AS is_kept
 FROM cl LEFT JOIN losers l ON cl.vec_id = l.id_b
+""",
+    "dsir_select": """
+WITH tok AS (
+    SELECT doc_id, is_target, lower(u.term) AS term
+    FROM (
+        SELECT doc_id, (lang = 'en') AS is_target,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(text), '[ \\t\\r\\n]+') END
+                   AS words
+        FROM documents
+    ), unnest(words) AS u(term)
+),
+tb AS (
+    SELECT doc_id, is_target,
+           CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 64 AS b
+    FROM tok
+),
+per_bucket AS (
+    SELECT b, count(*) AS cnt_raw,
+           sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS cnt_target
+    FROM tb GROUP BY b
+),
+tot AS (
+    SELECT sum(cnt_raw) AS total_raw, sum(cnt_target) AS total_target
+    FROM per_bucket
+),
+wts AS (
+    -- Laplace-smoothed probability-ratio weight, exact integer
+    -- milli-units (floor division on positive bigints = Spark's div)
+    SELECT b,
+           ((cnt_target + 1) * 1000 * (total_raw + 64))
+               // ((cnt_raw + 1) * (total_target + 64)) AS w_milli
+    FROM per_bucket, tot
+),
+doc_tf AS (SELECT doc_id, b, count(*) AS tf FROM tb GROUP BY doc_id, b),
+scored AS (
+    -- per-token mean weight (floor div), not the raw sum — keeps the
+    -- score length-neutral like DSIR's log-ratio sum
+    SELECT doc_id, sum(tf) AS n_tokens,
+           sum(tf * w_milli) // sum(tf) AS score_milli
+    FROM doc_tf JOIN wts USING (b) GROUP BY doc_id
+),
+f AS (
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(s.score_milli, 0) AS BIGINT) AS score_milli
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+)
+SELECT doc_id, n_tokens, score_milli,
+       (row_number() OVER (ORDER BY score_milli DESC, doc_id) <= 100)
+           AS selected
+FROM f
 """,
 }

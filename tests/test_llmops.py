@@ -942,3 +942,33 @@ def test_semantic_dedup_known_geometry(spark):
         df, k=2, threshold=0.95, seed=42, max_cluster_size=1
     ).collect()
     assert all(r["is_kept"] for r in capped)
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """Docs sharing the target subset's vocabulary outrank docs that
+    don't, regardless of length; empty docs score 0 and rank last."""
+    target_vocab = "alpha beta gamma delta"
+    other_vocab = "omega sigma rho tau"
+    rows = [
+        (1, target_vocab, True),                      # in-domain
+        (2, target_vocab + " " + target_vocab, True), # in-domain, longer
+        (3, target_vocab, False),                     # target-LIKE raw doc
+        (4, other_vocab, False),
+        (5, other_vocab + " " + other_vocab, False),  # long out-of-domain
+        (6, "", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    out = {
+        r["doc_id"]: r
+        for r in textstats.dsir_select(
+            df, target=F.col("is_t"), buckets=16, select_n=3
+        ).collect()
+    }
+    assert len(out) == 6
+    # the target-like raw doc is selected; out-of-domain docs are not
+    assert out[3]["selected"]
+    assert not out[4]["selected"] and not out[5]["selected"]
+    # per-token mean: doubling an out-of-domain doc must not raise its score
+    assert out[5]["score_milli"] == out[4]["score_milli"]
+    assert out[6]["score_milli"] == 0 and out[6]["n_tokens"] == 0
+    assert out[3]["score_milli"] > out[4]["score_milli"]

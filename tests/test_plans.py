@@ -472,3 +472,13 @@ def test_gopher_quality_plan_is_shuffle_free(spark):
     p = plan_of(QUERIES["gopher_quality"](spark, SF_DIR))
     assert "Exchange" not in p
     assert "EvalPython" not in p
+
+
+def test_dsir_select_avoids_global_window(spark):
+    """Top-N selection must compile to TakeOrderedAndProject + a
+    broadcast boundary — never a rank window over one partition."""
+    from data__converter_spark.workloads import QUERIES
+
+    p = plan_of(QUERIES["dsir_select"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p

@@ -686,3 +686,129 @@ def centroid_separation(
             .alias("dist_q")
         )
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    n_codes: int = 16,
+    seed: int = 42,
+    include_self: bool = False,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): the vector splits into
+    ``m`` subspaces, each subvector snaps to its nearest of ``n_codes``
+    codewords, and a probe scores a vector by the Asymmetric Distance
+    Computation — the sum of the probe-subvector-to-codeword squared
+    distances looked up per subspace.  The corpus compresses from
+    dim floats to ``m`` small code ids; at 100 TB the codes table IS
+    the index (write it once; queries never touch raw vectors).
+
+    Codewords are the classic sampled codebook: the ``n_codes`` corpus
+    vectors with the smallest md5("{id}:{seed}") — the same
+    engine-portable draw IVF/k-means use — sliced per subspace (no
+    Lloyd fit; compose with :func:`kmeans_train` for trained
+    codebooks).  All arithmetic happens on the :data:`VEC_QUANT`
+    integer grid, so every subspace distance, every ADC sum, and every
+    rank is an EXACT integer — the DuckDB oracle reproduces the full
+    index bit-for-bit, ties and all (distance ties break to the
+    smaller code id; rank ties to the smaller neighbor id).
+
+    Scale shape: encoding is one Arrow pass with the n_codes×dim
+    codebook riding the task closure (narrow — vectors never shuffle);
+    the ADC lookup table is probes×m×n_codes rows (tiny, broadcast —
+    constant in corpus size); scoring is one broadcast join + one
+    (probe, vec) aggregation of m-row groups; ranking windows over
+    probe partitions.  Output: (probe_id, neighbor_id, adc_dist, rank).
+    """
+    import numpy as np
+
+    from pyspark.sql import Window as W
+
+    spark = corpus.sparkSession
+    cids, cq = _seed_centroids(corpus, n_codes, vec_col, id_col, seed)
+    dim = cq.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d0 = dim // m
+    # (m, n_codes, d0) codeword tensor on the integer grid
+    C = np.stack([cq[:, s * d0 : (s + 1) * d0] for s in range(m)]).astype(
+        np.float64
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Q = np.floor(M * VEC_QUANT + 0.5)
+            frames = []
+            for s in range(m):
+                A = Q[:, s * d0 : (s + 1) * d0]
+                # ||a-c||^2 = a.a - 2 a.c + c.c — exact integers in f64
+                d = (
+                    np.einsum("ij,ij->i", A, A)[:, None]
+                    - 2.0 * (A @ C[s].T)
+                    + np.einsum("ij,ij->i", C[s], C[s])[None, :]
+                )
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vid": pdf[id_col].to_numpy(),
+                            "s": s,
+                            "code": cids[d.argmin(axis=1)],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    codes = corpus.select(id_col, vec_col).mapInPandas(
+        encode, "vid long, s int, code long"
+    )
+
+    p_rows = _collect_probes(probes, id_col, vec_col)
+    if not p_rows:
+        return spark.createDataFrame(
+            [], "probe_id long, neighbor_id long, adc_dist long, rank int"
+        )
+    lut_rows = []
+    for r in p_rows:
+        pq_vec = np.floor(
+            np.asarray(r[1], dtype=np.float64) * VEC_QUANT + 0.5
+        )
+        for s in range(m):
+            a = pq_vec[s * d0 : (s + 1) * d0]
+            d = (
+                np.dot(a, a)
+                - 2.0 * (C[s] @ a)
+                + np.einsum("ij,ij->i", C[s], C[s])
+            )
+            for j in range(n_codes):
+                lut_rows.append((int(r[0]), s, int(cids[j]), int(d[j])))
+    lut = spark.createDataFrame(
+        lut_rows, "probe_id long, s int, code long, d long"
+    )
+
+    adc = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .groupBy("probe_id", F.col("vid").alias("neighbor_id"))
+        .agg(F.sum("d").cast("bigint").alias("adc_dist"))
+    )
+    if not include_self:
+        adc = adc.filter(F.col("probe_id") != F.col("neighbor_id"))
+    w = W.partitionBy("probe_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.select(
+            "probe_id",
+            "neighbor_id",
+            "adc_dist",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+    )

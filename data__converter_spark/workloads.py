@@ -2855,6 +2855,18 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_outliers(emb, k=5)
 
 
+def q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (llmops/similarity.py:pq_topk): 4
+    subspaces x 16 sampled codewords, exact-integer ADC distances over
+    the same vec_id%25 probe set the other ANN variants use — the
+    codes-table index path for 100 TB corpora."""
+    from .llmops.similarity import pq_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+    return pq_topk(emb, probes, k=10, m=4, n_codes=16)
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style top-100 selection toward the English subset
     (llmops/textstats.py:dsir_select): hashed-unigram importance-ratio
@@ -3027,6 +3039,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality": q_gopher_quality,
     "dedup_semantic": q_dedup_semantic,
     "dsir_select": q_dsir_select,
+    "similarity_pq_topk": q_similarity_pq_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -5039,5 +5052,65 @@ SELECT doc_id, n_tokens, score_milli,
        (row_number() OVER (ORDER BY score_milli DESC, doc_id) <= 100)
            AS selected
 FROM f
+""",
+    "similarity_pq_topk": """
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+vq AS (
+    SELECT vec_id, list_transform(e, x -> floor(x * 131072.0 + 0.5)) AS q
+    FROM v
+),
+cent AS (
+    SELECT vec_id AS cid, q AS cq FROM vq
+    ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42'), vec_id
+    LIMIT 16
+),
+sub AS (SELECT unnest(range(0, 4)) AS s),
+csub AS (
+    SELECT cid, s, list_slice(cq, s * 16 + 1, s * 16 + 16) AS cs
+    FROM cent CROSS JOIN sub
+),
+vsub AS (
+    SELECT vec_id, s, list_slice(q, s * 16 + 1, s * 16 + 16) AS qs
+    FROM vq CROSS JOIN sub
+),
+code_assign AS (
+    -- ||a-c||^2 = a.a - 2 a.c + c.c, exact integers on the grid;
+    -- distance ties -> smallest code id (the kernel's argmin-first
+    -- over ascending cids)
+    SELECT vec_id, s, cid,
+           row_number() OVER (PARTITION BY vec_id, s
+               ORDER BY list_dot_product(qs, qs)
+                        - 2 * list_dot_product(qs, cs)
+                        + list_dot_product(cs, cs) ASC, cid ASC) AS rn
+    FROM vsub JOIN csub USING (s)
+),
+codes AS (SELECT vec_id, s, cid AS code FROM code_assign WHERE rn = 1),
+psub AS (
+    SELECT vec_id AS probe_id, s, qs AS ps
+    FROM vsub WHERE vec_id % 25 = 0
+),
+lut AS (
+    SELECT probe_id, s, cid,
+           CAST(list_dot_product(ps, ps)
+                - 2 * list_dot_product(ps, cs)
+                + list_dot_product(cs, cs) AS BIGINT) AS d
+    FROM psub JOIN csub USING (s)
+),
+adc AS (
+    SELECT l.probe_id, c.vec_id AS neighbor_id,
+           CAST(sum(l.d) AS BIGINT) AS adc_dist
+    FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.cid
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT probe_id, neighbor_id, adc_dist,
+           row_number() OVER (PARTITION BY probe_id
+               ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+    FROM adc WHERE probe_id <> neighbor_id
+)
+SELECT probe_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
 """,
 }

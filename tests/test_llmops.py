@@ -972,3 +972,33 @@ def test_dsir_select_prefers_target_like_docs(spark):
     assert out[5]["score_milli"] == out[4]["score_milli"]
     assert out[6]["score_milli"] == 0 and out[6]["n_tokens"] == 0
     assert out[3]["score_milli"] > out[4]["score_milli"]
+
+
+def test_pq_topk_exact_when_codebook_is_corpus(spark):
+    """With n_codes = corpus size every vector IS its own codeword
+    (self-distance 0), so ADC degenerates to the exact squared L2
+    distance — the PQ analog of IVF's nprobe=n_cells exactness."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.uniform(-1, 1, size=(10, 8)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = df.filter(F.col("vec_id") < 2)
+    out = similarity.pq_topk(df, probes, k=9, m=4, n_codes=10).collect()
+
+    Q = np.floor(vecs.astype(np.float64) * similarity.VEC_QUANT + 0.5)
+    for r in out:
+        exact = int(((Q[r["probe_id"]] - Q[r["neighbor_id"]]) ** 2).sum())
+        assert r["adc_dist"] == exact
+    # ranks are a permutation of 1..9 per probe, ordered by exact dist
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r["probe_id"], []).append((r["rank"], r["adc_dist"]))
+    for p, lst in by_probe.items():
+        lst.sort()
+        assert [x[0] for x in lst] == list(range(1, 10))
+        assert [x[1] for x in lst] == sorted(x[1] for x in lst)
+
+    with pytest.raises(ValueError):
+        similarity.pq_topk(df, probes, m=3, n_codes=4)  # 8 % 3 != 0

@@ -106,3 +106,82 @@ def pagerank(
             )
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph —
+    degree-ordered edge orientation (the "compact-forward" algorithm,
+    Latapy 2008; what GraphX/GraphFrames lower triangleCount to).
+
+    Edges canonicalize to distinct ``a<b`` pairs (self-loops dropped),
+    then orient from the endpoint with the smaller ``(degree, id)`` to
+    the larger.  Under that total order every triangle has exactly one
+    wedge centered at its smallest node, so the wedge self-join +
+    closure join counts each triangle once — and, critically for
+    scale, a node's ORIENTED out-degree is O(sqrt(m)) no matter how
+    large its raw degree: the wedge join's per-key fan-out is bounded
+    by orientation itself, which is why a hub of degree 10⁶ does not
+    produce 10¹² wedges.  This is the guard that makes triangle
+    counting feasible at 100 TB; no sampling involved, counts are
+    exact.
+
+    Shuffles: degree agg (1), two degree joins onto the edge list,
+    wedge self-join on the oriented source, closure join on the
+    (src, dst) pair, final per-node agg.  All keys are node ids /
+    id pairs — never payloads.
+
+    Output: (node, n_triangles) for every node in >= 1 triangle, each
+    triangle crediting all three corners.
+    """
+    s = F.col(src_col)
+    d = F.col(dst_col)
+    e = (
+        edges.select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    keyed = e.join(da, "a").join(db, "b")
+    ka = F.struct(F.col("da").alias("kd"), F.col("a").alias("kn"))
+    kb = F.struct(F.col("db").alias("kd"), F.col("b").alias("kn"))
+    lo = F.least(ka, kb)
+    hi = F.greatest(ka, kb)
+    oriented = keyed.select(
+        lo["kn"].alias("u"),
+        hi["kn"].alias("v"),
+        hi["kd"].alias("vd"),
+    )
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.u") == F.col("o2.u"))
+        & (
+            F.struct(F.col("o1.vd"), F.col("o1.v"))
+            < F.struct(F.col("o2.vd"), F.col("o2.v"))
+        ),
+    ).select(
+        F.col("o1.u").alias("c"),
+        F.col("o1.v").alias("x"),
+        F.col("o2.v").alias("y"),
+    )
+    o3 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(o3, ["x", "y"])
+    return (
+        tri.select(
+            F.explode(F.array(F.col("c"), F.col("x"), F.col("y"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )

@@ -2855,6 +2855,34 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_outliers(emb, k=5)
 
 
+def q_triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-node triangle counts (graph.py:triangle_count) over
+    the supplier co-supply graph: suppliers edge-connected when they
+    co-supplied >= 30 distinct orders.  The per-order pair fan-out is
+    bounded by order width (~13 suppliers), and the triangle join is
+    degree-oriented so hub fan-out stays O(sqrt(m)) at any scale."""
+    from .graph import triangle_count
+
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .agg(F.countDistinct(F.col("a.l_orderkey")).alias("n_orders"))
+        .filter(F.col("n_orders") >= 30)
+        .select("src", "dst")
+    )
+    return triangle_count(co)
+
+
 def q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (llmops/similarity.py:pq_topk): 4
     subspaces x 16 sampled codewords, exact-integer ADC distances over
@@ -3040,6 +3068,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_semantic": q_dedup_semantic,
     "dsir_select": q_dsir_select,
     "similarity_pq_topk": q_similarity_pq_topk,
+    "triangle_suppliers": q_triangle_suppliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -5112,5 +5141,43 @@ ranked AS (
 )
 SELECT probe_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 10
+""",
+    "triangle_suppliers": """
+WITH raw AS (
+    SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2
+    HAVING count(DISTINCT a.l_orderkey) >= 30
+),
+deg AS (
+    SELECT node, count(*) AS d FROM (
+        SELECT s1 AS node FROM raw UNION ALL SELECT s2 AS node FROM raw
+    ) GROUP BY node
+),
+-- orient each edge from the smaller (degree, id) endpoint to the
+-- larger: every triangle then has exactly one wedge at its smallest
+-- node, and oriented out-degrees are O(sqrt(m))
+o AS (
+    SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND r.s1 < r.s2)
+                THEN r.s1 ELSE r.s2 END AS u,
+           CASE WHEN (da.d < db.d) OR (da.d = db.d AND r.s1 < r.s2)
+                THEN r.s2 ELSE r.s1 END AS v,
+           CASE WHEN (da.d < db.d) OR (da.d = db.d AND r.s1 < r.s2)
+                THEN db.d ELSE da.d END AS vd
+    FROM raw r
+    JOIN deg da ON r.s1 = da.node
+    JOIN deg db ON r.s2 = db.node
+),
+w AS (
+    SELECT o1.u AS c, o1.v AS x, o2.v AS y
+    FROM o o1 JOIN o o2 ON o1.u = o2.u
+    WHERE (o1.vd < o2.vd) OR (o1.vd = o2.vd AND o1.v < o2.v)
+),
+t AS (SELECT c, x, y FROM w JOIN o o3 ON o3.u = w.x AND o3.v = w.y),
+n AS (SELECT unnest([c, x, y]) AS node FROM t)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM n GROUP BY node
 """,
 }

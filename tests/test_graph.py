@@ -43,3 +43,24 @@ def test_hub_outranks_leaves(spark):
     # rank mass is conserved up to floor losses (no dangling nodes here)
     assert sum(r.values()) <= 6 * 1_000_000
     assert sum(r.values()) > 6 * 1_000_000 - 6_000  # floors lose < 1000 each
+
+
+def test_triangle_count_known_graphs(spark):
+    from data__converter_spark.graph import triangle_count
+
+    # K4 on {1,2,3,4}: C(4,3)=4 triangles, every node in exactly 3.
+    # A pendant edge (4,5) and a 4-cycle {10,11,12,13} add no triangles.
+    # Edges arrive in BOTH directions + duplicated to test canonicalization.
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    square = [(10, 11), (11, 12), (12, 13), (13, 10), (11, 10)]
+    edges = spark.createDataFrame(
+        k4 + [(4, 5), (5, 4)] + square + [(7, 7)], "src long, dst long"
+    )
+    out = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    # two triangles sharing edge (1,2): per-corner credit is exact
+    shared = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 4), (2, 4)], "src long, dst long"
+    )
+    out2 = {r["node"]: r["n_triangles"] for r in triangle_count(shared).collect()}
+    assert out2 == {1: 2, 2: 2, 3: 1, 4: 1}

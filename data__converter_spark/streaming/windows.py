@@ -174,6 +174,7 @@ def stream_range_join(
     watermark: str = "1 day",
     prefix_from: str = "from_",
     prefix_to: str = "to_",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream range join — the incremental form of
     joins.range_join (same output contract: pairs on the same key with
@@ -185,7 +186,22 @@ def stream_range_join(
     ``watermark``. Without the time bound the state store would grow
     unboundedly — this is the required shape for stream-stream joins at
     100 TB/day.
+
+    ``how="left_outer"`` keeps unmatched *from* rows (to-side columns
+    null) — the "click that never converted" shape.  Structured
+    Streaming emits an outer row only once the watermark proves no
+    match can still arrive, which is exactly why the time bound is
+    mandatory for outer stream-stream joins; the batch form is a plain
+    left join with the same predicate (equivalence pinned by the
+    streaming tests).  Operational note the tests also pin: the
+    engine's GLOBAL watermark is the MIN over both inputs' watermarks,
+    so outer rows release only when BOTH streams advance — a quiet
+    to-side stream holds every unmatched from-row in state (the
+    standard fix is heartbeat events or
+    ``spark.sql.streaming.multipleWatermarkPolicy=max``).
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
     f = from_stream.withWatermark(on, watermark).select(
         F.col(key),
         *[
@@ -194,15 +210,20 @@ def stream_range_join(
             if c != key
         ],
     )
+    # the to-side key gets its own name: both sides often derive from
+    # the SAME source frame (clicks/purchases filters of one events
+    # table), where f[key]/t[key] hit Spark's self-join ambiguity —
+    # under an outer join dropping the wrong one nulls the key column
     t = to_stream.withWatermark(on, watermark).select(
-        F.col(key),
+        F.col(key).alias("__to_key__"),
         *[F.col(c).alias(f"{prefix_to}{c}") for c in to_stream.columns if c != key],
     )
     f_ts = F.col(f"{prefix_from}{on}")
     t_ts = F.col(f"{prefix_to}{on}")
     return f.join(
         t,
-        (f[key] == t[key])
+        (F.col(key) == F.col("__to_key__"))
         & (f_ts <= t_ts)
         & (t_ts <= f_ts + F.expr(f"INTERVAL {within}")),
-    ).drop(t[key])
+        how,
+    ).drop("__to_key__")

@@ -1460,6 +1460,29 @@ def q_stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "from_click_id", "to_purchase_id")
 
 
+def q_stream_outer_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the LEFT OUTER stream-stream range join
+    (streaming/windows.py:stream_range_join how='left_outer'): every
+    click, attributed to purchases within 30 minutes when one exists,
+    null otherwise — the "never converted" rows the streaming engine
+    emits once the watermark proves no match can arrive (emission
+    pinned by tests/test_streaming.py's two-chunk watermark test)."""
+    from .session import load_events
+    from .streaming.windows import stream_range_join
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    out = stream_range_join(
+        clicks, purchases, "user_id", within="30 minutes", how="left_outer"
+    )
+    return out.select("user_id", "from_click_id", "to_purchase_id")
+
+
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .session import load_events
     from .streaming.windows import tumbling_counts
@@ -3069,6 +3092,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_select": q_dsir_select,
     "similarity_pq_topk": q_similarity_pq_topk,
     "triangle_suppliers": q_triangle_suppliers,
+    "stream_outer_range_join": q_stream_outer_range_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -5179,5 +5203,20 @@ t AS (SELECT c, x, y FROM w JOIN o o3 ON o3.u = w.x AND o3.v = w.y),
 n AS (SELECT unnest([c, x, y]) AS node FROM t)
 SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
 FROM n GROUP BY node
+""",
+    "stream_outer_range_join": """
+WITH c AS (
+    SELECT user_id, ts, event_id AS click_id FROM events
+    WHERE event_type = 'click'
+),
+p AS (
+    SELECT user_id, ts, event_id AS purchase_id FROM events
+    WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.click_id AS from_click_id, p.purchase_id AS to_purchase_id
+FROM c LEFT JOIN p
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
 """,
 }

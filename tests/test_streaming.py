@@ -395,3 +395,76 @@ def test_stream_active_users_equals_batch(spark, events):
     )
     cols = ["w_start", "w_end", "n_users"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_outer_range_join_emits_unmatched(spark, tmp_path):
+    """LEFT OUTER stream-stream join: the unmatched click must be
+    EMITTED by the incremental engine once the watermark proves no
+    purchase can still arrive — two file-chunks force two micro-batches
+    so the watermark actually advances (plus the default no-data batch
+    that flushes evicted state)."""
+    import datetime as dt
+    import os
+
+    import pyspark.sql.functions as F
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    d = str(tmp_path / "ev")
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    chunk_a = spark.createDataFrame(
+        [
+            (1, base, 1, "click"),
+            (2, base, 2, "click"),  # never converts
+            (1, base + dt.timedelta(minutes=10), 3, "purchase"),
+        ],
+        schema,
+    )
+    # the engine's global watermark is the MIN across both join inputs,
+    # so chunk b advances BOTH sides (a late click AND a late purchase,
+    # different users — they must not join)
+    chunk_b = spark.createDataFrame(
+        [
+            (9, base + dt.timedelta(hours=3), 9, "click"),
+            (8, base + dt.timedelta(hours=3), 8, "purchase"),
+        ],
+        schema,
+    )
+    chunk_a.coalesce(1).write.parquet(d + "/a")
+    chunk_b.coalesce(1).write.parquet(d + "/b")
+    # file-source batch order follows modification time: a first
+    for sub, ts in (("a", 1_700_000_000), ("b", 1_700_000_100)):
+        for f in os.listdir(f"{d}/{sub}"):
+            os.utime(f"{d}/{sub}/{f}", (ts, ts))
+
+    src = (
+        spark.readStream.schema(chunk_a.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    clicks = src.filter("event_type = 'click'").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = src.filter("event_type = 'purchase'").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    joined = windows.stream_range_join(
+        clicks,
+        purchases,
+        "user_id",
+        within="30 minutes",
+        watermark="10 minutes",
+        how="left_outer",
+    )
+    got = sorted(
+        (r["user_id"], r["from_click_id"], r["to_purchase_id"])
+        for r in runner.run_once(
+            joined.select("user_id", "from_click_id", "to_purchase_id"),
+            output_mode="append",
+        ).collect()
+    )
+    # matched pair emits; unmatched click 2 emits with a NULL purchase
+    # once the chunk-b watermark passes its eviction time; click 9 sits
+    # beyond the final watermark and must NOT emit (yet)
+    assert got == [(1, 1, 3), (2, 2, None)], got

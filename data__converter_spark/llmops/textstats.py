@@ -1158,3 +1158,47 @@ def dsir_select(
             )
         ).alias("selected"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    expected_n: int = 100,
+    hash_bits: int = 20,
+) -> DataFrame:
+    """Deterministic weighted Poisson sampling — the RESAMPLING step of
+    DSIR (each row independently included with probability proportional
+    to its importance weight), with zero floats and zero ``rand()``::
+
+        sampled  <=>  h(id) * Σw  <  expected_n * w * 2^hash_bits
+
+    where ``h(id)`` is the first ``hash_bits`` bits of ``md5(id)`` —
+    uniform on [0, 2^hash_bits), engine-portable, and STABLE under
+    retries/speculation/re-runs (a ``rand()`` draw is none of those).
+    Cross-multiplying makes the inclusion test exact integer
+    arithmetic: P(include) = min(1, expected_n·w/Σw) with no rounding
+    anywhere, so any engine draws the identical sample.  Integer
+    bound: ``hash_bits + log2(Σw) < 63`` — at larger Σw drop
+    ``hash_bits`` (granularity trades against headroom).
+
+    Scale shape: one aggregate for Σw (1-row broadcast — constant
+    size at any corpus), then a single narrow projection; the sample
+    is embarrassingly parallel and needs no shuffle of the data.
+
+    Output: (``id_col``, ``weight_col``, sampled) for every row.
+    """
+    n_hex = -(-hash_bits // 4)  # hex chars covering hash_bits
+    space = 1 << (4 * n_hex)
+    tot = df.agg(F.sum(weight_col).cast("bigint").alias("total_w"))
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, n_hex), 16, 10
+    ).cast("long")
+    return df.crossJoin(F.broadcast(tot)).select(
+        F.col(id_col),
+        F.col(weight_col),
+        (
+            h * F.col("total_w")
+            < F.lit(int(expected_n)) * F.col(weight_col).cast("bigint") * F.lit(space)
+        ).alias("sampled"),
+    )

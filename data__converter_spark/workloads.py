@@ -2930,6 +2930,21 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR resampling (llmops/textstats.py:weighted_sample): draw an
+    expected-100 Poisson sample with inclusion probability proportional
+    to the DSIR importance weight (score_milli + 1) — the md5-hash
+    threshold is exact integer cross-multiplication, so the sample is
+    deterministic, retry-stable, and engine-identical."""
+    from .llmops.textstats import dsir_select, weighted_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    scored = dsir_select(
+        docs, target=F.col("lang") == F.lit("en"), buckets=64, select_n=100
+    ).select("doc_id", (F.col("score_milli") + 1).alias("w"))
+    return weighted_sample(scored, "w", expected_n=100, hash_bits=20)
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embedding table (llmops/dedup.py:semantic_dedup):
     k-means clusters (k=8, md5-seeded), greedy min-id keep rule within
@@ -3093,7 +3108,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_pq_topk": q_similarity_pq_topk,
     "triangle_suppliers": q_triangle_suppliers,
     "stream_outer_range_join": q_stream_outer_range_join,
+    "dsir_sample": q_dsir_sample,
 }
+
+_DSIR_CTE = """
+WITH tok AS (
+    SELECT doc_id, is_target, lower(u.term) AS term
+    FROM (
+        SELECT doc_id, (lang = 'en') AS is_target,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(text), '[ \\t\\r\\n]+') END
+                   AS words
+        FROM documents
+    ), unnest(words) AS u(term)
+),
+tb AS (
+    SELECT doc_id, is_target,
+           CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 64 AS b
+    FROM tok
+),
+per_bucket AS (
+    SELECT b, count(*) AS cnt_raw,
+           sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS cnt_target
+    FROM tb GROUP BY b
+),
+tot AS (
+    SELECT sum(cnt_raw) AS total_raw, sum(cnt_target) AS total_target
+    FROM per_bucket
+),
+wts AS (
+    -- Laplace-smoothed probability-ratio weight, exact integer
+    -- milli-units (floor division on positive bigints = Spark's div)
+    SELECT b,
+           ((cnt_target + 1) * 1000 * (total_raw + 64))
+               // ((cnt_raw + 1) * (total_target + 64)) AS w_milli
+    FROM per_bucket, tot
+),
+doc_tf AS (SELECT doc_id, b, count(*) AS tf FROM tb GROUP BY doc_id, b),
+scored AS (
+    -- per-token mean weight (floor div), not the raw sum — keeps the
+    -- score length-neutral like DSIR's log-ratio sum
+    SELECT doc_id, sum(tf) AS n_tokens,
+           sum(tf * w_milli) // sum(tf) AS score_milli
+    FROM doc_tf JOIN wts USING (b) GROUP BY doc_id
+),
+f AS (
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(s.score_milli, 0) AS BIGINT) AS score_milli
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+)
+"""
 
 ORACLES: dict[str, str] = {
     "compare_diff": _ORACLE_DIFF_CTE + "SELECT * FROM diff",
@@ -5054,57 +5119,20 @@ SELECT cl.vec_id, CAST(cl.cluster AS BIGINT) AS cluster,
        (l.id_b IS NULL) AS is_kept
 FROM cl LEFT JOIN losers l ON cl.vec_id = l.id_b
 """,
-    "dsir_select": """
-WITH tok AS (
-    SELECT doc_id, is_target, lower(u.term) AS term
-    FROM (
-        SELECT doc_id, (lang = 'en') AS is_target,
-               CASE WHEN length(trim(text)) = 0 THEN []
-                    ELSE regexp_split_to_array(trim(text), '[ \\t\\r\\n]+') END
-                   AS words
-        FROM documents
-    ), unnest(words) AS u(term)
-),
-tb AS (
-    SELECT doc_id, is_target,
-           CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 64 AS b
-    FROM tok
-),
-per_bucket AS (
-    SELECT b, count(*) AS cnt_raw,
-           sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS cnt_target
-    FROM tb GROUP BY b
-),
-tot AS (
-    SELECT sum(cnt_raw) AS total_raw, sum(cnt_target) AS total_target
-    FROM per_bucket
-),
-wts AS (
-    -- Laplace-smoothed probability-ratio weight, exact integer
-    -- milli-units (floor division on positive bigints = Spark's div)
-    SELECT b,
-           ((cnt_target + 1) * 1000 * (total_raw + 64))
-               // ((cnt_raw + 1) * (total_target + 64)) AS w_milli
-    FROM per_bucket, tot
-),
-doc_tf AS (SELECT doc_id, b, count(*) AS tf FROM tb GROUP BY doc_id, b),
-scored AS (
-    -- per-token mean weight (floor div), not the raw sum — keeps the
-    -- score length-neutral like DSIR's log-ratio sum
-    SELECT doc_id, sum(tf) AS n_tokens,
-           sum(tf * w_milli) // sum(tf) AS score_milli
-    FROM doc_tf JOIN wts USING (b) GROUP BY doc_id
-),
-f AS (
-    SELECT d.doc_id,
-           CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
-           CAST(COALESCE(s.score_milli, 0) AS BIGINT) AS score_milli
-    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
-)
+    "dsir_select": _DSIR_CTE + """
 SELECT doc_id, n_tokens, score_milli,
        (row_number() OVER (ORDER BY score_milli DESC, doc_id) <= 100)
            AS selected
 FROM f
+""",
+    "dsir_sample": _DSIR_CTE + """
+, wtab AS (SELECT doc_id, score_milli + 1 AS w FROM f),
+tw AS (SELECT sum(w) AS total_w FROM wtab)
+SELECT doc_id, CAST(w AS BIGINT) AS w,
+       (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 5)) AS BIGINT)
+            * total_w
+        < 100 * w * 1048576) AS sampled
+FROM wtab, tw
 """,
     "similarity_pq_topk": """
 WITH v AS (

@@ -1002,3 +1002,40 @@ def test_pq_topk_exact_when_codebook_is_corpus(spark):
 
     with pytest.raises(ValueError):
         similarity.pq_topk(df, probes, m=3, n_codes=4)  # 8 % 3 != 0
+
+
+def test_weighted_sample_properties(spark):
+    """Deterministic Poisson sampling: identical across runs, zero
+    weight never sampled, a weight large enough to push inclusion
+    probability to 1 is always sampled, and raising a weight can only
+    add the row (monotone in w at fixed hash)."""
+    rows = [(i, 10) for i in range(200)] + [(500, 0), (501, 10_000_000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out1 = {
+        r["doc_id"]: r["sampled"]
+        for r in textstats.weighted_sample(df, "w", expected_n=20).collect()
+    }
+    out2 = {
+        r["doc_id"]: r["sampled"]
+        for r in textstats.weighted_sample(df, "w", expected_n=20).collect()
+    }
+    assert out1 == out2 and len(out1) == 202
+    assert not out1[500]          # zero weight: P = 0
+    assert out1[501]              # dominant weight: P = 1
+    # sample-size sanity on a uniform frame (no dominant row): each of
+    # 200 rows has P = 20/200 = 0.1 -> expect ~20, loose bounds
+    uni = spark.createDataFrame(
+        [(i, 10) for i in range(200)], "doc_id long, w long"
+    )
+    n_base = sum(
+        r["sampled"]
+        for r in textstats.weighted_sample(uni, "w", expected_n=20).collect()
+    )
+    assert 5 < n_base < 50
+    # monotone: doubling every weight with the same hash keeps supersets
+    df2 = df.selectExpr("doc_id", "w * 2 AS w")
+    out3 = {
+        r["doc_id"]: r["sampled"]
+        for r in textstats.weighted_sample(df2, "w", expected_n=20).collect()
+    }
+    assert all(out3[k] for k, v in out1.items() if v)

@@ -275,3 +275,58 @@ def sessionize(
     return events.withColumn(
         "session_no", F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, 0))
     )
+
+
+def session_paths(
+    events: DataFrame,
+    by: str = "user_id",
+    on: str = "ts",
+    gap_minutes: int = 5,
+    max_len: int = 10,
+    top_n: int = 20,
+) -> DataFrame:
+    """Top-``top_n`` session paths: each session's ordered event-type
+    sequence (first ``max_len`` steps, joined with ``>``), counted
+    across the corpus — the path-analysis / funnel-mining shape ("what
+    do users actually do inside a session").
+
+    Ordering inside a path is deterministic: events sort by
+    (epoch, tie-break id) via an ``array_sort`` over collected structs
+    (a bare ``collect_list`` has no order guarantee after a shuffle —
+    the classic nondeterminism bug in path mining).  The final top-N
+    is ``orderBy().limit()`` — TakeOrderedAndProject over the path
+    aggregate, whose cardinality is paths (bounded by sessions), never
+    events.
+
+    Shuffles: the sessionize window (key), one (key, session) agg, one
+    path agg.  Output: (path, n_sessions), ties broken by path text.
+    """
+    s = sessionize(events, by=by, on=on, gap_minutes=gap_minutes)
+    epoch = F.col(on).cast("timestamp_ltz").cast("long")
+    per_session = s.groupBy(by, "session_no").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                epoch.alias("t"),
+                                F.col("event_id").alias("i"),
+                                F.col("event_type").alias("e"),
+                            )
+                        )
+                    ),
+                    lambda x: x["e"],
+                ),
+                1,
+                max_len,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        per_session.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(top_n)
+    )

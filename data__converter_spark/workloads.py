@@ -2930,6 +2930,17 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session event-type paths (joins.py:session_paths):
+    gaps-and-islands sessionize, order-deterministic path assembly
+    (struct array_sort — never a bare collect_list), TakeOrdered
+    top-N over the path aggregate."""
+    from .joins import session_paths
+    from .session import load_events
+
+    return session_paths(load_events(spark, sf_dir), gap_minutes=5, max_len=10, top_n=20)
+
+
 def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR resampling (llmops/textstats.py:weighted_sample): draw an
     expected-100 Poisson sample with inclusion probability proportional
@@ -3109,6 +3120,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_suppliers": q_triangle_suppliers,
     "stream_outer_range_join": q_stream_outer_range_join,
     "dsir_sample": q_dsir_sample,
+    "session_paths": q_session_paths,
 }
 
 _DSIR_CTE = """
@@ -5124,6 +5136,39 @@ SELECT doc_id, n_tokens, score_milli,
        (row_number() OVER (ORDER BY score_milli DESC, doc_id) <= 100)
            AS selected
 FROM f
+""",
+    "session_paths": """
+WITH lagged AS (
+    SELECT event_id, user_id, ts, event_type,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+sess AS (
+    SELECT event_id, user_id, ts, event_type,
+           sum(CASE WHEN prev_ts IS NULL
+                      OR date_diff('second', prev_ts, ts) >= 300
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+    FROM lagged
+),
+stepped AS (
+    SELECT user_id, session_no, event_type,
+           row_number() OVER (PARTITION BY user_id, session_no
+                              ORDER BY ts, event_id) AS step
+    FROM sess
+),
+per_session AS (
+    SELECT user_id, session_no,
+           string_agg(event_type, '>' ORDER BY step) AS path
+    FROM stepped WHERE step <= 10
+    GROUP BY user_id, session_no
+),
+counted AS (
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM per_session GROUP BY path
+)
+SELECT path, n_sessions FROM counted
+QUALIFY row_number() OVER (ORDER BY n_sessions DESC, path) <= 20
 """,
     "dsir_sample": _DSIR_CTE + """
 , wtab AS (SELECT doc_id, score_milli + 1 AS w FROM f),

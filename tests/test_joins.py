@@ -160,3 +160,39 @@ def test_asof_nearest_on_date_column(spark):
     assert near.rv_right == 20.0  # +2 days beats -9 days
     back = asof_join(left, right, by="user_id", direction="backward").collect()[0]
     assert back.rv_right == 10.0
+
+
+def test_session_paths_order_and_truncation(spark):
+    """Paths are (ts, id)-ordered regardless of input order, truncate
+    at max_len, and ties in the top-N break on path text."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1, one session, deliberately out of order
+        (3, 1, base + dt.timedelta(seconds=2), "c", 0.0, ""),
+        (1, 1, base, "a", 0.0, ""),
+        (2, 1, base + dt.timedelta(seconds=1), "b", 0.0, ""),
+        # user 2: same path a>b>c in one session
+        (4, 2, base, "a", 0.0, ""),
+        (5, 2, base + dt.timedelta(seconds=1), "b", 0.0, ""),
+        (6, 2, base + dt.timedelta(seconds=2), "c", 0.0, ""),
+        # user 3: new session after the 5-min gap -> two length-1 paths
+        (7, 3, base, "x", 0.0, ""),
+        (8, 3, base + dt.timedelta(minutes=10), "y", 0.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    )
+    from data__converter_spark.joins import session_paths
+
+    got = {r["path"]: r["n_sessions"] for r in session_paths(ev).collect()}
+    assert got == {"a>b>c": 2, "x": 1, "y": 1}
+    # max_len truncation keeps the FIRST steps
+    got2 = {
+        r["path"]: r["n_sessions"]
+        for r in session_paths(ev, max_len=2).collect()
+    }
+    assert got2 == {"a>b": 2, "x": 1, "y": 1}

@@ -253,3 +253,82 @@ def expectations(
         ]
     )
     return one.select(F.explode(rows).alias("e")).select("e.*")
+
+
+def robust_outliers(
+    df: DataFrame,
+    key: str,
+    value: str,
+    id_col: str,
+    k_permille: int = 3000,
+) -> DataFrame:
+    """Median/MAD robust outlier flags per group — the data-quality
+    sweep that survives the outliers it hunts (mean/stddev do not:
+    one 10⁶× point drags the mean past everything else).
+
+    Both the group median and the MAD (median absolute deviation) are
+    DISCRETE rank selections (value at rank ``ceil(n/2)``, ties by
+    ``id_col``) — actual data values, no interpolation, so any engine
+    agrees exactly.  With an integer ``value`` the outlier test is
+    pure integer cross-multiplication::
+
+        is_outlier  <=>  |x - med| * 1000  >  k_permille * MAD
+
+    (k_permille=3000 ≈ the classic "3 MADs out").  Degenerate groups
+    where MAD = 0 (over half the values identical) flag every
+    non-median value — documented, and exactly what the oracle
+    computes too.
+
+    Scale shape: two windowed rank selections on the SAME group key
+    (one shuffle each; AQE reuses the first exchange for the join
+    back), then a narrow flag projection.  Group medians never leave
+    the executors.
+
+    Output: (``id_col``, ``key``, ``value``, med, mad, is_outlier)
+    for every row.
+    """
+    from pyspark.sql import Window
+
+    w_n = Window.partitionBy(key)
+    w1 = Window.partitionBy(key).orderBy(value, id_col)
+    ranked = df.select(
+        F.col(id_col),
+        F.col(key),
+        F.col(value).cast("bigint").alias("v"),
+        F.row_number().over(w1).alias("__rn__"),
+        F.count(F.lit(1)).over(w_n).alias("__n__"),
+    )
+    med = (
+        ranked.filter(F.col("__rn__") == F.ceil(F.col("__n__") / 2))
+        .select(F.col(key), F.col("v").alias("med"))
+    )
+    devd = ranked.select(id_col, key, "v").join(med, key).withColumn(
+        "dev", F.abs(F.col("v") - F.col("med"))
+    )
+    w2 = Window.partitionBy(key).orderBy("dev", id_col)
+    dev_ranked = devd.select(
+        id_col,
+        key,
+        "v",
+        "med",
+        "dev",
+        F.row_number().over(w2).alias("__rn__"),
+        F.count(F.lit(1)).over(w_n).alias("__n__"),
+    )
+    mad = (
+        dev_ranked.filter(F.col("__rn__") == F.ceil(F.col("__n__") / 2))
+        .select(F.col(key), F.col("dev").alias("mad"))
+    )
+    return (
+        devd.join(mad, key)
+        .select(
+            id_col,
+            key,
+            "v",
+            "med",
+            "mad",
+            (F.col("dev") * 1000 > F.lit(int(k_permille)) * F.col("mad")).alias(
+                "is_outlier"
+            ),
+        )
+    )

@@ -2930,6 +2930,22 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outliers of event value per event_type
+    (stats.py:robust_outliers): exact discrete rank-selection medians
+    on integer cents, cross-multiplied 3-MAD flag — mean/stddev-free
+    data-quality sweep."""
+    from .session import load_events
+    from .stats import robust_outliers
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "event_type", cents("value").alias("v_cents")
+    )
+    return robust_outliers(
+        ev, key="event_type", value="v_cents", id_col="event_id"
+    )
+
+
 def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 session event-type paths (joins.py:session_paths):
     gaps-and-islands sessionize, order-deterministic path assembly
@@ -3121,6 +3137,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_outer_range_join": q_stream_outer_range_join,
     "dsir_sample": q_dsir_sample,
     "session_paths": q_session_paths,
+    "events_anomalies": q_events_anomalies,
 }
 
 _DSIR_CTE = """
@@ -5136,6 +5153,42 @@ SELECT doc_id, n_tokens, score_milli,
        (row_number() OVER (ORDER BY score_milli DESC, doc_id) <= 100)
            AS selected
 FROM f
+""",
+    "events_anomalies": """
+WITH base AS (
+    SELECT event_id, event_type,
+           CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+    FROM events
+),
+ranked AS (
+    SELECT event_id, event_type, v,
+           row_number() OVER (PARTITION BY event_type ORDER BY v, event_id)
+               AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM base
+),
+med AS (
+    SELECT event_type, v AS med FROM ranked
+    WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+),
+devd AS (
+    SELECT b.event_id, b.event_type, b.v, m.med, abs(b.v - m.med) AS dev
+    FROM base b JOIN med m USING (event_type)
+),
+dev_ranked AS (
+    SELECT event_type, dev,
+           row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id)
+               AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM devd
+),
+madt AS (
+    SELECT event_type, dev AS mad FROM dev_ranked
+    WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+)
+SELECT d.event_id, d.event_type, d.v, d.med, madt.mad,
+       (d.dev * 1000 > 3000 * madt.mad) AS is_outlier
+FROM devd d JOIN madt USING (event_type)
 """,
     "session_paths": """
 WITH lagged AS (

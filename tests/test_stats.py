@@ -103,3 +103,27 @@ def test_expectations_counts_nulls_as_failures(spark):
     }
     assert out["v_positive"] == (3, 2, 667)
     assert out["s_not_null"] == (3, 1, 333)
+
+
+def test_robust_outliers_median_mad(spark):
+    """Known distribution: median 10, MAD 1 -> |x-10| > 3 flags; the
+    10^6 point must not drag the threshold (the mean/stddev failure
+    this operator exists to avoid)."""
+    from data__converter_spark.stats import robust_outliers
+
+    vals = [8, 9, 9, 10, 10, 10, 11, 11, 12, 1_000_000]
+    df = spark.createDataFrame(
+        [(i, "a", v) for i, v in enumerate(vals)], "id long, k string, v long"
+    )
+    out = {r["id"]: r for r in robust_outliers(df, "k", "v", "id").collect()}
+    assert len(out) == 10
+    assert out[0]["med"] == 10 and out[0]["mad"] == 1
+    flagged = sorted(i for i, r in out.items() if r["is_outlier"])
+    assert flagged == [9]  # only the huge point: |8-10|=2 <= 3*1
+    # degenerate group: MAD 0 -> every non-median value flags
+    df2 = spark.createDataFrame(
+        [(i, "b", 5) for i in range(5)] + [(9, "b", 6)],
+        "id long, k string, v long",
+    )
+    out2 = {r["id"]: r["is_outlier"] for r in robust_outliers(df2, "k", "v", "id").collect()}
+    assert out2 == {0: False, 1: False, 2: False, 3: False, 4: False, 9: True}

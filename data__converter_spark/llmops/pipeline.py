@@ -61,3 +61,57 @@ def pretraining_pipeline(
     return deduped.filter(sample_hash_col(id_col) < sample_pct).select(
         id_col, "lang", "score_r", "content_sha"
     )
+
+
+def selection_pipeline(
+    docs: DataFrame,
+    target,
+    col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    stopwords: list[str] | None = None,
+    buckets: int = 64,
+    expected_n: int = 200,
+    n_shards: int = 8,
+) -> DataFrame:
+    """The training-data SELECTION pipeline as one lazy plan: Gopher
+    rule gate -> DSIR importance weights toward ``target`` ->
+    deterministic weighted Poisson resample -> token-balanced shard
+    assignment of the survivors.
+
+    Stage shapes (each documented on its operator): the gate is a pure
+    projection+filter fused into the scan; DSIR adds two aggregates
+    and a constant-size weight-table broadcast; the resample is a
+    1-row Σw broadcast + narrow integer threshold; sharding windows
+    per size bucket.  The only row-scale shuffles in the whole plan
+    are the DSIR (doc, bucket) aggregate, the semi-join pulling
+    sampled text back, and the shard windows — the documents' text
+    crosses the wire exactly once (into the shard stage).
+
+    Output: (``id_col``, n_tokens, size_bucket, shard) of the sampled
+    corpus — the write-ready shard layout.
+    """
+    from .textstats import (
+        balanced_shards,
+        dsir_select,
+        gopher_rules,
+        weighted_sample,
+    )
+
+    kept = gopher_rules(
+        docs,
+        col=col,
+        id_col=id_col,
+        min_words=min_words,
+        stopwords=stopwords,
+        carry_cols=[col, "lang"],
+    ).filter(F.col("keep"))
+    scored = dsir_select(
+        kept, target=target, col=col, id_col=id_col, buckets=buckets
+    )
+    w = scored.select(F.col(id_col), (F.col("score_milli") + 1).alias("w"))
+    sampled = weighted_sample(
+        w, "w", id_col=id_col, expected_n=expected_n
+    ).filter(F.col("sampled"))
+    chosen = kept.join(sampled.select(id_col), id_col, "left_semi")
+    return balanced_shards(chosen, n_shards=n_shards, col=col, id_col=id_col)

@@ -947,6 +947,7 @@ def gopher_rules(
     min_words: int = 50,
     max_words: int = 100_000,
     stopwords: list[str] | None = None,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Gopher-style rule-based document quality gate (Rae et al. 2021,
     "Scaling Language Models: ... Gopher", table A1 repetition/quality
@@ -965,7 +966,10 @@ def gopher_rules(
 
     ``stopwords`` defaults to the English :data:`QUALITY_STOPWORDS`;
     pass a corpus-appropriate list for other domains (the rule is
-    "common-word presence", not English specifically).
+    "common-word presence", not English specifically).  ``carry_cols``
+    names input columns to pass through unchanged (the gate is a pure
+    projection, so carrying text/metadata into a downstream pipeline
+    stage is free).
 
     One narrow projection — no shuffle, no UDF; at 100 TB this fuses
     into the scan and the keep flag drives a pushed-down filter for
@@ -1009,6 +1013,7 @@ def gopher_rules(
 
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in (carry_cols or [])],
         n_words.alias("n_words"),
         word_chars.alias("word_chars"),
         n_symbols.alias("n_symbols"),

@@ -2930,6 +2930,26 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed SELECTION pipeline (llmops/pipeline.py:
+    selection_pipeline): Gopher gate -> DSIR weights toward English ->
+    deterministic Poisson resample (expected 200) -> token-balanced
+    8-shard assignment, one lazy plan — the composition itself is the
+    thing under test, like pipeline_pretraining."""
+    from .llmops.pipeline import selection_pipeline
+
+    docs = _load(spark, sf_dir, "documents")
+    return selection_pipeline(
+        docs,
+        target=F.col("lang") == F.lit("en"),
+        min_words=30,
+        stopwords=["the", "a", "data", "table", "value", "key", "row", "query"],
+        buckets=64,
+        expected_n=200,
+        n_shards=8,
+    )
+
+
 def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD robust outliers of event value per event_type
     (stats.py:robust_outliers): exact discrete rank-selection medians
@@ -3138,6 +3158,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_sample": q_dsir_sample,
     "session_paths": q_session_paths,
     "events_anomalies": q_events_anomalies,
+    "pipeline_selection": q_pipeline_selection,
 }
 
 _DSIR_CTE = """
@@ -5189,6 +5210,98 @@ madt AS (
 SELECT d.event_id, d.event_type, d.v, d.med, madt.mad,
        (d.dev * 1000 > 3000 * madt.mad) AS is_outlier
 FROM devd d JOIN madt USING (event_type)
+""",
+    "pipeline_selection": """
+WITH g AS (
+    SELECT doc_id, text, lang,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(COALESCE(list_sum(list_transform(words, w -> length(w))), 0)
+                AS BIGINT) AS word_chars,
+           CAST(length(text) - length(replace(text, '#', ''))
+                + length(text) - length(replace(text, chr(8230), ''))
+                + (length(text) - length(replace(text, '...', ''))) / 3
+                AS BIGINT) AS n_symbols,
+           CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+                AS BIGINT) AS alpha_words,
+           CAST(len(list_intersect(list_transform(words, w -> lower(w)),
+                ['the','a','data','table','value','key','row','query']))
+                AS BIGINT) AS stop_hits
+    FROM (
+        SELECT doc_id, text, lang,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(text), '[ \\t\\r\\n]+') END
+                   AS words
+        FROM documents
+    )
+),
+kept AS (
+    SELECT doc_id, text, lang FROM g
+    WHERE (n_words >= 30 AND n_words <= 100000)
+      AND (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+      AND (10 * n_symbols <= n_words)
+      AND (5 * alpha_words >= 4 * n_words)
+      AND (stop_hits >= 2)
+),
+tok AS (
+    SELECT doc_id, is_target, lower(u.term) AS term
+    FROM (
+        SELECT doc_id, (lang = 'en') AS is_target,
+               regexp_split_to_array(trim(text), '[ \\t\\r\\n]+') AS words
+        FROM kept
+    ), unnest(words) AS u(term)
+),
+tb AS (
+    SELECT doc_id, is_target,
+           CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 64 AS b
+    FROM tok
+),
+per_bucket AS (
+    SELECT b, count(*) AS cnt_raw,
+           sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS cnt_target
+    FROM tb GROUP BY b
+),
+tot AS (
+    SELECT sum(cnt_raw) AS total_raw, sum(cnt_target) AS total_target
+    FROM per_bucket
+),
+wts AS (
+    SELECT b,
+           ((cnt_target + 1) * 1000 * (total_raw + 64))
+               // ((cnt_raw + 1) * (total_target + 64)) AS w_milli
+    FROM per_bucket, tot
+),
+doc_tf AS (SELECT doc_id, b, count(*) AS tf FROM tb GROUP BY doc_id, b),
+scored AS (
+    SELECT doc_id, sum(tf * w_milli) // sum(tf) AS score_milli
+    FROM doc_tf JOIN wts USING (b) GROUP BY doc_id
+),
+wtab AS (
+    SELECT k.doc_id, CAST(COALESCE(s.score_milli, 0) + 1 AS BIGINT) AS w
+    FROM kept k LEFT JOIN scored s ON k.doc_id = s.doc_id
+),
+tw AS (SELECT sum(w) AS total_w FROM wtab),
+samp AS (
+    SELECT doc_id FROM wtab, tw
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 5)) AS BIGINT)
+              * total_w
+          < 200 * w * 1048576
+),
+chosen AS (
+    SELECT k.doc_id,
+           CASE WHEN length(trim(k.text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(k.text), '[ \\t\\r\\n]+'))
+           END AS n_tokens
+    FROM kept k JOIN samp USING (doc_id)
+),
+base AS (
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor(log2(n_tokens + 1)) AS INT) AS size_bucket
+    FROM chosen
+)
+SELECT doc_id, n_tokens, size_bucket,
+       CAST((row_number() OVER (PARTITION BY size_bucket ORDER BY doc_id) - 1)
+            % 8 AS INT) AS shard
+FROM base
 """,
     "session_paths": """
 WITH lagged AS (

@@ -1039,3 +1039,41 @@ def test_weighted_sample_properties(spark):
         for r in textstats.weighted_sample(df2, "w", expected_n=20).collect()
     }
     assert all(out3[k] for k, v in out1.items() if v)
+
+
+def test_selection_pipeline_composition(spark):
+    """The composed plan equals running the four stages by hand —
+    composition introduces no reordering or row loss."""
+    from data__converter_spark.llmops.pipeline import selection_pipeline
+    from data__converter_spark.llmops.textstats import (
+        balanced_shards,
+        dsir_select,
+        gopher_rules,
+        weighted_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kw = dict(min_words=10, stopwords=["the", "a", "data", "table"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["size_bucket"], r["shard"])
+        for r in selection_pipeline(
+            docs, target=F.col("lang") == "en", expected_n=30, **kw
+        ).collect()
+    }
+    kept = gopher_rules(docs, carry_cols=["text", "lang"], **kw).filter("keep")
+    w = dsir_select(kept, target=F.col("lang") == "en", buckets=64).select(
+        "doc_id", (F.col("score_milli") + 1).alias("w")
+    )
+    ids = {
+        r["doc_id"]
+        for r in weighted_sample(w, "w", expected_n=30).collect()
+        if r["sampled"]
+    }
+    chosen = kept.join(
+        spark.createDataFrame([(i,) for i in ids], "doc_id long"), "doc_id"
+    )
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["size_bucket"], r["shard"])
+        for r in balanced_shards(chosen, n_shards=8).collect()
+    }
+    assert got == want and len(got) > 0

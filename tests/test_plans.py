@@ -482,3 +482,39 @@ def test_dsir_select_avoids_global_window(spark):
     p = plan_of(QUERIES["dsir_select"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in p
     assert "Window" not in p
+
+
+def test_triangle_count_no_cartesian(spark):
+    """Every triangle join is an equi-join on node ids — a cartesian
+    here would be the O(n^3) disaster orientation exists to prevent."""
+    from data__converter_spark.workloads import QUERIES
+
+    p = plan_of(QUERIES["triangle_suppliers"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pipeline_selection_no_global_window(spark):
+    """The composed selection pipeline must not smuggle in a global
+    rank window or a cartesian; its only SinglePartition exchanges are
+    the 1-row scalar broadcasts (Σw, DSIR totals, TakeOrdered merge)."""
+    from data__converter_spark.workloads import QUERIES
+
+    p = plan_of(QUERIES["pipeline_selection"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    # windows exist (shard assignment) but none over an empty partition
+    # spec on the document stream: every Window clause names a key
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", p):
+        assert m.group(1).strip(), f"unpartitioned Window in plan: {m.group(0)}"
+
+
+def test_pq_topk_single_encode_kernel(spark):
+    """PQ encoding is ONE Arrow pass over the corpus (the codes table);
+    only the tiny ADC lookup joins after it."""
+    from data__converter_spark.workloads import QUERIES
+
+    p = plan_of(QUERIES["similarity_pq_topk"](spark, SF_DIR))
+    assert p.count("MapInPandas") == 1
+    assert "CartesianProduct" not in p

@@ -93,7 +93,7 @@ def selection_pipeline(
     """
     from .textstats import (
         balanced_shards,
-        dsir_select,
+        dsir_scores,
         gopher_rules,
         weighted_sample,
     )
@@ -106,7 +106,7 @@ def selection_pipeline(
         stopwords=stopwords,
         carry_cols=[col, "lang"],
     ).filter(F.col("keep"))
-    scored = dsir_select(
+    scored = dsir_scores(
         kept, target=target, col=col, id_col=id_col, buckets=buckets
     )
     w = scored.select(F.col(id_col), (F.col("score_milli") + 1).alias("w"))

@@ -1085,6 +1085,46 @@ def dsir_select(
     Output: (``id_col``, n_tokens, score_milli, selected) for every
     document; empty docs score 0.
     """
+    full = dsir_scores(df, target, col=col, id_col=id_col, buckets=buckets)
+    boundary = (
+        full.orderBy(F.col("score_milli").desc(), F.col(id_col))
+        .limit(select_n)
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("score_milli").alias("b_score"),
+                    (-F.col(id_col)).alias("b_neg_id"),
+                )
+            ).alias("b")
+        )
+        .select(F.col("b.b_score").alias("b_score"), (-F.col("b.b_neg_id")).alias("b_id"))
+    )
+    return full.crossJoin(F.broadcast(boundary)).select(
+        id_col,
+        "n_tokens",
+        "score_milli",
+        (
+            (F.col("score_milli") > F.col("b_score"))
+            | (
+                (F.col("score_milli") == F.col("b_score"))
+                & (F.col(id_col) <= F.col("b_id"))
+            )
+        ).alias("selected"),
+    )
+
+
+def dsir_scores(
+    df: DataFrame,
+    target: Column,
+    col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+) -> DataFrame:
+    """The scoring core of :func:`dsir_select` without the top-N
+    boundary job — (``id_col``, n_tokens, score_milli) for every
+    document.  Use this when a downstream stage (e.g.
+    :func:`weighted_sample`) consumes the raw weights and the
+    ``selected`` flag would be dead work."""
     B = int(buckets)
     tok = df.select(
         F.col(id_col),
@@ -1127,7 +1167,7 @@ def dsir_select(
             ),
         )
     )
-    full = (
+    return (
         df.select(F.col(id_col))
         .join(scored, id_col, "left")
         .select(
@@ -1137,31 +1177,6 @@ def dsir_select(
                 "score_milli"
             ),
         )
-    )
-    boundary = (
-        full.orderBy(F.col("score_milli").desc(), F.col(id_col))
-        .limit(select_n)
-        .agg(
-            F.min(
-                F.struct(
-                    F.col("score_milli").alias("b_score"),
-                    (-F.col(id_col)).alias("b_neg_id"),
-                )
-            ).alias("b")
-        )
-        .select(F.col("b.b_score").alias("b_score"), (-F.col("b.b_neg_id")).alias("b_id"))
-    )
-    return full.crossJoin(F.broadcast(boundary)).select(
-        id_col,
-        "n_tokens",
-        "score_milli",
-        (
-            (F.col("score_milli") > F.col("b_score"))
-            | (
-                (F.col("score_milli") == F.col("b_score"))
-                & (F.col(id_col) <= F.col("b_id"))
-            )
-        ).alias("selected"),
     )
 
 

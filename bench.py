@@ -50,13 +50,15 @@ def main() -> None:
 
     from data__converter_spark.scale import release_persisted
 
-    # Each query runs TWICE (cache released between runs — both passes
-    # recompute the full plan) and reports the min: steady-state plan
+    # Each query runs 3x (cache released between runs — every pass
+    # recomputes the full plan) and reports the min: steady-state plan
     # cost. A single pass conflates the plan with first-touch noise
     # (per-UDF Arrow worker spin-up, codegen JIT, VM scheduling jitter)
     # that dominates sub-second queries and doesn't exist on a warm
-    # cluster. Both-pass totals are recorded for transparency.
-    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
+    # cluster; with only two passes one unlucky pass still leaks that
+    # noise into the min (observed: a 1.1 s steady-state query recorded
+    # at 2.9 s). Per-pass totals are recorded for transparency.
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     timings: dict[str, float] = {}
     pass_totals = [0.0] * passes
     errors: dict[str, str] = {}

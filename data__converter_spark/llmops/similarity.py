@@ -688,6 +688,158 @@ def centroid_separation(
     )
 
 
+def _pq_encode(
+    corpus: DataFrame,
+    Cs: list,
+    cids_s: list,
+    d0: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """PQ code assignment — ONE Arrow pass, per-subspace codebooks in
+    the task closure.  ``Cs[s]`` is the (k_s, d0) integer-grid codeword
+    matrix of subspace ``s``; ``cids_s[s]`` its ascending code ids
+    (argmin-first = smallest-id tie rule).  Output: (vid, s, code)."""
+    import numpy as np
+
+    m = len(Cs)
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Q = np.floor(M * VEC_QUANT + 0.5)
+            frames = []
+            for s in range(m):
+                A = Q[:, s * d0 : (s + 1) * d0]
+                # ||a-c||^2 = a.a - 2 a.c + c.c — exact integers in f64
+                d = (
+                    np.einsum("ij,ij->i", A, A)[:, None]
+                    - 2.0 * (A @ Cs[s].T)
+                    + np.einsum("ij,ij->i", Cs[s], Cs[s])[None, :]
+                )
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vid": pdf[id_col].to_numpy(),
+                            "s": s,
+                            "code": cids_s[s][d.argmin(axis=1)],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        encode, "vid long, s int, code long"
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    iterations: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Train the PQ codebook: Lloyd iterations run PER SUBSPACE over
+    the md5-sampled seed codewords — the actual k-means fit Jégou's PQ
+    prescribes, not just the sampled-codebook shortcut
+    :func:`pq_topk` defaults to.
+
+    Each iteration is :func:`_pq_encode`'s single Arrow assignment
+    pass (codebooks ride the closure — vectors never shuffle) followed
+    by ONE (subspace, code, pos) aggregation whose state is
+    m·k·d0 cells, not rows.  Like :func:`kmeans_train`, the driver
+    pulls only the codebook between iterations, means are exact
+    integer sums divided once (bit-identical on any engine and any
+    partition order), and re-quantization onto the VEC_QUANT grid uses
+    the same canonical ``floor(mean·2^17 + 0.5)`` an unrolled SQL
+    chain computes — so N training iterations stay hash-checkable.
+    A codeword that loses every member disappears (k may shrink per
+    subspace, independently).
+
+    Output long form: (s, code, pos, n_vecs, mean_val) of the final
+    update — pos is 1-based WITHIN the subspace.
+    """
+    import numpy as np
+
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    cids, cq = _seed_centroids(corpus, n_codes, vec_col, id_col, seed)
+    dim = cq.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d0 = dim // m
+    Cs = [cq[:, s * d0 : (s + 1) * d0].astype(np.float64) for s in range(m)]
+    cids_s = [cids for _ in range(m)]
+
+    sub_expl = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col)).alias("pos0", "v"),
+    ).select(
+        "vid",
+        (F.col("pos0") / F.lit(d0)).cast("int").alias("s"),
+        (F.col("pos0") % F.lit(d0) + F.lit(1)).alias("pos"),
+        F.floor(F.col("v").cast("double") * F.lit(float(quant)) + F.lit(0.5))
+        .cast("bigint")
+        .alias("vq"),
+    )
+    for _ in range(iterations):
+        codes = _pq_encode(corpus, Cs, cids_s, d0, vec_col, id_col)
+        cent = (
+            sub_expl.join(codes, ["vid", "s"])
+            .groupBy("s", "code", "pos")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+                F.sum("vq").alias("sq"),
+            )
+            .select(
+                "s",
+                "code",
+                "pos",
+                "n_vecs",
+                # exact integer sum on the quant grid — exposed so
+                # consumers (and the oracle) can avoid float rounding
+                F.col("sq").cast("bigint").alias("sum_q"),
+                (
+                    F.col("sq").cast("double")
+                    / F.col("n_vecs").cast("double")
+                    / F.lit(float(quant))
+                ).alias("mean_val"),
+            )
+        )
+        rows = cent.collect()
+        by_sub: dict = {}
+        for r in rows:
+            by_sub.setdefault(r["s"], {}).setdefault(r["code"], {})[
+                r["pos"]
+            ] = r["mean_val"]
+        Cs, cids_s = [], []
+        for s in range(m):
+            codes_here = sorted(by_sub.get(s, {}))
+            cids_s.append(np.array(codes_here, dtype=np.int64))
+            Cs.append(
+                np.floor(
+                    np.array(
+                        [
+                            [by_sub[s][c][p + 1] for p in range(d0)]
+                            for c in codes_here
+                        ],
+                        dtype=np.float64,
+                    )
+                    * VEC_QUANT
+                    + 0.5
+                )
+            )
+    return cent
+
+
 def pq_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -735,42 +887,11 @@ def pq_topk(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     d0 = dim // m
-    # (m, n_codes, d0) codeword tensor on the integer grid
-    C = np.stack([cq[:, s * d0 : (s + 1) * d0] for s in range(m)]).astype(
-        np.float64
-    )
-
-    def encode(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Q = np.floor(M * VEC_QUANT + 0.5)
-            frames = []
-            for s in range(m):
-                A = Q[:, s * d0 : (s + 1) * d0]
-                # ||a-c||^2 = a.a - 2 a.c + c.c — exact integers in f64
-                d = (
-                    np.einsum("ij,ij->i", A, A)[:, None]
-                    - 2.0 * (A @ C[s].T)
-                    + np.einsum("ij,ij->i", C[s], C[s])[None, :]
-                )
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "vid": pdf[id_col].to_numpy(),
-                            "s": s,
-                            "code": cids[d.argmin(axis=1)],
-                        }
-                    )
-                )
-            yield pd.concat(frames, ignore_index=True)
-
-    codes = corpus.select(id_col, vec_col).mapInPandas(
-        encode, "vid long, s int, code long"
-    )
+    # per-subspace codeword matrices on the integer grid
+    Cs = [cq[:, s * d0 : (s + 1) * d0].astype(np.float64) for s in range(m)]
+    cids_s = [cids for _ in range(m)]
+    codes = _pq_encode(corpus, Cs, cids_s, d0, vec_col, id_col)
+    C = np.stack(Cs)
 
     p_rows = _collect_probes(probes, id_col, vec_col)
     if not p_rows:

@@ -2930,6 +2930,18 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_train_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PQ training iteration (llmops/similarity.py:pq_train):
+    per-subspace Lloyd step over the md5-sampled seed codewords —
+    exact integer-quantized means, the iterative codebook fit
+    hash-checked like kmeans_step."""
+    from .llmops.similarity import pq_train
+
+    emb = _load(spark, sf_dir, "embeddings")
+    out = pq_train(emb, m=4, n_codes=16, iterations=1)
+    return out.select("s", "code", "pos", "n_vecs", "sum_q")
+
+
 def q_pipeline_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed SELECTION pipeline (llmops/pipeline.py:
     selection_pipeline): Gopher gate -> DSIR weights toward English ->
@@ -3159,6 +3171,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_paths": q_session_paths,
     "events_anomalies": q_events_anomalies,
     "pipeline_selection": q_pipeline_selection,
+    "pq_train_codebook": q_pq_train_codebook,
 }
 
 _DSIR_CTE = """
@@ -5210,6 +5223,49 @@ madt AS (
 SELECT d.event_id, d.event_type, d.v, d.med, madt.mad,
        (d.dev * 1000 > 3000 * madt.mad) AS is_outlier
 FROM devd d JOIN madt USING (event_type)
+""",
+    "pq_train_codebook": """
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+vq AS (
+    SELECT vec_id, list_transform(e, x -> floor(x * 131072.0 + 0.5)) AS q
+    FROM v
+),
+cent AS (
+    SELECT vec_id AS cid, q AS cq FROM vq
+    ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42'), vec_id
+    LIMIT 16
+),
+sub AS (SELECT unnest(range(0, 4)) AS s),
+csub AS (
+    SELECT cid, s, list_slice(cq, s * 16 + 1, s * 16 + 16) AS cs
+    FROM cent CROSS JOIN sub
+),
+vsub AS (
+    SELECT vec_id, s, list_slice(q, s * 16 + 1, s * 16 + 16) AS qs
+    FROM vq CROSS JOIN sub
+),
+code_assign AS (
+    SELECT vec_id, s, cid,
+           row_number() OVER (PARTITION BY vec_id, s
+               ORDER BY list_dot_product(qs, qs)
+                        - 2 * list_dot_product(qs, cs)
+                        + list_dot_product(cs, cs) ASC, cid ASC) AS rn
+    FROM vsub JOIN csub USING (s)
+),
+codes AS (SELECT vec_id, s, cid AS code FROM code_assign WHERE rn = 1),
+vexpl AS (
+    SELECT v.vec_id, sub.s, CAST(p.lp AS INT) AS pos,
+           CAST(floor(v.e[sub.s * 16 + CAST(p.lp AS BIGINT)] * 1000000.0
+                      + 0.5) AS BIGINT) AS vmq
+    FROM v CROSS JOIN sub, unnest(range(1, 17)) AS p(lp)
+)
+SELECT CAST(c.s AS INT) AS s, c.code, x.pos,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(x.vmq) AS BIGINT) AS sum_q
+FROM codes c JOIN vexpl x ON c.vec_id = x.vec_id AND c.s = x.s
+GROUP BY c.s, c.code, x.pos
 """,
     "pipeline_selection": """
 WITH g AS (

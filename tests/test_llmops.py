@@ -1077,3 +1077,30 @@ def test_selection_pipeline_composition(spark):
         for r in balanced_shards(chosen, n_shards=8).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_pq_train_refines_and_converges_like_kmeans(spark):
+    """pq_train invariants: per-(s,pos) member counts sum to the corpus
+    size; with m=1 it degenerates to kmeans_step's clustering (same
+    partition sizes per cluster); iterating with n_codes=1 is a fixed
+    point (the mean of everything never moves)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = rng.uniform(-1, 1, size=(40, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.pq_train(df, m=4, n_codes=4, iterations=2).collect()
+    per_sp = {}
+    for r in out:
+        per_sp[(r["s"], r["pos"])] = per_sp.get((r["s"], r["pos"]), 0) + r["n_vecs"]
+    assert set(per_sp.values()) == {40}
+    # n_codes=1: every iteration reproduces the global per-pos mean
+    one_a = similarity.pq_train(df, m=2, n_codes=1, iterations=1).collect()
+    one_b = similarity.pq_train(df, m=2, n_codes=1, iterations=3).collect()
+    key = lambda r: (r["s"], r["pos"], r["sum_q"], r["n_vecs"])
+    assert sorted(map(key, one_a)) == sorted(map(key, one_b))
+    with pytest.raises(ValueError):
+        similarity.pq_train(df, m=4, n_codes=4, iterations=0)

@@ -863,8 +863,9 @@ def pq_topk(
     Codewords are the classic sampled codebook: the ``n_codes`` corpus
     vectors with the smallest md5("{id}:{seed}") — the same
     engine-portable draw IVF/k-means use — sliced per subspace (no
-    Lloyd fit; compose with :func:`kmeans_train` for trained
-    codebooks).  All arithmetic happens on the :data:`VEC_QUANT`
+    Lloyd fit; :func:`pq_train` runs the per-subspace k-means
+    refinement when a fitted codebook is wanted).  All arithmetic
+    happens on the :data:`VEC_QUANT`
     integer grid, so every subspace distance, every ADC sum, and every
     rank is an EXACT integer — the DuckDB oracle reproduces the full
     index bit-for-bit, ties and all (distance ties break to the

@@ -934,3 +934,106 @@ def pq_topk(
         )
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    seed: int = 42,
+    include_self: bool = False,
+) -> DataFrame:
+    """IVF-PQ — the production ANN architecture (FAISS's default at
+    scale): an IVF coarse quantizer prunes the corpus to ``nprobe`` of
+    ``n_cells`` Voronoi cells, and within the probed cells candidates
+    score by PQ Asymmetric Distance over ``m`` code ids — the query
+    touches ``nprobe/n_cells`` of a corpus that is ALSO compressed
+    dim-floats → m codes.  At 100 TB: write the codes table
+    partitioned by cell once; a query reads a few partitions of a
+    table ~100× smaller than the vectors.
+
+    Determinism end to end: cells assign by grid-cosine argmax against
+    md5-sampled centroids (exact integers — :func:`kmeans_step`'s
+    rule, ties to the smaller centroid id); PQ codewords are the
+    md5("{id}:{seed+1}") sample (decoupled from the cell sample);
+    every subspace distance and ADC sum is an exact BIGINT; rank ties
+    break on the neighbor id.  The DuckDB oracle reproduces the whole
+    index bit-for-bit.
+
+    Scale shape: ONE Arrow pass assigns cells, ONE encodes PQ codes
+    (both with closure-resident codebooks — vectors never shuffle);
+    the probe→cell table (probes × nprobe) and the ADC lookup
+    (probes × m × n_codes) broadcast; candidate generation is a
+    broadcast join on the cell id, scoring a broadcast join + m-row
+    aggregate, ranking a per-probe window.
+    """
+    import numpy as np
+
+    from pyspark.sql import Window as W
+
+    spark = corpus.sparkSession
+    cell_ids, cell_q = _seed_centroids(corpus, n_cells, vec_col, id_col, seed)
+    dim = cell_q.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d0 = dim // m
+    code_ids, code_q = _seed_centroids(
+        corpus, n_codes, vec_col, id_col, seed + 1
+    )
+    Cs = [code_q[:, s * d0 : (s + 1) * d0].astype(np.float64) for s in range(m)]
+    cids_s = [code_ids for _ in range(m)]
+
+    cells = _assign_to_grid(corpus, cell_ids, cell_q, vec_col, id_col).select(
+        F.col(id_col).alias("vid"), F.col("cluster").alias("cell")
+    )
+    codes = _pq_encode(corpus, Cs, cids_s, d0, vec_col, id_col)
+
+    p_rows = _collect_probes(probes, id_col, vec_col)
+    if not p_rows:
+        return spark.createDataFrame(
+            [], "probe_id long, neighbor_id long, adc_dist long, rank int"
+        )
+    # probe -> nprobe nearest cells by the same exact grid cosine
+    cell_norm = np.sqrt(np.einsum("ij,ij->i", cell_q, cell_q).astype(np.float64))
+    pc_rows, lut_rows = [], []
+    for r in p_rows:
+        pq_vec = np.floor(np.asarray(r[1], dtype=np.float64) * VEC_QUANT + 0.5)
+        p_norm = np.sqrt(np.dot(pq_vec, pq_vec))
+        denom = (p_norm if p_norm > 0 else 1.0) * cell_norm
+        cos = (cell_q @ pq_vec) / denom
+        # sort by (-cos, cell_id): argsort on structured order
+        order = sorted(range(len(cell_ids)), key=lambda j: (-cos[j], cell_ids[j]))
+        for j in order[:nprobe]:
+            pc_rows.append((int(r[0]), int(cell_ids[j])))
+        for s in range(m):
+            a = pq_vec[s * d0 : (s + 1) * d0]
+            d = np.dot(a, a) - 2.0 * (Cs[s] @ a) + np.einsum(
+                "ij,ij->i", Cs[s], Cs[s]
+            )
+            for j in range(n_codes):
+                lut_rows.append((int(r[0]), s, int(code_ids[j]), int(d[j])))
+    probe_cells = spark.createDataFrame(pc_rows, "probe_id long, cell long")
+    lut = spark.createDataFrame(lut_rows, "probe_id long, s int, code long, d long")
+
+    cand = cells.join(F.broadcast(probe_cells), "cell").select("probe_id", "vid")
+    adc = (
+        cand.join(codes, "vid")
+        .join(F.broadcast(lut), ["probe_id", "s", "code"])
+        .groupBy("probe_id", F.col("vid").alias("neighbor_id"))
+        .agg(F.sum("d").cast("bigint").alias("adc_dist"))
+    )
+    if not include_self:
+        adc = adc.filter(F.col("probe_id") != F.col("neighbor_id"))
+    w = W.partitionBy("probe_id").orderBy("adc_dist", "neighbor_id")
+    return adc.select(
+        "probe_id",
+        "neighbor_id",
+        "adc_dist",
+        F.row_number().over(w).alias("rank"),
+    ).filter(F.col("rank") <= k)

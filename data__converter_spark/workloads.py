@@ -2930,6 +2930,19 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (llmops/similarity.py:ivf_pq_topk): grid-cosine cell
+    pruning (nprobe=4 of 16) over PQ ADC scoring (4x16 codes) — the
+    FAISS-style production index, fully hash-checked."""
+    from .llmops.similarity import ivf_pq_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+    return ivf_pq_topk(
+        emb, probes, k=10, n_cells=16, nprobe=4, m=4, n_codes=16
+    )
+
+
 def q_pq_train_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One PQ training iteration (llmops/similarity.py:pq_train):
     per-subspace Lloyd step over the md5-sampled seed codewords —
@@ -3172,6 +3185,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_anomalies": q_events_anomalies,
     "pipeline_selection": q_pipeline_selection,
     "pq_train_codebook": q_pq_train_codebook,
+    "similarity_ivf_pq_topk": q_similarity_ivf_pq_topk,
 }
 
 _DSIR_CTE = """
@@ -5223,6 +5237,102 @@ madt AS (
 SELECT d.event_id, d.event_type, d.v, d.med, madt.mad,
        (d.dev * 1000 > 3000 * madt.mad) AS is_outlier
 FROM devd d JOIN madt USING (event_type)
+""",
+    "similarity_ivf_pq_topk": """
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+vq AS (
+    SELECT vec_id, list_transform(e, x -> floor(x * 131072.0 + 0.5)) AS q
+    FROM v
+),
+cellcent AS (
+    SELECT vec_id AS cid, q AS cq FROM vq
+    ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42'), vec_id
+    LIMIT 16
+),
+cells AS (
+    SELECT vec_id, cid AS cell FROM (
+        SELECT vq.vec_id, cellcent.cid,
+               row_number() OVER (PARTITION BY vq.vec_id
+                   ORDER BY list_dot_product(vq.q, cellcent.cq)
+                            / (CASE WHEN sqrt(list_dot_product(vq.q, vq.q)) > 0
+                                    THEN sqrt(list_dot_product(vq.q, vq.q))
+                                    ELSE 1.0 END
+                               * sqrt(list_dot_product(cellcent.cq, cellcent.cq)))
+                            DESC, cellcent.cid) AS rn
+        FROM vq CROSS JOIN cellcent
+    ) WHERE rn = 1
+),
+codecent AS (
+    SELECT vec_id AS cid, q AS cq FROM vq
+    ORDER BY md5(CAST(vec_id AS VARCHAR) || ':43'), vec_id
+    LIMIT 16
+),
+sub AS (SELECT unnest(range(0, 4)) AS s),
+csub AS (
+    SELECT cid, s, list_slice(cq, s * 16 + 1, s * 16 + 16) AS cs
+    FROM codecent CROSS JOIN sub
+),
+vsub AS (
+    SELECT vec_id, s, list_slice(q, s * 16 + 1, s * 16 + 16) AS qs
+    FROM vq CROSS JOIN sub
+),
+codes AS (
+    SELECT vec_id, s, cid AS code FROM (
+        SELECT vec_id, s, cid,
+               row_number() OVER (PARTITION BY vec_id, s
+                   ORDER BY list_dot_product(qs, qs)
+                            - 2 * list_dot_product(qs, cs)
+                            + list_dot_product(cs, cs) ASC, cid ASC) AS rn
+        FROM vsub JOIN csub USING (s)
+    ) WHERE rn = 1
+),
+probes AS (SELECT vec_id AS probe_id, q FROM vq WHERE vec_id % 25 = 0),
+probe_cells AS (
+    SELECT probe_id, cid AS cell FROM (
+        SELECT p.probe_id, c.cid,
+               row_number() OVER (PARTITION BY p.probe_id
+                   ORDER BY list_dot_product(p.q, c.cq)
+                            / (CASE WHEN sqrt(list_dot_product(p.q, p.q)) > 0
+                                    THEN sqrt(list_dot_product(p.q, p.q))
+                                    ELSE 1.0 END
+                               * sqrt(list_dot_product(c.cq, c.cq)))
+                            DESC, c.cid) AS rn
+        FROM probes p CROSS JOIN cellcent c
+    ) WHERE rn <= 4
+),
+psub AS (
+    SELECT probe_id, s, list_slice(q, s * 16 + 1, s * 16 + 16) AS ps
+    FROM probes CROSS JOIN sub
+),
+lut AS (
+    SELECT probe_id, s, cid,
+           CAST(list_dot_product(ps, ps)
+                - 2 * list_dot_product(ps, cs)
+                + list_dot_product(cs, cs) AS BIGINT) AS d
+    FROM psub JOIN csub USING (s)
+),
+cand AS (
+    SELECT pc.probe_id, cl.vec_id AS vid
+    FROM cells cl JOIN probe_cells pc ON cl.cell = pc.cell
+),
+adc AS (
+    SELECT ca.probe_id, ca.vid AS neighbor_id,
+           CAST(sum(l.d) AS BIGINT) AS adc_dist
+    FROM cand ca
+    JOIN codes c ON c.vec_id = ca.vid
+    JOIN lut l ON l.probe_id = ca.probe_id AND l.s = c.s AND l.cid = c.code
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT probe_id, neighbor_id, adc_dist,
+           row_number() OVER (PARTITION BY probe_id
+               ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+    FROM adc WHERE probe_id <> neighbor_id
+)
+SELECT probe_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
 """,
     "pq_train_codebook": """
 WITH v AS (

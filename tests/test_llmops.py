@@ -1104,3 +1104,35 @@ def test_pq_train_refines_and_converges_like_kmeans(spark):
     assert sorted(map(key, one_a)) == sorted(map(key, one_b))
     with pytest.raises(ValueError):
         similarity.pq_train(df, m=4, n_codes=4, iterations=0)
+
+
+def test_ivf_pq_equals_pq_when_all_cells_probed(spark):
+    """With nprobe = n_cells the IVF stage prunes nothing, so IVF-PQ
+    must reproduce plain PQ exactly (same codebook seed); with fewer
+    probes the result set per probe is a subset of the candidates."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    vecs = rng.uniform(-1, 1, size=(30, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    probes = df.filter(F.col("vec_id") < 2)
+    full = similarity.ivf_pq_topk(
+        df, probes, k=5, n_cells=4, nprobe=4, m=2, n_codes=8, seed=42
+    ).collect()
+    # plain PQ with the SAME codebook draw (ivf_pq uses seed+1)
+    pq = similarity.pq_topk(df, probes, k=5, m=2, n_codes=8, seed=43).collect()
+    key = lambda rs: sorted(
+        (r["probe_id"], r["neighbor_id"], r["adc_dist"], r["rank"]) for r in rs
+    )
+    assert key(full) == key(pq) and len(full) == 10
+    pruned = similarity.ivf_pq_topk(
+        df, probes, k=5, n_cells=4, nprobe=1, m=2, n_codes=8, seed=42
+    ).collect()
+    full_pairs = {(r["probe_id"], r["neighbor_id"]): r["adc_dist"] for r in full}
+    for r in pruned:
+        # every pruned hit carries the same exact ADC distance
+        got = full_pairs.get((r["probe_id"], r["neighbor_id"]))
+        assert got is None or got == r["adc_dist"]

@@ -47,6 +47,7 @@ SHOWCASE = [
     ("session_paths", "sessionize window + per-session struct-sorted path assembly; top-N over the path aggregate, never the event stream"),
     ("events_anomalies", "two rank-selection windows on one group key; integer cross-multiplied 3-MAD flag, no interpolation"),
     ("pipeline_selection", "gate fuses into the scan; DSIR aggs + constant broadcasts; text crosses the wire once (into the shard windows)"),
+    ("similarity_ivf_pq_topk", "two closure-codebook Arrow passes (cells, codes); probe-cells + ADC lookup broadcast; candidates via broadcast cell join"),
 ]
 
 

@@ -1222,3 +1222,36 @@ def weighted_sample(
             < F.lit(int(expected_n)) * F.col(weight_col).cast("bigint") * F.lit(space)
         ).alias("sampled"),
     )
+
+
+def corpus_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_permille: int = 800,
+    val_permille: int = 100,
+) -> DataFrame:
+    """Deterministic train/val/test split: md5(id) buckets the corpus
+    into permille [0, 1000), then ``[0, train)`` -> train,
+    ``[train, train+val)`` -> val, rest -> test.  Hash-based (like
+    :func:`stratified_sample`), so membership is stable under
+    retries/re-runs/appends — a doc NEVER migrates between splits when
+    the corpus grows, which `randomSplit` cannot promise (its sampling
+    is per-partition and re-draws on recompute).  One narrow
+    projection; engine-portable md5 arithmetic.
+
+    Output: (``id_col``, bucket_permille, split) for every row.
+    """
+    if not (0 <= train_permille and 0 <= val_permille
+            and train_permille + val_permille <= 1000):
+        raise ValueError(
+            f"invalid split: train={train_permille} val={val_permille}"
+        )
+    b = sample_hash_col(id_col, buckets=1000)
+    return df.select(
+        F.col(id_col),
+        b.alias("bucket_permille"),
+        F.when(b < train_permille, F.lit("train"))
+        .when(b < train_permille + val_permille, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -2930,6 +2930,16 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split
+    (llmops/textstats.py:corpus_split): md5-permille buckets, append-
+    and retry-stable where randomSplit is neither."""
+    from .llmops.textstats import corpus_split
+
+    docs = _load(spark, sf_dir, "documents")
+    return corpus_split(docs, train_permille=800, val_permille=100)
+
+
 def q_similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN (llmops/similarity.py:ivf_pq_topk): grid-cosine cell
     pruning (nprobe=4 of 16) over PQ ADC scoring (4x16 codes) — the
@@ -3186,6 +3196,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_selection": q_pipeline_selection,
     "pq_train_codebook": q_pq_train_codebook,
     "similarity_ivf_pq_topk": q_similarity_ivf_pq_topk,
+    "corpus_split": q_corpus_split,
 }
 
 _DSIR_CTE = """
@@ -5237,6 +5248,19 @@ madt AS (
 SELECT d.event_id, d.event_type, d.v, d.med, madt.mad,
        (d.dev * 1000 > 3000 * madt.mad) AS is_outlier
 FROM devd d JOIN madt USING (event_type)
+""",
+    "corpus_split": """
+WITH b AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 1000 AS bucket_permille
+    FROM documents
+)
+SELECT doc_id, bucket_permille,
+       CASE WHEN bucket_permille < 800 THEN 'train'
+            WHEN bucket_permille < 900 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
 """,
     "similarity_ivf_pq_topk": """
 WITH v AS (

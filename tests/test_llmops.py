@@ -1136,3 +1136,19 @@ def test_ivf_pq_equals_pq_when_all_cells_probed(spark):
         # every pruned hit carries the same exact ADC distance
         got = full_pairs.get((r["probe_id"], r["neighbor_id"]))
         assert got is None or got == r["adc_dist"]
+
+
+def test_corpus_split_stable_under_append(spark):
+    """A document's split never changes when the corpus grows, and the
+    three splits partition the corpus at roughly the requested ratios."""
+    df1 = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    df2 = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    s1 = {r["doc_id"]: r["split"] for r in textstats.corpus_split(df1).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in textstats.corpus_split(df2).collect()}
+    assert all(s2[k] == v for k, v in s1.items())  # append-stable
+    from collections import Counter
+
+    c = Counter(s2.values())
+    assert 700 < c["train"] < 900 and 50 < c["val"] < 160 and 50 < c["test"] < 160
+    with pytest.raises(ValueError):
+        textstats.corpus_split(df1, train_permille=950, val_permille=100)

@@ -26,14 +26,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # ``queries()`` in insertion order (verified: CORRECTNESS_r0{1,2,3,4}.json
 # keys equal the first 50 QUERIES names of each round).  Round 5 rotation,
 # weakest evidence first (each block carries its own rationale below):
-# red-latest fixes, the two r4-tail queries, the 21 queries NEW in round 5
-# (9 TPC-H shapes + the LLM/stream/graph batch), the r1-green-but-rewritten
-# "stale eight", everything whose code changed since its last driver row
-# (incl. the shingle-kernel consumers of this round's single-eval fix),
-# then the size-gated-broadcast TPC-H queries (plan-only change — the
-# block's tail is the right thing to fall below the 50-slot cut), then
-# oldest-green refreshes.  Every query past slot 50 keeps its r3/r4 green
-# row.
+# red-latest fixes, the 36 queries NEW in round 5 (the second batch —
+# quality gate / SemDeDup / DSIR / PQ / IVF-PQ / triangle / outer stream
+# join / sampling / paths / anomalies / selection pipeline / split — plus
+# the earlier 9 TPC-H shapes and the LLM/stream/graph batch), the
+# r1-green-but-rewritten "stale eight", then everything whose code changed
+# since its last driver row.  Every never-driver-checked query sits inside
+# the first 50 (asserted each edit); what falls past the cut
+# (dedup_minhash_lsh, minhash_est_error, the shingle-kernel consumers, the
+# size-gated-broadcast TPC-H nine, oldest-green refreshes) all hold r3/r4
+# green rows plus the local 144/144 oracle-gate pass.
 _VERIFY_FIRST = [
     # -- latest driver row is a r1 FAILURE: prove the fixes --
     "events_json_props", "window_running_revenue",

@@ -1255,3 +1255,84 @@ def corpus_split(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def tokenize_corpus(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Tokenize the corpus against a frequency-ranked vocabulary — the
+    step that turns cleaned text into model-ready id sequences.
+
+    The vocabulary is the top ``vocab_size`` terms by total occurrence
+    (ties by term text), ids assigned 1..V in (count desc, term) order;
+    0 is reserved for OOV.  Both the ranking and the id assignment are
+    deterministic, so the SAME corpus always produces the SAME ids —
+    and the DuckDB oracle rebuilds the identical vocabulary.
+
+    Scale shape: one term aggregate builds the vocab,
+    ``orderBy().limit(V)`` compiles to TakeOrderedAndProject (per-
+    partition top-V, never a global sort of the term table), and id
+    assignment is a window over only V rows (constant-size — the one
+    place a SinglePartition exchange is fine).  Documents tokenize via
+    explode + broadcast vocab join + ordered re-assembly (struct
+    array_sort on position — the order-deterministic collect this
+    package always uses; a bare collect_list would be partition-order
+    nondeterministic).  Output per document: (``id_col``,
+    n_tokens, n_oov, ids_digest) where ids_digest is sha256 of the
+    space-joined id sequence — the exact artifact equality check a
+    tokenization pipeline wants without shipping the arrays around.
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.transform(tokens_col(col), F.lower)).alias(
+            "pos", "term"
+        ),
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("term")).limit(int(vocab_size))
+    vocab = top.select(
+        "term",
+        F.row_number()
+        .over(W.orderBy(F.desc("cnt"), F.asc("term")))
+        .alias("tok_id"),
+    )
+    mapped = toks.join(F.broadcast(vocab), "term", "left").select(
+        id_col,
+        "pos",
+        F.coalesce("tok_id", F.lit(0)).cast("bigint").alias("tok_id"),
+    )
+    return (
+        mapped.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("tok_id") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.sha2(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "tok_id"))
+                        ),
+                        lambda x: x["tok_id"].cast("string"),
+                    ),
+                    " ",
+                ),
+                256,
+            ).alias("ids_digest"),
+        )
+        .join(df.select(id_col), id_col, "right")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("bigint").alias("n_oov"),
+            F.coalesce("ids_digest", F.sha2(F.lit(""), 256)).alias(
+                "ids_digest"
+            ),
+        )
+    )

@@ -2930,6 +2930,17 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization against a frequency-ranked top-1000 vocab
+    (llmops/textstats.py:tokenize_corpus): per-doc token/OOV counts and
+    the sha256 of the ordered id sequence — the text -> model-ids step,
+    digest-checked without shipping arrays."""
+    from .llmops.textstats import tokenize_corpus
+
+    docs = _load(spark, sf_dir, "documents")
+    return tokenize_corpus(docs, vocab_size=1000)
+
+
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test split
     (llmops/textstats.py:corpus_split): md5-permille buckets, append-
@@ -3197,6 +3208,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_train_codebook": q_pq_train_codebook,
     "similarity_ivf_pq_topk": q_similarity_ivf_pq_topk,
     "corpus_split": q_corpus_split,
+    "tokenize_corpus": q_tokenize_corpus,
 }
 
 _DSIR_CTE = """
@@ -5248,6 +5260,45 @@ madt AS (
 SELECT d.event_id, d.event_type, d.v, d.med, madt.mad,
        (d.dev * 1000 > 3000 * madt.mad) AS is_outlier
 FROM devd d JOIN madt USING (event_type)
+""",
+    "tokenize_corpus": """
+WITH toks AS (
+    SELECT doc_id, CAST(r.i AS INT) - 1 AS pos,
+           lower(words[CAST(r.i AS BIGINT)]) AS term
+    FROM (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(text), '[ \\t\\r\\n]+') END
+                   AS words
+        FROM documents
+    ), unnest(range(1, len(words) + 1)) AS r(i)
+),
+counts AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+vocab AS (
+    SELECT term,
+           row_number() OVER (ORDER BY cnt DESC, term) AS tok_id
+    FROM counts
+    QUALIFY row_number() OVER (ORDER BY cnt DESC, term) <= 1000
+),
+mapped AS (
+    SELECT t.doc_id, t.pos,
+           CAST(COALESCE(v.tok_id, 0) AS BIGINT) AS tok_id
+    FROM toks t LEFT JOIN vocab v ON t.term = v.term
+),
+agg AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN tok_id = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           sha256(string_agg(CAST(tok_id AS VARCHAR), ' ' ORDER BY pos))
+               AS ids_digest
+    FROM mapped GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.n_oov, 0) AS BIGINT) AS n_oov,
+       COALESCE(a.ids_digest, sha256('')) AS ids_digest
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """,
     "corpus_split": """
 WITH b AS (

@@ -1152,3 +1152,28 @@ def test_corpus_split_stable_under_append(spark):
     assert 700 < c["train"] < 900 and 50 < c["val"] < 160 and 50 < c["test"] < 160
     with pytest.raises(ValueError):
         textstats.corpus_split(df1, train_permille=950, val_permille=100)
+
+
+def test_tokenize_corpus_ids_and_oov(spark):
+    """Vocab ids assign by (count desc, term); OOV maps to 0; digests
+    equal exactly when the ordered id sequences equal; empty docs get
+    the empty digest."""
+    import hashlib
+
+    rows = [
+        (1, "b a b c b a"),   # counts: b=3(+1 doc2) a=2(+1) c=1
+        (2, "b a zzz"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in textstats.tokenize_corpus(df, vocab_size=2).collect()
+    }
+    # vocab: b(4)->1, a(3)->2; c and zzz are OOV
+    want1 = hashlib.sha256("1 2 1 0 1 2".encode()).hexdigest()
+    want2 = hashlib.sha256("1 2 0".encode()).hexdigest()
+    assert out[1]["ids_digest"] == want1 and out[1]["n_oov"] == 1
+    assert out[2]["ids_digest"] == want2 and out[2]["n_oov"] == 1
+    assert out[3]["n_tokens"] == 0
+    assert out[3]["ids_digest"] == hashlib.sha256(b"").hexdigest()

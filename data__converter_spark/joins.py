@@ -291,9 +291,11 @@ def session_paths(
     do users actually do inside a session").
 
     Ordering inside a path is deterministic: events sort by
-    (epoch, tie-break id) via an ``array_sort`` over collected structs
-    (a bare ``collect_list`` has no order guarantee after a shuffle —
-    the classic nondeterminism bug in path mining).  The final top-N
+    (MICROSECOND epoch, tie-break id) via an ``array_sort`` over
+    collected structs (a bare ``collect_list`` has no order guarantee
+    after a shuffle — the classic nondeterminism bug in path mining;
+    and a second-truncated epoch would silently reorder sub-second
+    events against the id tie-break).  The final top-N
     is ``orderBy().limit()`` — TakeOrderedAndProject over the path
     aggregate, whose cardinality is paths (bounded by sessions), never
     events.
@@ -302,7 +304,7 @@ def session_paths(
     path agg.  Output: (path, n_sessions), ties broken by path text.
     """
     s = sessionize(events, by=by, on=on, gap_minutes=gap_minutes)
-    epoch = F.col(on).cast("timestamp_ltz").cast("long")
+    epoch = F.unix_micros(F.col(on).cast("timestamp_ltz"))
     per_session = s.groupBy(by, "session_no").agg(
         F.array_join(
             F.slice(

@@ -1354,9 +1354,9 @@ def semantic_dedup(
             denom = np.sqrt(
                 np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B)
             )
-            cos = np.where(
-                denom > 0, np.einsum("ij,ij->i", A, B) / np.where(denom > 0, denom, 1.0), 0.0
-            )
+            # a zero vector has dot 0, so dividing by the guarded denom
+            # gives the oracle's CASE ... ELSE 1.0 result (cos = 0)
+            cos = np.einsum("ij,ij->i", A, B) / np.where(denom > 0, denom, 1.0)
             yield pd.DataFrame({"id_b": pdf["id_b"], "cosine": cos})
 
     losers = (

@@ -1064,11 +1064,18 @@ def dsir_select(
     needs the explicit mean — a raw sum would just rank long documents
     first.  The linear-ratio mean keeps every intermediate an exact
     integer — documented proxy, same "weight mass in target-heavy
-    features" signal.)  Integer bounds: w(b) <=
-    1000·(total_raw+B)/(total_target+B); with a target fraction f the
-    worst case is ~1000/f, so per-doc scores stay far under 2^63 until
-    total_raw approaches 10^13 tokens — past that, raise the hash
-    bucket count or drop the milli factor.
+    features" signal.)  Integer bound — on the INTERMEDIATE, not the
+    score: the weight numerator ``(cnt_target+1)·1000·(total_raw+B)``
+    must stay under 2^63.  With balanced buckets
+    (cnt_target ≈ f·total/B) that holds up to ~10^9 corpus tokens at
+    B=64, and degrades to ~10^6 in the adversarial all-one-bucket
+    case; past that either raise ``buckets`` (per-bucket counts shrink
+    linearly, buying the same factor of headroom) or build the weight
+    table from a deterministic hash-sample of tokens
+    (:func:`sample_hash_col` on the term — ratio estimates are
+    unbiased and counts bounded).  Exceeding the bound is LOUD, not
+    silent: Spark's ANSI mode and DuckDB both raise on bigint
+    overflow.
 
     Scale shape: one token explode (narrow), a ``buckets``-row weight
     table (two aggs + one 1-row-total cross join — constant size, so
@@ -1130,11 +1137,7 @@ def dsir_scores(
         F.col(id_col),
         target.alias("is_target"),
         F.explode(F.transform(tokens_col(col), F.lower)).alias("term"),
-    ).withColumn(
-        "b",
-        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
-        % F.lit(B),
-    )
+    ).withColumn("b", sample_hash_col(F.col("term"), buckets=B))
     per_bucket = tok.groupBy("b").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt_raw"),
         F.sum(F.when(F.col("is_target"), 1).otherwise(0))

@@ -284,8 +284,9 @@ def robust_outliers(
     back), then a narrow flag projection.  Group medians never leave
     the executors.
 
-    Output: (``id_col``, ``key``, ``value``, med, mad, is_outlier)
-    for every row.
+    Output: (``id_col``, ``key``, v, med, mad, is_outlier) for every
+    row — the value column comes back under the canonical name ``v``
+    (bigint-cast), which is also what the oracle schema pins.
     """
     from pyspark.sql import Window
 

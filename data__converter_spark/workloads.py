@@ -3029,11 +3029,11 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the DSIR importance weight (score_milli + 1) — the md5-hash
     threshold is exact integer cross-multiplication, so the sample is
     deterministic, retry-stable, and engine-identical."""
-    from .llmops.textstats import dsir_select, weighted_sample
+    from .llmops.textstats import dsir_scores, weighted_sample
 
     docs = _load(spark, sf_dir, "documents")
-    scored = dsir_select(
-        docs, target=F.col("lang") == F.lit("en"), buckets=64, select_n=100
+    scored = dsir_scores(
+        docs, target=F.col("lang") == F.lit("en"), buckets=64
     ).select("doc_id", (F.col("score_milli") + 1).alias("w"))
     return weighted_sample(scored, "w", expected_n=100, hash_bits=20)
 
@@ -5559,9 +5559,11 @@ sess AS (
     FROM lagged
 ),
 stepped AS (
+    -- microsecond epoch mirrors Spark's native timestamp precision:
+    -- ordering by raw nanos here could tie-break differently
     SELECT user_id, session_no, event_type,
            row_number() OVER (PARTITION BY user_id, session_no
-                              ORDER BY ts, event_id) AS step
+                              ORDER BY epoch_us(ts), event_id) AS step
     FROM sess
 ),
 per_session AS (

@@ -196,3 +196,27 @@ def test_session_paths_order_and_truncation(spark):
         for r in session_paths(ev, max_len=2).collect()
     }
     assert got2 == {"a>b": 2, "x": 1, "y": 1}
+
+
+def test_session_paths_subsecond_ordering(spark):
+    """Events 200ms apart within one session must order by time, not by
+    the id tie-break a second-truncated epoch would fall back to
+    (regression: the sort key is microsecond epoch, ids deliberately
+    anti-ordered)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (9, 1, base + dt.timedelta(milliseconds=200), "a", 0.0, ""),
+        (3, 1, base + dt.timedelta(milliseconds=800), "b", 0.0, ""),
+        (1, 1, base + dt.timedelta(milliseconds=900), "c", 0.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    )
+    from data__converter_spark.joins import session_paths
+
+    got = {r["path"]: r["n_sessions"] for r in session_paths(ev).collect()}
+    assert got == {"a>b>c": 1}

@@ -88,8 +88,11 @@ def _read_bytes(buf) -> bytes:
 
 
 def _normalize_type(t):
-    """Field type -> ('prim', name) or ('union_null', name). Raises on
-    anything beyond the supported subset."""
+    """Field type -> ('prim', name) or ('union_null{i}', name) where i
+    is the DECLARED index of the null branch (Avro encodes the branch
+    index of the writer schema — ["double","null"] puts null at 1, and
+    decoding it as if null were branch 0 desyncs the byte stream).
+    Raises on anything beyond the supported subset."""
     if isinstance(t, str):
         if t not in _PRIMITIVES:
             raise ValueError(f"avro_lite: unsupported type {t!r}")
@@ -98,17 +101,18 @@ def _normalize_type(t):
         branches = [b for b in t if b != "null"]
         if len(t) == 2 and "null" in t and len(branches) == 1 \
                 and isinstance(branches[0], str) and branches[0] in _PRIMITIVES:
-            return ("union_null", branches[0])
+            return (f"union_null{t.index('null')}", branches[0])
         raise ValueError(f"avro_lite: unsupported union {t!r}")
     raise ValueError(f"avro_lite: unsupported complex type {t!r}")
 
 
 def _encode_value(buf: io.BytesIO, kind, prim: str, v) -> None:
-    if kind == "union_null":
+    if kind.startswith("union_null"):
+        null_idx = int(kind[-1])
         if v is None:
-            _write_long(buf, 0)  # branch order fixed as ["null", T]
+            _write_long(buf, null_idx)
             return
-        _write_long(buf, 1)
+        _write_long(buf, 1 - null_idx)
     elif v is None:
         if prim != "null":
             raise ValueError("null value for non-nullable field")
@@ -129,8 +133,12 @@ def _encode_value(buf: io.BytesIO, kind, prim: str, v) -> None:
 
 
 def _decode_value(buf, kind, prim: str):
-    if kind == "union_null":
-        if _read_long(buf) == 0:
+    if kind.startswith("union_null"):
+        null_idx = int(kind[-1])
+        b = _read_long(buf)
+        if b not in (0, 1):
+            raise ValueError(f"avro_lite: corrupt union branch index {b}")
+        if b == null_idx:
             return None
     if prim == "null":
         return None

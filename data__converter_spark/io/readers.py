@@ -208,7 +208,8 @@ def read_txt_lines(spark: SparkSession, path: str, encoding: str = "utf-8") -> D
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """Columnar source beyond the reference's text formats (the typed
     sibling of the parquet tables): native reader, vectorized, with
-    predicate pushdown / column pruning like parquet."""
+    predicate pushdown / column pruning like parquet (PushedFilters +
+    ReadSchema reach the stripe reader; stripes split across tasks)."""
     return spark.read.orc(path)
 
 
@@ -233,11 +234,16 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     from . import avro_lite
 
     bins = spark.read.format("binaryFile").load(path)
-    head = bins.select("content").limit(1).collect()
+    # peek ONLY a bounded header prefix driver-side (the OCF header is
+    # magic + metadata map + sync — KBs even for wide schemas); pulling
+    # a whole multi-GB file's content for this would OOM the driver
+    head = bins.select(F.substring("content", 1, 262_144).alias("h")).limit(
+        1
+    ).collect()
     if not head:
         raise ValueError(f"no avro files under {path!r}")
     try:
-        schema = avro_lite.read_avro_schema(bytes(head[0]["content"]))
+        schema = avro_lite.read_avro_schema(bytes(head[0]["h"]))
         spark_schema = avro_lite.spark_schema_of(schema)
     except ValueError as err:
         raise NotImplementedError(
@@ -252,20 +258,23 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
 
         for pdf in batches:
             for content in pdf["content"]:
-                _, rows = avro_lite.read_avro_bytes(bytes(content))
+                file_schema, rows = avro_lite.read_avro_bytes(bytes(content))
+                file_names = [f["name"] for f in file_schema["fields"]]
+                if file_names != names:
+                    # a multi-file dir with diverging schemas would
+                    # otherwise die in a KeyError deep in the kernel
+                    raise ValueError(
+                        "avro_lite: file schema fields "
+                        f"{file_names} differ from the directory's "
+                        f"inferred schema {names}; align the files or "
+                        "ship spark-avro for schema merging"
+                    )
                 if rows:
                     yield pd.DataFrame(
                         {n: [r[n] for r in rows] for n in names}
                     )
 
     return bins.select("content").mapInPandas(kernel, spark_schema)
-
-
-def read_orc(spark: SparkSession, path: str) -> DataFrame:
-    """ORC columnar source — native Spark reader, same pushdown/pruning
-    contract as parquet (PushedFilters + ReadSchema reach the stripe
-    reader; stripes split across tasks)."""
-    return spark.read.orc(path)
 
 
 def read_jsonl(spark: SparkSession, path: str, encoding: str = "utf-8") -> DataFrame:

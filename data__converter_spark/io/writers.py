@@ -56,12 +56,6 @@ def write_orc(df: DataFrame, path: str, compression: str = "zstd") -> None:
     df.write.mode("overwrite").option("compression", compression).orc(path)
 
 
-def write_orc(df: DataFrame, path: str, compression: str = "zstd") -> None:
-    """ORC columnar sink (native writer; zstd default like the parquet
-    paths — dictionary + RLE encodings come free)."""
-    df.write.mode("overwrite").option("compression", compression).orc(path)
-
-
 def write_txt(df: DataFrame, path: str) -> None:
     """K3: value-only frames as plain lines; otherwise JSON lines."""
     if df.columns == ["value"]:

@@ -143,6 +143,50 @@ def _shingle_sets(df: DataFrame, col: str, id_col: str, k: int) -> DataFrame:
     ).filter(F.size("sh") > 0)
 
 
+def _postings_pair_counts(sets, id_col: str, max_freq: int | None):
+    """Shared inverted-index scaffolding for the exact set-overlap
+    joins (:func:`ngram_jaccard_pairs`, :func:`window_overlap_pairs`):
+    persisted postings of 8-byte ``xxhash64`` element hashes, per-doc
+    set sizes (taken BEFORE the hot cap, so sizes stay exact), the
+    f² hot-key guard, and the ``id_a < id_b`` pair counts.
+
+    Returns ``(pairs(id_a, id_b, n_common), sizes(id_col, sz))`` —
+    callers apply their own score/filter on top.  One copy of the
+    blowup guard and the postings hashing keeps the two operators from
+    silently diverging."""
+    from ..scale import persisted
+
+    # postings carry 8-byte hashes, not element strings — the
+    # self-join shuffles longs (collision odds at 64 bits are ~n²/2⁶⁵,
+    # immaterial next to the score filters). Persisted because the
+    # plan reads it three ways (a-side, b-side, sizes); without it the
+    # element generation recomputes per branch. Routed through
+    # scale.persisted so release_persisted() frees it with the rest.
+    postings = persisted(
+        sets.select(F.col(id_col), F.explode("sh").alias("s")).select(
+            F.col(id_col), F.xxhash64("s").alias("s")
+        )
+    )
+    sizes = postings.groupBy(id_col).agg(F.count("*").alias("sz"))
+    if max_freq is not None:
+        hot = (
+            postings.groupBy("s")
+            .count()
+            .filter(F.col("count") > max_freq)
+            .select("s")
+        )
+        postings = postings.join(hot, "s", "left_anti")
+    a = postings.select(F.col(id_col).alias("id_a"), "s")
+    b = postings.select(F.col(id_col).alias("id_b"), "s")
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return pairs, sizes
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     col: str = "text",
@@ -163,37 +207,9 @@ def ngram_jaccard_pairs(
     shingle shared by f docs costs f² postings pairs). Default None
     keeps the result exact.
     """
-    from ..scale import persisted
-
     sets = _shingle_sets(df, col, id_col, k)
-    # postings carry 8-byte shingle hashes, not shingle strings — the
-    # self-join shuffles longs (collision odds at 64 bits are ~n²/2⁶⁵,
-    # immaterial next to the threshold filter). Persisted because the
-    # plan reads it three ways (a-side, b-side, sizes); without it the
-    # shingle generation recomputes per branch. Routed through
-    # scale.persisted so release_persisted() frees it with the rest.
-    postings = persisted(
-        sets.select(F.col(id_col), F.explode("sh").alias("s")).select(
-            F.col(id_col), F.xxhash64("s").alias("s")
-        )
-    )
-    sizes = postings.groupBy(id_col).agg(F.count("*").alias("sz"))
-    if max_shingle_freq is not None:
-        hot = (
-            postings.groupBy("s")
-            .count()
-            .filter(F.col("count") > max_shingle_freq)
-            .select("s")
-        )
-        postings = postings.join(hot, "s", "left_anti")
-    a = postings.select(F.col(id_col).alias("id_a"), "s")
-    b = postings.select(F.col(id_col).alias("id_b"), "s")
-    common = (
-        a.join(b, "s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("common"))
-    )
+    common, sizes = _postings_pair_counts(sets, id_col, max_shingle_freq)
+    common = common.withColumnRenamed("n_common", "common")
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     jac = F.col("common").cast("double") / (
@@ -1159,32 +1175,11 @@ def window_overlap_pairs(
     dedup candidate generator), self-join on the hash, one pair
     aggregate.  Never quadratic in the corpus, only in per-window
     document frequency, which the cap bounds."""
-    from ..scale import persisted
-
     sets = _shingle_sets(df, col, id_col, window)
-    postings = persisted(
-        sets.select(F.col(id_col), F.explode("sh").alias("s")).select(
-            F.col(id_col), F.xxhash64("s").alias("s")
-        )
-    )
-    sizes = postings.groupBy(id_col).agg(F.count("*").alias("sz"))
-    if max_window_freq is not None:
-        hot = (
-            postings.groupBy("s")
-            .count()
-            .filter(F.col("count") > max_window_freq)
-            .select("s")
-        )
-        postings = postings.join(hot, "s", "left_anti")
-    a = postings.select(F.col(id_col).alias("id_a"), "s")
-    b = postings.select(F.col(id_col).alias("id_b"), "s")
-    shared = (
-        a.join(b, "s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").cast("bigint").alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
-    )
+    pairs, sizes = _postings_pair_counts(sets, id_col, max_window_freq)
+    shared = pairs.select(
+        "id_a", "id_b", F.col("n_common").cast("bigint").alias("n_shared")
+    ).filter(F.col("n_shared") >= min_shared)
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return (

@@ -563,7 +563,10 @@ def kmeans_train(
             * VEC_QUANT
             + 0.5
         ).astype(np.int64)
-    return cent.select(
+    # the final iteration was just materialized for the collect — build
+    # the result from those rows instead of re-executing the heaviest
+    # stage (assignment over the full corpus) a second time
+    return df.sparkSession.createDataFrame(rows, cent.schema).select(
         F.col("label").alias("cluster"), "pos", "n_vecs", "mean_val"
     )
 
@@ -837,7 +840,10 @@ def pq_train(
                     + 0.5
                 )
             )
-    return cent
+    # same convention as kmeans_train: the final update was already
+    # materialized for the codebook pull — return THOSE rows rather
+    # than re-running the assignment pass
+    return corpus.sparkSession.createDataFrame(rows, cent.schema)
 
 
 def pq_topk(

@@ -441,14 +441,14 @@ wins AS (
 """
 
 
-def _minhash_verified_pairs_sql(
-    k: int = 3, num_hashes: int = 64, bands: int = 16, threshold: float = 0.5,
-    seed: int = 42,
+def _minhash_front_sql(
+    k: int = 3, num_hashes: int = 64, bands: int = 16, seed: int = 42
 ) -> str:
-    """DuckDB replica of llmops.dedup.minhash_lsh_pairs: same md5-based
-    shingle hash, same seeded permutation coefficients (embedded as
-    literals), band candidates via slice equality, exact-Jaccard
-    verify. Ends with a ``verified`` CTE of (id_a, id_b, jaccard)."""
+    """Shared FRONT of the MinHash oracles: shingle -> md5-32 hash set
+    -> signature -> band buckets.  Ends with the ``banded`` CTE (and
+    ``hs_cte`` in scope) so callers append their own candidate join —
+    composed by name here rather than string-splitting a sibling's
+    text, which broke on any reformat."""
     from .llmops.dedup import _MERSENNE_P, _perm_coeffs
 
     # shingle construction below is hand-unrolled for trigrams; any
@@ -486,7 +486,21 @@ banded AS (
            array_to_string(list_slice(sig, CAST(t.b * {r} + 1 AS INT),
                                            CAST(t.b * {r} + {r} AS INT)), ',') AS bucket
     FROM sigs, (SELECT unnest(range(0, {bands})) AS b) t
-),
+)"""
+    )
+
+
+def _minhash_verified_pairs_sql(
+    k: int = 3, num_hashes: int = 64, bands: int = 16, threshold: float = 0.5,
+    seed: int = 42,
+) -> str:
+    """DuckDB replica of llmops.dedup.minhash_lsh_pairs: the shared
+    MinHash front (:func:`_minhash_front_sql`) + band candidates via
+    slice equality + exact-Jaccard verify. Ends with a ``verified``
+    CTE of (id_a, id_b, jaccard)."""
+    return (
+        _minhash_front_sql(k=k, num_hashes=num_hashes, bands=bands, seed=seed)
+        + f""",
 cand AS (
     SELECT DISTINCT l.doc_id AS id_a, r2.doc_id AS id_b
     FROM banded l JOIN banded r2 ON l.band = r2.band AND l.bucket = r2.bucket
@@ -511,12 +525,10 @@ verified AS (
 
 def _cross_dup_sql(threshold: float = 0.5) -> str:
     """DuckDB replica of llmops.dedup.dedup_against over the odd/even
-    doc_id split: same front as _minhash_verified_pairs_sql, but the
-    bucket join is new(odd) x ref(even) and the final SELECT anti-joins
+    doc_id split: the shared MinHash front (:func:`_minhash_front_sql`),
+    a new(odd) x ref(even) bucket join, and a final SELECT anti-joining
     the duplicate new ids."""
-    base = _minhash_verified_pairs_sql(threshold=threshold)
-    prefix = base.split(",\ncand AS (")[0]
-    return prefix + f""",
+    return _minhash_front_sql() + f""",
 cand AS (
     SELECT DISTINCT l.doc_id AS new_id, r2.doc_id AS ref_id
     FROM banded l JOIN banded r2 ON l.band = r2.band AND l.bucket = r2.bucket

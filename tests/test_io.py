@@ -429,3 +429,26 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "id" in plan.split("PushedFilters")[1][:80]
     assert "v:" not in plan.split("ReadSchema:")[1].splitlines()[0]
+
+
+def test_avro_lite_union_branch_order(tmp_path):
+    """[T, "null"] unions (null declared SECOND) must round-trip: the
+    branch index follows the declared order, not a hardcoded
+    ["null", T] (regression: decoding a present double as branch 0 =
+    null desyncs the byte stream)."""
+    from data__converter_spark.io import avro_lite
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": ["double", "null"]},
+            {"name": "b", "type": ["null", "long"]},
+        ],
+    }
+    rows = [{"a": 1.5, "b": None}, {"a": None, "b": 7}, {"a": -2.25, "b": 0}]
+    p = str(tmp_path / "u.avro")
+    avro_lite.write_avro(p, rows, schema)
+    with open(p, "rb") as f:
+        _, got = avro_lite.read_avro_bytes(f.read())
+    assert got == rows

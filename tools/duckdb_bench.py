@@ -27,12 +27,22 @@ TABLES = [
 def main() -> None:
     import duckdb
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.1"
-    skip = set()
-    for a in sys.argv[1:]:
-        if a.startswith("--skip"):
+    argv = sys.argv[1:]
+    args: list[str] = []
+    skip: set[str] = set()
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--skip":  # space-separated form: --skip q1,q2
+            i += 1
+            if i < len(argv):
+                skip |= set(argv[i].split(","))
+        elif a.startswith("--skip="):
             skip |= set(a.split("=", 1)[1].split(","))
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
     from data__converter_spark.workloads import ORACLES
 

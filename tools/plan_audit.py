@@ -37,7 +37,7 @@ SHOWCASE = [
     ("window_overlap_pairs", "inverted-index self-join on 8-byte window hashes; hot-window cap before the f-squared pair blowup; one ArrowEvalPython"),
     ("pagerank_trade", "3 unrolled iterations: each is one ranks-onto-edges join + one dst aggregate; out-degree edge list built once"),
     ("dedup_against_ref", "cross-corpus LSH: new x ref band-bucket join (never |new| x |ref|); both fronts one fused Arrow kernel each"),
-    ("kmeans_train2", "two Lloyd iterations: centroid grid rides the closure per iteration, vectors never shuffle; one Arrow pass + one (cluster,pos) agg each"),
+    ("kmeans_train2", "two Lloyd iterations driven by per-iteration codebook pulls (one Arrow pass + one (cluster,pos) agg each, vectors never shuffle); the RETURNED frame is the final update's already-collected rows — LocalTableScan, no re-execution"),
     ("gopher_quality", "five integer rule predicates in ONE narrow projection — zero Exchange, zero Python eval"),
     ("dedup_semantic", "one Arrow assignment pass (centroids in closure), ONE vector shuffle on cluster id for the within-cluster pair join"),
     ("dsir_select", "constant-size weight table broadcast; top-N boundary via TakeOrderedAndProject — no global rank window"),

@@ -1370,3 +1370,46 @@ def semantic_dedup(
             F.col("id_b").isNull().alias("is_kept"),
         )
     )
+
+
+def near_dedup_keep_best(
+    df: DataFrame,
+    score,
+    col: str = "text",
+    id_col: str = "doc_id",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Transitive-closure near-dedup keeping the HIGHEST-``score``
+    member of each duplicate cluster (ties -> smallest id) — the
+    production keep rule.  Min-id (:func:`near_dedup_exact`) retains
+    whichever copy happened to be ingested first; curation pipelines
+    keep the best version instead (longest, highest quality score,
+    newest crawl — any integer-expressible preference passed as the
+    ``score`` Column).
+
+    Same machinery as :func:`near_dedup_exact` (banded-LSH pairs ->
+    connected components); the winner is one per-component window rank
+    over the component frame — which holds only documents that HAVE a
+    near-dup, so the window is tiny next to the corpus.  Documents
+    outside any component survive untouched.
+    """
+    pairs = minhash_lsh_pairs(df, col, id_col, **lsh_kwargs)
+    cc = connected_components(pairs)
+    scored = df.select(F.col(id_col).alias("__sid__"), score.alias("__score__"))
+    from pyspark.sql import Window as W
+
+    ranked = cc.join(scored, cc.id == F.col("__sid__")).select(
+        "id",
+        "component",
+        F.row_number()
+        .over(
+            W.partitionBy("component").orderBy(
+                F.col("__score__").desc(), F.col("id")
+            )
+        )
+        .alias("__rn__"),
+    )
+    losers = ranked.filter(F.col("__rn__") > 1).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

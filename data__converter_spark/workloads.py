@@ -1008,6 +1008,25 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-keep near-dedup (llmops/dedup.py:near_dedup_keep_best):
+    one survivor per duplicate component — the LONGEST member (token
+    count, ties min id) instead of dedup_cc_keep's min-id rule. Same
+    pair graph, different (production) retention policy."""
+    from .llmops.dedup import near_dedup_keep_best
+    from .llmops.textstats import token_count_col
+
+    docs = _load(spark, sf_dir, "documents")
+    return near_dedup_keep_best(
+        docs,
+        score=token_count_col("text").cast("bigint"),
+        k=3,
+        num_hashes=64,
+        bands=16,
+        threshold=0.5,
+    ).select("doc_id")
+
+
 def q_dedup_cc_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dedup with exact transitive closure: one survivor (min id)
     per connected component. Differs from dedup_near_keep exactly on
@@ -3221,6 +3240,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ivf_pq_topk": q_similarity_ivf_pq_topk,
     "corpus_split": q_corpus_split,
     "tokenize_corpus": q_tokenize_corpus,
+    "dedup_keep_best": q_dedup_keep_best,
 }
 
 _DSIR_CTE = """
@@ -5272,6 +5292,25 @@ madt AS (
 SELECT d.event_id, d.event_type, d.v, d.med, madt.mad,
        (d.dev * 1000 > 3000 * madt.mad) AS is_outlier
 FROM devd d JOIN madt USING (event_type)
+""",
+    "dedup_keep_best": _cc_sql() + """
+, scores AS (
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '[ \\t\\r\\n]+'))
+           END AS sc
+    FROM documents
+),
+winners AS (
+    SELECT id FROM (
+        SELECT cc.id,
+               row_number() OVER (PARTITION BY cc.component
+                                  ORDER BY s.sc DESC, cc.id) AS rn
+        FROM cc JOIN scores s ON cc.id = s.doc_id
+    ) WHERE rn = 1
+),
+losers AS (SELECT id FROM cc WHERE id NOT IN (SELECT id FROM winners))
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)
 """,
     "tokenize_corpus": """
 WITH toks AS (

@@ -1177,3 +1177,34 @@ def test_tokenize_corpus_ids_and_oov(spark):
     assert out[2]["ids_digest"] == want2 and out[2]["n_oov"] == 1
     assert out[3]["n_tokens"] == 0
     assert out[3]["ids_digest"] == hashlib.sha256(b"").hexdigest()
+
+
+def test_near_dedup_keep_best_prefers_score(spark):
+    """The quality-keep rule retains the highest-scoring cluster member
+    (here: longest text), where the min-id rule would keep doc 1."""
+    words = [f"w{i}" for i in range(40)]
+    base = " ".join(words)
+    longer = base + " extra tail words here"
+    rows = [(1, base), (2, longer), (9, "totally different content here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from data__converter_spark.llmops.textstats import token_count_col
+
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.near_dedup_keep_best(
+            df,
+            score=token_count_col("text").cast("bigint"),
+            k=3,
+            num_hashes=64,
+            bands=16,
+            threshold=0.5,
+        ).collect()
+    )
+    assert kept == [2, 9]  # 2 beats 1 on length; 9 untouched
+    minid = sorted(
+        r["doc_id"]
+        for r in dedup.near_dedup_exact(
+            df, k=3, num_hashes=64, bands=16, threshold=0.5
+        ).collect()
+    )
+    assert minid == [1, 9]

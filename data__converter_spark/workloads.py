@@ -1008,6 +1008,37 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entity_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end (the MDM shape): blocked fuzzy
+    match pairs (q_fuzzy_name_pairs' edit-distance-1 graph) collapse
+    via exact connected components to one canonical id (min key) per
+    entity cluster — every record mapped, singletons canonical to
+    themselves.  Composes the verified fuzzy-join and
+    connected-components operators; at 100 TB the money is in pair
+    GENERATION (blocking), the closure graph holds only matched
+    records."""
+    from .llmops.dedup import connected_components
+
+    pairs = q_fuzzy_name_pairs(spark, sf_dir).select(
+        F.col("key_a").alias("id_a"), F.col("key_b").alias("id_b")
+    )
+    cc = connected_components(pairs)
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    return (
+        cust.select("c_custkey")
+        .join(cc, cust.c_custkey == cc.id, "left")
+        .select(
+            "c_custkey",
+            F.coalesce("component", F.col("c_custkey"))
+            .cast("bigint")
+            .alias("canonical_id"),
+        )
+        .withColumn(
+            "is_canonical", F.col("c_custkey") == F.col("canonical_id")
+        )
+    )
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-keep near-dedup (llmops/dedup.py:near_dedup_keep_best):
     one survivor per duplicate component — the LONGEST member (token
@@ -3241,6 +3272,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_split": q_corpus_split,
     "tokenize_corpus": q_tokenize_corpus,
     "dedup_keep_best": q_dedup_keep_best,
+    "entity_canonicalize": q_entity_canonicalize,
 }
 
 _DSIR_CTE = """
@@ -5292,6 +5324,32 @@ madt AS (
 SELECT d.event_id, d.event_type, d.v, d.med, madt.mad,
        (d.dev * 1000 > 3000 * madt.mad) AS is_outlier
 FROM devd d JOIN madt USING (event_type)
+""",
+    "entity_canonicalize": """
+WITH RECURSIVE c AS (
+    SELECT c_custkey, c_name, c_custkey // 100 AS blk
+    FROM customer WHERE c_custkey <= 300
+),
+p AS (
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+    FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM p
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM p
+),
+reach AS (
+    SELECT DISTINCT src AS id, src AS comp FROM edges
+  UNION
+    SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id
+),
+cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+SELECT c.c_custkey,
+       CAST(COALESCE(cc.component, c.c_custkey) AS BIGINT) AS canonical_id,
+       (c.c_custkey = COALESCE(cc.component, c.c_custkey)) AS is_canonical
+FROM c LEFT JOIN cc ON c.c_custkey = cc.id
 """,
     "dedup_keep_best": _cc_sql() + """
 , scores AS (

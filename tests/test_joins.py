@@ -220,3 +220,20 @@ def test_session_paths_subsecond_ordering(spark):
 
     got = {r["path"]: r["n_sessions"] for r in session_paths(ev).collect()}
     assert got == {"a>b>c": 1}
+
+
+def test_entity_canonicalize_maps_every_record(spark):
+    """Every record maps to exactly one canonical id; canonicals map to
+    themselves; the map is idempotent (canonical of canonical = self)."""
+    from data__converter_spark.workloads import q_entity_canonicalize
+
+    rows = {
+        r["c_custkey"]: r
+        for r in q_entity_canonicalize(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert rows  # non-empty
+    canon = {k: r["canonical_id"] for k, r in rows.items()}
+    for k, c in canon.items():
+        assert canon[c] == c, f"canonical {c} of {k} is not a fixed point"
+        assert rows[c]["is_canonical"]
+        assert c <= k or rows[k]["is_canonical"] is False or c == k

@@ -524,6 +524,83 @@ def corpus_top_ngrams(
     )
 
 
+def pmi_collocations(
+    df: DataFrame,
+    col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Collocation (phrase) mining over adjacent word bigrams — the
+    word2vec phrase-detection pass run before tokenizer/vocab training
+    (Mikolov et al. 2013 §4: score(a,b) = N·c_ab / (c_a·c_b)).
+
+    ``score_milli = (1000·N·c_ab) div (c_a·c_b)`` is an integer-exact
+    monotone transform of exp(PMI) (PMI = ln(N·c_ab / (c_a·c_b))), so
+    the ranking equals the PMI ranking with no float in either engine.
+    Overflow bound: 1000·N·c_ab must fit int64, i.e. N·c_ab < 9.2e15 —
+    holds while any single bigram count times the corpus token count is
+    below that; at larger corpora rescale the 1000 factor down or move
+    the product to DECIMAL(38,0) (same div semantics both engines).
+
+    Plan shape: two projection-only corpus scans (unigram explode,
+    bigram explode) each into a partial+final count aggregate; the
+    ``min_count`` filter lands BEFORE the joins so only surviving
+    bigrams shuffle; two token-keyed equi-joins attach c_a/c_b (AQE
+    broadcasts the vocab side when it is small); the corpus total joins
+    as a 1-row broadcast scalar; TakeOrdered(top_k), no global sort.
+    Ties are impossible past (score, left, right) — grouped pairs are
+    unique — so the top-k is deterministic.
+    """
+    words = tokens_col(col)
+    base = df.select(words.alias("__ws__"))
+    uni = (
+        base.select(F.explode("__ws__").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    pairs_arr = F.expr(
+        "transform(slice(__ws__, 1, greatest(size(__ws__) - 1, 0)), "
+        "(x, i) -> struct(__ws__[i] AS l, __ws__[i + 1] AS r))"
+    )
+    big = (
+        base.select(F.explode(pairs_arr).alias("p"))
+        .select(F.col("p.l").alias("left_tok"), F.col("p.r").alias("right_tok"))
+        .groupBy("left_tok", "right_tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= int(min_count))
+    )
+    total = base.select(F.sum(F.size("__ws__")).cast("bigint").alias("__n__"))
+    return (
+        big.join(
+            uni.select(
+                F.col("tok").alias("left_tok"), F.col("cnt").alias("left_cnt")
+            ),
+            "left_tok",
+        )
+        .join(
+            uni.select(
+                F.col("tok").alias("right_tok"), F.col("cnt").alias("right_cnt")
+            ),
+            "right_tok",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "left_tok",
+            "right_tok",
+            "pair_cnt",
+            "left_cnt",
+            "right_cnt",
+            F.expr(
+                "(1000 * __n__ * pair_cnt) div (left_cnt * right_cnt)"
+            ).alias("score_milli"),
+        )
+        .orderBy(
+            F.desc("score_milli"), F.asc("left_tok"), F.asc("right_tok")
+        )
+        .limit(int(top_k))
+    )
+
+
 def repetition_features(
     df: DataFrame, col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

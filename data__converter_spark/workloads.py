@@ -1058,6 +1058,18 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (llmops/textstats.py:pmi_collocations): the
+    word2vec phrase-detection pass — top-100 adjacent bigrams by the
+    integer-exact PMI score (1000·N·c_ab) div (c_a·c_b), ranking
+    identical to ln-PMI by monotonicity.  Vocab-keyed count joins after
+    the min_count prune; corpus total as a 1-row broadcast scalar."""
+    from .llmops.textstats import pmi_collocations
+
+    docs = _load(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=5, top_k=100)
+
+
 def q_dedup_cc_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dedup with exact transitive closure: one survivor (min id)
     per connected component. Differs from dedup_near_keep exactly on
@@ -3273,6 +3285,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokenize_corpus": q_tokenize_corpus,
     "dedup_keep_best": q_dedup_keep_best,
     "entity_canonicalize": q_entity_canonicalize,
+    "pmi_collocations": q_pmi_collocations,
 }
 
 _DSIR_CTE = """
@@ -5350,6 +5363,34 @@ SELECT c.c_custkey,
        CAST(COALESCE(cc.component, c.c_custkey) AS BIGINT) AS canonical_id,
        (c.c_custkey = COALESCE(cc.component, c.c_custkey)) AS is_canonical
 FROM c LEFT JOIN cc ON c.c_custkey = cc.id
+""",
+    "pmi_collocations": _WORDS_SQL
+    + """
+, uni AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(words) AS tok FROM words_cte)
+    GROUP BY tok
+),
+tot AS (SELECT CAST(sum(len(words)) AS BIGINT) AS n_tokens FROM words_cte),
+big AS (
+    SELECT l AS left_tok, r AS right_tok, CAST(count(*) AS BIGINT) AS pair_cnt
+    FROM (
+        SELECT unnest(list_transform(range(1, len(words)), i -> words[i])) AS l,
+               unnest(list_transform(range(1, len(words)), i -> words[i+1])) AS r
+        FROM words_cte WHERE len(words) >= 2
+    )
+    GROUP BY l, r
+    HAVING count(*) >= 5
+)
+SELECT b.left_tok, b.right_tok, b.pair_cnt,
+       lu.cnt AS left_cnt, ru.cnt AS right_cnt,
+       (1000 * t.n_tokens * b.pair_cnt) // (lu.cnt * ru.cnt) AS score_milli
+FROM big b
+JOIN uni lu ON lu.tok = b.left_tok
+JOIN uni ru ON ru.tok = b.right_tok
+CROSS JOIN tot t
+ORDER BY score_milli DESC, left_tok ASC, right_tok ASC
+LIMIT 100
 """,
     "dedup_keep_best": _cc_sql() + """
 , scores AS (

@@ -600,6 +600,34 @@ def test_salient_terms_ranking(spark):
         textstats.salient_terms(docs, scoring="bm25")
 
 
+def test_pmi_collocations_exact_scores(spark):
+    """Hand-computed corpus: N=14 tokens, c_a=5 c_b=3 c_c=3 c_d=3;
+    surviving bigrams (min_count=2) are (a,b)x3, (b,a)x2, (c,d)x2.
+    score_milli = (1000*N*c_ab) div (c_a*c_b):
+      (c,d) = 28000//9  = 3111   <- rarer unigrams win, as PMI should
+      (a,b) = 42000//15 = 2800
+      (b,a) = 28000//15 = 1866
+    """
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "c d c d"), (3, "a c a d")],
+        "doc_id long, text string",
+    )
+    out = textstats.pmi_collocations(docs, min_count=2, top_k=10)
+    rows = [
+        (r["left_tok"], r["right_tok"], r["pair_cnt"], r["score_milli"])
+        for r in out.collect()
+    ]
+    assert rows == [
+        ("c", "d", 2, 3111),
+        ("a", "b", 3, 2800),
+        ("b", "a", 2, 1866),
+    ]
+    # min_count prunes the singleton bigrams before any join
+    assert all(c >= 2 for _, _, c, _ in rows)
+    # top_k caps the output deterministically
+    assert textstats.pmi_collocations(docs, min_count=1, top_k=2).count() == 2
+
+
 def test_minhash_signature_paths_agree(spark, dup_docs):
     """The one-kernel text->signature column (minhash_signature_col)
     and the split pipeline (JVM shingle hashing -> numpy permutation

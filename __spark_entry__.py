@@ -46,7 +46,7 @@ _VERIFY_FIRST = [
     "session_paths", "events_anomalies", "pipeline_selection",
     "pq_train_codebook", "similarity_ivf_pq_topk", "corpus_split",
     "tokenize_corpus", "dedup_keep_best", "entity_canonicalize",
-    "pmi_collocations",
+    "pmi_collocations", "sparse_retrieval",
     # -- new round-5 TPC-H shapes (Q2/Q9/Q11/Q15/Q16/Q17/Q19/Q20/Q21) --
     "min_cost_supplier", "product_type_profit", "important_parts",
     "top_supplier", "supplier_part_counts", "small_qty_revenue",

@@ -1043,3 +1043,74 @@ def ivf_pq_topk(
         "adc_dist",
         F.row_number().over(w).alias("rank"),
     ).filter(F.col("rank") <= k)
+
+
+def sparse_retrieval(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """More-like-this retrieval over an inverted index — the sparse
+    complement to the dense ANN paths (brute force / LSH / IVF / PQ):
+    score(q, d) = Σ_t tf_q(t)·tf_d(t), the raw term-frequency dot
+    product, exact in int64 (no idf weighting, so no floats and no
+    cross-engine log divergence; idf-weighted variants rank-reduce to
+    this on a fixed query when df weights are uniform).
+
+    Plan shape: both sides explode to (id, term, tf) count aggregates;
+    the term-keyed equi-join IS the inverted index — postings of the
+    same term meet in one shuffle partition, contributions partial-sum
+    map-side, and the (query, candidate) aggregate scores without any
+    all-pairs work.  Per-query top-k is a row_number window over
+    (score desc, id asc) — deterministic, no global sort.
+
+    100 TB guard: a term appearing in f_q query docs and f_c corpus
+    docs contributes f_q·f_c join rows — stop-terms dominate Σ f_q·f_c
+    exactly like hot shingles in the n-gram Jaccard join.  ``max_df``
+    drops corpus terms with document frequency above the cap before
+    the join (standard stop-term pruning; also what relevance wants).
+    Production sets it; the default None keeps the operator exact for
+    oracle comparison on small vocabularies.
+    """
+
+    def tf_of(df: DataFrame, out_id: str) -> DataFrame:
+        from .textstats import tokens_col
+
+        return (
+            df.select(
+                F.col(id_col).alias(out_id),
+                F.explode(tokens_col(col)).alias("__t__"),
+            )
+            .select(out_id, F.lower(F.col("__t__")).alias("term"))
+            .groupBy(out_id, "term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        )
+
+    c_tf = tf_of(corpus_df, "match_id")
+    if max_df is not None:
+        kept = (
+            c_tf.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= int(max_df))
+            .select("term")
+        )
+        c_tf = c_tf.join(kept, "term")
+    q_tf = tf_of(queries_df, "query_id")
+    scored = (
+        q_tf.withColumnRenamed("tf", "q_tf")
+        .join(c_tf.withColumnRenamed("tf", "c_tf"), "term")
+        .groupBy("query_id", "match_id")
+        .agg(F.sum(F.col("q_tf") * F.col("c_tf")).cast("bigint").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("match_id")
+    )
+    return scored.select(
+        "query_id",
+        "match_id",
+        "score",
+        F.row_number().over(w).cast("int").alias("rank"),
+    ).filter(F.col("rank") <= int(top_k))

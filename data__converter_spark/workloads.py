@@ -1070,6 +1070,23 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(docs, min_count=5, top_k=100)
 
 
+def q_sparse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index more-like-this (llmops/similarity.py:
+    sparse_retrieval): top-5 corpus matches per held-out query doc
+    (doc_id % 97 == 0, the contamination_check split) by the exact
+    int64 term-frequency dot product.  The term-keyed postings join is
+    the inverted index — one shuffle, partial-sum contributions, no
+    all-pairs; production adds max_df stop-term pruning."""
+    from .llmops.similarity import sparse_retrieval
+
+    docs = _load(spark, sf_dir, "documents")
+    return sparse_retrieval(
+        docs.filter(F.col("doc_id") % 97 == 0),
+        docs.filter(F.col("doc_id") % 97 != 0),
+        top_k=5,
+    )
+
+
 def q_dedup_cc_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dedup with exact transitive closure: one survivor (min id)
     per connected component. Differs from dedup_near_keep exactly on
@@ -3286,6 +3303,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "entity_canonicalize": q_entity_canonicalize,
     "pmi_collocations": q_pmi_collocations,
+    "sparse_retrieval": q_sparse_retrieval,
 }
 
 _DSIR_CTE = """
@@ -5391,6 +5409,28 @@ JOIN uni ru ON ru.tok = b.right_tok
 CROSS JOIN tot t
 ORDER BY score_milli DESC, left_tok ASC, right_tok ASC
 LIMIT 100
+""",
+    "sparse_retrieval": _WORDS_SQL
+    + """
+, tf AS (
+    SELECT doc_id, lower(tok) AS term, CAST(count(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(words) AS tok FROM words_cte)
+    GROUP BY doc_id, lower(tok)
+),
+q AS (SELECT * FROM tf WHERE doc_id % 97 = 0),
+c AS (SELECT * FROM tf WHERE doc_id % 97 <> 0),
+scored AS (
+    SELECT q.doc_id AS query_id, c.doc_id AS match_id,
+           CAST(sum(q.tf * c.tf) AS BIGINT) AS score
+    FROM q JOIN c ON q.term = c.term
+    GROUP BY q.doc_id, c.doc_id
+)
+SELECT query_id, match_id, score, CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, match_id ASC) AS rn
+    FROM scored
+) WHERE rn <= 5
 """,
     "dedup_keep_best": _cc_sql() + """
 , scores AS (

@@ -628,6 +628,35 @@ def test_pmi_collocations_exact_scores(spark):
     assert textstats.pmi_collocations(docs, min_count=1, top_k=2).count() == 2
 
 
+def test_sparse_retrieval_scores_and_max_df(spark):
+    """score(q,d) = sum of tf products; ranking ties break on match
+    id; max_df drops stop-terms from the postings before the join."""
+    from data__converter_spark.llmops.similarity import sparse_retrieval
+
+    q = spark.createDataFrame([(100, "apple apple zebra")], "doc_id long, text string")
+    c = spark.createDataFrame(
+        [
+            (1, "apple apple apple"),     # score 2*3 = 6
+            (2, "apple zebra zebra"),     # 2*1 + 1*2 = 4
+            (3, "plum plum plum plum"),   # no shared term
+            (4, "Apple zebra"),           # case-folds: 2*1 + 1*1 = 3
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["match_id"]: (r["score"], r["rank"])
+        for r in sparse_retrieval(q, c, top_k=3).collect()
+    }
+    assert got == {1: (6, 1), 2: (4, 2), 4: (3, 3)}  # doc 3 never scores
+
+    # max_df=2: 'apple' is in 3 corpus docs -> pruned; only zebra scores
+    got2 = {
+        r["match_id"]: r["score"]
+        for r in sparse_retrieval(q, c, top_k=5, max_df=2).collect()
+    }
+    assert got2 == {2: 2, 4: 1}
+
+
 def test_minhash_signature_paths_agree(spark, dup_docs):
     """The one-kernel text->signature column (minhash_signature_col)
     and the split pipeline (JVM shingle hashing -> numpy permutation

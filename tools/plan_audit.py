@@ -48,6 +48,8 @@ SHOWCASE = [
     ("events_anomalies", "two rank-selection windows on one group key; integer cross-multiplied 3-MAD flag, no interpolation"),
     ("pipeline_selection", "gate fuses into the scan; DSIR aggs + constant broadcasts; text crosses the wire once (into the shard windows)"),
     ("similarity_ivf_pq_topk", "two closure-codebook Arrow passes (cells, codes); probe-cells + ADC lookup broadcast; candidates via broadcast cell join"),
+    ("pmi_collocations", "unigram/bigram partial+final counts; min_count prune BEFORE the vocab-keyed count joins; 1-row corpus-total broadcast; TakeOrdered"),
+    ("sparse_retrieval", "term-keyed postings join is the inverted index; contributions partial-sum map-side; per-query top-k via WindowGroupLimit, no forced build side"),
 ]
 
 

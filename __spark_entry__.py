@@ -26,16 +26,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # ``queries()`` in insertion order (verified: CORRECTNESS_r0{1,2,3,4}.json
 # keys equal the first 50 QUERIES names of each round).  Round 5 rotation,
 # weakest evidence first (each block carries its own rationale below):
-# red-latest fixes, the 36 queries NEW in round 5 (the second batch —
-# quality gate / SemDeDup / DSIR / PQ / IVF-PQ / triangle / outer stream
-# join / sampling / paths / anomalies / selection pipeline / split — plus
-# the earlier 9 TPC-H shapes and the LLM/stream/graph batch), the
-# r1-green-but-rewritten "stale eight", then everything whose code changed
-# since its last driver row.  Every never-driver-checked query sits inside
-# the first 50 (asserted each edit); what falls past the cut
-# (dedup_minhash_lsh, minhash_est_error, the shingle-kernel consumers, the
-# size-gated-broadcast TPC-H nine, oldest-green refreshes) all hold r3/r4
-# green rows plus the local 144/144 oracle-gate pass.
+# red-latest fixes, the 41 queries NEW in round 5 (quality gate /
+# SemDeDup / DSIR / PQ / IVF-PQ / triangle / outer stream join /
+# sampling / paths / anomalies / selection pipeline / split / PMI
+# collocations / sparse retrieval — plus the earlier 9 TPC-H shapes and
+# the LLM/stream/graph batch), then the r1-green-but-rewritten "stale
+# eight", then everything whose code changed since its last driver row.
+# Every never-driver-checked query sits inside the first 50 (asserted
+# each edit): 2 red + 41 new = 43 slots, leaving room for 7 of the
+# stale eight — length_band_filter (the simplest of the eight: hash-
+# bucket length filter, r1-green) is the one that falls at slot 51.
+# Everything past the cut (it, dedup_near_keep, dedup_minhash_lsh,
+# minhash_est_error, the shingle-kernel consumers, the size-gated-
+# broadcast TPC-H nine, oldest-green refreshes) holds an r1-r4 green
+# row plus the local 149/149 oracle-gate pass recorded this round.
 _VERIFY_FIRST = [
     # -- latest driver row is a r1 FAILURE: prove the fixes --
     "events_json_props", "window_running_revenue",

@@ -279,3 +279,36 @@ def test_mix_allocation_invariants(spark, rows, budget):
         assert r.avail_tokens == avail
         assert r.alloc_tokens == min(avail, fair)
         assert r.sample_permille == (r.alloc_tokens * 1000 // avail if avail else 0)
+
+
+@settings(**SPARK_SETTINGS)
+@given(st.lists(doc_text, min_size=1, max_size=5))
+def test_pmi_collocations_vs_counter(spark, texts):
+    """score_milli, counts, and ordering agree with a pure-Python
+    Counter reference under arbitrary tiny-alphabet corpora (heavy
+    adjacent repetition stresses the min_count prune and ties)."""
+    from collections import Counter
+
+    from data__converter_spark.llmops.textstats import pmi_collocations
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = [
+        (r.left_tok, r.right_tok, r.pair_cnt, r.left_cnt, r.right_cnt, r.score_milli)
+        for r in pmi_collocations(df, min_count=2, top_k=10).collect()
+    ]
+
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    n = 0
+    for txt in texts:
+        toks = txt.split()
+        uni.update(toks)
+        n += len(toks)
+        big.update(zip(toks, toks[1:]))
+    expect = [
+        (l, r, c, uni[l], uni[r], (1000 * n * c) // (uni[l] * uni[r]))
+        for (l, r), c in big.items()
+        if c >= 2
+    ]
+    expect.sort(key=lambda t: (-t[5], t[0], t[1]))
+    assert got == expect[:10]

@@ -23,70 +23,59 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's per-round correctness gate samples the FIRST 50 entries of
-# ``queries()`` in insertion order (verified: CORRECTNESS_r0{1,2,3,4}.json
-# keys equal the first 50 QUERIES names of each round).  Round 5 rotation,
-# weakest evidence first (each block carries its own rationale below):
-# red-latest fixes, the 41 queries NEW in round 5 (quality gate /
-# SemDeDup / DSIR / PQ / IVF-PQ / triangle / outer stream join /
-# sampling / paths / anomalies / selection pipeline / split / PMI
-# collocations / sparse retrieval — plus the earlier 9 TPC-H shapes and
-# the LLM/stream/graph batch), then the r1-green-but-rewritten "stale
-# eight", then everything whose code changed since its last driver row.
-# Every never-driver-checked query sits inside the first 50 (asserted
-# each edit): 2 red + 41 new = 43 slots, leaving room for 7 of the
-# stale eight — length_band_filter (the simplest of the eight: hash-
-# bucket length filter, r1-green) is the one that falls at slot 51.
-# Everything past the cut (it, dedup_near_keep, dedup_minhash_lsh,
-# minhash_est_error, the shingle-kernel consumers, the size-gated-
-# broadcast TPC-H nine, oldest-green refreshes) holds an r1-r4 green
-# row plus the local 149/149 oracle-gate pass recorded this round.
+# ``queries()`` in insertion order (verified: CORRECTNESS_r0{1..5}.json
+# keys equal the first 50 QUERIES names of each round).  Round 6
+# rotation — the round-5 verdict's #1 item is verification FRESHNESS:
+# every query whose code changed after its last driver row goes first.
+# Slot accounting (149 queries; latest driver rows: 1×r1, 48×r3, 50×r4,
+# 50×r5):
+#   1     length_band_filter — latest row is STILL r1 (missed the cut
+#         two rounds running; the verdict says put it FIRST)
+#   2-13  the 12 shingle/Arrow-kernel queries touched by round 5's
+#         asNondeterministic single-eval fix, carrying r2-r4 rows
+#   14-23 the 10 TPC-H shapes whose broadcast hints were size-gated in
+#         round 5 (plan-only change over r4-green value hashes)
+#   24-27 queries whose code changed THIS round (dsir empty-input
+#         coalesce; weighted_sample DECIMAL comparison; session_paths
+#         column params; tokenize_corpus keyed vocab window) — r5 rows
+#         predate the edits
+#   then  NEW round-6 queries (never driver-checked), then the oldest
+#         green rows (r3) in registry order to fill the 50.
 _VERIFY_FIRST = [
-    # -- latest driver row is a r1 FAILURE: prove the fixes --
-    "events_json_props", "window_running_revenue",
-    # -- new this round --
-    "stream_cdc_upsert", "salient_terms_tfidf",
-    "gopher_quality", "dedup_semantic", "dsir_select", "similarity_pq_topk",
-    "triangle_suppliers", "stream_outer_range_join", "dsir_sample",
-    "session_paths", "events_anomalies", "pipeline_selection",
-    "pq_train_codebook", "similarity_ivf_pq_topk", "corpus_split",
-    "tokenize_corpus", "dedup_keep_best", "entity_canonicalize",
-    "pmi_collocations", "sparse_retrieval",
-    # -- new round-5 TPC-H shapes (Q2/Q9/Q11/Q15/Q16/Q17/Q19/Q20/Q21) --
-    "min_cost_supplier", "product_type_profit", "important_parts",
-    "top_supplier", "supplier_part_counts", "small_qty_revenue",
-    "bracket_revenue", "excess_stock_suppliers", "waiting_suppliers",
-    # -- new round-5 LLM-pipeline ops + stream-static enrichment --
-    "common_token_ratio", "token_mix_planner", "window_overlap_pairs",
-    "embedding_outliers", "stream_enrich_counts", "pagerank_trade",
-    "window_active_users", "centroid_separation", "dedup_substring_keep",
-    "dedup_against_ref", "balanced_shards", "kmeans_train2",
-    # -- r1-green but rewritten since (stale eight) --
-    "similarity_lsh_topk", "similarity_ivf_topk",
-    "multimodal_image_features", "multimodal_frame_sample",
-    "multimodal_resize", "text_pii_scrub", "sample_stratified",
+    # -- latest driver row is r1: two rounds overdue --
     "length_band_filter",
-    # -- code changed after last driver check --
+    # -- kernel-touched in r5, rows predate the change --
     "dedup_near_keep", "dedup_components", "dedup_cc_keep",
     "text_lang_id", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "minhash_est_error",
-    # -- shingle-kernel consumers touched by the round-5 single-eval fix --
     "text_winnow", "contamination_check", "text_fingerprint",
     "bigram_familiarity", "dedup_ngram_capped",
-    # -- broadcast hints size-gated this round (plan-only change; the
-    # r4-green value hashes are unaffected by join strategy, so the
-    # tail of this block is the right thing to fall below the 50-slot
-    # cut if the list overflows) --
+    # -- broadcast size-gated in r5 (plan-only; r4-green hashes) --
     "top_customers", "nation_volume", "rollup_volume", "promo_revenue",
     "bilateral_trade", "local_supplier_volume", "market_share",
     "returned_revenue", "large_orders", "shipping_priority",
+    # -- code changed in round 6 (ADVICE fixes), r5 rows predate it --
+    "dsir_select", "dsir_sample", "session_paths", "tokenize_corpus",
+    # -- NEW in round 6: never driver-checked --
+    "bpe_train", "tokenize_bpe", "pagerank_converged",
+    "multimodal_png_decode",
     # -- oldest green rows (r3), refresh in registry order --
+    "asof_join", "compare_added_keys", "compare_deleted_keys",
     "compare_diff", "compare_diff_summary", "compare_field_mismatches",
-    "compare_added_keys", "compare_deleted_keys", "mask_deterministic",
-    "mask_recovery_roundtrip", "mask_invariants", "pattern_count_matches",
-    "pattern_replace_all", "pattern_replace_first", "pattern_stats_by_lang",
-    "convert_split_lines", "convert_key_union", "convert_xml_escape",
-    "topk_two_key", "date_remaining_days", "dedup_exact",
-    "dedup_exact_groups", "text_quality_features", "text_repetition",
+    "convert_key_union", "convert_split_lines", "convert_xml_escape",
+    "corpus_top_ngrams", "date_remaining_days", "dedup_embedding_pairs",
+    "dedup_exact", "dedup_exact_groups", "funnel_conversion",
+    "mask_deterministic", "mask_invariants", "mask_recovery_roundtrip",
+    "pattern_count_matches",
+    # (r3 remainder — pattern_replace*, pipeline_pretraining, pricing
+    # etc — falls past the cut this round and leads the r7 rotation)
+    "pattern_presets", "pattern_replace_all", "pattern_replace_first",
+    "pattern_stats_by_lang", "pipeline_pretraining", "pricing_summary",
+    "priority_revenue", "range_join_attribution", "retention_cohorts",
+    "sessionize_events", "similarity_topk", "stream_running_totals",
+    "stream_session_agg", "stream_sliding_counts", "stream_tumbling_counts",
+    "text_quality_features", "text_quality_score", "text_repetition",
+    "topk_two_key",
 ]
 
 

@@ -176,8 +176,11 @@ def write_avro(
     schema: dict,
     codec: str = "null",
     sync: bytes = b"avro_lite_sync16",
+    meta: dict[str, bytes] | None = None,
 ) -> None:
-    """Serialize ``records`` as one OCF block under ``schema``."""
+    """Serialize ``records`` as one OCF block under ``schema``.
+    ``meta`` adds extra header metadata entries (spec-legal arbitrary
+    key/value pairs — also how tests exercise oversized headers)."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"avro_lite: unsupported codec {codec!r}")
     fields = _record_fields(schema)
@@ -194,6 +197,7 @@ def write_avro(
     meta = {
         "avro.schema": json.dumps(schema).encode(),
         "avro.codec": codec.encode(),
+        **(meta or {}),
     }
     _write_long(out, len(meta))
     for k, v in meta.items():
@@ -209,27 +213,57 @@ def write_avro(
         f.write(out.getvalue())
 
 
+class AvroHeaderTruncated(RuntimeError):
+    """The OCF header continues past the bytes provided (e.g. a bounded
+    driver-side peek ended before the sync marker).  Deliberately NOT a
+    ``ValueError``: callers gate unsupported-schema ``ValueError``s into
+    a NotImplementedError, and a too-small peek is neither unsupported
+    nor corrupt — retry with a larger prefix."""
+
+
 def _read_header(buf):
     """OCF header -> (schema dict, codec, sync marker); leaves ``buf``
-    positioned at the first data block."""
+    positioned at the first data block.  Raises
+    :class:`AvroHeaderTruncated` when the data runs out before the
+    header is fully parsed (giant metadata map vs a bounded peek)."""
     if buf.read(4) != MAGIC:
         raise ValueError("avro_lite: not an Avro object container file")
     meta: dict[str, bytes] = {}
-    while True:
-        n = _read_long(buf)
-        if n == 0:
-            break
-        if n < 0:  # negative count → block byte-size precedes entries
-            n = -n
-            _read_long(buf)
-        for _ in range(n):
-            k = _read_bytes(buf).decode()
-            meta[k] = _read_bytes(buf)
-    schema = json.loads(meta["avro.schema"])
+    try:
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                break
+            if n < 0:  # negative count → block byte-size precedes entries
+                n = -n
+                _read_long(buf)
+            for _ in range(n):
+                k = _read_bytes(buf).decode()
+                meta[k] = _read_bytes(buf)
+        schema = json.loads(meta["avro.schema"])
+    except (ValueError, KeyError, UnicodeDecodeError) as e:
+        # EOF mid-varint unpacks b"" (ValueError); a short _read_bytes
+        # silently truncates and then json/decode fails, or the map loop
+        # ends before avro.schema appears (KeyError).  Only call it
+        # truncation when the buffer is in fact exhausted — a corrupt
+        # header with bytes left propagates untouched.
+        if buf.read(1) == b"":
+            raise AvroHeaderTruncated(
+                "avro_lite: OCF header extends past the bytes provided "
+                "(metadata map larger than the peeked prefix); retry "
+                "with a larger prefix"
+            ) from e
+        raise
     codec = meta.get("avro.codec", b"null").decode() or "null"
     if codec not in ("null", "deflate"):
         raise ValueError(f"avro_lite: unsupported codec {codec!r}")
-    return schema, codec, buf.read(16)
+    sync = buf.read(16)
+    if len(sync) != 16:
+        raise AvroHeaderTruncated(
+            "avro_lite: OCF header extends past the bytes provided "
+            "(sync marker cut short); retry with a larger prefix"
+        )
+    return schema, codec, sync
 
 
 def read_avro_schema(data: bytes) -> dict:

@@ -236,22 +236,40 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     bins = spark.read.format("binaryFile").load(path)
     # peek ONLY a bounded header prefix driver-side (the OCF header is
     # magic + metadata map + sync — KBs even for wide schemas); pulling
-    # a whole multi-GB file's content for this would OOM the driver
-    head = bins.select(F.substring("content", 1, 262_144).alias("h")).limit(
-        1
-    ).collect()
-    if not head:
-        raise ValueError(f"no avro files under {path!r}")
-    try:
-        schema = avro_lite.read_avro_schema(bytes(head[0]["h"]))
-        spark_schema = avro_lite.spark_schema_of(schema)
-    except ValueError as err:
-        raise NotImplementedError(
-            "this avro file needs the external spark-avro module "
-            "(org.apache.spark:spark-avro): the stdlib avro_lite fallback "
-            f"covers primitive-field records only ({err})"
-        ) from err
+    # a whole multi-GB file's content for this would OOM the driver.
+    # A pathological metadata map raises AvroHeaderTruncated (distinct
+    # from the unsupported-schema ValueError gate) → one escalation to
+    # 8 MiB, then a loud error naming the cap.
+    schema = None
+    for cap in (262_144, 8_388_608):
+        head = bins.select(
+            F.substring("content", 1, cap).alias("h")
+        ).limit(1).collect()
+        if not head:
+            raise ValueError(f"no avro files under {path!r}")
+        try:
+            schema = avro_lite.read_avro_schema(bytes(head[0]["h"]))
+            spark_schema = avro_lite.spark_schema_of(schema)
+            break
+        except avro_lite.AvroHeaderTruncated:
+            continue
+        except ValueError as err:
+            raise NotImplementedError(
+                "this avro file needs the external spark-avro module "
+                "(org.apache.spark:spark-avro): the stdlib avro_lite "
+                f"fallback covers primitive-field records only ({err})"
+            ) from err
+    if schema is None:
+        raise ValueError(
+            f"avro OCF header under {path!r} exceeds the 8 MiB "
+            "driver-side peek cap; ship spark-avro for files with "
+            "multi-megabyte header metadata"
+        )
     names = [f.name for f in spark_schema.fields]
+    # normalized (name, kind, prim) signature — a names-only guard lets
+    # same-named-but-retyped files through to a confusing Arrow
+    # coercion error (or a silent long->double widening)
+    sig = avro_lite._record_fields(schema)
 
     def kernel(batches):
         import pandas as pd
@@ -259,15 +277,16 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             for content in pdf["content"]:
                 file_schema, rows = avro_lite.read_avro_bytes(bytes(content))
-                file_names = [f["name"] for f in file_schema["fields"]]
-                if file_names != names:
+                file_sig = avro_lite._record_fields(file_schema)
+                if file_sig != sig:
                     # a multi-file dir with diverging schemas would
                     # otherwise die in a KeyError deep in the kernel
                     raise ValueError(
-                        "avro_lite: file schema fields "
-                        f"{file_names} differ from the directory's "
-                        f"inferred schema {names}; align the files or "
-                        "ship spark-avro for schema merging"
+                        "avro_lite: file schema "
+                        f"{file_sig} differs from the directory's "
+                        f"inferred schema {sig} (names AND types must "
+                        "match); align the files or ship spark-avro "
+                        "for schema merging"
                     )
                 if rows:
                     yield pd.DataFrame(

@@ -284,6 +284,8 @@ def session_paths(
     gap_minutes: int = 5,
     max_len: int = 10,
     top_n: int = 20,
+    id_col: str = "event_id",
+    type_col: str = "event_type",
 ) -> DataFrame:
     """Top-``top_n`` session paths: each session's ordered event-type
     sequence (first ``max_len`` steps, joined with ``>``), counted
@@ -302,8 +304,14 @@ def session_paths(
 
     Shuffles: the sessionize window (key), one (key, session) agg, one
     path agg.  Output: (path, n_sessions), ties broken by path text.
+    ``id_col``/``type_col`` name the event-id tie-break and step-label
+    columns (defaults match the ``events`` table) — every consumed
+    column is a parameter, so a differently-shaped frame fails at the
+    call site, not with an opaque mid-plan resolution error.
     """
-    s = sessionize(events, by=by, on=on, gap_minutes=gap_minutes)
+    s = sessionize(
+        events, by=by, on=on, gap_minutes=gap_minutes, tie_break=id_col
+    )
     epoch = F.unix_micros(F.col(on).cast("timestamp_ltz"))
     per_session = s.groupBy(by, "session_no").agg(
         F.array_join(
@@ -313,8 +321,8 @@ def session_paths(
                         F.collect_list(
                             F.struct(
                                 epoch.alias("t"),
-                                F.col("event_id").alias("i"),
-                                F.col("event_type").alias("e"),
+                                F.col(id_col).alias("i"),
+                                F.col(type_col).alias("e"),
                             )
                         )
                     ),

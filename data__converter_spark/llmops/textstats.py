@@ -1187,12 +1187,16 @@ def dsir_select(
         id_col,
         "n_tokens",
         "score_milli",
-        (
+        # coalesce: an empty input makes the boundary agg one all-NULL
+        # row, and NULL `selected` would silently drop rows in any
+        # downstream filter — the vacuous contract is `false`
+        F.coalesce(
             (F.col("score_milli") > F.col("b_score"))
             | (
                 (F.col("score_milli") == F.col("b_score"))
                 & (F.col(id_col) <= F.col("b_id"))
-            )
+            ),
+            F.lit(False),
         ).alias("selected"),
     )
 
@@ -1278,9 +1282,13 @@ def weighted_sample(
     retries/speculation/re-runs (a ``rand()`` draw is none of those).
     Cross-multiplying makes the inclusion test exact integer
     arithmetic: P(include) = min(1, expected_n·w/Σw) with no rounding
-    anywhere, so any engine draws the identical sample.  Integer
-    bound: ``hash_bits + log2(Σw) < 63`` — at larger Σw drop
-    ``hash_bits`` (granularity trades against headroom).
+    anywhere, so any engine draws the identical sample.  The
+    cross-multiplied comparison runs in DECIMAL(38,0): the naive
+    bigint product wraps silently once ``hash_bits + log2(Σw) >= 63``
+    (flipping sampling decisions with ANSI mode off), while 38 decimal
+    digits hold ``2^20 · Σw`` for any Σw below ~10^31 — exact on both
+    Spark and DuckDB, loud (decimal overflow) far beyond any real
+    corpus instead of silently wrong just past int64.
 
     Scale shape: one aggregate for Σw (1-row broadcast — constant
     size at any corpus), then a single narrow projection; the sample
@@ -1294,12 +1302,15 @@ def weighted_sample(
     h = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, n_hex), 16, 10
     ).cast("long")
+    dec = "decimal(38,0)"
     return df.crossJoin(F.broadcast(tot)).select(
         F.col(id_col),
         F.col(weight_col),
         (
-            h * F.col("total_w")
-            < F.lit(int(expected_n)) * F.col(weight_col).cast("bigint") * F.lit(space)
+            h.cast(dec) * F.col("total_w").cast(dec)
+            < F.lit(int(expected_n)).cast(dec)
+            * F.col(weight_col).cast(dec)
+            * F.lit(space).cast(dec)
         ).alias("sampled"),
     )
 
@@ -1375,10 +1386,21 @@ def tokenize_corpus(
     )
     counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     top = counts.orderBy(F.desc("cnt"), F.asc("term")).limit(int(vocab_size))
+    # the id window runs over only the post-limit V rows (constant
+    # size — the one place SinglePartition is fine).  The partition key
+    # is a zero-length substring of term: constant-valued ("" for every
+    # row) but NOT foldable, so Catalyst keeps the partitionSpec and
+    # Spark's unpartitioned-Window warning stays out of bench tails —
+    # any WindowExec warning that does appear now flags a real problem.
+    # (A plain F.lit(0) gets constant-folded back to an empty spec.)
     vocab = top.select(
         "term",
         F.row_number()
-        .over(W.orderBy(F.desc("cnt"), F.asc("term")))
+        .over(
+            W.partitionBy(
+                F.col("term").substr(F.lit(1), F.lit(0))
+            ).orderBy(F.desc("cnt"), F.asc("term"))
+        )
         .alias("tok_id"),
     )
     mapped = toks.join(F.broadcast(vocab), "term", "left").select(

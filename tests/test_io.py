@@ -205,6 +205,55 @@ def test_avro_gate_on_unsupported_schema(spark, tmp_path):
         readers.read_avro(spark, str(tmp_path / "bad.avro"))
 
 
+def test_avro_header_truncation_is_distinct_and_peek_escalates(spark, tmp_path):
+    # an OCF whose metadata map exceeds the 256 KB first peek must not
+    # be misdiagnosed as an unsupported schema: read_avro_schema raises
+    # the distinct AvroHeaderTruncated on the short prefix, and
+    # read_avro escalates to the 8 MiB peek and succeeds
+    from data__converter_spark.io import avro_lite
+
+    d = tmp_path / "bigheader"
+    d.mkdir()
+    big_meta = {"junk.padding": b"x" * 400_000}
+    avro_lite.write_avro(
+        str(d / "big.avro"), AVRO_ROWS, AVRO_SCHEMA, "null", meta=big_meta
+    )
+    raw = (d / "big.avro").read_bytes()
+    with pytest.raises(avro_lite.AvroHeaderTruncated):
+        avro_lite.read_avro_schema(raw[:262_144])
+    df = readers.read_avro(spark, str(d))
+    assert df.count() == len(AVRO_ROWS)
+
+
+def test_avro_multi_file_type_divergence_guard(spark, tmp_path):
+    # same field NAMES, different field TYPES across a directory: the
+    # kernel guard must fail loudly naming both signatures, not let a
+    # silent long->double widening or Arrow coercion error through
+    from data__converter_spark.io import avro_lite
+
+    d = tmp_path / "retyped"
+    d.mkdir()
+    avro_lite.write_avro(str(d / "a.avro"), AVRO_ROWS, AVRO_SCHEMA, "null")
+    schema2 = {
+        "type": "record",
+        "name": "ev",
+        "fields": [
+            {"name": "id", "type": "double"},  # was long
+            {"name": "name", "type": "string"},
+            {"name": "score", "type": ["null", "double"]},
+            {"name": "ok", "type": "boolean"},
+        ],
+    }
+    avro_lite.write_avro(
+        str(d / "b.avro"),
+        [{"id": 9.5, "name": "z", "score": None, "ok": False}],
+        schema2,
+        "null",
+    )
+    with pytest.raises(Exception, match="names AND types"):
+        readers.read_avro(spark, str(d)).collect()
+
+
 def test_avro_empty_dir_raises(spark, tmp_path):
     (tmp_path / "empty").mkdir()
     with pytest.raises(Exception):

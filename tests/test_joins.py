@@ -222,6 +222,31 @@ def test_session_paths_subsecond_ordering(spark):
     assert got == {"a>b>c": 1}
 
 
+def test_session_paths_custom_column_names(spark):
+    """Every consumed column is a parameter: a frame with none of the
+    default names works once id_col/type_col/by/on are supplied."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (30, 7, base + dt.timedelta(seconds=2), "pay"),
+        (10, 7, base, "view"),
+        (20, 7, base + dt.timedelta(seconds=1), "cart"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "eid long, uid long, at timestamp, kind string"
+    )
+    from data__converter_spark.joins import session_paths
+
+    got = {
+        r["path"]: r["n_sessions"]
+        for r in session_paths(
+            ev, by="uid", on="at", id_col="eid", type_col="kind"
+        ).collect()
+    }
+    assert got == {"view>cart>pay": 1}
+
+
 def test_entity_canonicalize_maps_every_record(spark):
     """Every record maps to exactly one canonical id; canonicals map to
     themselves; the map is idempotent (canonical of canonical = self)."""

@@ -382,6 +382,117 @@ def test_cdc_upsert_recovers_half_finished_swap(spark, tmp_path):
     shutil.rmtree(table, ignore_errors=True)
 
 
+def test_cdc_upsert_kill_between_renames_recovers(spark, tmp_path):
+    """Kill-point drive of the swap itself: os.replace is patched to
+    die BETWEEN the rename-aside and the staging promotion (the window
+    the round-5 recovery code covers but no test exercised). The killed
+    run leaves no live table; the rerun over the same checkpoint must
+    promote staging, replay the epoch idempotently, and lose no keys."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data__converter_spark.streaming.runner import (
+        read_events_stream,
+        run_cdc_upsert,
+    )
+
+    table = str(tmp_path / "events_table")
+    ckpt = str(tmp_path / "ckpt")
+    batch = spark.read.parquet(f"{SF}/events.parquet")
+    # a base table holding keys the stream will never deliver — these
+    # are exactly what a discard-staging bug would destroy
+    base = batch.limit(2).withColumn(
+        "event_id", F.col("event_id") * F.lit(-1) - F.lit(1)
+    )
+    base.write.parquet(table)
+    kept = {r["event_id"] for r in spark.read.parquet(table).collect()}
+    assert kept and all(k < 0 for k in kept)
+
+    real_replace = os.replace
+    calls = {"n": 0}
+
+    def dying_replace(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash between the two renames")
+        real_replace(src, dst)
+
+    os.replace = dying_replace
+    try:
+        with pytest.raises(Exception, match="simulated crash"):
+            run_cdc_upsert(
+                read_events_stream(spark, SF), table, ckpt,
+                key="event_id", order_col="event_id",
+            )
+    finally:
+        os.replace = real_replace
+    # the crash window: old table renamed aside, staging committed
+    assert not os.path.isdir(table)
+    assert os.path.exists(f"{table}.__staging__/_SUCCESS")
+
+    run_cdc_upsert(
+        read_events_stream(spark, SF), table, ckpt,
+        key="event_id", order_col="event_id",
+    )
+    out_ids = {r["event_id"] for r in spark.read.parquet(table).collect()}
+    assert kept <= out_ids, "previously merged keys lost at the kill point"
+    assert out_ids - kept == {
+        r["event_id"] for r in batch.select("event_id").distinct().collect()
+    }
+    assert not os.path.exists(f"{table}.__bak__")
+    assert not os.path.exists(f"{table}.__staging__")
+    shutil.rmtree(table, ignore_errors=True)
+
+
+def test_cdc_upsert_kill_before_bak_cleanup_recovers(spark, tmp_path):
+    """The second interruption window: both renames completed, the
+    crash hits before the old-table cleanup. The table is already live,
+    so the rerun must just sweep the leftover .__bak__ and replay the
+    epoch without duplicating or losing rows."""
+    import os
+    import shutil
+
+    from data__converter_spark.streaming.runner import (
+        read_events_stream,
+        run_cdc_upsert,
+    )
+
+    table = str(tmp_path / "events_table")
+    ckpt = str(tmp_path / "ckpt")
+    batch = spark.read.parquet(f"{SF}/events.parquet")
+    spark.read.parquet(f"{SF}/events.parquet").limit(3).write.parquet(table)
+
+    real_rmtree = shutil.rmtree
+
+    def dying_rmtree(path, *a, **kw):
+        if path == f"{table}.__bak__":
+            raise RuntimeError("simulated crash before bak cleanup")
+        real_rmtree(path, *a, **kw)
+
+    shutil.rmtree = dying_rmtree
+    try:
+        with pytest.raises(Exception, match="simulated crash"):
+            run_cdc_upsert(
+                read_events_stream(spark, SF), table, ckpt,
+                key="event_id", order_col="event_id",
+            )
+    finally:
+        shutil.rmtree = real_rmtree
+    # the crash window: swap done (table live), bak not yet swept
+    assert os.path.isdir(table) and os.path.isdir(f"{table}.__bak__")
+
+    run_cdc_upsert(
+        read_events_stream(spark, SF), table, ckpt,
+        key="event_id", order_col="event_id",
+    )
+    out = spark.read.parquet(table)
+    assert out.count() == batch.select("event_id").distinct().count()
+    assert not os.path.exists(f"{table}.__bak__")
+    shutil.rmtree(table, ignore_errors=True)
+
+
 def test_stream_active_users_equals_batch(spark, events):
     """The dedup-then-count decomposition must produce identical
     distinct-user counts on the real readStream path (complete mode —

@@ -1438,3 +1438,206 @@ def tokenize_corpus(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Subword tokenization: BPE merge training + application
+# ---------------------------------------------------------------------------
+
+BPE_EOW = "</w>"
+
+
+def _bpe_word_seqs(df: DataFrame, col: str) -> DataFrame:
+    """(seq, freq) over the corpus's distinct lowercased words: each
+    word as its leading-space-delimited character sequence plus the
+    end-of-word marker (``'low'`` -> ``' l o w </w>'``).
+
+    The leading-space representation is what makes the merge step a
+    plain literal ``replace``: the pattern ``' a b'`` owns its leading
+    delimiter and the following symbol keeps its own, so non-adjacent
+    or mid-symbol text can never match, and scan-forward replacement is
+    exactly BPE's greedy left-to-right non-overlapping pairing
+    (``' a a a a'`` -> ``' aa aa'``) — identically on Spark and DuckDB.
+
+    This is the ONLY corpus-scale pass of BPE training: everything
+    after runs on the aggregated word table (distinct words ≪ corpus —
+    the classic Sennrich formulation), so at 100 TB the text is read
+    once and the merge loop iterates over a frame the size of the
+    vocabulary, not the corpus.
+    """
+    words = (
+        df.select(F.explode(F.transform(tokens_col(col), F.lower)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    return words.select(
+        F.concat(
+            F.regexp_replace("w", "(.)", " $1"), F.lit(" " + BPE_EOW)
+        ).alias("seq"),
+        "freq",
+    )
+
+
+def _bpe_pair_counts(seqs: DataFrame) -> DataFrame:
+    """(a, b, cnt): adjacent-symbol pair counts weighted by word
+    frequency.  Symbols sit at 1-based split indices 2..n (index 1 is
+    the empty string before the leading delimiter), so pairs span
+    j = 2..n-1 — one narrow explode plus one aggregate.  Fully fused
+    words (one symbol left, n = 2) are filtered out first: Spark's
+    ``sequence(2, 1)`` counts DOWN rather than yielding empty, which
+    would index past the array."""
+    syms = F.split("seq", " ")
+    return (
+        seqs.filter(F.size(syms) >= 3)
+        .select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(2), F.size(syms) - 1),
+                    lambda j: F.struct(
+                        F.element_at(syms, j).alias("a"),
+                        F.element_at(syms, j + F.lit(1)).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+
+
+def _bpe_merge_expr(seq, merges) -> "F.Column":
+    """Chain of literal replaces applying ``merges`` in rank order —
+    the whole merge table compiles into one narrow JVM projection."""
+    out = seq
+    for _rank, a, b, _cnt in merges:
+        out = F.replace(out, F.lit(f" {a} {b}"), F.lit(f" {a}{b}"))
+    return out
+
+
+def bpe_train_merges(
+    df: DataFrame, col: str = "text", n_merges: int = 8
+) -> list[tuple[int, str, str, int]]:
+    """Train ``n_merges`` BPE merges; returns [(rank, left, right,
+    pair_count)] driver-side.
+
+    Iteration shape (the kmeans_train / pagerank pattern — bounded
+    driver pulls only): per round, one explode + one aggregate over the
+    PERSISTED word table with the i accumulated replaces applied as a
+    narrow projection chain, then ``orderBy().limit(1)`` — a
+    TakeOrderedAndProject whose single winning row is collected.  The
+    driver holds n_merges rows total; the corpus-scale text is read
+    exactly once (by the word aggregate).  Ties break on
+    (count desc, left, right) — binary string order on both engines, so
+    the DuckDB oracle reproduces the merge table exactly.
+
+    Stops early when no adjacent pair remains (every word fused to one
+    symbol) — the unrolled oracle chain agrees because an empty best-
+    pair CTE empties every later stage.
+    """
+    from ..scale import persisted
+
+    seqs = persisted(_bpe_word_seqs(df, col))
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        cur = seqs.select(
+            _bpe_merge_expr(F.col("seq"), merges).alias("seq"), "freq"
+        )
+        best = (
+            _bpe_pair_counts(cur)
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        merges.append(
+            (rank, best[0]["a"], best[0]["b"], int(best[0]["cnt"]))
+        )
+    return merges
+
+
+def bpe_train(
+    df: DataFrame, col: str = "text", n_merges: int = 8
+) -> DataFrame:
+    """BPE merge-table training as a DataFrame: (merge_rank, left_sym,
+    right_sym, pair_count) for the top ``n_merges`` merges.
+
+    See :func:`bpe_train_merges` for the iteration shape and the
+    100 TB story; reference semantics: the standard byte-pair-encoding
+    merge loop (count adjacent pairs over the word vocabulary, fuse the
+    most frequent, repeat) — rank order IS application order for any
+    downstream tokenizer."""
+    spark = df.sparkSession
+    rows = bpe_train_merges(df, col, n_merges)
+    schema = (
+        "merge_rank int, left_sym string, right_sym string,"
+        " pair_count bigint"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 8,
+    merges: list[tuple[int, str, str, int]] | None = None,
+) -> DataFrame:
+    """Encode every document with a BPE merge table (trained on the
+    same corpus unless ``merges`` is supplied): per document the word
+    count, the total BPE piece count, and the sha256 digest of the
+    concatenated piece sequences in word order — the exact artifact
+    equality check for a tokenizer without shipping the piece arrays.
+
+    Scale shape: the merge chain is ONE narrow projection (n_merges
+    literal replaces fused by codegen) over the exploded tokens; the
+    per-doc aggregate uses the order-deterministic struct array_sort
+    (never a bare collect_list).  Output: (``id_col``, n_words,
+    n_bpe_tokens, pieces_digest); empty docs count 0 with the
+    empty-string digest.
+    """
+    if merges is None:
+        merges = bpe_train_merges(df, col, n_merges)
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.transform(tokens_col(col), F.lower)).alias(
+            "pos", "term"
+        ),
+    )
+    seq0 = F.concat(
+        F.regexp_replace("term", "(.)", " $1"), F.lit(" " + BPE_EOW)
+    )
+    enc = toks.select(
+        id_col, "pos", _bpe_merge_expr(seq0, merges).alias("seq")
+    )
+    agg = enc.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.size(F.split("seq", " ")) - 1).cast("bigint").alias(
+            "n_bpe_tokens"
+        ),
+        F.sha2(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "seq"))),
+                    lambda x: x["seq"],
+                ),
+                "",
+            ),
+            256,
+        ).alias("pieces_digest"),
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).cast("bigint").alias(
+                "n_bpe_tokens"
+            ),
+            F.coalesce("pieces_digest", F.sha2(F.lit(""), 256)).alias(
+                "pieces_digest"
+            ),
+        )
+    )

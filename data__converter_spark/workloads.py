@@ -3154,6 +3154,31 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE subword-merge training (llmops/textstats.py:bpe_train): 8
+    merges over the documents word vocabulary — adjacent-pair counts,
+    greedy fuse, repeat; exact integer counts, (cnt desc, left, right)
+    tie-break, reproduced merge-for-merge by the unrolled DuckDB CTE
+    chain.  Assumes the corpus supports all 8 merges (true for any
+    corpus whose words are not all single symbols — the early-stop
+    edge is pinned in pytest instead)."""
+    from .llmops.textstats import bpe_train
+
+    docs = _load(spark, sf_dir, "documents")
+    return bpe_train(docs, n_merges=8)
+
+
+def q_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the corpus-trained 8-merge BPE table to every document
+    (llmops/textstats.py:bpe_tokenize): per-doc word count, BPE piece
+    count, and sha256 of the ordered piece stream — the tokenizer-
+    artifact equality check, digest-verified against DuckDB."""
+    from .llmops.textstats import bpe_tokenize
+
+    docs = _load(spark, sf_dir, "documents")
+    return bpe_tokenize(docs, n_merges=8)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compare_diff": q_compare_diff,
     "compare_diff_summary": q_compare_diff_summary,
@@ -3304,6 +3329,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "entity_canonicalize": q_entity_canonicalize,
     "pmi_collocations": q_pmi_collocations,
     "sparse_retrieval": q_sparse_retrieval,
+    "bpe_train": q_bpe_train,
+    "tokenize_bpe": q_tokenize_bpe,
 }
 
 _DSIR_CTE = """
@@ -5892,3 +5919,84 @@ FROM c LEFT JOIN p
  AND p.ts <= c.ts + INTERVAL 30 MINUTE
 """,
 }
+
+
+def _bpe_chain_sql(n_merges: int) -> str:
+    """Shared DuckDB CTE chain for the BPE oracles: doc tokens ->
+    word-frequency table -> per-merge (pair counts, best pair, merged
+    sequences).  Generated, not handwritten, so the Spark loop and the
+    oracle always unroll the same number of iterations."""
+    parts = [
+        """dtoks AS (
+    SELECT doc_id, CAST(r.i AS INT) - 1 AS pos,
+           lower(words[CAST(r.i AS BIGINT)]) AS term
+    FROM (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(text), '[ \\t\\r\\n]+') END
+                   AS words
+        FROM documents
+    ), unnest(range(1, len(words) + 1)) AS r(i)
+),
+words AS (SELECT term AS w, CAST(count(*) AS BIGINT) AS freq
+          FROM dtoks GROUP BY term),
+s0 AS (SELECT regexp_replace(w, '(.)', ' \\1', 'g') || ' </w>' AS seq, freq
+       FROM words)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""p{i} AS (
+    SELECT t.syms[CAST(r.j AS BIGINT)] AS a,
+           t.syms[CAST(r.j AS BIGINT) + 1] AS b,
+           CAST(sum(t.freq) AS BIGINT) AS cnt
+    FROM (SELECT string_split(seq, ' ') AS syms, freq FROM s{i - 1}) t,
+         unnest(range(2, len(t.syms))) AS r(j)
+    GROUP BY 1, 2
+),
+b{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
+s{i} AS (SELECT replace(seq, ' '||a||' '||b, ' '||a||b) AS seq, freq
+       FROM s{i - 1}, b{i})"""
+        )
+    return ",\n".join(parts)
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INT) AS merge_rank, a AS left_sym,"
+        f" b AS right_sym, cnt AS pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"WITH {_bpe_chain_sql(n_merges)}\n{union}\n"
+
+
+def _tokenize_bpe_oracle(n_merges: int) -> str:
+    apply = ",\n".join(
+        f"d{i} AS (SELECT doc_id, pos,"
+        f" replace(seq, ' '||a||' '||b, ' '||a||b) AS seq FROM d{i - 1}, b{i})"
+        for i in range(1, n_merges + 1)
+    )
+    return f"""WITH {_bpe_chain_sql(n_merges)},
+d0 AS (
+    SELECT doc_id, pos,
+           regexp_replace(term, '(.)', ' \\1', 'g') || ' </w>' AS seq
+    FROM dtoks
+),
+{apply},
+agg AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(string_split(seq, ' ')) - 1) AS BIGINT)
+               AS n_bpe_tokens,
+           sha256(string_agg(seq, '' ORDER BY pos)) AS pieces_digest
+    FROM d{n_merges} GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+       COALESCE(a.pieces_digest, sha256('')) AS pieces_digest
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+ORACLES["bpe_train"] = _bpe_train_oracle(8)
+ORACLES["tokenize_bpe"] = _tokenize_bpe_oracle(8)

@@ -1328,3 +1328,96 @@ def test_near_dedup_keep_best_prefers_score(spark):
         ).collect()
     )
     assert minid == [1, 9]
+
+
+def test_bpe_train_matches_reference_counter(spark):
+    """The distributed merge loop reproduces the canonical Sennrich
+    BPE reference (pure-Python Counter over the word vocabulary with
+    identical greedy replace semantics and tie-break) merge-for-merge
+    on the textbook low/lower/newest/widest corpus."""
+    from collections import Counter
+
+    from data__converter_spark.llmops.textstats import bpe_tokenize, bpe_train
+
+    docs = [
+        (1, "low low low low low lower lower newest newest newest"
+            " newest newest newest widest widest widest"),
+        (2, "newest widest low"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def ref_bpe(texts, n):
+        words = Counter(w.lower() for t in texts for w in t.split())
+        seqs = {" " + " ".join(list(w)) + " </w>": f for w, f in words.items()}
+        merges = []
+        for rank in range(1, n + 1):
+            pc = Counter()
+            for s, f in seqs.items():
+                syms = s.split(" ")[1:]
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += f
+            if not pc:
+                break
+            (a, b), cnt = sorted(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )[0]
+            merges.append((rank, a, b, cnt))
+            seqs = {
+                s.replace(f" {a} {b}", f" {a}{b}"): f for s, f in seqs.items()
+            }
+        return merges
+
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train(df, n_merges=8).collect()
+    ]
+    assert got == ref_bpe([t for _, t in docs], 8)
+    # the textbook outcome: 'est</w>' assembles within the first 3 merges
+    assert got[0][1:3] == ("e", "s") and got[2][1:3] == ("est", "</w>")
+
+    out = {r["doc_id"]: r for r in bpe_tokenize(df, n_merges=8).collect()}
+    assert out[3]["n_words"] == 0 and out[3]["n_bpe_tokens"] == 0
+    import hashlib
+
+    assert out[3]["pieces_digest"] == hashlib.sha256(b"").hexdigest()
+    # merging never changes word count, only piece count, and piece
+    # count is bounded by character count + one EOW per word
+    assert out[2]["n_words"] == 3
+    assert 3 <= out[2]["n_bpe_tokens"] <= len("newest widest low") + 3
+
+
+def test_bpe_train_early_stop_when_pairs_exhaust(spark):
+    """A corpus whose words fully fuse before n_merges: the loop stops
+    early and returns only the merges that exist (the unrolled oracle
+    agrees because an empty best-pair CTE empties later stages)."""
+    from data__converter_spark.llmops.textstats import bpe_train
+
+    df = spark.createDataFrame([(1, "ab ab ab")], "doc_id long, text string")
+    got = bpe_train(df, n_merges=8).collect()
+    # 'ab' -> ' a b </w>': merge 1 fuses (a,b), merge 2 fuses
+    # (ab,</w>), then a single symbol remains -> stop at 2
+    assert [(r["left_sym"], r["right_sym"]) for r in got] == [
+        ("a", "b"), ("ab", "</w>"),
+    ]
+    assert [r["merge_rank"] for r in got] == [1, 2]
+    assert all(r["pair_count"] == 3 for r in got)
+
+
+def test_bpe_tokenize_with_pretrained_merges(spark):
+    """bpe_tokenize accepts an externally trained merge table and
+    applies it in rank order — train-once/apply-many, the production
+    split (train on a sample, encode the full corpus)."""
+    from data__converter_spark.llmops.textstats import bpe_tokenize
+
+    df = spark.createDataFrame(
+        [(1, "hello hello"), (2, "help")], "doc_id long, text string"
+    )
+    merges = [(1, "h", "e", 3), (2, "l", "l", 2)]
+    out = {
+        r["doc_id"]: r
+        for r in bpe_tokenize(df, merges=merges).collect()
+    }
+    # 'hello' -> he ll o </w> (4 pieces); 'help' -> he l p </w> (4)
+    assert out[1]["n_bpe_tokens"] == 8 and out[1]["n_words"] == 2
+    assert out[2]["n_bpe_tokens"] == 4

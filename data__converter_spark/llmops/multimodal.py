@@ -8,16 +8,19 @@ Python.
 
 Codec status (no external image/audio libraries in this container):
 
-- **REAL decode for uncompressed formats** via stdlib-only codecs:
-  24-bit BMP images (header parse + pixel array, nearest-neighbor
-  resize) and 16-bit PCM WAV audio (RIFF parse) — `encode_bmp` /
-  `_try_decode_bmp` / `encode_wav` / `_try_decode_wav`, pixel- and
-  sample-exact under pytest golden tests.
-- **Optional PIL leg for compressed images** (JPEG/PNG/...): the
-  decode chain (`_try_decode_image`) tries stdlib BMP, then PIL when
+- **REAL decode via stdlib-only codecs**: 24-bit BMP (header parse +
+  pixel array, nearest-neighbor resize), non-interlaced 8-bit PNG
+  gray/RGB/RGBA (zlib inflate + all five scanline unfilters —
+  `encode_png` / `_try_decode_png`, so a COMPRESSED format has a real
+  in-container positive path, oracle-proven bit-exact per corpus row
+  by `png_roundtrip_features`), and 16-bit PCM WAV audio (RIFF parse)
+  — pixel- and sample-exact under pytest golden tests.
+- **Optional PIL leg for other compressed images** (JPEG/WebP/
+  palette or interlaced PNG/...): the decode chain
+  (`_try_decode_image`) tries stdlib BMP, stdlib PNG, then PIL when
   the executor can import it — a deployment that installs pillow gets
-  real compressed decode with no code change. Compressed audio/video
-  (MP3/MP4) still needs ffmpeg and stays behind the explicit gate.
+  the rest with no code change. Compressed audio/video (MP3/MP4)
+  still needs ffmpeg and stays behind the explicit gate.
 - **Deterministic stub fallback** (clearly marked, keyed on the
   payload hash) when no codec can decode the payload. The Spark-side
   contract (schemas, partitioning, batch shape, null handling) is
@@ -123,6 +126,159 @@ def _try_decode_bmp(payload):
         return None
 
 
+def encode_png(pixels, filter_type: int = 0) -> bytes:
+    """uint8 pixel array -> non-interlaced 8-bit PNG bytes, stdlib only
+    (zlib deflate + struct chunk framing).  (h, w) encodes grayscale
+    (color type 0), (h, w, 3) truecolor, (h, w, 4) truecolor+alpha.
+    ``filter_type`` applies one scanline filter to every row (0 none,
+    1 sub, 2 up, 3 average, 4 paeth — exposed so tests can exercise
+    every decoder unfilter path with real encoded bytes)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        color_type, ch = 0, 1
+        px = px[:, :, None]
+    elif px.ndim == 3 and px.shape[2] == 3:
+        color_type, ch = 2, 3
+    elif px.ndim == 3 and px.shape[2] == 4:
+        color_type, ch = 6, 4
+    else:
+        raise ValueError(f"encode_png: unsupported shape {px.shape}")
+    h, w = px.shape[0], px.shape[1]
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"encode_png: bad filter {filter_type}")
+
+    raw = bytearray()
+    prev = np.zeros((w, ch), dtype=np.int32)
+    for y in range(h):
+        row = px[y].astype(np.int32)
+        left = np.vstack([np.zeros((1, ch), np.int32), row[:-1]])
+        ul = np.vstack([np.zeros((1, ch), np.int32), prev[:-1]])
+        if filter_type == 0:
+            out = row
+        elif filter_type == 1:
+            out = row - left
+        elif filter_type == 2:
+            out = row - prev
+        elif filter_type == 3:
+            out = row - (left + prev) // 2
+        else:  # paeth
+            p = left + prev - ul
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            out = row - pred
+        raw.append(filter_type)
+        raw += (out % 256).astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _try_decode_png(payload):
+    """Non-interlaced 8-bit PNG (gray / RGB / RGBA) -> (h, w, 3) uint8
+    RGB array, or None when the payload is not a decodable PNG.  Pure
+    stdlib: zlib inflate + all five scanline unfilters.  Gray expands
+    to three equal channels and alpha is dropped — the same (h, w, 3)
+    contract as the BMP and PIL branches, so downstream kernels stay
+    codec-agnostic."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload or len(payload) < 8:
+        return None
+    data = bytes(payload)
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    try:
+        pos, ihdr, idat = 8, None, bytearray()
+        while pos + 8 <= len(data):
+            (length,) = struct.unpack_from(">I", data, pos)
+            tag = data[pos + 4 : pos + 8]
+            body = data[pos + 8 : pos + 8 + length]
+            if tag == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", body)
+            elif tag == b"IDAT":
+                idat += body
+            elif tag == b"IEND":
+                break
+            pos += 12 + length  # length + tag + body + crc
+        if ihdr is None or not idat:
+            return None
+        w, h, depth, color_type, comp, filt, interlace = ihdr
+        channels = {0: 1, 2: 3, 6: 4}.get(color_type)
+        if depth != 8 or channels is None or comp or filt or interlace:
+            return None  # beyond the lite subset (palette/16-bit/Adam7)
+        raw = zlib.decompress(bytes(idat))
+        stride = w * channels
+        if len(raw) < h * (stride + 1):
+            return None
+        out = np.zeros((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(h):
+            ft = raw[y * (stride + 1)]
+            line = np.frombuffer(
+                raw, np.uint8, stride, y * (stride + 1) + 1
+            ).astype(np.int32)
+            if ft == 0:
+                rec = line
+            elif ft == 2:
+                rec = line + prev
+            elif ft in (1, 3, 4):
+                # left/upper-left reference the RECONSTRUCTED row, so
+                # these three run per-pixel
+                rec = np.zeros(stride, dtype=np.int32)
+                for x in range(stride):
+                    a = rec[x - channels] if x >= channels else 0
+                    b = prev[x]
+                    c = prev[x - channels] if x >= channels else 0
+                    if ft == 1:
+                        pred = a
+                    elif ft == 3:
+                        pred = (a + b) // 2
+                    else:
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if pa <= pb and pa <= pc else (
+                            b if pb <= pc else c
+                        )
+                    # wrap NOW: later pixels read this as their left
+                    # neighbor, and the spec reconstructs mod 256
+                    rec[x] = (line[x] + pred) % 256
+            else:
+                return None
+            rec %= 256
+            out[y] = rec.astype(np.uint8)
+            prev = rec
+        px = out.reshape(h, w, channels)
+        if channels == 1:
+            return np.repeat(px, 3, axis=2)
+        return px[:, :, :3].copy()
+    except Exception:
+        return None
+
+
 def _try_decode_pil(payload):
     """Compressed-image decode (JPEG/PNG/…) via PIL WHEN INSTALLED ->
     (h, w, 3) uint8 RGB array, else None. The optional-dependency slot
@@ -145,11 +301,17 @@ def _try_decode_pil(payload):
 
 
 def _try_decode_image(payload):
-    """Image decode chain: stdlib 24-bit BMP -> PIL (when installed)
-    -> None (caller falls back to the deterministic hash stub). Every
-    branch yields the same (h, w, 3) uint8 RGB contract, so the
-    feature/resize kernels are codec-agnostic."""
+    """Image decode chain: stdlib 24-bit BMP -> stdlib 8-bit PNG ->
+    PIL (when installed) -> None (caller falls back to the
+    deterministic hash stub). Every branch yields the same (h, w, 3)
+    uint8 RGB contract, so the feature/resize kernels are
+    codec-agnostic.  With the PNG branch the container now has a REAL
+    compressed-format positive path (zlib is stdlib); PIL remains the
+    slot for JPEG/WebP/palette-PNG and friends."""
     px = _try_decode_bmp(payload)
+    if px is not None:
+        return px
+    px = _try_decode_png(payload)
     if px is not None:
         return px
     return _try_decode_pil(payload)
@@ -238,6 +400,63 @@ def media_from_documents(
             F.concat(F.lit("x/"), kind).alias("mime"),
         ).alias("meta"),
     )
+
+
+def png_roundtrip_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per document: build a deterministic grayscale image from the
+    md5 hex of its id, ENCODE it to real PNG bytes (scanline filter
+    ``id % 5`` — the corpus collectively exercises all five), DECODE
+    through the stdlib codec, and emit integer features of the decoded
+    pixels: (id, width, height, px_sum, mean_milli).
+
+    The DuckDB oracle computes the same features arithmetically
+    (``ascii(substr(md5(id), i % 32 + 1, 1))`` summed over the pixel
+    grid) WITHOUT touching PNG — so a value-hash match proves the
+    encode -> deflate -> inflate -> unfilter pipeline reconstructs
+    every pixel bit-exactly on every row of the corpus.
+
+    Scale shape: one Arrow-batched mapInPandas over the id projection —
+    no shuffle, no driver traffic; image bytes live and die inside the
+    kernel batch."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("px_sum", T.LongType()),
+            T.StructField("mean_milli", T.LongType()),
+        ]
+    )
+
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {c.name: [] for c in schema.fields}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 8 + mid % 5, 6 + mid % 4
+                hx = hashlib.md5(str(mid).encode()).hexdigest()
+                flat = np.frombuffer(
+                    (hx * (w * h // 32 + 1)).encode()[: w * h], np.uint8
+                )
+                px = _try_decode_png(
+                    encode_png(flat.reshape(h, w), filter_type=mid % 5)
+                )
+                s = int(px[:, :, 0].astype(np.int64).sum())
+                out[id_col].append(mid)
+                out["width"].append(px.shape[1])
+                out["height"].append(px.shape[0])
+                out["px_sum"].append(s)
+                out["mean_milli"].append(s * 1000 // (w * h))
+            yield pd.DataFrame(out)
+
+    return docs.select(F.col(id_col).cast("long")).mapInPandas(kernel, schema)
 
 
 def image_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:

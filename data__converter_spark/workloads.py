@@ -3154,6 +3154,18 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real compressed-image codec round-trip at corpus scale
+    (llmops/multimodal.py:png_roundtrip_features): every doc's
+    deterministic grayscale image encodes to actual PNG bytes (zlib
+    deflate, scanline filter id%5) and decodes back through the stdlib
+    codec; the arithmetic oracle proves every pixel reconstructs
+    bit-exactly."""
+    from .llmops.multimodal import png_roundtrip_features
+
+    return png_roundtrip_features(_load(spark, sf_dir, "documents"))
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE subword-merge training (llmops/textstats.py:bpe_train): 8
     merges over the documents word vocabulary — adjacent-pair counts,
@@ -3331,6 +3343,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparse_retrieval": q_sparse_retrieval,
     "bpe_train": q_bpe_train,
     "tokenize_bpe": q_tokenize_bpe,
+    "multimodal_png_decode": q_multimodal_png_decode,
 }
 
 _DSIR_CTE = """
@@ -6000,3 +6013,24 @@ FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 
 ORACLES["bpe_train"] = _bpe_train_oracle(8)
 ORACLES["tokenize_bpe"] = _tokenize_bpe_oracle(8)
+
+
+ORACLES["multimodal_png_decode"] = """
+WITH g AS (
+    SELECT doc_id,
+           CAST(8 + doc_id % 5 AS INT) AS width,
+           CAST(6 + doc_id % 4 AS INT) AS height,
+           md5(CAST(doc_id AS VARCHAR)) AS hx
+    FROM documents
+),
+px AS (
+    SELECT doc_id, width, height,
+           CAST(sum(ascii(substr(hx, CAST(r.i % 32 AS INT) + 1, 1)))
+                AS BIGINT) AS px_sum
+    FROM g, unnest(range(0, width * height)) AS r(i)
+    GROUP BY 1, 2, 3
+)
+SELECT doc_id, width, height, px_sum,
+       CAST(px_sum * 1000 // (width * height) AS BIGINT) AS mean_milli
+FROM px
+"""

@@ -2892,6 +2892,16 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly rather than rows-only."""
     from .graph import pagerank
 
+    return (
+        pagerank(_trade_edges(spark, sf_dir), iterations=3)
+        .orderBy(F.desc("rank_micro"), F.asc("node"))
+        .limit(25)
+    )
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected customer<->supplier trade graph shared by the
+    PageRank workloads (2k / 2k+1 key interleave)."""
     li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = _load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pairs = (
@@ -2902,13 +2912,32 @@ def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+    return pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    return (
-        pagerank(edges, iterations=3)
-        .orderBy(F.desc("rank_micro"), F.asc("node"))
-        .limit(25)
+
+
+def q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence-gated PageRank (graph.py:pagerank_until) over the
+    trade graph: the REAL multi-action superstep loop (persisted
+    invariants, probe cadence 2 — two lazily-chained supersteps per
+    action, the standard Pregel amortization) run for 4 supersteps
+    with tol 0, emitting the probe history — (iteration,
+    max_delta_micro, changed_nodes), deltas measured probe-to-probe.
+    The history is what an operator watches to pick a tolerance; it is
+    also statically unrollable, so the oracle checks the convergence
+    SERIES exactly, not just the final ranks.  The dynamic early-stop
+    behavior itself (tol > 0 -> shorter history, final ranks == the
+    fixed-iteration run of the same length) is pinned in
+    tests/test_graph.py."""
+    from .graph import pagerank_until
+
+    _ranks, history = pagerank_until(
+        _trade_edges(spark, sf_dir), max_iterations=4, tol_micro=0,
+        probe_every=2,
+    )
+    return spark.createDataFrame(
+        history, "iteration int, max_delta_micro bigint, changed_nodes bigint"
     )
 
 
@@ -3344,6 +3373,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train": q_bpe_train,
     "tokenize_bpe": q_tokenize_bpe,
     "multimodal_png_decode": q_multimodal_png_decode,
+    "pagerank_converged": q_pagerank_converged,
 }
 
 _DSIR_CTE = """
@@ -6034,3 +6064,55 @@ SELECT doc_id, width, height, px_sum,
        CAST(px_sum * 1000 // (width * height) AS BIGINT) AS mean_milli
 FROM px
 """
+
+
+def _pagerank_converged_oracle(n_iters: int, probe_every: int = 1) -> str:
+    """Unrolled CTE chain for the convergence-series oracle: the same
+    r0..rN ladder as pagerank_trade plus one delta CTE per PROBE
+    (probe-to-probe deltas, matching pagerank_until's cadence)."""
+    head = """pairs AS (
+    SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+    SELECT c AS src, s AS dst FROM pairs
+    UNION ALL
+    SELECT s AS src, c AS dst FROM pairs
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes)"""
+    parts = [head]
+    probes = list(range(probe_every, n_iters + 1, probe_every))
+    if probes[-1] != n_iters:
+        probes.append(n_iters)
+    for i in range(1, n_iters + 1):
+        parts.append(f"""r{i} AS (
+    SELECT n.node,
+           CAST(150000 + floor(850 * coalesce(s.in_sum, 0) / 1000) AS BIGINT)
+               AS rank_micro
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst,
+               sum(CAST(floor(r.rank_micro / d.out_deg) AS BIGINT)) AS in_sum
+        FROM edges e
+        JOIN deg d ON e.src = d.src
+        JOIN r{i - 1} r ON e.src = r.node
+        GROUP BY e.dst
+    ) s ON n.node = s.dst
+)""")
+    prev = 0
+    for i in probes:
+        parts.append(f"""d{i} AS (
+    SELECT CAST({i} AS INT) AS iteration,
+           CAST(max(abs(a.rank_micro - b.rank_micro)) AS BIGINT)
+               AS max_delta_micro,
+           CAST(sum(CASE WHEN a.rank_micro != b.rank_micro
+                         THEN 1 ELSE 0 END) AS BIGINT) AS changed_nodes
+    FROM r{i} a JOIN r{prev} b ON a.node = b.node
+)""")
+        prev = i
+    union = "\nUNION ALL\n".join(f"SELECT * FROM d{i}" for i in probes)
+    return "WITH " + ",\n".join(parts) + "\n" + union + "\n"
+
+
+ORACLES["pagerank_converged"] = _pagerank_converged_oracle(4, 2)

@@ -64,3 +64,53 @@ def test_triangle_count_known_graphs(spark):
     )
     out2 = {r["node"]: r["n_triangles"] for r in triangle_count(shared).collect()}
     assert out2 == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_pagerank_until_matches_fixed_iterations(spark):
+    """The convergence loop's rank state after k supersteps is
+    bit-identical to pagerank(iterations=k) — the probe machinery
+    changes WHEN we stop, never WHAT we compute — for both probe
+    cadences, and probe-to-probe deltas shrink monotonically on a
+    contracting graph."""
+    from data__converter_spark.graph import pagerank, pagerank_until
+    from data__converter_spark.scale import release_persisted
+
+    edges = [(i, 99) for i in range(1, 6)] + [(99, i) for i in range(1, 6)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    want4 = _ranks(pagerank(e, iterations=4))
+    for cadence in (1, 2):
+        ranks, hist = pagerank_until(
+            e, max_iterations=4, tol_micro=0, probe_every=cadence
+        )
+        got = _ranks(ranks)
+        release_persisted()
+        assert got == want4, f"cadence {cadence} diverged from fixed run"
+        assert [h[0] for h in hist] == (
+            [1, 2, 3, 4] if cadence == 1 else [2, 4]
+        )
+        deltas = [h[1] for h in hist]
+        assert deltas == sorted(deltas, reverse=True)
+        assert all(h[2] >= 0 for h in hist)
+
+
+def test_pagerank_until_early_stop(spark):
+    """A generous tolerance stops the loop before max_iterations, and
+    the returned ranks equal the fixed-iteration run of the same
+    length (no extra superstep applied after the stop decision)."""
+    from data__converter_spark.graph import pagerank, pagerank_until
+    from data__converter_spark.scale import release_persisted
+
+    # 2-cycle: stationary after iteration 1 (delta 0 at iteration 2)
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    ranks, hist = pagerank_until(e, max_iterations=10, tol_micro=0)
+    got = _ranks(ranks)
+    release_persisted()
+    k = len(hist)
+    assert k < 10, f"never stopped: {hist}"
+    assert hist[-1][1] == 0 and hist[-1][2] == 0
+    assert got == _ranks(pagerank(e, iterations=k))
+    # probe cadence > 1 still stops (at the first probe whose window
+    # saw no movement), at most cadence-1 supersteps late
+    _, hist2 = pagerank_until(e, max_iterations=10, tol_micro=0, probe_every=3)
+    release_persisted()
+    assert hist2[-1][1] == 0 and len(hist2) < 4

@@ -312,3 +312,44 @@ def test_pmi_collocations_vs_counter(spark, texts):
     ]
     expect.sort(key=lambda t: (-t[5], t[0], t[1]))
     assert got == expect[:10]
+
+
+@settings(**SPARK_SETTINGS)
+@given(st.lists(doc_text, min_size=1, max_size=4))
+def test_bpe_train_vs_counter(spark, texts):
+    """The distributed BPE merge loop agrees merge-for-merge (symbols,
+    ranks, exact pair counts, early stop) with a pure-Python Counter
+    reference under arbitrary tiny-alphabet corpora — heavy repetition
+    stresses greedy non-overlapping pairing and count ties."""
+    from collections import Counter
+
+    from data__converter_spark.llmops.textstats import bpe_train
+    from data__converter_spark.scale import release_persisted
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_train(df, n_merges=4).collect()
+    ]
+    release_persisted()
+
+    words = Counter(w.lower() for t in texts for w in t.split())
+    seqs = {" " + " ".join(list(w)) + " </w>": f for w, f in words.items()}
+    expect = []
+    for rank in range(1, 5):
+        pc: Counter = Counter()
+        for s, f in seqs.items():
+            syms = s.split(" ")[1:]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (a, b), cnt = sorted(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        expect.append((rank, a, b, cnt))
+        merged = Counter()
+        for s, f in seqs.items():
+            merged[s.replace(f" {a} {b}", f" {a}{b}")] += f
+        seqs = dict(merged)
+    assert got == expect

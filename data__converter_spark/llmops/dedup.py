@@ -115,6 +115,95 @@ def paragraph_dedup(
     )
 
 
+def boilerplate_scrub(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Remove BOILERPLATE paragraphs — those appearing in at least
+    ``min_docs`` DISTINCT documents (site chrome, cookie banners, nav
+    text: the CCNet-style cleaning step).  Complementary to
+    :func:`paragraph_dedup`: that keeps the first occurrence of every
+    paragraph; this drops EVERY occurrence of paragraphs whose
+    distinct-document frequency crosses the bar, because boilerplate
+    is noise in all its positions, not content that deserves one
+    surviving copy.
+
+    Output: (``id_col``, text_scrubbed, n_paras_kept, n_paras_dropped)
+    for every input document — all-boilerplate documents come back
+    with empty text and full drop counts rather than vanishing.
+
+    Scale shape: three shuffles, all on narrow keys — (1) the
+    (digest, id)-distinct aggregate that computes per-paragraph
+    document frequency (two-level: distinct then digest agg, both with
+    map-side partials — NEVER a collect_set window, whose per-digest
+    buffer would hold one entry per copy of a hot banner);
+    (2) the paragraph rows re-keyed on digest joining the hot-digest
+    set (hot digests are a tiny fraction of distinct paragraphs —
+    bounded by real duplication — but the join stays a shuffle join
+    rather than a forced broadcast because an adversarial mirror-heavy
+    corpus can make the hot set large); (3) per-document reassembly.
+    The paragraph text crosses the wire once for the mark join and
+    once for reassembly, same as :func:`paragraph_dedup`.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(col), F.lit("")), sep)).alias(
+            "__idx__", "__para__"
+        ),
+    ).filter(F.length(F.trim(F.col("__para__"))) > 0)
+    tagged = paras.select(
+        id_col, "__idx__", "__para__", F.sha2(F.col("__para__"), 256).alias("__digest__")
+    )
+    hot = (
+        tagged.select("__digest__", id_col)
+        .distinct()
+        .groupBy("__digest__")
+        .agg(F.count(F.lit(1)).alias("__df__"))
+        .filter(F.col("__df__") >= F.lit(int(min_docs)))
+        .select("__digest__", F.lit(True).alias("__hot__"))
+    )
+    marked = tagged.join(hot, "__digest__", "left")
+    assembled = marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__hot__").isNull(),
+                            F.struct("__idx__", "__para__"),
+                        )
+                    )
+                ),
+                lambda s: s["__para__"],
+            ),
+            sep,
+        ).alias("text_scrubbed"),
+        F.sum(F.when(F.col("__hot__").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_paras_kept"),
+        F.sum(F.when(F.col("__hot__").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_paras_dropped"),
+    )
+    return (
+        df.select(id_col)
+        .join(assembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_scrubbed", F.lit("")).alias("text_scrubbed"),
+            F.coalesce("n_paras_kept", F.lit(0)).cast("bigint").alias(
+                "n_paras_kept"
+            ),
+            F.coalesce("n_paras_dropped", F.lit(0)).cast("bigint").alias(
+                "n_paras_dropped"
+            ),
+        )
+    )
+
+
 def exact_dup_groups(
     df: DataFrame, col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

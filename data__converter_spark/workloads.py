@@ -3195,6 +3195,30 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_roundtrip_features(_load(spark, sf_dir, "documents"))
 
 
+def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal
+    (llmops/dedup.py:boilerplate_scrub): paragraphs appearing in >= 3
+    distinct documents are dropped from EVERY document (site chrome /
+    banner cleaning — the complement of paragraph_dedup's keep-first).
+    Runs over the same deterministic 3-word re-chunk as
+    q_paragraph_dedup so both engines build identical paragraphs."""
+    from .llmops.dedup import boilerplate_scrub
+
+    docs = _load(spark, sf_dir, "documents")
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(words), F.lit(1)), F.lit(_PARA_WORDS)
+    )
+    ptext = F.array_join(
+        F.transform(
+            starts, lambda s: F.array_join(F.slice(words, s, _PARA_WORDS), " ")
+        ),
+        "\n\n",
+    )
+    chunked = docs.select("doc_id", ptext.alias("text"))
+    return boilerplate_scrub(chunked, min_docs=3)
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE subword-merge training (llmops/textstats.py:bpe_train): 8
     merges over the documents word vocabulary — adjacent-pair counts,
@@ -3374,6 +3398,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokenize_bpe": q_tokenize_bpe,
     "multimodal_png_decode": q_multimodal_png_decode,
     "pagerank_converged": q_pagerank_converged,
+    "boilerplate_scrub": q_boilerplate_scrub,
 }
 
 _DSIR_CTE = """
@@ -6116,3 +6141,57 @@ r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes)"""
 
 
 ORACLES["pagerank_converged"] = _pagerank_converged_oracle(4, 2)
+
+
+ORACLES["boilerplate_scrub"] = """
+WITH w AS (
+    SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws FROM documents
+),
+p AS (
+    SELECT doc_id,
+           array_to_string(
+               list_transform(range(1, greatest(len(ws), 1) + 1, 3),
+                              s -> array_to_string(ws[s : s + 2], ' ')),
+               chr(10) || chr(10)) AS ptext
+    FROM w
+),
+paras AS (
+    SELECT doc_id, u.para, u.idx
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(string_split(ptext, chr(10) || chr(10)),
+                                     (x, i) -> struct_pack(para := x,
+                                                           idx := CAST(i - 1 AS INT))))
+                   AS u
+        FROM p
+    )
+    WHERE length(trim(u.para)) > 0
+),
+hot AS (
+    SELECT para FROM (
+        SELECT para, count(*) AS df
+        FROM (SELECT DISTINCT para, doc_id FROM paras)
+        GROUP BY para
+    ) WHERE df >= 3
+),
+marked AS (
+    SELECT s.doc_id, s.idx, s.para, h.para IS NOT NULL AS is_hot
+    FROM paras s LEFT JOIN hot h ON s.para = h.para
+),
+agg AS (
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN NOT is_hot THEN para END,
+                               chr(10) || chr(10) ORDER BY idx), '')
+               AS text_scrubbed,
+           CAST(sum(CASE WHEN NOT is_hot THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_paras_kept,
+           CAST(sum(CASE WHEN is_hot THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_paras_dropped
+    FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.text_scrubbed, '') AS text_scrubbed,
+       CAST(coalesce(a.n_paras_kept, 0) AS BIGINT) AS n_paras_kept,
+       CAST(coalesce(a.n_paras_dropped, 0) AS BIGINT) AS n_paras_dropped
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""

@@ -1421,3 +1421,34 @@ def test_bpe_tokenize_with_pretrained_merges(spark):
     # 'hello' -> he ll o </w> (4 pieces); 'help' -> he l p </w> (4)
     assert out[1]["n_bpe_tokens"] == 8 and out[1]["n_words"] == 2
     assert out[2]["n_bpe_tokens"] == 4
+
+
+def test_boilerplate_scrub_drops_every_occurrence(spark):
+    """Paragraphs in >= min_docs distinct docs vanish from ALL
+    documents (unlike paragraph_dedup's keep-first); within-doc
+    repetition alone never triggers the bar; all-boilerplate docs
+    come back empty rather than vanishing; order is preserved."""
+    from data__converter_spark.llmops.dedup import boilerplate_scrub
+
+    banner = "accept cookies"
+    rows = [
+        (1, f"{banner}\n\nunique one\n\n{banner}"),
+        (2, f"{banner}\n\nunique two"),
+        (3, f"{banner}"),
+        (4, "solo\n\nsolo\n\nsolo"),   # repeated only WITHIN one doc
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_scrub(df, min_docs=3).collect()
+    }
+    assert len(out) == 5
+    assert out[1]["text_scrubbed"] == "unique one"
+    assert (out[1]["n_paras_kept"], out[1]["n_paras_dropped"]) == (1, 2)
+    assert out[2]["text_scrubbed"] == "unique two"
+    assert out[3]["text_scrubbed"] == "" and out[3]["n_paras_dropped"] == 1
+    # df counts DISTINCT docs: 3 copies in one doc is df=1, kept
+    assert out[4]["text_scrubbed"] == "solo\n\nsolo\n\nsolo"
+    assert out[4]["n_paras_dropped"] == 0
+    assert out[5]["text_scrubbed"] == "" and out[5]["n_paras_kept"] == 0

@@ -415,10 +415,13 @@ def png_roundtrip_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
     encode -> deflate -> inflate -> unfilter pipeline reconstructs
     every pixel bit-exactly on every row of the corpus.
 
-    Scale shape: one Arrow-batched mapInPandas over the id projection —
-    no shuffle, no driver traffic; image bytes live and die inside the
-    kernel batch."""
+    Scale shape: one Arrow-batched mapInPandas over the id projection
+    (``fan_out`` first — a single-file scan would otherwise feed the
+    whole corpus to one Python worker); no driver traffic; image bytes
+    live and die inside the kernel batch."""
     import pyspark.sql.types as T
+
+    from ..scale import fan_out
 
     schema = T.StructType(
         [
@@ -456,7 +459,9 @@ def png_roundtrip_features(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
                 out["mean_milli"].append(s * 1000 // (w * h))
             yield pd.DataFrame(out)
 
-    return docs.select(F.col(id_col).cast("long")).mapInPandas(kernel, schema)
+    return fan_out(docs.select(F.col(id_col).cast("long"))).mapInPandas(
+        kernel, schema
+    )
 
 
 def image_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:

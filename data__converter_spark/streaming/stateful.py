@@ -75,3 +75,110 @@ def running_user_totals(events: DataFrame, timeout_ms: int | None = None) -> Dat
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+BAND_PAIRS_SCHEMA = T.StructType(
+    [
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+    ]
+)
+
+_BAND_STATE_SCHEMA = T.StructType(
+    [T.StructField("ids", T.ArrayType(T.LongType()))]
+)
+
+
+def band_candidates(
+    docs: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs from banded MinHash LSH — **dedup on
+    INGEST**: the streaming form detects, as each document arrives,
+    which already-ingested documents it collides with in any LSH band,
+    without ever rescanning the standing corpus.
+
+    Batch: exactly ``llmops.dedup._minhash_candidates``'s candidate
+    output (distinct ``id_a < id_b`` band collisions) — the identical
+    signatures/bands, so stream and batch agree pair-for-pair and the
+    batch form is DuckDB-oracle-checkable.
+
+    Streaming: each arriving document's signature (same seeded
+    coefficients) explodes into ``bands`` (band, bucket) rows; per
+    bucket, ``applyInPandasWithState`` keeps the id list seen so far
+    and each NEW member emits canonical ``(min, max)`` pairs against
+    that history.  A pair colliding in several bands is emitted once
+    per band — downstream, the CDC-upsert sink keyed on (id_a, id_b)
+    absorbs duplicates exactly-once, which is cheaper at scale than a
+    global stateful distinct.  State per bucket is the member id list
+    — the scaling invariant to watch, and ``max_bucket_size`` caps it:
+    a full bucket stops ADMITTING new members (they emit nothing
+    there).  That is the streaming analog of the batch hot-bucket
+    guard with one documented divergence: batch drops the whole
+    degenerate bucket retroactively, a stream cannot un-emit — so
+    under a cap the stream may emit pairs among a hot bucket's first
+    ``max_bucket_size`` members that batch would suppress.  Default
+    ``None`` keeps exact banded-LSH semantics (and exact stream/batch
+    agreement).
+
+    Re-delivered ids (source replay) are ignored: membership is
+    idempotent, so the operator is exactly-once at the pair level for
+    any source whose ids are stable.
+    """
+    if not docs.isStreaming:
+        from ..llmops.dedup import _minhash_candidates
+
+        _hs, _sigs, cand = _minhash_candidates(
+            docs, col, id_col, k, num_hashes, bands, seed, max_bucket_size
+        )
+        return cand
+
+    from pyspark.sql import functions as F
+
+    from ..llmops.dedup import _band_frame, minhash_signature_col
+
+    sigs = docs.select(
+        F.col(id_col),
+        minhash_signature_col(col, k, num_hashes, seed).alias("sig"),
+    ).filter(F.col("sig").isNotNull())
+    banded = _band_frame(sigs, id_col, bands, num_hashes // bands)
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        ids = list(state.get[0]) if state.exists else []
+        seen = set(ids)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for pdf in pdfs:
+            # sort within the batch: arrival inside one micro-batch has
+            # no meaningful order, id order makes replays deterministic
+            for i in sorted(int(x) for x in pdf[id_col]):
+                if i in seen:
+                    continue
+                if (
+                    max_bucket_size is not None
+                    and len(ids) >= max_bucket_size
+                ):
+                    break
+                for o in ids:
+                    out_a.append(min(o, i))
+                    out_b.append(max(o, i))
+                ids.append(i)
+                seen.add(i)
+        state.update((ids,))
+        yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        update,
+        outputStructType=BAND_PAIRS_SCHEMA,
+        stateStructType=_BAND_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

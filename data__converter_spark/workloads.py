@@ -3219,6 +3219,18 @@ def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_scrub(chunked, min_docs=3)
 
 
+def q_stream_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the dedup-on-ingest operator
+    (streaming/stateful.py:band_candidates): the distinct banded-LSH
+    candidate pairs, identical signatures to dedup_minhash_lsh but
+    WITHOUT the Jaccard verify — exactly what the streaming stateful
+    path emits (stream/batch pair-set equality is pinned by
+    tests/test_streaming.py over a real two-micro-batch run)."""
+    from .streaming.stateful import band_candidates
+
+    return band_candidates(_load(spark, sf_dir, "documents"))
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE subword-merge training (llmops/textstats.py:bpe_train): 8
     merges over the documents word vocabulary — adjacent-pair counts,
@@ -3399,6 +3411,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_png_decode": q_multimodal_png_decode,
     "pagerank_converged": q_pagerank_converged,
     "boilerplate_scrub": q_boilerplate_scrub,
+    "stream_band_candidates": q_stream_band_candidates,
 }
 
 _DSIR_CTE = """
@@ -6195,3 +6208,13 @@ SELECT d.doc_id,
        CAST(coalesce(a.n_paras_dropped, 0) AS BIGINT) AS n_paras_dropped
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
+
+
+# candidates-only slice of the MinHash oracle: same signature/band
+# front, stop at the cand CTE (no Jaccard verify) — the batch contract
+# of streaming/stateful.band_candidates
+_mh_sql = ORACLES["dedup_minhash_lsh"]
+ORACLES["stream_band_candidates"] = (
+    _mh_sql[: _mh_sql.index("verified AS (")].rstrip().rstrip(",")
+    + "\nSELECT id_a, id_b FROM cand\n"
+)

@@ -579,3 +579,76 @@ def test_stream_outer_range_join_emits_unmatched(spark, tmp_path):
     # once the chunk-b watermark passes its eviction time; click 9 sits
     # beyond the final watermark and must NOT emit (yet)
     assert got == [(1, 1, 3), (2, 2, None)], got
+
+
+def test_stream_band_candidates_equals_batch(spark, tmp_path):
+    """Dedup-on-ingest: the stateful per-bucket LSH operator, driven
+    across TWO micro-batches (state genuinely crosses batches), emits
+    exactly the batch banded-LSH candidate set — canonical (min, max)
+    pairs, duplicates across bands collapsed for the compare."""
+    import os
+
+    from data__converter_spark.scale import release_persisted
+    from data__converter_spark.streaming.runner import run_once
+    from data__converter_spark.streaming.stateful import band_candidates
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    d = str(tmp_path / "docs_stream")
+    os.makedirs(d)
+    half = docs.count() // 2
+    docs.filter(docs.doc_id < half).coalesce(1).write.parquet(f"{d}/c1")
+    docs.filter(docs.doc_id >= half).coalesce(1).write.parquet(f"{d}/c2")
+
+    schema = docs.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in run_once(
+            band_candidates(stream), output_mode="append"
+        ).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in band_candidates(spark.read.parquet(f"{d}/c1").unionByName(
+            spark.read.parquet(f"{d}/c2")
+        )).collect()
+    }
+    release_persisted()
+    assert want, "batch candidate set empty — test corpus too clean"
+    assert got == want
+
+
+def test_stream_band_candidates_bucket_cap(spark, tmp_path):
+    """max_bucket_size stops ADMITTING members: identical docs all land
+    in the same buckets, so a cap of 2 emits only the first pair and
+    later arrivals are silent."""
+    import os
+
+    from data__converter_spark.streaming.runner import run_once
+    from data__converter_spark.streaming.stateful import band_candidates
+
+    rows = [(i, "alpha beta gamma delta epsilon") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "dup_stream")
+    os.makedirs(d)
+    df.coalesce(1).write.parquet(f"{d}/c1")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in run_once(
+            band_candidates(stream, max_bucket_size=2),
+            output_mode="append",
+        ).collect()
+    }
+    assert got == {(0, 1)}

@@ -59,7 +59,7 @@ _VERIFY_FIRST = [
     # -- NEW in round 6: never driver-checked --
     "bpe_train", "tokenize_bpe", "pagerank_converged",
     "multimodal_png_decode", "boilerplate_scrub",
-    "stream_band_candidates",
+    "stream_band_candidates", "similarity_lsh_recall",
     # -- oldest green rows (r3), refresh in registry order --
     "asof_join", "compare_added_keys", "compare_deleted_keys",
     "compare_diff", "compare_diff_summary", "compare_field_mismatches",

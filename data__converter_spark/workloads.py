@@ -3219,6 +3219,43 @@ def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_scrub(chunked, min_docs=3)
 
 
+def q_similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the hyperplane-LSH index against brute-force
+    ground truth, per probe — the approximation-quality audit every
+    production ANN deployment runs (the dense complement of
+    minhash_est_error).  Integer counts; both legs are the
+    already-oracle-checked queries, so the intersection is exact and
+    DuckDB reproduces it by composing the same two oracles."""
+    from .llmops.similarity import brute_force_topk, lsh_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+    truth = brute_force_topk(emb, probes, k=10).select(
+        "probe_id", "neighbor_id"
+    )
+    approx = lsh_topk(emb, probes, k=10, bits=6).select(
+        "probe_id", "neighbor_id"
+    )
+    matched = (
+        approx.join(truth, ["probe_id", "neighbor_id"])
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_matched"))
+    )
+    return (
+        probes.select(F.col("vec_id").alias("probe_id"))
+        .join(matched, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce("n_matched", F.lit(0)).cast("bigint").alias(
+                "n_matched"
+            ),
+            (F.coalesce("n_matched", F.lit(0)) * 100)
+            .cast("bigint")
+            .alias("recall_milli"),
+        )
+    )
+
+
 def q_stream_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch form of the dedup-on-ingest operator
     (streaming/stateful.py:band_candidates): the distinct banded-LSH
@@ -3412,6 +3449,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_converged": q_pagerank_converged,
     "boilerplate_scrub": q_boilerplate_scrub,
     "stream_band_candidates": q_stream_band_candidates,
+    "similarity_lsh_recall": q_similarity_lsh_recall,
 }
 
 _DSIR_CTE = """
@@ -6218,3 +6256,22 @@ ORACLES["stream_band_candidates"] = (
     _mh_sql[: _mh_sql.index("verified AS (")].rstrip().rstrip(",")
     + "\nSELECT id_a, id_b FROM cand\n"
 )
+
+
+# recall@10 oracle composes the two already-checked ANN oracles as
+# nested CTEs (DuckDB supports WITH-in-CTE) and intersects them
+ORACLES["similarity_lsh_recall"] = f"""
+WITH truth AS ({ORACLES["similarity_topk"]}),
+approx AS ({ORACLES["similarity_lsh_topk"]}),
+m AS (
+    SELECT a.probe_id, CAST(count(*) AS BIGINT) AS n_matched
+    FROM approx a JOIN truth t
+      ON a.probe_id = t.probe_id AND a.neighbor_id = t.neighbor_id
+    GROUP BY a.probe_id
+),
+pr AS (SELECT DISTINCT probe_id FROM truth)
+SELECT pr.probe_id,
+       CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+       CAST(coalesce(m.n_matched, 0) * 100 AS BIGINT) AS recall_milli
+FROM pr LEFT JOIN m ON pr.probe_id = m.probe_id
+"""

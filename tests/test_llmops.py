@@ -1452,3 +1452,16 @@ def test_boilerplate_scrub_drops_every_occurrence(spark):
     assert out[4]["text_scrubbed"] == "solo\n\nsolo\n\nsolo"
     assert out[4]["n_paras_dropped"] == 0
     assert out[5]["text_scrubbed"] == "" and out[5]["n_paras_kept"] == 0
+
+
+def test_similarity_lsh_recall_bounds_and_self_match(spark):
+    """Recall@10 per probe is in [0, 10]; every probe is its own
+    nearest neighbor under cosine, and hyperplane LSH always buckets a
+    vector with itself — so n_matched >= 1 for every probe."""
+    from data__converter_spark.workloads import q_similarity_lsh_recall
+
+    rows = q_similarity_lsh_recall(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_matched"] <= 10
+        assert r["recall_milli"] == r["n_matched"] * 100

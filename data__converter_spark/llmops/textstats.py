@@ -1447,10 +1447,18 @@ def tokenize_corpus(
 BPE_EOW = "</w>"
 
 
-def _bpe_word_seqs(df: DataFrame, col: str) -> DataFrame:
+def _bpe_word_seqs(
+    df: DataFrame, col: str, min_word_freq: int = 1
+) -> DataFrame:
     """(seq, freq) over the corpus's distinct lowercased words: each
     word as its leading-space-delimited character sequence plus the
     end-of-word marker (``'low'`` -> ``' l o w </w>'``).
+
+    ``min_word_freq`` prunes the word table BEFORE the merge loop —
+    the scale guard that matters at web scale, where unique noise
+    tokens (typos, URLs, ids) dominate the DISTINCT-word count while
+    contributing almost nothing to pair counts; real BPE trainers
+    apply the same frequency floor.  Default 1 keeps exact semantics.
 
     The leading-space representation is what makes the merge step a
     plain literal ``replace``: the pattern ``' a b'`` owns its leading
@@ -1470,6 +1478,8 @@ def _bpe_word_seqs(df: DataFrame, col: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
+    if min_word_freq > 1:
+        words = words.filter(F.col("freq") >= F.lit(int(min_word_freq)))
     return words.select(
         F.concat(
             F.regexp_replace("w", "(.)", " $1"), F.lit(" " + BPE_EOW)
@@ -1516,7 +1526,10 @@ def _bpe_merge_expr(seq, merges) -> "F.Column":
 
 
 def bpe_train_merges(
-    df: DataFrame, col: str = "text", n_merges: int = 8
+    df: DataFrame,
+    col: str = "text",
+    n_merges: int = 8,
+    min_word_freq: int = 1,
 ) -> list[tuple[int, str, str, int]]:
     """Train ``n_merges`` BPE merges; returns [(rank, left, right,
     pair_count)] driver-side.
@@ -1537,7 +1550,7 @@ def bpe_train_merges(
     """
     from ..scale import persisted
 
-    seqs = persisted(_bpe_word_seqs(df, col))
+    seqs = persisted(_bpe_word_seqs(df, col, min_word_freq))
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         cur = seqs.select(
@@ -1558,7 +1571,10 @@ def bpe_train_merges(
 
 
 def bpe_train(
-    df: DataFrame, col: str = "text", n_merges: int = 8
+    df: DataFrame,
+    col: str = "text",
+    n_merges: int = 8,
+    min_word_freq: int = 1,
 ) -> DataFrame:
     """BPE merge-table training as a DataFrame: (merge_rank, left_sym,
     right_sym, pair_count) for the top ``n_merges`` merges.
@@ -1569,7 +1585,7 @@ def bpe_train(
     most frequent, repeat) — rank order IS application order for any
     downstream tokenizer."""
     spark = df.sparkSession
-    rows = bpe_train_merges(df, col, n_merges)
+    rows = bpe_train_merges(df, col, n_merges, min_word_freq)
     schema = (
         "merge_rank int, left_sym string, right_sym string,"
         " pair_count bigint"

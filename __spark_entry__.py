@@ -27,8 +27,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # keys equal the first 50 QUERIES names of each round).  Round 6
 # rotation — the round-5 verdict's #1 item is verification FRESHNESS:
 # every query whose code changed after its last driver row goes first.
-# Slot accounting (149 queries; latest driver rows: 1×r1, 48×r3, 50×r4,
-# 50×r5):
+# Slot accounting (156 queries; latest driver rows pre-r6: 1×r1,
+# 48×r3, 50×r4, 50×r5, 7 never-checked):
 #   1     length_band_filter — latest row is STILL r1 (missed the cut
 #         two rounds running; the verdict says put it FIRST)
 #   2-13  the 12 shingle/Arrow-kernel queries touched by round 5's
@@ -39,8 +39,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #         coalesce; weighted_sample DECIMAL comparison; session_paths
 #         column params; tokenize_corpus keyed vocab window) — r5 rows
 #         predate the edits
-#   then  NEW round-6 queries (never driver-checked), then the oldest
-#         green rows (r3) in registry order to fill the 50.
+#   28-34 NEW round-6 queries (never driver-checked)
+#   35-50 the oldest green rows (r3) in registry order — exactly 16
+#         fit; the r3 remainder holds r3-green rows and leads the r7
+#         rotation (slot arithmetic asserted below).
 _VERIFY_FIRST = [
     # -- latest driver row is r1: two rounds overdue --
     "length_band_filter",
@@ -60,16 +62,17 @@ _VERIFY_FIRST = [
     "bpe_train", "tokenize_bpe", "pagerank_converged",
     "multimodal_png_decode", "boilerplate_scrub",
     "stream_band_candidates", "similarity_lsh_recall",
-    # -- oldest green rows (r3), refresh in registry order --
+    # -- oldest green rows (r3), refresh in registry order: 16 fit --
     "asof_join", "compare_added_keys", "compare_deleted_keys",
     "compare_diff", "compare_diff_summary", "compare_field_mismatches",
     "convert_key_union", "convert_split_lines", "convert_xml_escape",
     "corpus_top_ngrams", "date_remaining_days", "dedup_embedding_pairs",
     "dedup_exact", "dedup_exact_groups", "funnel_conversion",
-    "mask_deterministic", "mask_invariants", "mask_recovery_roundtrip",
+    "mask_deterministic",
+    # (r3 remainder — falls past the 50-cut this round and leads the
+    # r7 rotation)
+    "mask_invariants", "mask_recovery_roundtrip",
     "pattern_count_matches",
-    # (r3 remainder — pattern_replace*, pipeline_pretraining, pricing
-    # etc — falls past the cut this round and leads the r7 rotation)
     "pattern_presets", "pattern_replace_all", "pattern_replace_first",
     "pattern_stats_by_lang", "pipeline_pretraining", "pricing_summary",
     "priority_revenue", "range_join_attribution", "retention_cohorts",

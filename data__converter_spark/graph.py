@@ -19,6 +19,45 @@ from pyspark.sql import functions as F
 RANK_SCALE = 1_000_000
 
 
+def _pr_teleport(damping_permille: int):
+    """The constant teleport term, floored once at plan time."""
+    return F.lit((1000 - damping_permille) * RANK_SCALE // 1000)
+
+
+def _pr_contrib(e_deg: DataFrame, ranks: DataFrame) -> DataFrame:
+    """One superstep's (dst, in_sum): each node splits its rank evenly
+    over its out-edges (floored), contributions sum exactly as BIGINT
+    on the destination key.  ``ranks`` must carry (node, rank_micro);
+    ``e_deg`` the degree-annotated edge list.  Shared by the
+    fixed-iteration and convergence-gated loops so the exact-integer
+    update can never diverge between them."""
+    return (
+        e_deg.join(
+            ranks.select(
+                F.col("node").alias("src"), F.col("rank_micro").alias("r")
+            ),
+            "src",
+        )
+        .select("dst", F.floor(F.col("r") / F.col("out_deg")).alias("c"))
+        .groupBy("dst")
+        .agg(F.sum("c").alias("in_sum"))
+    )
+
+
+def _pr_damped(damping_permille: int):
+    """in_sum -> next rank_micro: ``teleport + floor(d·Σ/1000)``, both
+    terms floored — the bit-reproducible closed form the unrolled SQL
+    oracle computes."""
+    return (
+        _pr_teleport(damping_permille)
+        + F.floor(
+            F.lit(damping_permille)
+            * F.coalesce("in_sum", F.lit(0))
+            / F.lit(1000)
+        )
+    ).cast("bigint")
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 3,
@@ -73,37 +112,13 @@ def pagerank(
     if persist_invariants and iterations > 0:
         e_deg = persisted(e_deg)
         nodes = persisted(nodes)
-    teleport = F.lit((1000 - damping_permille) * RANK_SCALE // 1000)
     ranks = nodes.select(
         "node", F.lit(RANK_SCALE).cast("bigint").alias("rank_micro")
     )
     for _ in range(iterations):
-        contrib = (
-            e_deg.join(
-                ranks.select(
-                    F.col("node").alias("src"), F.col("rank_micro").alias("r")
-                ),
-                "src",
-            )
-            .select("dst", F.floor(F.col("r") / F.col("out_deg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("in_sum"))
-        )
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                (
-                    teleport
-                    + F.floor(
-                        F.lit(damping_permille)
-                        * F.coalesce("in_sum", F.lit(0))
-                        / F.lit(1000)
-                    )
-                )
-                .cast("bigint")
-                .alias("rank_micro"),
-            )
+        contrib = _pr_contrib(e_deg, ranks)
+        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node", _pr_damped(damping_permille).alias("rank_micro")
         )
     return ranks
 
@@ -161,7 +176,6 @@ def pagerank_until(
     )
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     e_deg = persisted(e.join(out_deg, "src"))
-    teleport = F.lit((1000 - damping_permille) * RANK_SCALE // 1000)
     # initial ranks persist too: the rank state feeds BOTH sides of
     # every superstep (contribution join + update join), so a lazy
     # init would duplicate the node-distinct subtree into each branch
@@ -183,35 +197,13 @@ def pagerank_until(
             "rank_micro",
         )
         for _ in range(steps):
-            contrib = (
-                e_deg.join(
-                    cur.select(
-                        F.col("node").alias("src"),
-                        F.col("rank_micro").alias("r"),
-                    ),
-                    "src",
-                )
-                .select(
-                    "dst", F.floor(F.col("r") / F.col("out_deg")).alias("c")
-                )
-                .groupBy("dst")
-                .agg(F.sum("c").alias("in_sum"))
-            )
+            contrib = _pr_contrib(e_deg, cur)
             cur = cur.select("node", "prev_micro").join(
                 contrib, F.col("node") == contrib.dst, "left"
             ).select(
                 "node",
                 "prev_micro",
-                (
-                    teleport
-                    + F.floor(
-                        F.lit(damping_permille)
-                        * F.coalesce("in_sum", F.lit(0))
-                        / F.lit(1000)
-                    )
-                )
-                .cast("bigint")
-                .alias("rank_micro"),
+                _pr_damped(damping_permille).alias("rank_micro"),
             )
         done += steps
         ranks = persisted(cur)

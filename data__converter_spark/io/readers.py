@@ -247,11 +247,20 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         ).limit(1).collect()
         if not head:
             raise ValueError(f"no avro files under {path!r}")
+        raw = bytes(head[0]["h"])
         try:
-            schema = avro_lite.read_avro_schema(bytes(head[0]["h"]))
+            schema = avro_lite.read_avro_schema(raw)
             spark_schema = avro_lite.spark_schema_of(schema)
             break
-        except avro_lite.AvroHeaderTruncated:
+        except avro_lite.AvroHeaderTruncated as err:
+            if len(raw) < cap:
+                # the peek returned the WHOLE file and the header still
+                # ran past its end — the file itself is cut short
+                # (partial upload), not our peek: don't blame the cap
+                raise ValueError(
+                    f"avro file under {path!r} is truncated mid-header "
+                    f"({len(raw)} bytes total): {err}"
+                ) from err
             continue
         except ValueError as err:
             raise NotImplementedError(

@@ -1439,7 +1439,6 @@ def tokenize_corpus(
         )
     )
 
-
 # ---------------------------------------------------------------------------
 # Subword tokenization: BPE merge training + application
 # ---------------------------------------------------------------------------
@@ -1451,21 +1450,22 @@ def _bpe_word_seqs(
     df: DataFrame, col: str, min_word_freq: int = 1
 ) -> DataFrame:
     """(seq, freq) over the corpus's distinct lowercased words: each
-    word as its leading-space-delimited character sequence plus the
-    end-of-word marker (``'low'`` -> ``' l o w </w>'``).
+    word as its SYMBOL ARRAY — the characters plus the end-of-word
+    marker (``'low'`` -> ``['l', 'o', 'w', '</w>']``).
+
+    Symbols stay an array end to end: merging is a left fold over the
+    token list (see :func:`_bpe_merge_expr`), never a string
+    ``replace`` — a flat-string representation cannot express the
+    right-hand symbol boundary, so a literal replace would fuse a pair
+    ``(a, b)`` into a LONGER symbol that merely starts with ``b``
+    (``['a', 'bc</w>']`` must not match ``(a, b)``), silently
+    diverging from reference BPE.
 
     ``min_word_freq`` prunes the word table BEFORE the merge loop —
     the scale guard that matters at web scale, where unique noise
     tokens (typos, URLs, ids) dominate the DISTINCT-word count while
     contributing almost nothing to pair counts; real BPE trainers
     apply the same frequency floor.  Default 1 keeps exact semantics.
-
-    The leading-space representation is what makes the merge step a
-    plain literal ``replace``: the pattern ``' a b'`` owns its leading
-    delimiter and the following symbol keeps its own, so non-adjacent
-    or mid-symbol text can never match, and scan-forward replacement is
-    exactly BPE's greedy left-to-right non-overlapping pairing
-    (``' a a a a'`` -> ``' aa aa'``) — identically on Spark and DuckDB.
 
     This is the ONLY corpus-scale pass of BPE training: everything
     after runs on the aggregated word table (distinct words ≪ corpus —
@@ -1480,30 +1480,31 @@ def _bpe_word_seqs(
     )
     if min_word_freq > 1:
         words = words.filter(F.col("freq") >= F.lit(int(min_word_freq)))
-    return words.select(
-        F.concat(
-            F.regexp_replace("w", "(.)", " $1"), F.lit(" " + BPE_EOW)
-        ).alias("seq"),
-        "freq",
+    return words.select(_bpe_symbols(F.col("w")).alias("seq"), "freq")
+
+
+def _bpe_symbols(word) -> "F.Column":
+    """word string -> initial symbol array: characters + ``</w>``."""
+    return F.concat(
+        F.filter(F.split(word, ""), lambda x: x != ""),
+        F.array(F.lit(BPE_EOW)),
     )
 
 
 def _bpe_pair_counts(seqs: DataFrame) -> DataFrame:
     """(a, b, cnt): adjacent-symbol pair counts weighted by word
-    frequency.  Symbols sit at 1-based split indices 2..n (index 1 is
-    the empty string before the leading delimiter), so pairs span
-    j = 2..n-1 — one narrow explode plus one aggregate.  Fully fused
-    words (one symbol left, n = 2) are filtered out first: Spark's
-    ``sequence(2, 1)`` counts DOWN rather than yielding empty, which
-    would index past the array."""
-    syms = F.split("seq", " ")
+    frequency — one narrow explode plus one aggregate.  Fully fused
+    words (single symbol) contribute no pairs and are filtered before
+    the explode (Spark's ``sequence(1, 0)`` counts DOWN rather than
+    yielding empty, which would index past the array)."""
+    syms = F.col("seq")
     return (
-        seqs.filter(F.size(syms) >= 3)
+        seqs.filter(F.size(syms) >= 2)
         .select(
             "freq",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(2), F.size(syms) - 1),
+                    F.sequence(F.lit(1), F.size(syms) - 1),
                     lambda j: F.struct(
                         F.element_at(syms, j).alias("a"),
                         F.element_at(syms, j + F.lit(1)).alias("b"),
@@ -1517,11 +1518,34 @@ def _bpe_pair_counts(seqs: DataFrame) -> DataFrame:
 
 
 def _bpe_merge_expr(seq, merges) -> "F.Column":
-    """Chain of literal replaces applying ``merges`` in rank order —
-    the whole merge table compiles into one narrow JVM projection."""
+    """Apply ``merges`` in rank order to a symbol-array column: each
+    merge is a left fold (``F.aggregate``) that walks the token list
+    once, fusing ``(a, b)`` greedily left-to-right and non-overlapping
+    — canonical Sennrich semantics: the freshly fused symbol becomes
+    the new "last" and can only re-merge as a WHOLE symbol in a later
+    merge, and a longer symbol that merely starts with ``b`` never
+    matches.  All JVM-side higher-order functions; ~|merges| × |seq|
+    element ops per row, no Python anywhere."""
+    def step(a: str, b: str):
+        la, lb, merged = F.lit(a), F.lit(b), F.lit(a + b)
+
+        def fold(acc, x):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == la)
+                & (x == lb),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return fold
+
     out = seq
     for _rank, a, b, _cnt in merges:
-        out = F.replace(out, F.lit(f" {a} {b}"), F.lit(f" {a}{b}"))
+        out = F.aggregate(
+            out, F.array().cast("array<string>"), step(a, b)
+        )
     return out
 
 
@@ -1536,8 +1560,8 @@ def bpe_train_merges(
 
     Iteration shape (the kmeans_train / pagerank pattern — bounded
     driver pulls only): per round, one explode + one aggregate over the
-    PERSISTED word table with the i accumulated replaces applied as a
-    narrow projection chain, then ``orderBy().limit(1)`` — a
+    PERSISTED word table with the i accumulated merge folds applied as
+    a narrow projection chain, then ``orderBy().limit(1)`` — a
     TakeOrderedAndProject whose single winning row is collected.  The
     driver holds n_merges rows total; the corpus-scale text is read
     exactly once (by the word aggregate).  Ties break on
@@ -1545,8 +1569,9 @@ def bpe_train_merges(
     the DuckDB oracle reproduces the merge table exactly.
 
     Stops early when no adjacent pair remains (every word fused to one
-    symbol) — the unrolled oracle chain agrees because an empty best-
-    pair CTE empties every later stage.
+    symbol) — the unrolled oracle chain agrees because each merge
+    stage falls back to its predecessor when its best-pair CTE is
+    empty.
     """
     from ..scale import persisted
 
@@ -1603,14 +1628,14 @@ def bpe_tokenize(
     """Encode every document with a BPE merge table (trained on the
     same corpus unless ``merges`` is supplied): per document the word
     count, the total BPE piece count, and the sha256 digest of the
-    concatenated piece sequences in word order — the exact artifact
+    space-joined piece stream in word order — the exact artifact
     equality check for a tokenizer without shipping the piece arrays.
 
     Scale shape: the merge chain is ONE narrow projection (n_merges
-    literal replaces fused by codegen) over the exploded tokens; the
-    per-doc aggregate uses the order-deterministic struct array_sort
-    (never a bare collect_list).  Output: (``id_col``, n_words,
-    n_bpe_tokens, pieces_digest); empty docs count 0 with the
+    JVM fold passes over each token's symbol array) over the exploded
+    tokens; the per-doc aggregate uses the order-deterministic struct
+    array_sort (never a bare collect_list).  Output: (``id_col``,
+    n_words, n_bpe_tokens, pieces_digest); empty docs count 0 with the
     empty-string digest.
     """
     if merges is None:
@@ -1621,24 +1646,28 @@ def bpe_tokenize(
             "pos", "term"
         ),
     )
-    seq0 = F.concat(
-        F.regexp_replace("term", "(.)", " $1"), F.lit(" " + BPE_EOW)
-    )
     enc = toks.select(
-        id_col, "pos", _bpe_merge_expr(seq0, merges).alias("seq")
+        id_col,
+        "pos",
+        _bpe_merge_expr(_bpe_symbols(F.col("term")), merges).alias("seq"),
     )
     agg = enc.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_words"),
-        F.sum(F.size(F.split("seq", " ")) - 1).cast("bigint").alias(
-            "n_bpe_tokens"
-        ),
+        F.sum(F.size("seq")).cast("bigint").alias("n_bpe_tokens"),
         F.sha2(
             F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "seq"))),
-                    lambda x: x["seq"],
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("pos"),
+                                F.array_join("seq", " ").alias("ps"),
+                            )
+                        )
+                    ),
+                    lambda x: x["ps"],
                 ),
-                "",
+                " ",
             ),
             256,
         ).alias("pieces_digest"),

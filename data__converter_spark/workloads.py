@@ -1770,6 +1770,23 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PARA_WORDS = 3
 
 
+def _para_chunked(docs: DataFrame) -> DataFrame:
+    """Deterministic 3-word re-chunk of the documents table (the
+    synthetic corpus has no newlines) — shared by q_paragraph_dedup and
+    q_boilerplate_scrub so both engines build identical paragraphs."""
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(words), F.lit(1)), F.lit(_PARA_WORDS)
+    )
+    ptext = F.array_join(
+        F.transform(
+            starts, lambda s: F.array_join(F.slice(words, s, _PARA_WORDS), " ")
+        ),
+        "\n\n",
+    )
+    return docs.select("doc_id", ptext.alias("text"))
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb-style corpus-wide paragraph dedup
     (llmops/dedup.py:paragraph_dedup): first occurrence of each distinct
@@ -1781,16 +1798,7 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale note; a hot digest partition is AQE-splittable)."""
     from .llmops.dedup import paragraph_dedup
 
-    docs = _load(spark, sf_dir, "documents")
-    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
-    starts = F.sequence(F.lit(1), F.greatest(F.size(words), F.lit(1)), F.lit(_PARA_WORDS))
-    ptext = F.array_join(
-        F.transform(
-            starts, lambda s: F.array_join(F.slice(words, s, _PARA_WORDS), " ")
-        ),
-        "\n\n",
-    )
-    chunked = docs.select("doc_id", ptext.alias("text"))
+    chunked = _para_chunked(_load(spark, sf_dir, "documents"))
     return paragraph_dedup(chunked, col="text", id_col="doc_id")
 
 
@@ -3204,19 +3212,9 @@ def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_paragraph_dedup so both engines build identical paragraphs."""
     from .llmops.dedup import boilerplate_scrub
 
-    docs = _load(spark, sf_dir, "documents")
-    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
-    starts = F.sequence(
-        F.lit(1), F.greatest(F.size(words), F.lit(1)), F.lit(_PARA_WORDS)
+    return boilerplate_scrub(
+        _para_chunked(_load(spark, sf_dir, "documents")), min_docs=3
     )
-    ptext = F.array_join(
-        F.transform(
-            starts, lambda s: F.array_join(F.slice(words, s, _PARA_WORDS), " ")
-        ),
-        "\n\n",
-    )
-    chunked = docs.select("doc_id", ptext.alias("text"))
-    return boilerplate_scrub(chunked, min_docs=3)
 
 
 def q_similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6040,13 +6038,32 @@ FROM c LEFT JOIN p
 }
 
 
+def _bpe_fold_sql(src_alias: str, b_cte: str) -> str:
+    """The per-merge greedy fold as DuckDB SQL: list_reduce over the
+    symbol list with a chr(1)-sentinel string accumulator (DuckDB's
+    list_reduce accumulator must be scalar), re-split to a list.
+    Canonical Sennrich semantics, bit-identical to the Spark
+    F.aggregate fold: the fused symbol becomes the new last element,
+    and a longer symbol merely STARTING with the right-hand side never
+    matches.  Assumes document text contains no chr(1) bytes (the
+    sentinel), which no tokenizer corpus does."""
+    return f"""string_split(list_reduce({src_alias}.seq, (acc, x) -> CASE
+        WHEN regexp_extract(acc, '[^' || chr(1) || ']*$') = {b_cte}.a
+             AND x = {b_cte}.b
+        THEN left(acc, length(acc) - length({b_cte}.a))
+             || {b_cte}.a || {b_cte}.b
+        ELSE acc || chr(1) || x END), chr(1))"""
+
+
 def _bpe_chain_sql(n_merges: int) -> str:
     """Shared DuckDB CTE chain for the BPE oracles: doc tokens ->
     word-frequency table -> per-merge (pair counts, best pair, merged
-    sequences).  Generated, not handwritten, so the Spark loop and the
-    oracle always unroll the same number of iterations."""
+    symbol lists).  Generated, not handwritten, so the Spark loop and
+    the oracle always unroll the same number of iterations; each merge
+    stage falls back to its predecessor when its best-pair CTE is
+    empty (pair exhaustion), matching the Spark loop's early stop."""
     parts = [
-        """dtoks AS (
+        """dtoks AS MATERIALIZED (
     SELECT doc_id, CAST(r.i AS INT) - 1 AS pos,
            lower(words[CAST(r.i AS BIGINT)]) AS term
     FROM (
@@ -6057,24 +6074,35 @@ def _bpe_chain_sql(n_merges: int) -> str:
         FROM documents
     ), unnest(range(1, len(words) + 1)) AS r(i)
 ),
-words AS (SELECT term AS w, CAST(count(*) AS BIGINT) AS freq
+words AS MATERIALIZED (SELECT term AS w, CAST(count(*) AS BIGINT) AS freq
           FROM dtoks GROUP BY term),
-s0 AS (SELECT regexp_replace(w, '(.)', ' \\1', 'g') || ' </w>' AS seq, freq
-       FROM words)"""
+s0 AS MATERIALIZED (
+    SELECT list_filter(
+               string_split(regexp_replace(w, '(.)', '\\1' || chr(1), 'g'),
+                            chr(1)),
+               x -> x != '') || ['</w>'] AS seq,
+           freq
+    FROM words
+)"""
     ]
     for i in range(1, n_merges + 1):
+        fold = _bpe_fold_sql("t", f"b{i}")
         parts.append(
             f"""p{i} AS (
-    SELECT t.syms[CAST(r.j AS BIGINT)] AS a,
-           t.syms[CAST(r.j AS BIGINT) + 1] AS b,
+    SELECT t.seq[CAST(r.j AS BIGINT)] AS a,
+           t.seq[CAST(r.j AS BIGINT) + 1] AS b,
            CAST(sum(t.freq) AS BIGINT) AS cnt
-    FROM (SELECT string_split(seq, ' ') AS syms, freq FROM s{i - 1}) t,
-         unnest(range(2, len(t.syms))) AS r(j)
+    FROM s{i - 1} t, unnest(range(1, len(t.seq))) AS r(j)
     GROUP BY 1, 2
 ),
-b{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
-s{i} AS (SELECT replace(seq, ' '||a||' '||b, ' '||a||b) AS seq, freq
-       FROM s{i - 1}, b{i})"""
+b{i} AS MATERIALIZED (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
+s{i} AS MATERIALIZED (
+    SELECT {fold} AS seq, t.freq
+    FROM s{i - 1} t, b{i}
+    UNION ALL
+    SELECT seq, freq FROM s{i - 1}
+    WHERE NOT EXISTS (SELECT 1 FROM b{i})
+)"""
         )
     return ",\n".join(parts)
 
@@ -6090,23 +6118,31 @@ def _bpe_train_oracle(n_merges: int) -> str:
 
 def _tokenize_bpe_oracle(n_merges: int) -> str:
     apply = ",\n".join(
-        f"d{i} AS (SELECT doc_id, pos,"
-        f" replace(seq, ' '||a||' '||b, ' '||a||b) AS seq FROM d{i - 1}, b{i})"
+        f"""d{i} AS MATERIALIZED (
+    SELECT t.doc_id, t.pos, {_bpe_fold_sql("t", f"b{i}")} AS seq
+    FROM d{i - 1} t, b{i}
+    UNION ALL
+    SELECT doc_id, pos, seq FROM d{i - 1}
+    WHERE NOT EXISTS (SELECT 1 FROM b{i})
+)"""
         for i in range(1, n_merges + 1)
     )
     return f"""WITH {_bpe_chain_sql(n_merges)},
-d0 AS (
+d0 AS MATERIALIZED (
     SELECT doc_id, pos,
-           regexp_replace(term, '(.)', ' \\1', 'g') || ' </w>' AS seq
+           list_filter(
+               string_split(regexp_replace(term, '(.)', '\\1' || chr(1), 'g'),
+                            chr(1)),
+               x -> x != '') || ['</w>'] AS seq
     FROM dtoks
 ),
 {apply},
 agg AS (
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_words,
-           CAST(sum(len(string_split(seq, ' ')) - 1) AS BIGINT)
-               AS n_bpe_tokens,
-           sha256(string_agg(seq, '' ORDER BY pos)) AS pieces_digest
+           CAST(sum(len(seq)) AS BIGINT) AS n_bpe_tokens,
+           sha256(string_agg(array_to_string(seq, ' '), ' ' ORDER BY pos))
+               AS pieces_digest
     FROM d{n_merges} GROUP BY doc_id
 )
 SELECT d.doc_id,
@@ -6160,7 +6196,9 @@ deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
 r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes)"""
     parts = [head]
     probes = list(range(probe_every, n_iters + 1, probe_every))
-    if probes[-1] != n_iters:
+    if not probes or probes[-1] != n_iters:
+        # probe_every > n_iters degenerates to one final-state probe,
+        # mirroring pagerank_until's min(probe_every, remaining) step
         probes.append(n_iters)
     for i in range(1, n_iters + 1):
         parts.append(f"""r{i} AS (
@@ -6194,15 +6232,15 @@ r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes)"""
 ORACLES["pagerank_converged"] = _pagerank_converged_oracle(4, 2)
 
 
-ORACLES["boilerplate_scrub"] = """
+ORACLES["boilerplate_scrub"] = f"""
 WITH w AS (
     SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws FROM documents
 ),
 p AS (
     SELECT doc_id,
            array_to_string(
-               list_transform(range(1, greatest(len(ws), 1) + 1, 3),
-                              s -> array_to_string(ws[s : s + 2], ' ')),
+               list_transform(range(1, greatest(len(ws), 1) + 1, {_PARA_WORDS}),
+                              s -> array_to_string(ws[s : s + {_PARA_WORDS - 1}], ' ')),
                chr(10) || chr(10)) AS ptext
     FROM w
 ),
@@ -6252,8 +6290,18 @@ FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 # front, stop at the cand CTE (no Jaccard verify) — the batch contract
 # of streaming/stateful.band_candidates
 _mh_sql = ORACLES["dedup_minhash_lsh"]
+_MH_VERIFY_MARK = "verified AS ("
+if _mh_sql.count(_MH_VERIFY_MARK) != 1:
+    # splice guard: if the minhash oracle's verify CTE is ever renamed
+    # or reformatted, fail at import with a named cause instead of
+    # slicing at the wrong place
+    raise RuntimeError(
+        "stream_band_candidates oracle splice: expected exactly one "
+        "occurrence of the verify-CTE marker in the dedup_minhash_lsh "
+        f"oracle, found {_mh_sql.count(_MH_VERIFY_MARK)}"
+    )
 ORACLES["stream_band_candidates"] = (
-    _mh_sql[: _mh_sql.index("verified AS (")].rstrip().rstrip(",")
+    _mh_sql[: _mh_sql.index(_MH_VERIFY_MARK)].rstrip().rstrip(",")
     + "\nSELECT id_a, id_b FROM cand\n"
 )
 

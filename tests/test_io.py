@@ -501,3 +501,18 @@ def test_avro_lite_union_branch_order(tmp_path):
     with open(p, "rb") as f:
         _, got = avro_lite.read_avro_bytes(f.read())
     assert got == rows
+
+
+def test_avro_truncated_small_file_blames_the_file_not_the_cap(spark, tmp_path):
+    # a genuinely cut-off file SMALLER than the peek must be diagnosed
+    # as a truncated file (partial upload), not as exceeding the peek
+    # cap, and never escalate to the 8 MiB retry
+    from data__converter_spark.io import avro_lite
+
+    d = tmp_path / "cut"
+    d.mkdir()
+    avro_lite.write_avro(str(d / "a.avro"), AVRO_ROWS, AVRO_SCHEMA, "null")
+    raw = (d / "a.avro").read_bytes()
+    (d / "a.avro").write_bytes(raw[:20])  # cut mid-metadata-map
+    with pytest.raises(ValueError, match="truncated mid-header"):
+        readers.read_avro(spark, str(d))

@@ -1348,13 +1348,26 @@ def test_bpe_train_matches_reference_counter(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
 
     def ref_bpe(texts, n):
+        # canonical token-LIST greedy merge (Sennrich) — a flat-string
+        # replace reference would share the very symbol-boundary bug
+        # this pins against
+        def merge_word(syms, a, b):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return out
+
         words = Counter(w.lower() for t in texts for w in t.split())
-        seqs = {" " + " ".join(list(w)) + " </w>": f for w, f in words.items()}
+        seqs = [(list(w) + ["</w>"], f) for w, f in words.items()]
         merges = []
         for rank in range(1, n + 1):
             pc = Counter()
-            for s, f in seqs.items():
-                syms = s.split(" ")[1:]
+            for syms, f in seqs:
                 for i in range(len(syms) - 1):
                     pc[(syms[i], syms[i + 1])] += f
             if not pc:
@@ -1363,9 +1376,7 @@ def test_bpe_train_matches_reference_counter(spark):
                 pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
             )[0]
             merges.append((rank, a, b, cnt))
-            seqs = {
-                s.replace(f" {a} {b}", f" {a}{b}"): f for s, f in seqs.items()
-            }
+            seqs = [(merge_word(syms, a, b), f) for syms, f in seqs]
         return merges
 
     got = [
@@ -1468,3 +1479,35 @@ def test_similarity_lsh_recall_bounds_and_consistency(spark):
         assert 0 <= r["n_matched"] <= 10
         assert r["recall_milli"] == r["n_matched"] * 100
     assert any(r["n_matched"] >= 1 for r in rows)
+
+
+def test_bpe_merge_never_fuses_across_symbol_boundary(spark):
+    """Regression (round-6 review finding): pair (a, b) must NOT merge
+    where the adjacent symbol merely STARTS with b.  Corpus bc x10,
+    ab x6, abc x5 trains (b,c), (bc,</w>), (a,b); applying them to
+    'abc' must yield the two pieces [a, bc</w>] — a flat-string
+    replace representation fused it to one piece 'abc</w>'."""
+    from data__converter_spark.llmops.textstats import bpe_tokenize, bpe_train
+    from data__converter_spark.scale import release_persisted
+
+    rows = [(1, " ".join(["bc"] * 10)), (2, " ".join(["ab"] * 6)),
+            (3, " ".join(["abc"] * 5))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train(df, n_merges=3).collect()
+    ]
+    release_persisted()
+    assert [(m[1], m[2]) for m in merges] == [
+        ("b", "c"), ("bc", "</w>"), ("a", "b")
+    ], merges
+    out = {
+        r["doc_id"]: r for r in bpe_tokenize(df, merges=merges).collect()
+    }
+    release_persisted()
+    # 'abc' -> [a, bc</w>]: 2 pieces per word, 5 words
+    assert out[3]["n_bpe_tokens"] == 10, out[3]
+    # 'ab' -> [ab, </w>] (merge 3 fuses a+b; (ab,</w>) was never merged)
+    assert out[2]["n_bpe_tokens"] == 12, out[2]
+    # 'bc' -> [bc</w>]: fully fused, 1 piece
+    assert out[1]["n_bpe_tokens"] == 10, out[1]

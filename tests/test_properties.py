@@ -318,9 +318,10 @@ def test_pmi_collocations_vs_counter(spark, texts):
 @given(st.lists(doc_text, min_size=1, max_size=4))
 def test_bpe_train_vs_counter(spark, texts):
     """The distributed BPE merge loop agrees merge-for-merge (symbols,
-    ranks, exact pair counts, early stop) with a pure-Python Counter
-    reference under arbitrary tiny-alphabet corpora — heavy repetition
-    stresses greedy non-overlapping pairing and count ties."""
+    ranks, exact pair counts, early stop) with a canonical token-list
+    Counter reference under arbitrary tiny-alphabet corpora — heavy
+    repetition stresses greedy non-overlapping pairing, count ties,
+    and the fused-symbol-boundary cases a string replace gets wrong."""
     from collections import Counter
 
     from data__converter_spark.llmops.textstats import bpe_train
@@ -333,13 +334,23 @@ def test_bpe_train_vs_counter(spark, texts):
     ]
     release_persisted()
 
+    def merge_word(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
     words = Counter(w.lower() for t in texts for w in t.split())
-    seqs = {" " + " ".join(list(w)) + " </w>": f for w, f in words.items()}
+    seqs = [(list(w) + ["</w>"], f) for w, f in words.items()]
     expect = []
     for rank in range(1, 5):
         pc: Counter = Counter()
-        for s, f in seqs.items():
-            syms = s.split(" ")[1:]
+        for syms, f in seqs:
             for i in range(len(syms) - 1):
                 pc[(syms[i], syms[i + 1])] += f
         if not pc:
@@ -348,8 +359,5 @@ def test_bpe_train_vs_counter(spark, texts):
             pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
         )[0]
         expect.append((rank, a, b, cnt))
-        merged = Counter()
-        for s, f in seqs.items():
-            merged[s.replace(f" {a} {b}", f" {a}{b}")] += f
-        seqs = dict(merged)
+        seqs = [(merge_word(syms, a, b), f) for syms, f in seqs]
     assert got == expect

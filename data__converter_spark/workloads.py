@@ -6042,8 +6042,9 @@ def _bpe_fold_sql(src_alias: str, b_cte: str) -> str:
     """The per-merge greedy fold as DuckDB SQL: list_reduce over the
     symbol list with a chr(1)-sentinel string accumulator (DuckDB's
     list_reduce accumulator must be scalar), re-split to a list.
-    Canonical Sennrich semantics, bit-identical to the Spark
-    F.aggregate fold: the fused symbol becomes the new last element,
+    Canonical Sennrich semantics, independently reproducing the Spark
+    side's Arrow kernel (textstats._bpe_apply_col's greedy token-list
+    walk): the fused symbol becomes the new last element,
     and a longer symbol merely STARTING with the right-hand side never
     matches.  Assumes document text contains no chr(1) bytes (the
     sentinel), which no tokenizer corpus does."""

@@ -361,3 +361,36 @@ def test_bpe_train_vs_counter(spark, texts):
         expect.append((rank, a, b, cnt))
         seqs = [(merge_word(syms, a, b), f) for syms, f in seqs]
     assert got == expect
+
+
+@settings(**SPARK_SETTINGS)
+@given(st.lists(doc_text, min_size=1, max_size=5), st.integers(2, 3))
+def test_boilerplate_scrub_vs_counter(spark, texts, min_docs):
+    """Scrub output agrees with a pure-Python reference (distinct-doc
+    frequency per paragraph, drop every occurrence at the bar) under
+    arbitrary tiny-alphabet corpora — 'c' in the alphabet yields
+    multi-word docs whose single-space splits act as paragraphs."""
+    from collections import Counter
+
+    from data__converter_spark.llmops.dedup import boilerplate_scrub
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["text_scrubbed"], r["n_paras_kept"], r["n_paras_dropped"]
+        )
+        for r in boilerplate_scrub(df, sep=" ", min_docs=min_docs).collect()
+    }
+
+    dfreq: Counter = Counter()
+    for _i, t in docs:
+        for p in {p for p in t.split(" ") if p.strip()}:
+            dfreq[p] += 1
+    hot = {p for p, c in dfreq.items() if c >= min_docs}
+    for i, t in docs:
+        paras = [p for p in t.split(" ") if p.strip()]
+        kept = [p for p in paras if p not in hot]
+        want = (" ".join(kept), len(kept), len(paras) - len(kept))
+        assert got[i] == want, (i, got[i], want)
+    assert len(got) == len(docs)

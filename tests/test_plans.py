@@ -518,3 +518,52 @@ def test_pq_topk_single_encode_kernel(spark):
     p = plan_of(QUERIES["similarity_pq_topk"](spark, SF_DIR))
     assert p.count("MapInPandas") == 1
     assert "CartesianProduct" not in p
+
+
+def test_png_roundtrip_plan_is_one_arrow_pass_no_exchange(spark):
+    """multimodal_png_decode: the codec round-trip is a single
+    fanned-out Arrow pass over the id projection — zero Exchange
+    after the fan-out repartition, exactly one ArrowEvalPython-class
+    node, pruned to the one id column."""
+    from data__converter_spark.workloads import QUERIES
+
+    df = QUERIES["multimodal_png_decode"](spark, SF_DIR)
+    p = plan_of(df)
+    assert p.count("MapInPandas") == 1
+    # the only exchange is the fan-out RoundRobin repartition; the
+    # kernel output flows straight to the sink
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)", p)
+    assert all(e.startswith("RoundRobin") for e in exchanges), exchanges
+    assert "doc_id" in p and "text" not in p  # column pruning held
+
+
+def test_tokenize_bpe_plan_encodes_distinct_words_once(spark):
+    """tokenize_bpe: exactly ONE Arrow encode kernel (over distinct
+    words, not per token) and the vocab side joins broadcast at this
+    SF (size-gated hint applied)."""
+    from data__converter_spark.scale import release_persisted
+    from data__converter_spark.workloads import QUERIES
+
+    df = QUERIES["tokenize_bpe"](spark, SF_DIR)
+    p = plan_of(df)
+    release_persisted()
+    assert p.count("ArrowEvalPython") == 1, p.count("ArrowEvalPython")
+    assert "BroadcastHashJoin" in p
+    # greedy merge runs in the kernel; no HOF fold remains in the plan
+    assert "aggregate(" not in p
+
+
+def test_boilerplate_scrub_plan_has_no_set_window(spark):
+    """boilerplate_scrub: document frequency comes from the two-level
+    distinct aggregate — no Window operator and no collect_set
+    anywhere in the plan (the per-copy state-buffer shape the
+    docstring forbids)."""
+    from data__converter_spark.workloads import QUERIES
+
+    df = QUERIES["boilerplate_scrub"](spark, SF_DIR)
+    p = plan_of(df)
+    assert "Window" not in p
+    assert "collect_set" not in p
+    assert "HashAggregate" in p or "ObjectHashAggregate" in p

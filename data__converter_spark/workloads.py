@@ -3254,6 +3254,33 @@ def q_similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language BPE fertility — pieces per word in exact milli
+    units — of the corpus-trained 8-merge tokenizer: THE standard
+    multilingual tokenizer-QA metric (a language with high fertility
+    is under-served by the merge table).  Composes bpe_tokenize's
+    per-doc counts with the documents dimension; integer arithmetic
+    end to end."""
+    from .llmops.textstats import bpe_tokenize
+
+    docs = _load(spark, sf_dir, "documents")
+    enc = bpe_tokenize(docs, n_merges=8)
+    return (
+        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("n_pieces"),
+            # nullif: a language of only-empty docs divides by zero —
+            # NULL on both engines, not a Spark-NULL/DuckDB-error split
+            F.expr("sum(n_bpe_tokens) * 1000 div nullif(sum(n_words), 0)")
+            .cast("bigint")
+            .alias("fertility_milli"),
+        )
+    )
+
+
 def q_stream_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch form of the dedup-on-ingest operator
     (streaming/stateful.py:band_candidates): the distinct banded-LSH
@@ -3448,6 +3475,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_scrub": q_boilerplate_scrub,
     "stream_band_candidates": q_stream_band_candidates,
     "similarity_lsh_recall": q_similarity_lsh_recall,
+    "bpe_fertility": q_bpe_fertility,
 }
 
 _DSIR_CTE = """
@@ -6310,3 +6338,29 @@ SELECT pr.probe_id,
        CAST(coalesce(m.n_matched, 0) * 100 AS BIGINT) AS recall_milli
 FROM pr LEFT JOIN m ON pr.probe_id = m.probe_id
 """
+
+
+def _bpe_fertility_oracle(n_merges: int) -> str:
+    """Per-language roll-up of the tokenize chain: dtoks join the
+    encoded word table, then documents.lang."""
+    return f"""WITH {_bpe_chain_sql(n_merges)},
+perdoc AS (
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(e.seq)) AS BIGINT) AS n_pieces
+    FROM dtoks t JOIN s{n_merges} e ON t.term = e.w
+    GROUP BY t.doc_id
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(COALESCE(p.n_words, 0)) AS BIGINT) AS n_words,
+       CAST(sum(COALESCE(p.n_pieces, 0)) AS BIGINT) AS n_pieces,
+       CAST(sum(COALESCE(p.n_pieces, 0)) * 1000
+            // NULLIF(sum(COALESCE(p.n_words, 0)), 0) AS BIGINT)
+           AS fertility_milli
+FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+GROUP BY d.lang
+"""
+
+
+ORACLES["bpe_fertility"] = _bpe_fertility_oracle(8)

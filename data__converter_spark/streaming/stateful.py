@@ -98,6 +98,7 @@ def band_candidates(
     bands: int = 16,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    state_ttl_minutes: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs from banded MinHash LSH — **dedup on
     INGEST**: the streaming form detects, as each document arrives,
@@ -130,6 +131,18 @@ def band_candidates(
     Re-delivered ids (source replay) are ignored: membership is
     idempotent, so the operator is exactly-once at the pair level for
     any source whose ids are stable.
+
+    ``state_ttl_minutes`` bounds TOTAL state for ever-running
+    pipelines: a bucket untouched for that long is evicted
+    (processing-time timeout), so the operator dedups against a
+    sliding recency window of the corpus instead of its entire
+    history — the standard way production streaming dedup keeps state
+    from growing without bound (``max_bucket_size`` bounds each
+    bucket; the TTL bounds the NUMBER of live buckets).  Eviction
+    trades recall exactly like the batch guard: a pair whose two docs
+    arrive further apart than the TTL in every shared band goes
+    undetected.  Default ``None`` keeps state forever (exact
+    stream/batch agreement).
     """
     if not docs.isStreaming:
         from ..llmops.dedup import _minhash_candidates
@@ -149,9 +162,18 @@ def band_candidates(
     ).filter(F.col("sig").isNotNull())
     banded = _band_frame(sigs, id_col, bands, num_hashes // bands)
 
+    timeout_conf = (
+        "ProcessingTimeTimeout" if state_ttl_minutes else "NoTimeout"
+    )
+
     def update(key, pdfs, state):
         import pandas as pd
 
+        if state_ttl_minutes and state.hasTimedOut:
+            # bucket idle past the TTL: evict and emit nothing
+            state.remove()
+            yield pd.DataFrame({"id_a": [], "id_b": []})
+            return
         ids = list(state.get[0]) if state.exists else []
         seen = set(ids)
         out_a: list[int] = []
@@ -173,6 +195,8 @@ def band_candidates(
                 ids.append(i)
                 seen.add(i)
         state.update((ids,))
+        if state_ttl_minutes:
+            state.setTimeoutDuration(int(state_ttl_minutes) * 60_000)
         yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
     return banded.groupBy("band", "bucket").applyInPandasWithState(
@@ -180,5 +204,5 @@ def band_candidates(
         outputStructType=BAND_PAIRS_SCHEMA,
         stateStructType=_BAND_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf="NoTimeout",
+        timeoutConf=timeout_conf,
     )

@@ -714,3 +714,46 @@ def test_stream_band_candidates_state_survives_restart(spark, tmp_path):
     }
     release_persisted()
     assert both == want
+
+
+def test_stream_band_candidates_ttl_plumbs_through(spark, tmp_path):
+    """state_ttl_minutes wires up the processing-time timeout without
+    changing results while nothing expires: a generous TTL over a
+    two-batch run must emit exactly the no-TTL pair set (the eviction
+    branch itself is recall-trading by design and exercised only by
+    long-idle wall-clock, which a deterministic test cannot wait on)."""
+    import os
+
+    from data__converter_spark.scale import release_persisted
+    from data__converter_spark.streaming.runner import run_once
+    from data__converter_spark.streaming.stateful import band_candidates
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    half = docs.count() // 2
+    docs.filter(docs.doc_id < half).coalesce(1).write.parquet(f"{d}/c1")
+    docs.filter(docs.doc_id >= half).coalesce(1).write.parquet(f"{d}/c2")
+
+    def run(**kw):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(d)
+        )
+        return {
+            (r["id_a"], r["id_b"])
+            for r in run_once(
+                band_candidates(stream, **kw), output_mode="append"
+            ).collect()
+        }
+
+    with_ttl = run(state_ttl_minutes=120)
+    want = {
+        (r["id_a"], r["id_b"]) for r in band_candidates(docs).collect()
+    }
+    release_persisted()
+    assert with_ttl == want

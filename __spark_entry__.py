@@ -27,8 +27,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # keys equal the first 50 QUERIES names of each round).  Round 6
 # rotation — the round-5 verdict's #1 item is verification FRESHNESS:
 # every query whose code changed after its last driver row goes first.
-# Slot accounting (156 queries; latest driver rows pre-r6: 1×r1,
-# 48×r3, 50×r4, 50×r5, 7 never-checked):
+# Slot accounting (157 queries; latest driver rows pre-r6: 1×r1,
+# 48×r3, 50×r4, 50×r5, 8 never-checked):
 #   1     length_band_filter — latest row is STILL r1 (missed the cut
 #         two rounds running; the verdict says put it FIRST)
 #   2-13  the 12 shingle/Arrow-kernel queries touched by round 5's

@@ -129,8 +129,12 @@ def band_candidates(
     agreement).
 
     Re-delivered ids (source replay) are ignored: membership is
-    idempotent, so the operator is exactly-once at the pair level for
-    any source whose ids are stable.
+    idempotent, so WITHOUT a TTL the operator is exactly-once at the
+    pair level for any source whose ids are stable.  A TTL weakens
+    that: eviction forgets membership, so an id replayed after its
+    bucket expired re-admits and can re-emit pairs — size the TTL
+    beyond the source's maximum replay horizon if duplicates matter
+    downstream (or keep the CDC-upsert sink, which absorbs them).
 
     ``state_ttl_minutes`` bounds TOTAL state for ever-running
     pipelines: a bucket untouched for that long is evicted
@@ -144,6 +148,13 @@ def band_candidates(
     undetected.  Default ``None`` keeps state forever (exact
     stream/batch agreement).
     """
+    if state_ttl_minutes is not None and state_ttl_minutes <= 0:
+        # a negative duration would kill the query mid-batch with an
+        # executor-side IllegalArgumentException; 0 would silently
+        # fall back to NoTimeout — both are caller errors, fail NOW
+        raise ValueError(
+            f"state_ttl_minutes must be positive, got {state_ttl_minutes}"
+        )
     if not docs.isStreaming:
         from ..llmops.dedup import _minhash_candidates
 

@@ -420,6 +420,6 @@ def test_png_codec_roundtrip_property(h, w, channels, filter_type, seed):
     out = _try_decode_png(encode_png(px, filter_type))
     assert out is not None and out.shape == (h, w, 3)
     if channels == 1:
-        assert (out[:, :, 0] == px).all() and (out[:, :, 2] == px).all()
+        assert (out == px[:, :, None]).all()  # ALL three channels
     else:
         assert (out == px[:, :, :3]).all()

@@ -74,9 +74,15 @@ def main() -> None:
         "query are also pinned as plan assertions in tests/test_plans.py.",
         "",
     ]
+    from data__converter_spark.scale import release_persisted
+
     for name, note in SHOWCASE:
         df = QUERIES[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
+        # free this query's caches before the next builds its plan —
+        # leaked blocks trigger CacheManager 'already cached' warnings
+        # and let one showcase's cache distort another's plan
+        release_persisted()
         # strip volatile ids/paths for a stable, reviewable artifact
         plan = re.sub(r"#\d+L?", "#x", plan)
         plan = re.sub(r"\[plan_id=\d+\]", "", plan)

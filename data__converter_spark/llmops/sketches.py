@@ -1,0 +1,265 @@
+"""Mergeable sketches — the cardinality/frequency primitives a 100 TB
+pipeline runs where exact answers would need a full shuffle of the key
+space: HyperLogLog distinct counts, KMV (k-minimum-values) distinct and
+theta-sketch set overlap, and count-min frequency estimates.
+
+Reference parity: the reference app reports exact row/distinct counts
+on browser-sized tables (SURVEY.md §2 A4); these operators are the
+scale path for the same questions — est-distinct per group, cross-split
+leakage rate, heavy-key frequency — when the key space itself no longer
+fits a single aggregation.
+
+Every sketch here is DETERMINISTIC and engine-portable: the hash is the
+repo-standard first-32-bits-of-md5 (DuckDB spells it
+``CAST(('0x'||substr(md5(s),1,8)) AS BIGINT)``), and every estimate is
+integer arithmetic (``div``), so the DuckDB oracle checks values
+exactly — not rows-only. The HLL bias constant alpha_256 is carried as
+the exact rational 923264/1285395 (= 0.7213/(1+1.079/256)) so the
+estimator never touches a float.
+
+Scale shapes (the reason these exist):
+- HLL: one ``groupBy(grp, register)`` max + one ``groupBy(grp)`` sum —
+  state is m=256 small integers per group, mergeable with ``max`` (used
+  by :func:`hll_merge` for the cross-group union row). At 100 TB the
+  register frame is the ONLY thing that moves between stages.
+- KMV/theta: per-side distinct + ``TakeOrderedAndProject(k)`` — the
+  sketch is k int64s; set algebra (union/intersection/Jaccard) happens
+  on the ≤k-row samples, never on the corpora.
+- CMS: the sketch is a depth×width integer grid built by one
+  ``groupBy``; point queries are a broadcast join against the grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- HyperLogLog (Flajolet et al. 2007), fixed b=8 -> m=256 registers.
+# 32-bit md5 hash: top 8 bits pick the register, low 24 bits feed the
+# leading-zero rank rho in [1, 25] (rho=25 when the 24-bit word is 0).
+HLL_B = 8
+HLL_M = 1 << HLL_B            # 256 registers
+HLL_W_BITS = 24               # rank-word width
+HLL_W_SPACE = 1 << HLL_W_BITS
+# alpha_256 = 0.7213 / (1 + 1.079/256) as an exact fraction.
+HLL_ALPHA_NUM = 923_264
+HLL_ALPHA_DEN = 1_285_395
+# Fixed-point scale for the harmonic sum: S = sum(2^(UNIT_BITS - rho))
+# with rho in [1, 25] for present registers and rho = 0 (contribution
+# 2^UNIT_BITS) for empty ones. UNIT_BITS = 25 keeps every term an exact
+# int64 (min term 2^0 = 1 at rho = 25); S <= 256 * 2^25 = 2^33.
+# est = alpha*m^2 / sum(2^-rho) = ALPHA_NUM*m^2*2^25 div (ALPHA_DEN*S).
+HLL_UNIT_BITS = HLL_W_BITS + 1
+HLL_EST_NUM = HLL_ALPHA_NUM * HLL_M * HLL_M * (1 << HLL_UNIT_BITS)  # < 2^62
+# Small-range regime marker (linear counting territory): est <= 2.5*m.
+HLL_SMALL_RANGE = 5 * HLL_M // 2
+
+
+def md5_hash32(c: str | Column) -> Column:
+    """First 32 bits of md5 of the stringified key — the repo-standard
+    engine-portable hash (cf. dedup._md5_32_col, which further reduces
+    mod 2^31-1 for MinHash permutations; sketches keep the full 32-bit
+    space so estimates use the natural 2^32 scale)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def hll_registers(
+    df: DataFrame, key_col: str | Column, group_cols: list[str] | None = None
+) -> DataFrame:
+    """(group_cols..., idx, rho): the HLL register frame — max
+    leading-zero rank per register per group. THIS is the sketch: m=256
+    rows of two small ints per group, mergeable with ``max(rho)``
+    across any partitioning of the input (used for cross-group union
+    and, on a cluster, cross-day / cross-shard rollups).
+    """
+    group_cols = group_cols or []
+    h = md5_hash32(key_col)
+    idx = (h / F.lit(HLL_W_SPACE)).cast("long").alias("idx")  # top 8 bits
+    w = (h % F.lit(HLL_W_SPACE)).alias("w")
+    # rho = leading zeros of the 24-bit word + 1 = 25 - bitlength(w);
+    # bin() never pads, so length(bin(w)) is the exact bit length.
+    rho = (
+        F.when(w == 0, F.lit(HLL_W_BITS + 1))
+        .otherwise(F.lit(HLL_W_BITS + 1) - F.length(F.bin(w)))
+        .alias("rho")
+    )
+    return (
+        df.select(*group_cols, idx, rho)
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(reg: DataFrame, drop_cols: list[str]) -> DataFrame:
+    """Merge register frames across ``drop_cols`` groups (sketch union:
+    per-register ``max``). Registers are tiny — this is a constant-size
+    aggregation regardless of corpus size."""
+    keep = [c for c in reg.columns if c not in set(drop_cols) | {"idx", "rho"}]
+    return reg.groupBy(*keep, "idx").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(reg: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Register frame -> (group_cols..., est_distinct, v_zero, s_denom,
+    small_range). Integer-exact: S = sum over all m registers of
+    2^(25-rho) in 2^-25 units (absent registers contribute rho=0 ->
+    2^25 each), est = alpha*m^2*2^25 div S carried as int64 ``div``.
+    ``small_range`` marks the linear-counting regime (raw estimate
+    biased high; kept raw here so the estimator stays float-free — the
+    flag is the caller's cue, and the oracle checks the same formula).
+    """
+    group_cols = group_cols or []
+    unit = F.expr(f"CAST(power(2, {HLL_UNIT_BITS} - rho) AS BIGINT)")
+    agg = reg.groupBy(*group_cols).agg(
+        F.sum(unit).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    s_denom = (
+        F.col("s_present")
+        + (F.lit(HLL_M) - F.col("n_present")) * F.lit(1 << HLL_UNIT_BITS)
+    ).alias("s_denom")
+    out = agg.select(*group_cols, s_denom, (F.lit(HLL_M) - F.col("n_present")).alias("v_zero"))
+    est = F.expr(f"{HLL_EST_NUM} div ({HLL_ALPHA_DEN} * s_denom)").alias("est_distinct")
+    return out.select(
+        *group_cols,
+        est,
+        "v_zero",
+        "s_denom",
+        (est <= F.lit(HLL_SMALL_RANGE)).alias("small_range"),
+    )
+
+
+def kmv_sketch(hashes: DataFrame, hash_col: str = "h", k: int = 128) -> DataFrame:
+    """k smallest DISTINCT hash values — the KMV sketch, via
+    ``distinct -> orderBy -> limit(k)`` which Spark executes as
+    TakeOrderedAndProject (per-partition top-k + driver merge of k-row
+    heads; no global sort). Output: (h) with <= k rows."""
+    return hashes.select(F.col(hash_col).alias("h")).distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate(
+    hashes: DataFrame, hash_col: str = "h", k: int = 128, space: int = 1 << 32
+) -> DataFrame:
+    """One row: (k_used, kth_hash, est_distinct, exhausted). The KMV
+    estimator est = (k-1) * space div kth — unbiased for distinct
+    counts >> k. When fewer than k distinct hashes exist the sample IS
+    the key set: est = exact count, exhausted = true.
+    """
+    sk = kmv_sketch(hashes, hash_col, k)
+    agg = sk.agg(
+        F.count(F.lit(1)).alias("k_used"), F.max("h").alias("kth_hash")
+    )
+    exhausted = F.col("k_used") < F.lit(k)
+    return agg.select(
+        "k_used",
+        "kth_hash",
+        F.when(exhausted, F.col("k_used"))
+        .otherwise(F.expr(f"{(k - 1) * space}L div kth_hash"))
+        .cast("long")
+        .alias("est_distinct"),
+        exhausted.alias("exhausted"),
+    )
+
+
+def theta_overlap(
+    hashes_a: DataFrame,
+    hashes_b: DataFrame,
+    hash_col: str = "h",
+    k: int = 128,
+    space: int = 1 << 32,
+) -> DataFrame:
+    """Theta-sketch set overlap of two corpora from their hash columns:
+    one row (theta, n_a, n_b, n_common, n_union, union_est, inter_est,
+    jaccard_permille).
+
+    theta = min of the two kth-smallest hashes; every distinct hash
+    below theta is a fixed-rate sample of each side, so
+    ``|intersection| ~= n_common * space/theta`` without ever joining
+    the corpora — the joins here touch <= k rows per side. This is the
+    scale path for cross-corpus contamination/leakage RATE estimation
+    (the exact companion is dedup.dedup_against's signature join).
+    """
+    ka = kmv_sketch(hashes_a, hash_col, k).agg(F.max("h").alias("kth"))
+    kb = kmv_sketch(hashes_b, hash_col, k).agg(F.max("h").alias("kth"))
+    theta = (
+        ka.crossJoin(kb.withColumnRenamed("kth", "kth_b"))
+        .select(F.least("kth", "kth_b").alias("theta"))
+    )
+    da = hashes_a.select(F.col(hash_col).alias("h")).distinct()
+    db = hashes_b.select(F.col(hash_col).alias("h")).distinct()
+    sa = da.crossJoin(F.broadcast(theta)).filter(F.col("h") < F.col("theta")).select("h")
+    sb = db.crossJoin(F.broadcast(theta)).filter(F.col("h") < F.col("theta")).select("h")
+    common = sa.join(sb, "h", "inner")
+    union = sa.union(sb).distinct()
+    counts = (
+        theta.crossJoin(sa.agg(F.count(F.lit(1)).alias("n_a")))
+        .crossJoin(sb.agg(F.count(F.lit(1)).alias("n_b")))
+        .crossJoin(common.agg(F.count(F.lit(1)).alias("n_common")))
+        .crossJoin(union.agg(F.count(F.lit(1)).alias("n_union")))
+    )
+    return counts.select(
+        "theta",
+        "n_a",
+        "n_b",
+        "n_common",
+        "n_union",
+        F.expr(f"n_union * {space} div theta").alias("union_est"),
+        F.expr(f"n_common * {space} div theta").alias("inter_est"),
+        F.when(F.col("n_union") > 0, F.expr("n_common * 1000 div n_union"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("jaccard_permille"),
+    )
+
+
+def cms_table(
+    df: DataFrame, key_col: str | Column, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-min sketch of a key stream: (seed, bucket, cnt) — the
+    depth×width integer grid. Each occurrence row lands in one bucket
+    per seed (bucket = md5(seed:key) mod width); the grid is built by a
+    single ``groupBy`` whose state is depth*width counters no matter
+    how large the stream. Mergeable by summing grids cell-wise."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(depth)])).alias("seed")
+    rows = df.select(c.cast("string").alias("k"), seeds)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("seed"), F.col("k"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(width)
+    ).alias("bucket")
+    return (
+        rows.select("seed", bucket)
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_point_estimates(
+    cms: DataFrame, probes: DataFrame, key_col: str = "k", depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Point-query the sketch for each probe key: (key, cms_est) with
+    cms_est = min over the depth rows of the probed bucket counter —
+    an overestimate-only bound (cms_est >= true count, with equality
+    unless the key collides in every row). Probes are small by
+    construction (heavy-hitter candidates): broadcast them into the
+    grid join."""
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(depth)])).alias("seed")
+    pk = probes.select(F.col(key_col).cast("string").alias("k")).distinct()
+    probe_rows = pk.select("k", seeds).select(
+        "k",
+        "seed",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", F.col("seed"), F.col("k"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(width)
+        ).alias("bucket"),
+    )
+    joined = cms.join(F.broadcast(probe_rows), ["seed", "bucket"], "inner")
+    return joined.groupBy("k").agg(F.min("cnt").alias("cms_est"))

@@ -3318,6 +3318,136 @@ def q_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_tokenize(docs, n_merges=8)
 
 
+def q_sketch_hll_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-part estimate per returnflag plus a merged
+    ``__all__`` row (llmops/sketches.py:hll_registers/hll_merge/
+    hll_estimate): the register frame is built once (persisted — it is
+    m=256 small ints per group), the union row merges registers with
+    ``max`` rather than rescanning lineitem, and the estimator is the
+    exact-rational alpha_256 formula in int64 ``div``.  The
+    ``exact_distinct``/``err_permille`` columns are the demo's truth
+    join — on a real 100 TB run you would emit only the estimates."""
+    from .llmops.sketches import hll_estimate, hll_merge, hll_registers
+    from .scale import persisted
+
+    li = _load(spark, sf_dir, "lineitem")
+    reg = persisted(hll_registers(li, "l_partkey", ["l_returnflag"]))
+    per = hll_estimate(reg, ["l_returnflag"]).withColumnRenamed(
+        "l_returnflag", "grp"
+    )
+    merged = hll_estimate(hll_merge(reg, ["l_returnflag"])).select(
+        F.lit("__all__").alias("grp"), "est_distinct", "v_zero", "s_denom",
+        "small_range",
+    )
+    est = per.unionByName(merged)
+    exact = (
+        li.groupBy(F.col("l_returnflag").alias("grp"))
+        .agg(F.countDistinct("l_partkey").alias("exact_distinct"))
+        .unionByName(
+            li.agg(F.countDistinct("l_partkey").alias("exact_distinct")).select(
+                F.lit("__all__").alias("grp"), "exact_distinct"
+            )
+        )
+    )
+    return (
+        est.join(exact, "grp")
+        .select(
+            "grp",
+            "exact_distinct",
+            "est_distinct",
+            "v_zero",
+            "s_denom",
+            "small_range",
+            F.expr(
+                "abs(est_distinct - exact_distinct) * 1000 div exact_distinct"
+            ).alias("err_permille"),
+        )
+        .orderBy("grp")
+    )
+
+
+def q_sketch_kmv_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-shingle estimate over the corpus
+    (llmops/sketches.py:kmv_estimate): reuses the MinHash shingle-hash
+    front (dedup._shingle_hash_sets, md5-32 mod 2^31-1), takes the 128
+    smallest distinct hashes via TakeOrderedAndProject, and estimates
+    (k-1)*space div kth — the sketch a 100 TB ingest keeps per shard
+    and merges by re-taking the k smallest.  Truth join for the demo
+    only."""
+    from .llmops.dedup import _MERSENNE_P, _shingle_hash_sets
+    from .llmops.sketches import kmv_estimate
+
+    docs = _load(spark, sf_dir, "documents")
+    hashes = (
+        _shingle_hash_sets(docs, "text", "doc_id", 3)
+        .select(F.explode("hs").alias("h"))
+    )
+    est = kmv_estimate(hashes, "h", k=128, space=_MERSENNE_P)
+    exact = hashes.agg(F.countDistinct("h").alias("exact_distinct"))
+    return est.crossJoin(exact).select(
+        "k_used",
+        "kth_hash",
+        "est_distinct",
+        "exhausted",
+        "exact_distinct",
+        F.expr(
+            "abs(est_distinct - exact_distinct) * 1000 div exact_distinct"
+        ).alias("err_permille"),
+    )
+
+
+def q_sketch_theta_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch train/test leakage estimate
+    (llmops/sketches.py:theta_overlap): shingle-hash the corpus once,
+    split it with the deterministic md5-permille corpus_split, and
+    estimate the shingle overlap between the train and test splits from
+    two 128-value sketches — the contamination-RATE companion to the
+    exact dedup_against signature join, needing only k-row samples
+    where the exact check joins full signature tables."""
+    from .llmops.dedup import _MERSENNE_P, _shingle_hash_sets
+    from .llmops.sketches import theta_overlap
+    from .llmops.textstats import corpus_split
+
+    docs = _load(spark, sf_dir, "documents")
+    split = corpus_split(docs, train_permille=800, val_permille=100)
+    hs = _shingle_hash_sets(docs, "text", "doc_id", 3).join(
+        split.select("doc_id", "split"), "doc_id"
+    )
+    ha = hs.filter(F.col("split") == "train").select(F.explode("hs").alias("h"))
+    hb = hs.filter(F.col("split") == "test").select(F.explode("hs").alias("h"))
+    return theta_overlap(ha, hb, "h", k=128, space=_MERSENNE_P)
+
+
+def q_sketch_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy-hitter check (llmops/sketches.py:cms_table/
+    cms_point_estimates): a 4x64 integer grid over the lowercased token
+    stream, point-queried for the 20 most frequent tokens; emits the
+    guaranteed-overestimate gap ``overcount = cms_est - true_cnt``.  Width
+    64 is deliberately small so bucket collisions are exercised at test
+    scale — production widths make ``over`` permille-level."""
+    from .llmops.sketches import cms_point_estimates, cms_table
+    from .llmops.textstats import tokens_col
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokens_col("text")).alias("raw")
+    ).select(F.lower("raw").alias("tok"))
+    truth = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+    probes = truth.orderBy(F.col("true_cnt").desc(), "tok").limit(20)
+    cms = cms_table(toks, "tok", depth=4, width=64)
+    est = cms_point_estimates(cms, probes, "tok", depth=4, width=64)
+    return (
+        probes.join(est, probes.tok == est.k)
+        .select(
+            "tok",
+            "true_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("true_cnt")).alias("overcount"),
+        )
+        .orderBy("tok")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compare_diff": q_compare_diff,
     "compare_diff_summary": q_compare_diff_summary,
@@ -3476,6 +3606,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_band_candidates": q_stream_band_candidates,
     "similarity_lsh_recall": q_similarity_lsh_recall,
     "bpe_fertility": q_bpe_fertility,
+    "sketch_hll_partkeys": q_sketch_hll_partkeys,
+    "sketch_kmv_shingles": q_sketch_kmv_shingles,
+    "sketch_theta_leakage": q_sketch_theta_leakage,
+    "sketch_cms_tokens": q_sketch_cms_tokens,
 }
 
 _DSIR_CTE = """
@@ -6364,3 +6498,162 @@ GROUP BY d.lang
 
 
 ORACLES["bpe_fertility"] = _bpe_fertility_oracle(8)
+
+
+# --- round-7 sketch oracles -------------------------------------------
+from .llmops.sketches import (  # noqa: E402  (oracle constants)
+    HLL_ALPHA_DEN as _HLL_AD,
+    HLL_EST_NUM as _HLL_EN,
+)
+
+# Shared shingle-hash front for the KMV/theta oracles: trigram shingles
+# -> md5-32 mod 2^31-1 (identical to dedup._shingle_hash_sets / the
+# MinHash oracle front), ending with hs(doc_id, h LIST).
+_SHINGLE_HASH_SQL = _WORDS_SQL + """
+, sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(words) - 1),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+    FROM words_cte WHERE len(words) >= 3
+),
+hs AS (
+    SELECT doc_id,
+           list_distinct(list_transform(sh, s ->
+               CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % 2147483647)) AS h
+    FROM sh
+)
+"""
+
+ORACLES["sketch_hll_partkeys"] = f"""
+WITH h AS (
+    SELECT l_returnflag AS grp,
+           CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))
+                AS BIGINT) AS h
+    FROM lineitem
+),
+b AS (SELECT grp, h // 16777216 AS idx, h % 16777216 AS w FROM h),
+r AS (
+    SELECT grp, idx,
+           MAX(CASE WHEN w = 0 THEN 25 ELSE 25 - length(bin(w)) END) AS rho
+    FROM b GROUP BY grp, idx
+),
+rall AS (SELECT '__all__' AS grp, idx, MAX(rho) AS rho FROM r GROUP BY idx),
+regs AS (SELECT * FROM r UNION ALL SELECT * FROM rall),
+agg AS (
+    SELECT grp,
+           CAST(sum(CAST(power(2, 25 - rho) AS BIGINT))
+                + (256 - count(*)) * 33554432 AS BIGINT) AS s_denom,
+           CAST(256 - count(*) AS BIGINT) AS v_zero
+    FROM regs GROUP BY grp
+),
+est AS (
+    SELECT grp,
+           CAST({_HLL_EN} // ({_HLL_AD} * s_denom) AS BIGINT) AS est_distinct,
+           v_zero, s_denom,
+           ({_HLL_EN} // ({_HLL_AD} * s_denom)) <= 640 AS small_range
+    FROM agg
+),
+ex AS (
+    SELECT l_returnflag AS grp,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT '__all__', CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem
+)
+SELECT est.grp, exact_distinct, est_distinct, v_zero, s_denom, small_range,
+       CAST(abs(est_distinct - exact_distinct) * 1000 // exact_distinct
+            AS BIGINT) AS err_permille
+FROM est JOIN ex USING (grp)
+ORDER BY grp
+"""
+
+ORACLES["sketch_kmv_shingles"] = _SHINGLE_HASH_SQL + """
+, hx AS (SELECT DISTINCT x.hh AS h FROM hs, unnest(hs.h) AS x(hh)),
+topk AS (SELECT h FROM hx ORDER BY h LIMIT 128),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS k_used,
+           CAST(max(h) AS BIGINT) AS kth_hash
+    FROM topk
+),
+ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM hx)
+SELECT k_used, kth_hash,
+       CAST(CASE WHEN k_used < 128 THEN k_used
+                 ELSE 272730308169 // kth_hash END AS BIGINT)
+           AS est_distinct,
+       k_used < 128 AS exhausted,
+       exact_distinct,
+       CAST(abs(CASE WHEN k_used < 128 THEN k_used
+                     ELSE 272730308169 // kth_hash END
+                - exact_distinct) * 1000 // exact_distinct AS BIGINT)
+           AS err_permille
+FROM agg, ex
+"""
+
+ORACLES["sketch_theta_leakage"] = _SHINGLE_HASH_SQL + """
+, spl AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 1000 AS b
+    FROM documents
+),
+da AS (
+    SELECT DISTINCT x.hh AS h
+    FROM hs JOIN spl USING (doc_id), unnest(hs.h) AS x(hh)
+    WHERE spl.b < 800
+),
+db AS (
+    SELECT DISTINCT x.hh AS h
+    FROM hs JOIN spl USING (doc_id), unnest(hs.h) AS x(hh)
+    WHERE spl.b >= 900
+),
+ka AS (SELECT max(h) AS kth FROM (SELECT h FROM da ORDER BY h LIMIT 128)),
+kb AS (SELECT max(h) AS kth FROM (SELECT h FROM db ORDER BY h LIMIT 128)),
+th AS (SELECT CAST(least(ka.kth, kb.kth) AS BIGINT) AS theta FROM ka, kb),
+sa AS (SELECT h FROM da, th WHERE h < theta),
+sb AS (SELECT h FROM db, th WHERE h < theta),
+na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM sa),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM sb),
+cm AS (SELECT CAST(count(*) AS BIGINT) AS n_common
+       FROM sa JOIN sb USING (h)),
+un AS (SELECT CAST(count(*) AS BIGINT) AS n_union
+       FROM (SELECT h FROM sa UNION SELECT h FROM sb))
+SELECT theta, n_a, n_b, n_common, n_union,
+       CAST(n_union * 2147483647 // theta AS BIGINT) AS union_est,
+       CAST(n_common * 2147483647 // theta AS BIGINT) AS inter_est,
+       CAST(CASE WHEN n_union > 0 THEN n_common * 1000 // n_union
+                 ELSE 0 END AS BIGINT) AS jaccard_permille
+FROM th, na, nb, cm, un
+"""
+
+ORACLES["sketch_cms_tokens"] = _WORDS_SQL + """
+, t AS (
+    SELECT lower(x.w) AS tok
+    FROM words_cte, unnest(words_cte.words) AS x(w)
+),
+truth AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt FROM t GROUP BY tok
+),
+probes AS (SELECT tok, true_cnt FROM truth ORDER BY true_cnt DESC, tok LIMIT 20),
+seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+grid AS (
+    SELECT seed,
+           CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || tok), 1, 8))
+                AS BIGINT) % 64 AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM t, seeds GROUP BY 1, 2
+),
+pb AS (
+    SELECT p.tok, s.seed,
+           CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || p.tok),
+                               1, 8)) AS BIGINT) % 64 AS bucket
+    FROM probes p, seeds s
+),
+pe AS (
+    SELECT pb.tok, CAST(min(g.cnt) AS BIGINT) AS cms_est
+    FROM pb JOIN grid g USING (seed, bucket) GROUP BY pb.tok
+)
+SELECT p.tok, p.true_cnt, e.cms_est,
+       CAST(e.cms_est - p.true_cnt AS BIGINT) AS overcount
+FROM probes p JOIN pe e USING (tok)
+ORDER BY tok
+"""

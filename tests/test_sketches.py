@@ -1,0 +1,139 @@
+"""Mergeable-sketch operators (llmops/sketches.py): HyperLogLog, KMV /
+theta overlap, count-min. Tests pin the sketch GUARANTEES (merge
+algebra, overestimate bounds, exhausted-sample exactness, accuracy
+within the published error of each sketch) rather than single values —
+the DuckDB oracle gate already checks the exact arithmetic."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data__converter_spark.llmops import sketches
+
+
+@pytest.fixture(scope="module")
+def keys10k(spark):
+    return spark.range(10_000).select(F.col("id").alias("k"))
+
+
+def test_hll_estimate_within_published_error(spark, keys10k):
+    """Relative error of HLL with m=256 is ~1.04/sqrt(m) = 6.5%; pin a
+    3-sigma bound so hash quirks can't flake it."""
+    reg = sketches.hll_registers(keys10k, "k")
+    row = sketches.hll_estimate(reg).collect()[0]
+    assert abs(row["est_distinct"] - 10_000) / 10_000 < 0.20
+    assert row["v_zero"] == 0
+    assert not row["small_range"]
+
+
+def test_hll_merge_equals_union_registers(spark):
+    """Sketch-union law: merging per-group registers with max(rho) is
+    EXACTLY the register frame of the concatenated input — the property
+    that makes per-shard/per-day HLL state roll up without rescans."""
+    df = spark.range(5_000).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("g")
+    )
+    per = sketches.hll_registers(df, "k", ["g"])
+    merged = {
+        (r["idx"], r["rho"]) for r in sketches.hll_merge(per, ["g"]).collect()
+    }
+    direct = {
+        (r["idx"], r["rho"])
+        for r in sketches.hll_registers(df, "k").collect()
+    }
+    assert merged == direct
+
+
+def test_hll_small_range_flagged(spark):
+    reg = sketches.hll_registers(
+        spark.range(50).select(F.col("id").alias("k")), "k"
+    )
+    row = sketches.hll_estimate(reg).collect()[0]
+    assert row["small_range"]
+    assert row["v_zero"] > 0
+
+
+def test_kmv_exhausted_sample_is_exact(spark):
+    """Fewer distinct keys than k: the sketch IS the key set, so the
+    estimate must be exact and flagged."""
+    h = spark.range(40).select(sketches.md5_hash32("id").alias("h"))
+    row = sketches.kmv_estimate(h, "h", k=128).collect()[0]
+    assert row["exhausted"]
+    assert row["est_distinct"] == 40
+    assert row["k_used"] == 40
+
+
+def test_kmv_estimate_accuracy(spark, keys10k):
+    """KMV relative error ~1/sqrt(k-1) = 8.9% at k=128; 3-sigma bound."""
+    h = keys10k.select(sketches.md5_hash32("k").alias("h"))
+    row = sketches.kmv_estimate(h, "h", k=128).collect()[0]
+    assert not row["exhausted"]
+    assert abs(row["est_distinct"] - 10_000) / 10_000 < 0.27
+
+
+def test_theta_overlap_bounds_and_accuracy(spark):
+    """A = [0, 2000), B = [1000, 3000): true Jaccard 1/3. The theta
+    sample is an unbiased fixed-rate sample of the union, so the
+    permille estimate lands near 333; the hard bounds (common <= each
+    side, union >= each side) must hold exactly."""
+    a = spark.range(0, 2000).select(sketches.md5_hash32("id").alias("h"))
+    b = spark.range(1000, 3000).select(sketches.md5_hash32("id").alias("h"))
+    row = sketches.theta_overlap(a, b, "h", k=128).collect()[0]
+    assert row["n_common"] <= min(row["n_a"], row["n_b"])
+    assert row["n_union"] <= row["n_a"] + row["n_b"]
+    assert row["n_union"] >= max(row["n_a"], row["n_b"])
+    assert abs(row["jaccard_permille"] - 333) < 150
+    # disjoint sides -> zero intersection estimate, exactly
+    c = spark.range(50_000, 52_000).select(sketches.md5_hash32("id").alias("h"))
+    row0 = sketches.theta_overlap(a, c, "h", k=128).collect()[0]
+    assert row0["n_common"] == 0 and row0["inter_est"] == 0
+
+
+def test_cms_never_underestimates(spark):
+    """The count-min guarantee: every point estimate >= the true count
+    (collisions only ADD). Width 8 forces heavy collisions."""
+    df = spark.createDataFrame(
+        [(w,) for w in ("a b c a b a x y z w q r s t u v".split())], "tok: string"
+    )
+    truth = {
+        r["tok"]: r["cnt"]
+        for r in df.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    cms = sketches.cms_table(df, "tok", depth=4, width=8)
+    est = {
+        r["k"]: r["cms_est"]
+        for r in sketches.cms_point_estimates(
+            cms, df.select("tok").distinct(), "tok", depth=4, width=8
+        ).collect()
+    }
+    assert set(est) == set(truth)
+    for tok, cnt in truth.items():
+        assert est[tok] >= cnt
+
+
+def test_cms_exact_when_wide(spark):
+    """With width >> distinct keys and 4 independent rows, collisions in
+    EVERY row are vanishingly unlikely for this fixed seed set — the
+    min recovers the exact counts (checked, not assumed: this pins the
+    bucket arithmetic end-to-end)."""
+    df = spark.createDataFrame(
+        [(f"w{i % 7}",) for i in range(70)], "tok: string"
+    )
+    cms = sketches.cms_table(df, "tok", depth=4, width=1024)
+    est = sketches.cms_point_estimates(
+        cms, df.select("tok").distinct(), "tok", depth=4, width=1024
+    ).collect()
+    assert all(r["cms_est"] == 10 for r in est)
+
+
+def test_kmv_compiles_to_take_ordered(spark, keys10k):
+    """The k-smallest step must be TakeOrderedAndProject (per-partition
+    top-k, no global sort) — the property that keeps the sketch cheap
+    on a 1000-executor scan."""
+    from tests.test_plans import plan_of
+
+    h = keys10k.select(sketches.md5_hash32("k").alias("h"))
+    p = plan_of(sketches.kmv_sketch(h, "h", k=128))
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p.replace("TakeOrderedAndProject", "")

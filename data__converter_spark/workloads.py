@@ -3448,6 +3448,46 @@ def q_sketch_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped LM quality scoring (llmops/quality.py:
+    lm_surprisal_scores): a unigram model trained on the English slice
+    scores every document by Laplace-smoothed mean inverse-probability
+    in exact integer milli-units — rank-equivalent to mean
+    log-likelihood, float-free, value-checked by the oracle."""
+    from .llmops.quality import lm_surprisal_scores
+
+    docs = _load(spark, sf_dir, "documents")
+    return lm_surprisal_scores(docs, F.col("lang") == "en").orderBy("doc_id")
+
+
+def q_ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity-bucket analog (llmops/quality.py:
+    quality_buckets): per-LANGUAGE head/middle/tail at exact tercile
+    ranks of the surprisal score — keyed windows only, so the split
+    scales to any corpus without a global sort."""
+    from .llmops.quality import lm_surprisal_scores, quality_buckets
+
+    docs = _load(spark, sf_dir, "documents")
+    scores = (
+        lm_surprisal_scores(docs, F.col("lang") == "en")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "score_milli")
+    )
+    return quality_buckets(scores, "lang").orderBy("doc_id")
+
+
+def q_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sqrt-temperature domain mixture plan + realized deterministic
+    sample (llmops/quality.py:domain_mixture): Pile/DoReMi-style
+    flattening of dominant sources with an md5 inclusion rule that is
+    append/retry-stable; IEEE-exact sqrt keeps the weights
+    engine-identical."""
+    from .llmops.quality import domain_mixture
+
+    docs = _load(spark, sf_dir, "documents")
+    return domain_mixture(docs, "source", "doc_id", target_permille=500)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compare_diff": q_compare_diff,
     "compare_diff_summary": q_compare_diff_summary,
@@ -3610,6 +3650,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_kmv_shingles": q_sketch_kmv_shingles,
     "sketch_theta_leakage": q_sketch_theta_leakage,
     "sketch_cms_tokens": q_sketch_cms_tokens,
+    "lm_surprisal_quality": q_lm_surprisal_quality,
+    "ccnet_quality_buckets": q_ccnet_quality_buckets,
+    "domain_mixture_sample": q_domain_mixture_sample,
 }
 
 _DSIR_CTE = """
@@ -6656,4 +6699,107 @@ SELECT p.tok, p.true_cnt, e.cms_est,
        CAST(e.cms_est - p.true_cnt AS BIGINT) AS overcount
 FROM probes p JOIN pe e USING (tok)
 ORDER BY tok
+"""
+
+
+# Shared CTE chain for the LM-surprisal oracles: lowercased token
+# stream -> English-slice unigram counts -> Laplace-smoothed integer
+# milli-surprisal per doc; ends with sc(doc_id, n_tokens, score_milli).
+_SURPRISAL_CTES = """
+WITH tok AS (
+    SELECT doc_id, lang, lower(u.term) AS tok
+    FROM (
+        SELECT doc_id, lang,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(text), '[ \\t\\r\\n]+') END
+                   AS words
+        FROM documents
+    ), unnest(words) AS u(term)
+),
+lm AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS c
+    FROM tok WHERE lang = 'en' GROUP BY tok
+),
+tot AS (
+    SELECT CAST(sum(c) AS BIGINT) AS n_ref,
+           CAST(count(*) AS BIGINT) AS v_ref
+    FROM lm
+),
+tf AS (
+    SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+    FROM tok GROUP BY doc_id, tok
+),
+sc AS (
+    SELECT tf.doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(sum(tf * ((n_ref + v_ref) * 1000 // (coalesce(lm.c, 0) + 1)))
+                // sum(tf) AS BIGINT) AS score_milli
+    FROM tf LEFT JOIN lm USING (tok), tot
+    GROUP BY tf.doc_id
+)
+"""
+
+ORACLES["lm_surprisal_quality"] = _SURPRISAL_CTES + """
+SELECT d.doc_id,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(s.score_milli, 0) AS BIGINT) AS score_milli
+FROM documents d LEFT JOIN sc s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+"""
+
+ORACLES["ccnet_quality_buckets"] = _SURPRISAL_CTES + """
+, f AS (
+    SELECT d.doc_id, d.lang,
+           CAST(coalesce(s.score_milli, 0) AS BIGINT) AS score_milli
+    FROM documents d LEFT JOIN sc s ON d.doc_id = s.doc_id
+),
+rk AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY score_milli, doc_id) AS rn,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM f
+)
+SELECT doc_id, lang, score_milli,
+       CASE WHEN (rn - 1) * 3 < n THEN 'head'
+            WHEN (rn - 1) * 3 < n * 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM rk
+ORDER BY doc_id
+"""
+
+ORACLES["domain_mixture_sample"] = """
+WITH per AS (
+    SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY source
+),
+w AS (
+    SELECT domain, n_docs,
+           CAST(floor(sqrt(CAST(n_docs * 1000000 AS DOUBLE))) AS BIGINT)
+               AS weight
+    FROM per
+),
+tot AS (
+    SELECT CAST(sum(weight) AS BIGINT) AS sum_w,
+           CAST(sum(n_docs) AS BIGINT) AS total_docs
+    FROM w
+),
+plan AS (
+    SELECT domain, n_docs, weight,
+           CAST(least((total_docs * 500 // 1000) * weight // sum_w, n_docs)
+                AS BIGINT) AS expected_n
+    FROM w, tot
+),
+picks AS (
+    SELECT d.source AS domain, CAST(count(*) AS BIGINT) AS sampled_n
+    FROM documents d JOIN plan p ON d.source = p.domain
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) * p.n_docs
+          < p.expected_n * 4294967296
+    GROUP BY d.source
+)
+SELECT p.domain, p.n_docs, p.weight, p.expected_n,
+       CAST(coalesce(k.sampled_n, 0) AS BIGINT) AS sampled_n
+FROM plan p LEFT JOIN picks k ON p.domain = k.domain
+ORDER BY p.domain
 """

@@ -23,63 +23,50 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's per-round correctness gate samples the FIRST 50 entries of
-# ``queries()`` in insertion order (verified: CORRECTNESS_r0{1..5}.json
-# keys equal the first 50 QUERIES names of each round).  Round 6
-# rotation — the round-5 verdict's #1 item is verification FRESHNESS:
-# every query whose code changed after its last driver row goes first.
-# Slot accounting (157 queries; latest driver rows pre-r6: 1×r1,
-# 48×r3, 50×r4, 50×r5, 8 never-checked):
-#   1     length_band_filter — latest row is STILL r1 (missed the cut
-#         two rounds running; the verdict says put it FIRST)
-#   2-13  the 12 shingle/Arrow-kernel queries touched by round 5's
-#         asNondeterministic single-eval fix, carrying r2-r4 rows
-#   14-23 the 10 TPC-H shapes whose broadcast hints were size-gated in
-#         round 5 (plan-only change over r4-green value hashes)
-#   24-27 queries whose code changed THIS round (dsir empty-input
-#         coalesce; weighted_sample DECIMAL comparison; session_paths
-#         column params; tokenize_corpus keyed vocab window) — r5 rows
-#         predate the edits
-#   28-35 NEW round-6 queries (never driver-checked)
-#   36-50 the oldest green rows (r3) in registry order — exactly 15
-#         fit; the r3 remainder holds r3-green rows and leads the r7
-#         rotation (slot arithmetic asserted below).
+# ``queries()`` in insertion order (verified: CORRECTNESS_r0{1..6}.json
+# keys equal the first 50 QUERIES names of each round).  Round 7
+# rotation — freshness first: after r6's sweep the oldest latest-rows
+# are 23×r3, 38×r4, 46×r5, 50×r6, plus 7 never-checked round-7 queries.
+# Slot accounting (164 queries):
+#   1-7   NEW round-7 queries (sketches, LM quality, domain mixture) —
+#         never driver-checked
+#   8-30  all 23 queries whose latest driver row is r3 (oldest debt,
+#         registry order)
+#   31-50 the first 20 r4-latest queries in registry order; the 18-query
+#         r4 remainder leads the r8 rotation (arithmetic asserted below).
 _VERIFY_FIRST = [
-    # -- latest driver row is r1: two rounds overdue --
-    "length_band_filter",
-    # -- kernel-touched in r5, rows predate the change --
-    "dedup_near_keep", "dedup_components", "dedup_cc_keep",
-    "text_lang_id", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "minhash_est_error",
-    "text_winnow", "contamination_check", "text_fingerprint",
-    "bigram_familiarity", "dedup_ngram_capped",
-    # -- broadcast size-gated in r5 (plan-only; r4-green hashes) --
-    "top_customers", "nation_volume", "rollup_volume", "promo_revenue",
-    "bilateral_trade", "local_supplier_volume", "market_share",
-    "returned_revenue", "large_orders", "shipping_priority",
-    # -- code changed in round 6 (ADVICE fixes), r5 rows predate it --
-    "dsir_select", "dsir_sample", "session_paths", "tokenize_corpus",
-    # -- NEW in round 6: never driver-checked --
-    "bpe_train", "tokenize_bpe", "pagerank_converged",
-    "multimodal_png_decode", "boilerplate_scrub",
-    "stream_band_candidates", "similarity_lsh_recall", "bpe_fertility",
-    # -- oldest green rows (r3), refresh in registry order: 15 fit --
-    "asof_join", "compare_added_keys", "compare_deleted_keys",
-    "compare_diff", "compare_diff_summary", "compare_field_mismatches",
-    "convert_key_union", "convert_split_lines", "convert_xml_escape",
-    "corpus_top_ngrams", "date_remaining_days", "dedup_embedding_pairs",
-    "dedup_exact", "dedup_exact_groups", "funnel_conversion",
-    # (r3 remainder — falls past the 50-cut this round and leads the
-    # r7 rotation)
-    "mask_deterministic", "mask_invariants", "mask_recovery_roundtrip",
-    "pattern_count_matches",
-    "pattern_presets", "pattern_replace_all", "pattern_replace_first",
-    "pattern_stats_by_lang", "pipeline_pretraining", "pricing_summary",
-    "priority_revenue", "range_join_attribution", "retention_cohorts",
-    "sessionize_events", "similarity_topk", "stream_running_totals",
-    "stream_session_agg", "stream_sliding_counts", "stream_tumbling_counts",
-    "text_quality_features", "text_quality_score", "text_repetition",
-    "topk_two_key",
+    # -- NEW in round 7: never driver-checked --
+    "sketch_hll_partkeys", "sketch_kmv_shingles", "sketch_theta_leakage",
+    "sketch_cms_tokens", "lm_surprisal_quality", "ccnet_quality_buckets",
+    "domain_mixture_sample",
+    # -- latest driver row is r3 (all 23, registry order) --
+    "mask_deterministic", "mask_recovery_roundtrip", "mask_invariants",
+    "pattern_count_matches", "pattern_replace_all", "pattern_replace_first",
+    "pattern_stats_by_lang", "topk_two_key", "text_quality_features",
+    "text_repetition", "pipeline_pretraining", "similarity_topk",
+    "pattern_presets", "text_quality_score", "priority_revenue",
+    "retention_cohorts", "sessionize_events", "range_join_attribution",
+    "pricing_summary", "stream_tumbling_counts", "stream_sliding_counts",
+    "stream_session_agg", "stream_running_totals",
+    # -- latest driver row is r4: first 20 in registry order --
+    "stream_range_join", "dedup_simhash", "embedding_centroids",
+    "multimodal_audio_features", "rolling_revenue_30d", "distinct_suppliers",
+    "pivot_event_counts", "stream_dedup_first", "skew_salted_totals",
+    "dedup_embedding_lsh", "topk_per_group", "group_quantiles",
+    "histogram_doc_lengths", "profile_orders", "paragraph_dedup",
+    "cube_volume", "semi_anti_customers", "events_interarrival",
+    "cdc_upsert", "text_normalize",
+    # (r4 remainder past the 50-cut, leads the r8 rotation:
+    #  skew_salted_join, asof_join_forward, grouping_sets_volume,
+    #  fuzzy_name_pairs, forecast_revenue, expectations_orders,
+    #  denylist_scrub, price_percent_rank, pack_sequences, kmeans_step,
+    #  corpus_vocab_stats, price_deciles, priority_waiting,
+    #  order_count_distribution, idle_rich_customers, chunk_text,
+    #  salient_terms, late_shipments)
 ]
+
+
+assert len(_VERIFY_FIRST) == 50 and len(set(_VERIFY_FIRST)) == 50
 
 
 def _rotated(names: dict) -> list[str]:

@@ -263,3 +263,23 @@ def cms_point_estimates(
     )
     joined = cms.join(F.broadcast(probe_rows), ["seed", "bucket"], "inner")
     return joined.groupBy("k").agg(F.min("cnt").alias("cms_est"))
+
+
+def cms_inner_product(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
+    """Equi-join SIZE estimate from two count-min grids (AMS-style):
+    |A ⋈_k B| = sum_k a_k*b_k is estimated per sketch row by
+    sum_buckets cms_a[row]*cms_b[row], taking the min across rows —
+    an overestimate-only bound (colliding keys only add cross terms).
+
+    This is the optimizer's question — "how big is this join?" —
+    answered from two depth×width grids without touching either table
+    again: the grids join on (seed, bucket), at most depth*width rows a
+    side, regardless of table size. Output: one row (est_size)."""
+    a = cms_a.withColumnRenamed("cnt", "cnt_a")
+    b = cms_b.withColumnRenamed("cnt", "cnt_b")
+    per_row = (
+        a.join(b, ["seed", "bucket"], "inner")
+        .groupBy("seed")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip"))
+    )
+    return per_row.agg(F.min("ip").cast("long").alias("est_size"))

@@ -227,3 +227,38 @@ def stream_range_join(
         & (t_ts <= f_ts + F.expr(f"INTERVAL {within}")),
         how,
     ).drop("__to_key__")
+
+
+def windowed_hll_distinct(
+    events: DataFrame, duration: str = "1 day", key: str = "user_id"
+) -> DataFrame:
+    """Approximate distinct ``key``s per tumbling window — the HLL
+    register aggregation (llmops/sketches.py) grouped by event-time
+    window.
+
+    Stream-native by construction: the stateful step is
+    ``groupBy(window, register) -> max(rho)``, whose state is m=256
+    small integers per open window no matter how many events arrive —
+    the exact-distinct alternative keeps every key in state. The
+    estimate projection over a window's registers is a second
+    aggregation; batch runs it in the same plan, a stream attaches it
+    in ``foreachBatch``/downstream of the append-mode register output
+    (multi-stateful-agg topologies vary by mode — the register state IS
+    the sketch either way).
+
+    Output: (w_start, w_end, est_distinct, v_zero, s_denom,
+    small_range).
+    """
+    from ..llmops.sketches import hll_estimate, hll_registers
+
+    w = events.select(F.window("ts", duration).alias("window"), F.col(key))
+    reg = hll_registers(w, key, ["window"])
+    est = hll_estimate(reg, ["window"])
+    return est.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("w_end"),
+        "est_distinct",
+        "v_zero",
+        "s_denom",
+        "small_range",
+    )

@@ -3488,6 +3488,48 @@ def q_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_mixture(docs, "source", "doc_id", target_permille=500)
 
 
+def q_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per 1-day tumbling window
+    (streaming/windows.py:windowed_hll_distinct): the stream-native
+    form of distinct counting — state per open window is 256 small
+    integers (the HLL registers) instead of every user id. Batch form
+    here; the register aggregation is the stateful streaming step."""
+    from .session import load_events
+    from .streaming.windows import windowed_hll_distinct
+
+    return windowed_hll_distinct(
+        load_events(spark, sf_dir), "1 day", "user_id"
+    ).orderBy("w_start")
+
+
+def q_sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS join-cardinality estimate (llmops/sketches.py:
+    cms_inner_product): |lineitem ⋈_partkey lineitem| from one 4x1024
+    integer grid — the optimizer's pre-join size question answered
+    without touching the table again (the grids join on (seed, bucket);
+    work is depth*width, not table size). The exact companion sum and
+    the guaranteed-nonnegative gap are emitted for the demo."""
+    from .llmops.sketches import cms_inner_product, cms_table
+    from .scale import persisted
+
+    li = _load(spark, sf_dir, "lineitem").select("l_partkey")
+    cms = persisted(cms_table(li, "l_partkey", depth=4, width=1024))
+    est = cms_inner_product(cms, cms)
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_size"))
+    )
+    return est.crossJoin(exact).select(
+        "exact_size",
+        "est_size",
+        (F.col("est_size") - F.col("exact_size")).alias("overcount"),
+        F.expr(
+            "abs(est_size - exact_size) * 1000 div exact_size"
+        ).alias("err_permille"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compare_diff": q_compare_diff,
     "compare_diff_summary": q_compare_diff_summary,
@@ -3653,6 +3695,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_surprisal_quality": q_lm_surprisal_quality,
     "ccnet_quality_buckets": q_ccnet_quality_buckets,
     "domain_mixture_sample": q_domain_mixture_sample,
+    "stream_hll_users": q_stream_hll_users,
+    "sketch_join_size": q_sketch_join_size,
 }
 
 _DSIR_CTE = """
@@ -6802,4 +6846,61 @@ SELECT p.domain, p.n_docs, p.weight, p.expected_n,
        CAST(coalesce(k.sampled_n, 0) AS BIGINT) AS sampled_n
 FROM plan p LEFT JOIN picks k ON p.domain = k.domain
 ORDER BY p.domain
+"""
+
+
+ORACLES["stream_hll_users"] = f"""
+WITH h AS (
+    SELECT time_bucket(INTERVAL '1 day', ts) AS w0,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                AS BIGINT) AS h
+    FROM events
+),
+b AS (SELECT w0, h // 16777216 AS idx, h % 16777216 AS w FROM h),
+r AS (
+    SELECT w0, idx,
+           MAX(CASE WHEN w = 0 THEN 25 ELSE 25 - length(bin(w)) END) AS rho
+    FROM b GROUP BY w0, idx
+),
+agg AS (
+    SELECT w0,
+           CAST(sum(CAST(power(2, 25 - rho) AS BIGINT))
+                + (256 - count(*)) * 33554432 AS BIGINT) AS s_denom,
+           CAST(256 - count(*) AS BIGINT) AS v_zero
+    FROM r GROUP BY w0
+)
+SELECT strftime(w0, '%Y-%m-%d %H:%M:%S') AS w_start,
+       strftime(w0 + INTERVAL '1 day', '%Y-%m-%d %H:%M:%S') AS w_end,
+       CAST({_HLL_EN} // ({_HLL_AD} * s_denom) AS BIGINT) AS est_distinct,
+       v_zero, s_denom,
+       ({_HLL_EN} // ({_HLL_AD} * s_denom)) <= 640 AS small_range
+FROM agg
+ORDER BY w_start
+"""
+
+ORACLES["sketch_join_size"] = """
+WITH per AS (
+    SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+    FROM lineitem GROUP BY l_partkey
+),
+ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_size FROM per),
+seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+grid AS (
+    SELECT seed,
+           CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':'
+                                     || CAST(l_partkey AS VARCHAR)), 1, 8))
+                AS BIGINT) % 1024 AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem, seeds GROUP BY 1, 2
+),
+ip AS (
+    SELECT seed, CAST(sum(cnt * cnt) AS BIGINT) AS ip
+    FROM grid GROUP BY seed
+),
+est AS (SELECT CAST(min(ip) AS BIGINT) AS est_size FROM ip)
+SELECT exact_size, est_size,
+       CAST(est_size - exact_size AS BIGINT) AS overcount,
+       CAST(abs(est_size - exact_size) * 1000 // exact_size AS BIGINT)
+           AS err_permille
+FROM ex, est
 """

@@ -137,3 +137,21 @@ def test_kmv_compiles_to_take_ordered(spark, keys10k):
     p = plan_of(sketches.kmv_sketch(h, "h", k=128))
     assert "TakeOrderedAndProject" in p
     assert "Sort " not in p.replace("TakeOrderedAndProject", "")
+
+
+def test_cms_inner_product_overestimates_join_size(spark):
+    """AMS/CMS join-size law: the grid inner product never
+    underestimates sum_k a_k*b_k, and with width >> keys it recovers
+    the exact size (no colliding cross terms for this fixed key set)."""
+    a = spark.createDataFrame([(k,) for k in [1, 1, 1, 2, 2, 3]], "k: long")
+    b = spark.createDataFrame([(k,) for k in [1, 2, 2, 2, 4]], "k: long")
+    exact = 3 * 1 + 2 * 3  # k=1: 3*1, k=2: 2*3, others unmatched
+    ca = sketches.cms_table(a, "k", depth=4, width=1024)
+    cb = sketches.cms_table(b, "k", depth=4, width=1024)
+    est = sketches.cms_inner_product(ca, cb).collect()[0]["est_size"]
+    assert est == exact
+    # narrow grid: collisions may only ADD
+    ca8 = sketches.cms_table(a, "k", depth=2, width=4)
+    cb8 = sketches.cms_table(b, "k", depth=2, width=4)
+    est8 = sketches.cms_inner_product(ca8, cb8).collect()[0]["est_size"]
+    assert est8 >= exact

@@ -757,3 +757,28 @@ def test_stream_band_candidates_ttl_plumbs_through(spark, tmp_path):
     }
     release_persisted()
     assert with_ttl == want
+
+
+def test_stream_hll_distinct_equals_batch_on_closed_windows(spark, events):
+    """Windowed HLL distinct (windows.windowed_hll_distinct) runs the
+    register aggregation AND the estimate as one chained streaming
+    topology (append mode; Spark 4 multi-stateful-agg). Append emits
+    only watermark-closed windows — every emitted row must be
+    bit-identical to the batch form's row for that window; at least one
+    window must have emitted."""
+    stream = windows.with_event_time(
+        runner.read_events_stream(spark, SF), watermark="1 day"
+    )
+    got = runner.run_once(
+        windows.windowed_hll_distinct(stream, "1 day"), "append"
+    )
+    cols = ["w_start", "w_end", "est_distinct", "v_zero", "s_denom",
+            "small_range"]
+    batch = {
+        r["w_start"]: tuple(r[c] for c in cols)
+        for r in windows.windowed_hll_distinct(events, "1 day").collect()
+    }
+    emitted = _rows(got, cols)
+    assert len(emitted) > 0
+    for row in emitted:
+        assert batch[row[0]] == row

@@ -27,18 +27,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # keys equal the first 50 QUERIES names of each round).  Round 7
 # rotation — freshness first: after r6's sweep the oldest latest-rows
 # are 23×r3, 38×r4, 46×r5, 50×r6, plus 7 never-checked round-7 queries.
-# Slot accounting (164 queries):
-#   1-7   NEW round-7 queries (sketches, LM quality, domain mixture) —
-#         never driver-checked
-#   8-30  all 23 queries whose latest driver row is r3 (oldest debt,
+# Slot accounting (166 queries):
+#   1-9   NEW round-7 queries (sketches, LM quality, domain mixture,
+#         streaming HLL, join-size estimate) — never driver-checked
+#   10-32 all 23 queries whose latest driver row is r3 (oldest debt,
 #         registry order)
-#   31-50 the first 20 r4-latest queries in registry order; the 18-query
+#   33-50 the first 18 r4-latest queries in registry order; the 20-query
 #         r4 remainder leads the r8 rotation (arithmetic asserted below).
 _VERIFY_FIRST = [
     # -- NEW in round 7: never driver-checked --
     "sketch_hll_partkeys", "sketch_kmv_shingles", "sketch_theta_leakage",
     "sketch_cms_tokens", "lm_surprisal_quality", "ccnet_quality_buckets",
-    "domain_mixture_sample",
+    "domain_mixture_sample", "stream_hll_users", "sketch_join_size",
     # -- latest driver row is r3 (all 23, registry order) --
     "mask_deterministic", "mask_recovery_roundtrip", "mask_invariants",
     "pattern_count_matches", "pattern_replace_all", "pattern_replace_first",
@@ -48,21 +48,20 @@ _VERIFY_FIRST = [
     "retention_cohorts", "sessionize_events", "range_join_attribution",
     "pricing_summary", "stream_tumbling_counts", "stream_sliding_counts",
     "stream_session_agg", "stream_running_totals",
-    # -- latest driver row is r4: first 20 in registry order --
+    # -- latest driver row is r4: first 18 in registry order --
     "stream_range_join", "dedup_simhash", "embedding_centroids",
     "multimodal_audio_features", "rolling_revenue_30d", "distinct_suppliers",
     "pivot_event_counts", "stream_dedup_first", "skew_salted_totals",
     "dedup_embedding_lsh", "topk_per_group", "group_quantiles",
     "histogram_doc_lengths", "profile_orders", "paragraph_dedup",
     "cube_volume", "semi_anti_customers", "events_interarrival",
-    "cdc_upsert", "text_normalize",
     # (r4 remainder past the 50-cut, leads the r8 rotation:
-    #  skew_salted_join, asof_join_forward, grouping_sets_volume,
-    #  fuzzy_name_pairs, forecast_revenue, expectations_orders,
-    #  denylist_scrub, price_percent_rank, pack_sequences, kmeans_step,
-    #  corpus_vocab_stats, price_deciles, priority_waiting,
-    #  order_count_distribution, idle_rich_customers, chunk_text,
-    #  salient_terms, late_shipments)
+    #  cdc_upsert, text_normalize, skew_salted_join, asof_join_forward,
+    #  grouping_sets_volume, fuzzy_name_pairs, forecast_revenue,
+    #  expectations_orders, denylist_scrub, price_percent_rank,
+    #  pack_sequences, kmeans_step, corpus_vocab_stats, price_deciles,
+    #  priority_waiting, order_count_distribution, idle_rich_customers,
+    #  chunk_text, salient_terms, late_shipments)
 ]
 
 

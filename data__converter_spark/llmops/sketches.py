@@ -213,16 +213,28 @@ def theta_overlap(
 
 
 def cms_table(
-    df: DataFrame, key_col: str | Column, depth: int = 4, width: int = 1024
+    df: DataFrame,
+    key_col: str | Column,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-min sketch of a key stream: (seed, bucket, cnt) — the
     depth×width integer grid. Each occurrence row lands in one bucket
     per seed (bucket = md5(seed:key) mod width); the grid is built by a
     single ``groupBy`` whose state is depth*width counters no matter
-    how large the stream. Mergeable by summing grids cell-wise."""
+    how large the stream. Mergeable by summing grids cell-wise.
+
+    ``weight_col``: build from pre-aggregated (key, count) rows instead
+    of raw occurrences — identical grid, but the depth-way explode runs
+    over the key table rather than the stream (the batch fast path; 10×
+    stress measured the raw-stream form ~4× dearer at a 1.6M-token
+    corpus). Raw streams — where per-key pre-aggregation is exactly the
+    state blowup CMS exists to avoid — omit it and pay the explode."""
     c = F.col(key_col) if isinstance(key_col, str) else key_col
     seeds = F.explode(F.array(*[F.lit(s) for s in range(depth)])).alias("seed")
-    rows = df.select(c.cast("string").alias("k"), seeds)
+    w = (F.col(weight_col) if weight_col else F.lit(1)).alias("w")
+    rows = df.select(c.cast("string").alias("k"), w, seeds)
     bucket = (
         F.conv(
             F.substring(F.md5(F.concat_ws(":", F.col("seed"), F.col("k"))), 1, 8),
@@ -232,9 +244,9 @@ def cms_table(
         % F.lit(width)
     ).alias("bucket")
     return (
-        rows.select("seed", bucket)
+        rows.select("seed", bucket, "w")
         .groupBy("seed", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("w").cast("long").alias("cnt"))
     )
 
 

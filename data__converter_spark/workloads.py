@@ -3427,14 +3427,20 @@ def q_sketch_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale — production widths make ``over`` permille-level."""
     from .llmops.sketches import cms_point_estimates, cms_table
     from .llmops.textstats import tokens_col
+    from .scale import persisted
 
     docs = _load(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(tokens_col("text")).alias("raw")
     ).select(F.lower("raw").alias("tok"))
-    truth = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+    # ONE corpus-scale pass: the (token, count) table feeds the truth
+    # columns, the probe top-k AND the grid (weight_col fast path) —
+    # the raw-stream grid form re-tokenized the corpus depth+1 times.
+    truth = persisted(
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
     probes = truth.orderBy(F.col("true_cnt").desc(), "tok").limit(20)
-    cms = cms_table(toks, "tok", depth=4, width=64)
+    cms = cms_table(truth, "tok", depth=4, width=64, weight_col="true_cnt")
     est = cms_point_estimates(cms, probes, "tok", depth=4, width=64)
     return (
         probes.join(est, probes.tok == est.k)
@@ -3513,12 +3519,15 @@ def q_sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .scale import persisted
 
     li = _load(spark, sf_dir, "lineitem").select("l_partkey")
-    cms = persisted(cms_table(li, "l_partkey", depth=4, width=1024))
+    per = persisted(
+        li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    )
+    cms = persisted(
+        cms_table(per, "l_partkey", depth=4, width=1024, weight_col="c")
+    )
     est = cms_inner_product(cms, cms)
-    exact = (
-        li.groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_size"))
+    exact = per.agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_size")
     )
     return est.crossJoin(exact).select(
         "exact_size",

@@ -57,6 +57,15 @@ SHOWCASE = [
     ("similarity_lsh_recall", "both ANN legs reuse their own checked plans; the intersection is an equi-join on (probe, neighbor) + per-probe count — no new shuffle shapes"),
     ("multimodal_png_decode", "one ArrowEvalPython/mapInPandas pass over the id projection — encode+decode+features stay batch-local, zero Exchange"),
     ("pagerank_converged", "probe-cadence supersteps: two lazily-chained join+agg rounds per action over the persisted degree-annotated edge frame; probe is a plain aggregate (prev rank carried in-row, no self-join)"),
+    ("sketch_hll_partkeys", "one scan -> (grp, register) partial+final max -> constant-size register frame (persisted); the __all__ union row merges registers, never rescans lineitem"),
+    ("sketch_kmv_shingles", "one fused Arrow shingle kernel; distinct hashes -> TakeOrderedAndProject(128) — the sketch is 128 longs regardless of corpus size"),
+    ("sketch_theta_leakage", "per-side distinct + TakeOrdered(k); all set algebra (theta, samples, intersection) on <=k-row frames — the corpora never join"),
+    ("sketch_cms_tokens", "token stream -> 4x explode -> (seed,bucket) partial+final count: the grid is depth*width counters; probes broadcast into the grid join"),
+    ("lm_surprisal_quality", "LM = one aggregate over the reference slice, joined back BY TOKEN (size-gated broadcast) — the model is never collected; per-doc score is one (id, tok) agg"),
+    ("ccnet_quality_buckets", "tercile ranks over windows KEYED by language — no SinglePartition sort at any corpus size"),
+    ("domain_mixture_sample", "per-domain plan is a constant-size aggregate broadcast into a narrow hash-test projection; the corpus never shuffles for the sample"),
+    ("stream_hll_users", "stateful shape: groupBy(window, register) max — state is 256 ints per open window, not the key set; estimate is the downstream agg"),
+    ("sketch_join_size", "join cardinality from two depth*width grids joined on (seed,bucket) — the optimizer's question answered without re-touching the table"),
 ]
 
 

@@ -1502,3 +1502,28 @@ def near_dedup_keep_best(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def soft_dedup_weights(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Soft dedup: DOWNWEIGHT duplicates instead of dropping them —
+    every member of an exact-duplicate cluster gets weight
+    ``1000 div cluster_size`` milli-units, so each distinct content
+    contributes ~1.0 total expected mass to training regardless of how
+    many times it was crawled (the sampling-weight alternative to
+    :func:`exact_dedup`'s keep-one, used when provenance diversity
+    matters). Same scale shape as exact_dedup: the shuffle moves
+    32-byte digests, never documents.
+
+    Output: (id_col, cluster_size, weight_milli) for every row."""
+    key = F.sha2(F.coalesce(F.col(col).cast("string"), F.lit("")), 256)
+    with_key = df.select(key.alias("__digest__"), F.col(id_col))
+    sizes = with_key.groupBy("__digest__").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return with_key.join(sizes, "__digest__").select(
+        id_col,
+        "cluster_size",
+        F.expr("1000 div cluster_size").alias("weight_milli"),
+    )

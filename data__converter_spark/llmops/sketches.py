@@ -277,6 +277,67 @@ def cms_point_estimates(
     return joined.groupBy("k").agg(F.min("cnt").alias("cms_est"))
 
 
+def bloom_build(
+    keys: DataFrame, key_col: str = "h", m_bits: int = 16384, k_hashes: int = 3
+) -> DataFrame:
+    """Bloom filter of a key set as its SET-BIT POSITION table: (pos),
+    at most min(m_bits, k*|keys|) distinct rows — constant-bounded
+    state (the production packing into an m-bit bitset is a transport
+    detail; the position-set form keeps every engine op integer-exact
+    and lets the membership join stay a plan-visible broadcast).
+
+    Positions are md5(seed:key) mod m — the same engine-portable hash
+    family as the CMS grid."""
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(k_hashes)])).alias("seed")
+    rows = keys.select(F.col(key_col).cast("string").alias("k"), seeds)
+    pos = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("seed"), F.col("k"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(m_bits)
+    ).alias("pos")
+    return rows.select(pos).distinct()
+
+
+def bloom_maybe_contains(
+    probes: DataFrame,
+    bloom: DataFrame,
+    key_col: str = "h",
+    m_bits: int = 16384,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """(key, maybe): Bloom membership test for each distinct probe key —
+    ``maybe`` is true iff ALL k positions are set. No false negatives
+    ever; false-positive rate ~(1-e^{-kn/m})^k. The bloom side is
+    broadcast (≤ m rows of one long); the probe stream needs no
+    shuffle beyond its own k-way position projection."""
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(k_hashes)])).alias("seed")
+    pk = probes.select(F.col(key_col).cast("string").alias("k")).distinct()
+    rows = pk.select("k", seeds).select(
+        "k",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("seed"), F.col("k"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(m_bits)
+        ).alias("pos"),
+    )
+    hits = (
+        rows.join(F.broadcast(bloom), "pos", "left_semi")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+    )
+    return pk.join(hits, "k", "left").select(
+        "k", (F.coalesce("n_set", F.lit(0)) == F.lit(k_hashes)).alias("maybe")
+    )
+
+
 def cms_inner_product(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
     """Equi-join SIZE estimate from two count-min grids (AMS-style):
     |A ⋈_k B| = sum_k a_k*b_k is estimated per sketch row by

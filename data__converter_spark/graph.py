@@ -17,6 +17,10 @@ from pyspark.sql import functions as F
 
 #: one full rank unit in micro-units
 RANK_SCALE = 1_000_000
+# Cap on the adaptive probe window: each lazily-chained superstep
+# references the previous rank state twice, so plan size is 2^window —
+# see pagerank_until's docstring.
+MAX_PROBE_CADENCE = 4
 
 
 def _pr_teleport(damping_permille: int):
@@ -131,6 +135,7 @@ def pagerank_until(
     damping_permille: int = 850,
     src_col: str = "src",
     dst_col: str = "dst",
+    adaptive_cadence: bool = False,
 ) -> tuple[DataFrame, list[tuple[int, int, int]]]:
     """Convergence-gated PageRank — the shape production graph jobs
     actually run: supersteps until the convergence probe sees
@@ -146,6 +151,22 @@ def pagerank_until(
     (K=1) gives the finest stop granularity; K>1 amortizes the
     per-action scheduling floor — at most K-1 excess supersteps past
     convergence, the standard trade production Pregel loops make.
+
+    ``adaptive_cadence`` doubles the cadence after any probe whose
+    max-|Δ| is strictly below the previous probe's — once the
+    series is contracting the probes carry less
+    information per job, so a long run pays fewer probes, each still
+    clamped to the remaining iteration budget. The cadence caps at
+    MAX_PROBE_CADENCE: each lazily-chained superstep references the
+    previous state TWICE (select + contribution join), so an
+    unbounded window grows the logical plan as 2^window — past ~4 the
+    plan itself (analysis, AQE explain strings) costs more than the
+    probes saved, and far past it the driver OOMs building plan
+    strings. The first probe always lands at ``probe_every``, and a
+    run whose budget is <= 2*probe_every probes at identical
+    iterations either way (the oracle-pinned fixed-length forms are
+    cadence-invariant by construction; the long-run probe thinning is
+    pinned in tests/test_graph.py).
 
     This is the multi-ACTION form :func:`pagerank` documents behind
     ``persist_invariants``: the loop persists the invariant
@@ -187,8 +208,10 @@ def pagerank_until(
     )
     history: list[tuple[int, int, int]] = []
     done = 0
+    cadence = probe_every
+    prev_delta: int | None = None
     while done < max_iterations:
-        steps = min(probe_every, max_iterations - done)
+        steps = min(cadence, max_iterations - done)
         # (node, prev_micro, rank_micro): prev pins the state at the
         # last probe so the probe aggregate needs no self-join
         cur = ranks.select(
@@ -206,7 +229,14 @@ def pagerank_until(
                 _pr_damped(damping_permille).alias("rank_micro"),
             )
         done += steps
-        ranks = persisted(cur)
+        # localCheckpoint (the connected_components per-round idiom)
+        # rather than persist: caching keeps the full logical lineage,
+        # which grows ~2^window PER PROBE (each superstep references
+        # the previous state twice) — a long adaptive run OOMs the
+        # driver just BUILDING plan strings. Checkpointing stores the
+        # same partitions but truncates lineage, so every probe starts
+        # from a flat scan.
+        ranks = cur.localCheckpoint()
         probe = ranks.agg(
             F.max(
                 F.abs(F.col("rank_micro") - F.col("prev_micro"))
@@ -219,6 +249,13 @@ def pagerank_until(
         history.append((done, max_delta, int(probe["changed"] or 0)))
         if max_delta <= tol_micro:
             break
+        if (
+            adaptive_cadence
+            and prev_delta is not None
+            and max_delta < prev_delta
+        ):
+            cadence = min(cadence * 2, MAX_PROBE_CADENCE)
+        prev_delta = max_delta
     return ranks.select("node", "rank_micro"), history
 
 

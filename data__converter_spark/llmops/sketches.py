@@ -133,7 +133,10 @@ def kmv_sketch(hashes: DataFrame, hash_col: str = "h", k: int = 128) -> DataFram
     """k smallest DISTINCT hash values — the KMV sketch, via
     ``distinct -> orderBy -> limit(k)`` which Spark executes as
     TakeOrderedAndProject (per-partition top-k + driver merge of k-row
-    heads; no global sort). Output: (h) with <= k rows."""
+    heads; no global SORT, though the ``distinct`` does pay one
+    hash-exchange of the distinct hash space — combiner-heavy, since
+    the map-side partial aggregate dedupes before the shuffle).
+    Output: (h) with <= k rows."""
     return hashes.select(F.col(hash_col).alias("h")).distinct().orderBy("h").limit(k)
 
 
@@ -181,9 +184,18 @@ def theta_overlap(
     """
     ka = kmv_sketch(hashes_a, hash_col, k).agg(F.max("h").alias("kth"))
     kb = kmv_sketch(hashes_b, hash_col, k).agg(F.max("h").alias("kth"))
+    # An EMPTY side has kth = NULL; its sketch saw everything, so its
+    # theta contribution is the full hash space (sample rate 1) — the
+    # coalesce keeps every downstream column a real zero instead of
+    # NULL-poisoning the whole row.
     theta = (
         ka.crossJoin(kb.withColumnRenamed("kth", "kth_b"))
-        .select(F.least("kth", "kth_b").alias("theta"))
+        .select(
+            F.least(
+                F.coalesce("kth", F.lit(space)),
+                F.coalesce("kth_b", F.lit(space)),
+            ).alias("theta")
+        )
     )
     da = hashes_a.select(F.col(hash_col).alias("h")).distinct()
     db = hashes_b.select(F.col(hash_col).alias("h")).distinct()
@@ -212,6 +224,21 @@ def theta_overlap(
     )
 
 
+def _cms_bucket(seed_col: str | Column, key_col: str | Column, modulus: int) -> Column:
+    """md5(seed:key) mod ``modulus`` — the shared engine-portable bucket
+    hash behind the CMS grid, the Bloom positions, and the streaming
+    per-window grid (DuckDB spells it
+    ``CAST(('0x'||substr(md5(seed||':'||k),1,8)) AS BIGINT) % modulus``)."""
+    s = F.col(seed_col) if isinstance(seed_col, str) else seed_col
+    k = F.col(key_col) if isinstance(key_col, str) else key_col
+    return (
+        F.conv(F.substring(F.md5(F.concat_ws(":", s, k)), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % F.lit(modulus)
+    )
+
+
 def cms_table(
     df: DataFrame,
     key_col: str | Column,
@@ -235,14 +262,7 @@ def cms_table(
     seeds = F.explode(F.array(*[F.lit(s) for s in range(depth)])).alias("seed")
     w = (F.col(weight_col) if weight_col else F.lit(1)).alias("w")
     rows = df.select(c.cast("string").alias("k"), w, seeds)
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat_ws(":", F.col("seed"), F.col("k"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % F.lit(width)
-    ).alias("bucket")
+    bucket = _cms_bucket("seed", "k", width).alias("bucket")
     return (
         rows.select("seed", bucket, "w")
         .groupBy("seed", "bucket")
@@ -258,22 +278,18 @@ def cms_point_estimates(
     an overestimate-only bound (cms_est >= true count, with equality
     unless the key collides in every row). Probes are small by
     construction (heavy-hitter candidates): broadcast them into the
-    grid join."""
+    grid join. The grid is SPARSE (untouched cells are absent rows), so
+    the probe side left-joins and coalesces a missing cell to 0 — a
+    probe key none of whose cells were ever hit estimates 0, exactly
+    as a true CMS point query over a zero-initialized grid would."""
     seeds = F.explode(F.array(*[F.lit(s) for s in range(depth)])).alias("seed")
     pk = probes.select(F.col(key_col).cast("string").alias("k")).distinct()
     probe_rows = pk.select("k", seeds).select(
-        "k",
-        "seed",
-        (
-            F.conv(
-                F.substring(F.md5(F.concat_ws(":", F.col("seed"), F.col("k"))), 1, 8),
-                16,
-                10,
-            ).cast("long")
-            % F.lit(width)
-        ).alias("bucket"),
+        "k", "seed", _cms_bucket("seed", "k", width).alias("bucket")
     )
-    joined = cms.join(F.broadcast(probe_rows), ["seed", "bucket"], "inner")
+    joined = probe_rows.join(F.broadcast(cms), ["seed", "bucket"], "left").select(
+        "k", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
     return joined.groupBy("k").agg(F.min("cnt").alias("cms_est"))
 
 
@@ -290,15 +306,7 @@ def bloom_build(
     family as the CMS grid."""
     seeds = F.explode(F.array(*[F.lit(s) for s in range(k_hashes)])).alias("seed")
     rows = keys.select(F.col(key_col).cast("string").alias("k"), seeds)
-    pos = (
-        F.conv(
-            F.substring(F.md5(F.concat_ws(":", F.col("seed"), F.col("k"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % F.lit(m_bits)
-    ).alias("pos")
-    return rows.select(pos).distinct()
+    return rows.select(_cms_bucket("seed", "k", m_bits).alias("pos")).distinct()
 
 
 def bloom_maybe_contains(
@@ -316,17 +324,7 @@ def bloom_maybe_contains(
     seeds = F.explode(F.array(*[F.lit(s) for s in range(k_hashes)])).alias("seed")
     pk = probes.select(F.col(key_col).cast("string").alias("k")).distinct()
     rows = pk.select("k", seeds).select(
-        "k",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(":", F.col("seed"), F.col("k"))), 1, 8
-                ),
-                16,
-                10,
-            ).cast("long")
-            % F.lit(m_bits)
-        ).alias("pos"),
+        "k", _cms_bucket("seed", "k", m_bits).alias("pos")
     )
     hits = (
         rows.join(F.broadcast(bloom), "pos", "left_semi")
@@ -356,3 +354,61 @@ def cms_inner_product(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
         .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip"))
     )
     return per_row.agg(F.min("ip").cast("long").alias("est_size"))
+
+
+def sample_quantiles(
+    df: DataFrame,
+    key_col: str | Column,
+    value_col: str | Column,
+    group_cols: list[str] | None = None,
+    qs: tuple[int, ...] = (250, 500, 750),
+    rate_log2: int = 4,
+) -> DataFrame:
+    """Approximate per-group quantiles from a DETERMINISTIC hash sample
+    — the quantile member of the mergeable-sketch family (distinct =
+    HLL/KMV, frequency = CMS, membership = Bloom, quantiles = this).
+
+    Rows whose md5-32 of ``key_col`` falls below 2^32 / 2^rate_log2 are
+    sampled (fixed rate 2^-rate_log2, the KMV/theta fixed-θ idiom); the
+    requested permille quantiles are then EXACT order statistics of the
+    sample — value at rank ceil(q·n/1000), ties broken by the hash so
+    both engines pick the same row. Mergeable by construction: the
+    union of per-shard samples at the same θ IS the sample of the
+    union, so shards/days concatenate without re-scanning (unlike
+    exact percentile_approx state, which is engine-private). The
+    corpus-side work is one narrow filter (no shuffle); only the
+    sampled ~n/2^rate_log2 rows reach the per-group window sort.
+
+    ``value_col`` should already be integer-exact (e.g. price cents as
+    bigint) so the oracle checks values, not floats. Output:
+    (group_cols..., n_sampled, q_<q> per requested q). Groups with no
+    sampled row are absent (the demo query outer-joins its group base).
+    """
+    from pyspark.sql import Window as W
+
+    group_cols = group_cols or []
+    thresh = (1 << 32) >> rate_log2
+    k = F.col(key_col) if isinstance(key_col, str) else key_col
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    h = md5_hash32(k)
+    sampled = df.select(
+        *group_cols, v.cast("long").alias("v"), h.alias("h")
+    ).filter(F.col("h") < F.lit(thresh))
+    w = W.partitionBy(*group_cols).orderBy("v", "h")
+    ranked = sampled.select(
+        *group_cols,
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy(*group_cols)).alias("n"),
+    )
+    aggs = [F.max("n").cast("long").alias("n_sampled")]
+    for q in qs:
+        rank_q = F.greatest(
+            F.lit(1), F.expr(f"(n * {q} + 999) div 1000")
+        )
+        aggs.append(
+            F.max(F.when(F.col("rn") == rank_q, F.col("v")))
+            .cast("long")
+            .alias(f"q_{q}")
+        )
+    return ranked.groupBy(*group_cols).agg(*aggs)

@@ -1566,6 +1566,49 @@ def _bpe_step_col(seq_col, a: str, b: str):
     return step.asNondeterministic()(seq_col)
 
 
+# Driver-path gates for BPE training (the union-find precedent,
+# dedup.connected_components): a vocabulary at or under BOTH caps runs
+# the merge loop locally -- the pair-count table of a small vocab is
+# driver-trivial, and 8 sequential Spark supersteps over a toy frame
+# are pure scheduling floor. ~96 bytes/char covers the Python
+# list-of-str symbol representation with slack.
+BPE_DRIVER_MAX_WORDS = 200_000
+BPE_DRIVER_MAX_BYTES = 64 << 20
+_PY_SYM_OVERHEAD_BYTES = 96
+
+
+def _bpe_train_local(
+    rows: list, n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Driver-side merge loop over collected (w, freq) rows -- EXACTLY
+    the distributed superstep's semantics: pair counts weighted by
+    word frequency, winner by (count desc, left asc, right asc)
+    (Python's codepoint string order == the engines' UTF-8 binary
+    order -- UTF-8 is order-preserving), greedy left-to-right
+    non-overlapping application via the shared :func:`_bpe_walk`,
+    early stop on pair exhaustion."""
+    seqs: list[tuple[list[str], int]] = [
+        (list(r["w"]) + [BPE_EOW], int(r["freq"])) for r in rows
+    ]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in seqs:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, a, b, cnt))
+        if rank < n_merges:
+            plan = [(a, b, a + b)]
+            seqs = [(_bpe_walk(syms, plan), freq) for syms, freq in seqs]
+    return merges
+
+
 def bpe_train_merges(
     df: DataFrame,
     col: str = "text",
@@ -1575,7 +1618,11 @@ def bpe_train_merges(
     """Train ``n_merges`` BPE merges; returns [(rank, left, right,
     pair_count)] driver-side.
 
-    Iteration shape (the kmeans_train / pagerank pattern — bounded
+    The corpus is read exactly once (the word aggregate); a gated
+    hybrid then picks the loop venue — driver-local under the
+    BPE_DRIVER_MAX_* caps, distributed supersteps beyond (see the
+    venue-switch comment in the body). Distributed iteration shape
+    (the kmeans_train / pagerank pattern — bounded
     driver pulls only): per round, one pair explode + aggregate over
     the PERSISTED symbol state, then ``orderBy().limit(1)`` — a
     TakeOrderedAndProject whose single winning row is collected.  The
@@ -1601,12 +1648,40 @@ def bpe_train_merges(
     from ..scale import persisted
 
     words = persisted(_bpe_word_seqs(df, col, min_word_freq))
+    # HYBRID venue switch (the connected-components precedent): one
+    # stats row decides where the merge loop runs. A vocabulary within
+    # BOTH driver gates collects (word, freq) and loops locally -- the
+    # loop is O(vocab) per round either way, and below the gate 8
+    # sequential Spark supersteps are pure job-scheduling floor
+    # (measured at sf0.1: ~3.8 s distributed vs ~1.2 s hybrid,
+    # identical merge table; venue equivalence pinned in
+    # tests/test_llmops.py by forcing the gate to 0). Beyond the gate
+    # -- the 100 TB regime, where the vocab itself is a frame -- the
+    # distributed superstep loop below runs unchanged.
+    stats = words.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.length("w")).alias("chars")
+    ).collect()[0]
+    n_vocab = int(stats["n"] or 0)
+    est_bytes = int(stats["chars"] or 0) * _PY_SYM_OVERHEAD_BYTES
+    if n_vocab <= BPE_DRIVER_MAX_WORDS and est_bytes <= BPE_DRIVER_MAX_BYTES:
+        return _bpe_train_local(words.collect(), n_merges)
+    # Size the superstep state to the VOCABULARY, not the session
+    # default: cached plans keep their materialized partitioning (AQE
+    # cannot re-coalesce them — canChangeCachedPlanOutputPartitioning
+    # is off by design), so without this a just-over-gate vocab rides
+    # 32 near-empty partitions through every superstep. One partition
+    # per ~50k words keeps a web-scale vocab (100M words -> 2k
+    # partitions) honest.
+    n_parts = max(1, min(words.rdd.getNumPartitions(), n_vocab // 50_000 + 1))
     # state carried BETWEEN supersteps: the current symbol arrays,
     # persisted each round so superstep i applies only merge i-1 to
-    # cached state (one symbol pass) rather than re-deriving i merges
-    # from the word strings (O(n_merges²) passes across the loop)
+    # cached state (one symbol pass) rather than re-deriving all i
+    # merges from the word strings (O(n_merges²) passes across the
+    # loop); the narrow per-round selects inherit n_parts.
     seqs = persisted(
-        words.select(_bpe_apply_col(F.col("w"), []).alias("seq"), "freq")
+        words.repartition(n_parts).select(
+            _bpe_apply_col(F.col("w"), []).alias("seq"), "freq"
+        )
     )
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):

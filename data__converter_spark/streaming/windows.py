@@ -262,3 +262,68 @@ def windowed_hll_distinct(
         "s_denom",
         "small_range",
     )
+
+
+def windowed_cms_heavy(
+    events: DataFrame,
+    probes: DataFrame,
+    duration: str = "1 day",
+    key: str = "user_id",
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Count-min point estimates for a FIXED probe-key set per tumbling
+    window — the frequency companion to :func:`windowed_hll_distinct`
+    (together they answer the two classic stream questions, "how many
+    distinct" and "how often", in constant state).
+
+    Stream-native by construction: the stateful step is
+    ``groupBy(window, seed, bucket) -> count`` whose state is a
+    depth×width integer grid per open window no matter how many events
+    arrive; the probe side is a STATIC broadcast (heavy-hitter
+    candidates are known up front in the streaming setting — rank
+    functions don't exist on a stream), and the per-(window, key) min
+    is a second chained stateful aggregate (Spark 4 multi-stateful-agg,
+    append mode — same topology as the HLL estimate projection).
+
+    A probe whose matched cell count is < depth had at least one
+    never-touched (absent) grid cell, so its estimate is 0 — the
+    sparse-grid analog of llmops.sketches.cms_point_estimates' left
+    join. Output: (w_start, w_end, k, cms_est); (window, probe) pairs
+    where EVERY cell is absent are omitted (batch callers outer-join
+    their window×probe base; see workloads.q_stream_cms_heavy).
+    """
+    from ..llmops.sketches import _cms_bucket
+
+    w = events.select(
+        F.window("ts", duration).alias("window"),
+        F.col(key).cast("string").alias("k"),
+    )
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(depth)])).alias("seed")
+    cells = w.select("window", F.col("k"), seeds).select(
+        "window", "seed", _cms_bucket("seed", "k", width).alias("bucket")
+    )
+    grid = cells.groupBy("window", "seed", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    pk = probes.select(F.col(probes.columns[0]).cast("string").alias("k")).distinct()
+    probe_rows = pk.select("k", seeds).select(
+        "k", "seed", _cms_bucket("seed", "k", width).alias("bucket")
+    )
+    est = (
+        grid.join(F.broadcast(probe_rows), ["seed", "bucket"], "inner")
+        .groupBy("window", "k")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.min("cnt").alias("min_cnt"),
+        )
+    )
+    return est.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("w_end"),
+        "k",
+        F.when(F.col("n_cells") == F.lit(depth), F.col("min_cnt"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("cms_est"),
+    )

@@ -2942,7 +2942,7 @@ def q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ranks, history = pagerank_until(
         _trade_edges(spark, sf_dir), max_iterations=4, tol_micro=0,
-        probe_every=2,
+        probe_every=2, adaptive_cadence=True,
     )
     return spark.createDataFrame(
         history, "iteration int, max_delta_micro bigint, changed_nodes bigint"
@@ -3539,6 +3539,185 @@ def q_sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (llmops/dedup.py:soft_dedup_weights): every member of
+    an exact-duplicate cluster keeps weight ``1000 div cluster_size``
+    milli-units instead of being dropped — each distinct content
+    contributes ~1.0 expected training mass however often it was
+    crawled. The shuffle moves 32-byte sha256 digests, never documents
+    (same shape as exact_dedup); the oracle groups on the raw text —
+    identical clusters without needing sha256 in SQL."""
+    from .llmops.dedup import soft_dedup_weights
+
+    docs = _load(spark, sf_dir, "documents")
+    return soft_dedup_weights(docs, "text", "doc_id").orderBy("doc_id")
+
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination check (llmops/sketches.py:
+    bloom_build/bloom_maybe_contains): the filter is built from the
+    TRAIN split's document texts (md5-permille corpus split, same rule
+    as corpus_split), then every document probes it. ``maybe`` is the
+    bloom verdict, ``present`` the exact truth (the text literally
+    appears in the train split — the documents table carries planted
+    duplicates, so cross-split leakage is real); ``false_pos`` isolates
+    the bloom's only allowed error. m=2048/k=3 is sized so test scale
+    exercises false positives; no false negative can ever occur (pinned
+    in tests/test_sketches.py)."""
+    from .llmops.sketches import bloom_build, bloom_maybe_contains
+    from .scale import persisted
+
+    docs = _load(spark, sf_dir, "documents")
+    split_b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % F.lit(1000)
+    )
+    train = persisted(
+        docs.select(F.col("text").alias("k"), split_b.alias("b"))
+        .filter(F.col("b") < 800)
+        .select("k")
+        .distinct()
+    )
+    bloom = bloom_build(train, "k", m_bits=2048, k_hashes=3)
+    probes = docs.select(F.col("text").alias("k")).distinct()
+    verdict = bloom_maybe_contains(probes, bloom, "k", m_bits=2048, k_hashes=3)
+    present = train.select("k", F.lit(True).alias("present"))
+    per_key = verdict.join(present, "k", "left").select(
+        "k",
+        "maybe",
+        F.coalesce("present", F.lit(False)).alias("present"),
+    )
+    return (
+        docs.select("doc_id", F.col("text").alias("k"))
+        .join(per_key, "k")
+        .select(
+            "doc_id",
+            "maybe",
+            "present",
+            (F.col("maybe") & ~F.col("present")).alias("false_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_stream_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed count-min heavy hitters (streaming/windows.py:
+    windowed_cms_heavy): per 1-day tumbling window, CMS point estimates
+    for a fixed probe set — the 5 globally heaviest users — from a
+    4x64 grid whose state is depth*width integers per open window (the
+    frequency companion to stream_hll_users' 256-int distinct state).
+    Batch form here completes the (window x probe) base so probes
+    absent from a window emit true_cnt 0 with their honest (possibly
+    collision-inflated, never underestimating) grid answer; the
+    streaming topology itself is pinned stream-vs-batch in
+    tests/test_streaming.py."""
+    from .scale import persisted
+    from .session import load_events
+    from .streaming.windows import windowed_cms_heavy
+
+    ev = load_events(spark, sf_dir)
+    truth = persisted(
+        ev.select(
+            F.window("ts", "1 day").alias("window"),
+            F.col("user_id").cast("string").alias("k"),
+        )
+        .groupBy("window", "k")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "w_start"
+            ),
+            F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("w_end"),
+            "k",
+            "true_cnt",
+        )
+    )
+    probes = (
+        truth.groupBy("k")
+        .agg(F.sum("true_cnt").alias("tot"))
+        .orderBy(F.desc("tot"), "k")
+        .limit(5)
+        .select("k")
+    )
+    est = windowed_cms_heavy(ev, probes, "1 day", "user_id", depth=4, width=64)
+    base = (
+        truth.select("w_start", "w_end").distinct().crossJoin(F.broadcast(probes))
+    )
+    return (
+        base.join(est, ["w_start", "w_end", "k"], "left")
+        .join(truth, ["w_start", "w_end", "k"], "left")
+        .select(
+            "w_start",
+            "w_end",
+            "k",
+            F.coalesce("true_cnt", F.lit(0)).alias("true_cnt"),
+            F.coalesce("cms_est", F.lit(0)).alias("cms_est"),
+            (
+                F.coalesce("cms_est", F.lit(0))
+                - F.coalesce("true_cnt", F.lit(0))
+            ).alias("overcount"),
+        )
+        .orderBy("w_start", "k")
+    )
+
+
+def q_quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-sample quantile sketch (llmops/sketches.py:
+    sample_quantiles): per-priority order-price quartiles from a
+    deterministic 1/16 md5 sample — the mergeable quantile answer
+    (per-shard samples at the same θ union into the sample of the
+    union, unlike percentile_approx's engine-private state). The
+    corpus pays one narrow filter; only sampled rows reach the
+    per-group sort. exact_q500 is the demo truth join (full-data
+    median by the same rank rule) with the sample's permille error."""
+    from pyspark.sql import Window as W
+
+    from .llmops.sketches import sample_quantiles
+
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", cents("o_totalprice").alias("price_c")
+    )
+    sk = sample_quantiles(
+        orders, "o_orderkey", "price_c", ["o_orderpriority"],
+        qs=(250, 500, 750), rate_log2=4,
+    )
+    w = W.partitionBy("o_orderpriority").orderBy("price_c", "o_orderkey")
+    ranked = orders.select(
+        "o_orderpriority",
+        "price_c",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("o_orderpriority")).alias("n"),
+    )
+    exact = ranked.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n_rows"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.greatest(F.lit(1), F.expr("(n * 500 + 999) div 1000")),
+                F.col("price_c"),
+            )
+        )
+        .cast("long")
+        .alias("exact_q500"),
+    )
+    return (
+        exact.join(sk, "o_orderpriority", "left")
+        .select(
+            "o_orderpriority",
+            "n_rows",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            "q_250",
+            "q_500",
+            "q_750",
+            "exact_q500",
+            F.expr(
+                "abs(q_500 - exact_q500) * 1000 div exact_q500"
+            ).alias("err_permille"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compare_diff": q_compare_diff,
     "compare_diff_summary": q_compare_diff_summary,
@@ -3706,6 +3885,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_mixture_sample": q_domain_mixture_sample,
     "stream_hll_users": q_stream_hll_users,
     "sketch_join_size": q_sketch_join_size,
+    "soft_dedup_weights": q_soft_dedup_weights,
+    "bloom_membership": q_bloom_membership,
+    "stream_cms_heavy": q_stream_cms_heavy,
+    "quantile_sketch_prices": q_quantile_sketch_prices,
 }
 
 _DSIR_CTE = """
@@ -6912,4 +7095,155 @@ SELECT exact_size, est_size,
        CAST(abs(est_size - exact_size) * 1000 // exact_size AS BIGINT)
            AS err_permille
 FROM ex, est
+"""
+
+
+# --- round-8 oracles ---------------------------------------------------
+
+ORACLES["soft_dedup_weights"] = """
+WITH sz AS (
+    SELECT doc_id,
+           CAST(count(*) OVER (PARTITION BY coalesce(text, '')) AS BIGINT)
+               AS cluster_size
+    FROM documents
+)
+SELECT doc_id, cluster_size,
+       CAST(1000 // cluster_size AS BIGINT) AS weight_milli
+FROM sz
+ORDER BY doc_id
+"""
+
+ORACLES["bloom_membership"] = """
+WITH tr AS (
+    SELECT DISTINCT text AS k FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 1000 < 800
+),
+seeds AS (SELECT unnest([0, 1, 2]) AS seed),
+pos AS (
+    SELECT DISTINCT
+           CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || k), 1, 8))
+                AS BIGINT) % 2048 AS pos
+    FROM tr, seeds
+),
+pk AS (SELECT DISTINCT text AS k FROM documents),
+prow AS (
+    SELECT pk.k, s.seed,
+           CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || pk.k),
+                               1, 8)) AS BIGINT) % 2048 AS pos
+    FROM pk, seeds s
+),
+hits AS (
+    SELECT k, CAST(count(*) AS BIGINT) AS n_set
+    FROM prow WHERE pos IN (SELECT pos FROM pos)
+    GROUP BY k
+),
+verdict AS (
+    SELECT pk.k,
+           coalesce(h.n_set, 0) = 3 AS maybe,
+           pk.k IN (SELECT k FROM tr) AS present
+    FROM pk LEFT JOIN hits h USING (k)
+)
+SELECT d.doc_id, v.maybe, v.present,
+       (v.maybe AND NOT v.present) AS false_pos
+FROM documents d JOIN verdict v ON d.text = v.k
+ORDER BY d.doc_id
+"""
+
+ORACLES["stream_cms_heavy"] = """
+WITH ev AS (
+    SELECT time_bucket(INTERVAL '1 day', ts) AS w0,
+           CAST(user_id AS VARCHAR) AS k
+    FROM events
+),
+truth AS (
+    SELECT w0, k, CAST(count(*) AS BIGINT) AS true_cnt
+    FROM ev GROUP BY w0, k
+),
+probes AS (
+    SELECT k FROM (
+        SELECT k, CAST(sum(true_cnt) AS BIGINT) AS tot
+        FROM truth GROUP BY k
+    ) ORDER BY tot DESC, k LIMIT 5
+),
+seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+grid AS (
+    SELECT w0, seed,
+           CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || k), 1, 8))
+                AS BIGINT) % 64 AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM ev, seeds GROUP BY 1, 2, 3
+),
+wins AS (SELECT DISTINCT w0 FROM ev),
+prow AS (
+    SELECT w.w0, p.k, s.seed,
+           CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || p.k),
+                               1, 8)) AS BIGINT) % 64 AS bucket
+    FROM wins w, probes p, seeds s
+),
+est AS (
+    SELECT prow.w0, prow.k,
+           CAST(min(coalesce(g.cnt, 0)) AS BIGINT) AS cms_est
+    FROM prow LEFT JOIN grid g
+      ON g.w0 = prow.w0 AND g.seed = prow.seed AND g.bucket = prow.bucket
+    GROUP BY prow.w0, prow.k
+)
+SELECT strftime(e.w0, '%Y-%m-%d %H:%M:%S') AS w_start,
+       strftime(e.w0 + INTERVAL '1 day', '%Y-%m-%d %H:%M:%S') AS w_end,
+       e.k,
+       CAST(coalesce(t.true_cnt, 0) AS BIGINT) AS true_cnt,
+       e.cms_est,
+       CAST(e.cms_est - coalesce(t.true_cnt, 0) AS BIGINT) AS overcount
+FROM est e LEFT JOIN truth t ON t.w0 = e.w0 AND t.k = e.k
+ORDER BY w_start, e.k
+"""
+
+ORACLES["quantile_sketch_prices"] = """
+WITH o AS (
+    SELECT o_orderkey, o_orderpriority,
+           CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_c,
+           CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                AS BIGINT) AS h
+    FROM orders
+),
+s AS (SELECT * FROM o WHERE h < 268435456),
+rk AS (
+    SELECT o_orderpriority, price_c,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY price_c, h) AS rn,
+           count(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM s
+),
+sk AS (
+    SELECT o_orderpriority,
+           CAST(max(n) AS BIGINT) AS n_sampled,
+           CAST(max(CASE WHEN rn = greatest(1, (n * 250 + 999) // 1000)
+                         THEN price_c END) AS BIGINT) AS q_250,
+           CAST(max(CASE WHEN rn = greatest(1, (n * 500 + 999) // 1000)
+                         THEN price_c END) AS BIGINT) AS q_500,
+           CAST(max(CASE WHEN rn = greatest(1, (n * 750 + 999) // 1000)
+                         THEN price_c END) AS BIGINT) AS q_750
+    FROM rk GROUP BY o_orderpriority
+),
+frk AS (
+    SELECT o_orderpriority, price_c,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY price_c, o_orderkey) AS rn,
+           count(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM o
+),
+ex AS (
+    SELECT o_orderpriority,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(max(CASE WHEN rn = greatest(1, (n * 500 + 999) // 1000)
+                         THEN price_c END) AS BIGINT) AS exact_q500
+    FROM frk GROUP BY o_orderpriority
+)
+SELECT ex.o_orderpriority, ex.n_rows,
+       CAST(coalesce(sk.n_sampled, 0) AS BIGINT) AS n_sampled,
+       sk.q_250, sk.q_500, sk.q_750, ex.exact_q500,
+       CAST(abs(sk.q_500 - ex.exact_q500) * 1000 // ex.exact_q500
+            AS BIGINT) AS err_permille
+FROM ex LEFT JOIN sk USING (o_orderpriority)
+ORDER BY ex.o_orderpriority
 """

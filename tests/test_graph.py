@@ -114,3 +114,40 @@ def test_pagerank_until_early_stop(spark):
     _, hist2 = pagerank_until(e, max_iterations=10, tol_micro=0, probe_every=3)
     release_persisted()
     assert hist2[-1][1] == 0 and len(hist2) < 4
+
+
+def test_pagerank_until_adaptive_cadence_thins_probes(spark):
+    """adaptive_cadence doubles the probe interval once the delta
+    series contracts geometrically: on a star graph (contracting from
+    the first probe) a 12-superstep run pays O(log) probes instead of
+    12, the probe iterations stay strictly increasing and end at the
+    budget, and the final ranks are bit-identical to the fixed run of
+    the same length (probe placement never changes the arithmetic).
+    With a budget <= 2*probe_every the series is identical to the
+    non-adaptive run — the invariant the pinned 4-superstep oracle
+    query relies on."""
+    from data__converter_spark.graph import pagerank, pagerank_until
+    from data__converter_spark.scale import release_persisted
+
+    edges = [(i, 99) for i in range(1, 6)] + [(99, i) for i in range(1, 6)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    ranks, hist = pagerank_until(
+        e, max_iterations=12, tol_micro=0, probe_every=1,
+        adaptive_cadence=True,
+    )
+    got = _ranks(ranks)
+    release_persisted()
+    its = [h[0] for h in hist]
+    assert its == sorted(set(its)) and its[-1] == 12
+    assert len(hist) < 12  # thinned
+    assert got == _ranks(pagerank(e, iterations=12))
+    release_persisted()
+    # short-budget invariance: adaptive == fixed series
+    _, h_fix = pagerank_until(e, max_iterations=4, tol_micro=0, probe_every=2)
+    release_persisted()
+    _, h_ad = pagerank_until(
+        e, max_iterations=4, tol_micro=0, probe_every=2,
+        adaptive_cadence=True,
+    )
+    release_persisted()
+    assert h_fix == h_ad

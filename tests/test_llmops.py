@@ -1511,3 +1511,34 @@ def test_bpe_merge_never_fuses_across_symbol_boundary(spark):
     assert out[2]["n_bpe_tokens"] == 12, out[2]
     # 'bc' -> [bc</w>]: fully fused, 1 piece
     assert out[1]["n_bpe_tokens"] == 10, out[1]
+
+
+def test_soft_dedup_weights_mass(spark, dup_docs):
+    """Soft dedup downweights instead of dropping: every row survives,
+    cluster members share 1000 div size milli-units, and each distinct
+    content's total expected mass stays ~1000 (exactly 1000 when the
+    size divides it)."""
+    out = {
+        r["doc_id"]: (r["cluster_size"], r["weight_milli"])
+        for r in dedup.soft_dedup_weights(dup_docs).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1] == (2, 500) and out[2] == (2, 500)  # the exact-dup pair
+    for i in (3, 4, 5):
+        assert out[i] == (1, 1000)
+
+
+def test_bpe_train_venues_agree(spark, monkeypatch):
+    """The gated hybrid's two venues (driver-local merge loop vs
+    distributed supersteps) must produce the identical merge table —
+    forced by zeroing the driver gate for the distributed run."""
+    docs = [
+        (1, "low lower lowest low low slow slower"),
+        (2, "newest widest low news new newer"),
+        (3, "the the the them theme thematic"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    local = textstats.bpe_train_merges(df, n_merges=6)
+    monkeypatch.setattr(textstats, "BPE_DRIVER_MAX_WORDS", 0)
+    dist = textstats.bpe_train_merges(df, n_merges=6)
+    assert local == dist

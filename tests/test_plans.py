@@ -567,3 +567,37 @@ def test_boilerplate_scrub_plan_has_no_set_window(spark):
     assert "Window" not in p
     assert "collect_set" not in p
     assert "HashAggregate" in p or "ObjectHashAggregate" in p
+
+
+def test_kmv_sketch_is_take_ordered_not_global_sort(spark):
+    """kmv_sketch's distinct->orderBy->limit(k) must lower to
+    TakeOrderedAndProject (per-partition top-k + driver head merge),
+    never a global Sort — the shape that makes the k-minimum-values
+    sketch collectible at any corpus size. The distinct's single
+    hash exchange is the only shuffle (combiner-heavy: map-side
+    partial agg dedupes before it)."""
+    from pyspark.sql import functions as F
+
+    from data__converter_spark.llmops.sketches import kmv_sketch, md5_hash32
+
+    h = spark.range(1000).select(md5_hash32("id").alias("h"))
+    p = plan_of(kmv_sketch(h, "h", k=128))
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p.replace("TakeOrderedAndProject", "")
+
+
+def test_hll_partkeys_union_row_merges_registers_not_corpus(spark):
+    """sketch_hll_partkeys: the __all__ union row must come from
+    merging the PERSISTED register frame (a second tiny aggregate),
+    not from a second corpus scan — at most the exact-truth demo
+    columns rescan lineitem, so the lineitem scan count stays at the
+    demo's two (registers once + truth once), never three."""
+    from data__converter_spark.scale import release_persisted
+    from data__converter_spark.workloads import QUERIES
+
+    df = QUERIES["sketch_hll_partkeys"](spark, SF_DIR)
+    p = plan_of(df)
+    release_persisted()
+    assert p.count("InMemoryTableScan") >= 2  # registers reused via cache
+    # the estimate path is pure aggregation over the register frame
+    assert "TakeOrderedAndProject" not in p.split("InMemoryTableScan")[0]

@@ -155,3 +155,90 @@ def test_cms_inner_product_overestimates_join_size(spark):
     cb8 = sketches.cms_table(b, "k", depth=2, width=4)
     est8 = sketches.cms_inner_product(ca8, cb8).collect()[0]["est_size"]
     assert est8 >= exact
+
+
+def test_cms_absent_probe_estimates_zero(spark):
+    """A probe key none of whose (seed, bucket) cells were ever hit
+    must estimate 0 — the sparse grid's absent rows are zero counters,
+    not missing answers (fixed inputs: with 8 occupied cells in a
+    65536-wide grid the probe's 4 cells are deterministically empty)."""
+    df = spark.createDataFrame([("alpha",), ("beta",)], "tok: string")
+    cms = sketches.cms_table(df, "tok", depth=4, width=65536)
+    probes = spark.createDataFrame(
+        [("alpha",), ("never-seen-key",)], "tok: string"
+    )
+    est = {
+        r["k"]: r["cms_est"]
+        for r in sketches.cms_point_estimates(
+            cms, probes, "tok", depth=4, width=65536
+        ).collect()
+    }
+    assert est["alpha"] == 1
+    assert est["never-seen-key"] == 0
+
+
+def test_theta_overlap_empty_side_yields_zeros(spark):
+    """An empty side must produce real zeros, not NULL-poison the row:
+    its kth coalesces to the full hash space (its sketch saw
+    everything, so theta = the other side's kth), and with both sides
+    empty theta = the space itself."""
+    a = spark.range(0, 1000).select(sketches.md5_hash32("id").alias("h"))
+    empty = a.filter(F.lit(False))
+    row = sketches.theta_overlap(a, empty, "h", k=128).collect()[0]
+    assert row["theta"] is not None and row["theta"] < (1 << 32)
+    assert row["n_b"] == 0 and row["n_common"] == 0
+    assert row["inter_est"] == 0 and row["jaccard_permille"] == 0
+    assert row["n_a"] > 0
+    row2 = sketches.theta_overlap(empty, empty, "h", k=128).collect()[0]
+    assert row2["theta"] == (1 << 32)
+    assert row2["n_union"] == 0 and row2["union_est"] == 0
+
+
+def test_bloom_no_false_negatives(spark):
+    """The Bloom guarantee: every inserted key answers maybe=True, no
+    exceptions; at m=1024/k=3 with 500 keys the false-positive rate is
+    ~45%, so unseen keys must show SOME positives (the filter works)
+    but not all (it isn't saturated)."""
+    keys = spark.range(500).select(F.col("id").cast("string").alias("h"))
+    bloom = sketches.bloom_build(keys, "h", m_bits=1024, k_hashes=3)
+    probes = spark.range(1000).select(F.col("id").cast("string").alias("h"))
+    got = {
+        r["k"]: r["maybe"]
+        for r in sketches.bloom_maybe_contains(
+            probes, bloom, "h", m_bits=1024, k_hashes=3
+        ).collect()
+    }
+    assert all(got[str(i)] for i in range(500)), "false negative!"
+    fps = sum(got[str(i)] for i in range(500, 1000))
+    assert 0 < fps < 500
+
+
+def test_sample_quantiles_full_rate_is_exact(spark):
+    """rate_log2=0 samples everything, so the sketch's order statistics
+    ARE the exact ones: rank ceil(q*n/1000) over 0,10,...,990."""
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    row = sketches.sample_quantiles(
+        df, "k", "v", qs=(250, 500, 750), rate_log2=0
+    ).collect()[0]
+    assert row["n_sampled"] == 100
+    assert row["q_250"] == 240 and row["q_500"] == 490 and row["q_750"] == 740
+
+
+def test_sample_quantiles_accuracy_and_groups(spark):
+    """1/8 hash sample of uniform 0..9999 in two groups: each group's
+    sampled median lands within 10% of the true median, and the output
+    carries one row per group."""
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") / F.lit(2)).cast("long").alias("v"),
+    )
+    rows = sketches.sample_quantiles(
+        df, "k", "v", ["g"], qs=(500,), rate_log2=3
+    ).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert 400 < r["n_sampled"] < 900  # ~625 = 5000/8 per group
+        assert abs(r["q_500"] - 2500) / 2500 < 0.10

@@ -782,3 +782,34 @@ def test_stream_hll_distinct_equals_batch_on_closed_windows(spark, events):
     assert len(emitted) > 0
     for row in emitted:
         assert batch[row[0]] == row
+
+
+def test_stream_cms_heavy_equals_batch_on_closed_windows(spark, events):
+    """Windowed CMS heavy-hitter estimates (windows.windowed_cms_heavy)
+    run grid aggregation -> static probe join -> per-(window, key) min
+    as one chained streaming topology (append mode, Spark 4
+    multi-stateful-agg). Every watermark-closed emitted row must be
+    bit-identical to the batch form's row for that (window, key); at
+    least one must emit."""
+    probes = (
+        events.groupBy(events.user_id.cast("string").alias("k"))
+        .count()
+        .orderBy("count", ascending=False)
+        .limit(3)
+        .select("k")
+    )
+    stream = windows.with_event_time(
+        runner.read_events_stream(spark, SF), watermark="1 day"
+    )
+    got = runner.run_once(
+        windows.windowed_cms_heavy(stream, probes, "1 day"), "append"
+    )
+    cols = ["w_start", "w_end", "k", "cms_est"]
+    batch = {
+        (r["w_start"], r["k"]): tuple(r[c] for c in cols)
+        for r in windows.windowed_cms_heavy(events, probes, "1 day").collect()
+    }
+    emitted = _rows(got, cols)
+    assert len(emitted) > 0
+    for row in emitted:
+        assert batch[(row[0], row[2])] == row

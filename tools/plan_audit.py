@@ -66,6 +66,10 @@ SHOWCASE = [
     ("domain_mixture_sample", "per-domain plan is a constant-size aggregate broadcast into a narrow hash-test projection; the corpus never shuffles for the sample"),
     ("stream_hll_users", "stateful shape: groupBy(window, register) max — state is 256 ints per open window, not the key set; estimate is the downstream agg"),
     ("sketch_join_size", "join cardinality from two depth*width grids joined on (seed,bucket) — the optimizer's question answered without re-touching the table"),
+    ("soft_dedup_weights", "cluster sizes from one sha256-digest aggregate joined back by digest — the shuffle moves 32-byte keys, never documents; weights are a narrow integer projection"),
+    ("bloom_membership", "filter = distinct position set (<= m rows of one long) built once and BROADCAST into the probe's left-semi position join; per-key verdict is a count-of-matched-seeds aggregate"),
+    ("stream_cms_heavy", "stateful shape: groupBy(window, seed, bucket) count — state is a depth*width grid per open window; static probe rows broadcast into the grid; per-(window,key) min is the chained second aggregate"),
+    ("quantile_sketch_prices", "deterministic md5 rate-filter (narrow, no shuffle) prunes the corpus BEFORE the per-group rank window — only sampled rows sort; quantiles are conditional aggregates at computed ranks"),
 ]
 
 

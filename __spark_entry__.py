@@ -27,25 +27,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # keys equal the first 50 QUERIES names of each round).  Round 8
 # rotation — freshness first, CHANGED CODE PATHS first of all: no
 # query whose code changed this round may keep a stale driver row.
-# After r7's gate the ledger is 20×r4, 46×r5, 50×r6, 50×r7, plus 4
+# After r7's gate the ledger is 20×r4, 46×r5, 50×r6, 50×r7, plus 8
 # never-checked round-8 queries.
-# Slot accounting (170 queries):
-#   1-4   NEW round-8 queries (soft dedup weights, bloom membership,
-#         streaming CMS heavy hitters, hash-sample quantiles) — never
-#         driver-checked
-#   5-11  the 7 queries whose CODE changed in round 8 (BPE hybrid
+# Slot accounting (174 queries):
+#   1-8   NEW round-8 queries (soft dedup weights, bloom membership,
+#         streaming CMS heavy hitters, hash-sample quantiles,
+#         bloom-prescreened shard dedup, SCD2 dimension build,
+#         gaps-and-islands interval merge, Efraimidis-Spirakis
+#         weighted sample) — never driver-checked
+#   9-15  the 7 queries whose CODE changed in round 8 (BPE hybrid
 #         driver gate in textstats.py; pagerank_until localCheckpoint
 #         + adaptive cadence in graph.py; cms_point_estimates
 #         left-join, theta_overlap empty-side coalesce and the
 #         _cms_bucket refactor in sketches.py)
-#   12-31 all 20 queries whose latest driver row is r4 (the remainder
+#   16-35 all 20 queries whose latest driver row is r4 (the remainder
 #         pre-declared in round 7; oldest debt, registry order)
-#   32-50 the first 19 r5-latest queries in registry order; the 27-query
+#   36-50 the first 15 r5-latest queries in registry order; the 31-query
 #         r5 remainder leads the r9 rotation (arithmetic asserted below).
 _VERIFY_FIRST = [
     # -- NEW in round 8: never driver-checked --
     "soft_dedup_weights", "bloom_membership", "stream_cms_heavy",
-    "quantile_sketch_prices",
+    "quantile_sketch_prices", "bloom_shard_dedup", "scd2_user_status",
+    "interval_coverage", "weighted_sample_customers",
     # -- code changed in round 8: re-verify before anything else --
     "bpe_train", "tokenize_bpe", "bpe_fertility", "pagerank_converged",
     "sketch_cms_tokens", "sketch_theta_leakage", "sketch_join_size",
@@ -56,20 +59,19 @@ _VERIFY_FIRST = [
     "pack_sequences", "kmeans_step", "corpus_vocab_stats", "price_deciles",
     "priority_waiting", "order_count_distribution", "idle_rich_customers",
     "chunk_text", "salient_terms", "late_shipments",
-    # -- latest driver row is r5: first 19 in registry order --
+    # -- latest driver row is r5: first 15 in registry order --
     "similarity_lsh_topk", "similarity_ivf_topk", "multimodal_image_features",
     "multimodal_frame_sample", "multimodal_resize", "text_pii_scrub",
     "sample_stratified", "events_json_props", "window_running_revenue",
     "stream_cdc_upsert", "kmeans_train2", "salient_terms_tfidf",
     "min_cost_supplier", "product_type_profit", "important_parts",
-    "top_supplier", "supplier_part_counts", "small_qty_revenue",
-    "bracket_revenue",
     # (r5 remainder past the 50-cut, leads the r9 rotation:
-    #  excess_stock_suppliers, waiting_suppliers, balanced_shards,
-    #  dedup_against_ref, dedup_substring_keep, centroid_separation,
-    #  window_active_users, pagerank_trade, stream_enrich_counts,
-    #  common_token_ratio, token_mix_planner, and the 16 further
-    #  r5-latest rows in registry order)
+    #  top_supplier, supplier_part_counts, small_qty_revenue,
+    #  bracket_revenue, excess_stock_suppliers, waiting_suppliers,
+    #  balanced_shards, dedup_against_ref, dedup_substring_keep,
+    #  centroid_separation, window_active_users, pagerank_trade,
+    #  stream_enrich_counts, common_token_ratio, token_mix_planner,
+    #  and the 16 further r5-latest rows in registry order)
 ]
 
 

@@ -1527,3 +1527,56 @@ def soft_dedup_weights(
         "cluster_size",
         F.expr("1000 div cluster_size").alias("weight_milli"),
     )
+
+
+def bloom_prescreen_dedup(
+    new: DataFrame,
+    ref: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """EXACT cross-corpus dedup with a Bloom prescreen — the
+    incremental-ingest companion to :func:`dedup_against`'s near-dup
+    form: an arriving shard checks its content digests against a
+    constant-size membership sketch of the standing corpus BEFORE any
+    corpus-scale join, so the exact confirmation join ships only the
+    candidate digests the filter could not rule out.
+
+    Why this is the production shape at 100 TB: the standing corpus's
+    Bloom position table is <= m rows of one long, kept materialized
+    between ingests and broadcast to the shard; a no-false-negative
+    filter means a ``maybe = false`` digest is DEFINITELY new and
+    skips the join entirely, while false positives only cost extra
+    candidate rows (rate ~(1-e^{-kn/m})^k), never correctness. The
+    digest economy matches :func:`exact_dedup`: sha256 keys move, the
+    documents never do.
+
+    Output: one row per ``new`` document — (id_col, maybe, confirmed)
+    with ``confirmed -> maybe`` guaranteed (a confirmed duplicate can
+    never have been screened out); survivors are ``NOT confirmed``.
+    """
+    from .sketches import bloom_build, bloom_maybe_contains
+
+    digest = F.sha2(F.coalesce(F.col(col).cast("string"), F.lit("")), 256)
+    new_keys = new.select(F.col(id_col), digest.alias("__digest__"))
+    ref_keys = ref.select(digest.alias("__digest__")).distinct()
+    bloom = bloom_build(ref_keys, "__digest__", m_bits, k_hashes)
+    verdict = bloom_maybe_contains(
+        new_keys.select(F.col("__digest__")), bloom, "__digest__",
+        m_bits, k_hashes,
+    ).withColumnRenamed("k", "__digest__")
+    candidates = verdict.filter(F.col("maybe")).select("__digest__")
+    confirmed = candidates.join(ref_keys, "__digest__", "left_semi").select(
+        "__digest__", F.lit(True).alias("confirmed")
+    )
+    return (
+        new_keys.join(verdict, "__digest__")
+        .join(confirmed, "__digest__", "left")
+        .select(
+            id_col,
+            "maybe",
+            F.coalesce("confirmed", F.lit(False)).alias("confirmed"),
+        )
+    )

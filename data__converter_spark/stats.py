@@ -333,3 +333,46 @@ def robust_outliers(
             ),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    group: str,
+    id_col: str,
+    weight: Column,
+    k: int,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per group, via the
+    Efraimidis-Spirakis A-ES order statistic: each row draws a
+    deterministic uniform u from the first 60 bits of md5(id) and is
+    ranked by ln(u)/w (monotone with the classic u^(1/w) key — larger
+    is better); the k best per group win.  Inclusion probability is
+    proportional to ``weight`` without ever materializing per-group
+    totals, and — unlike ``rand()``-based sampling — membership is
+    stable under retries, speculation, and re-runs because u is a pure
+    function of the row id.
+
+    Plan shape: one narrow projection (md5 + ln stay JVM-side) and one
+    keyed window rank — a single hash exchange on ``group``; at scale
+    the rank never sees more than its own group.  ``weight`` must be
+    strictly positive (clamp upstream).  Ties (measure-zero for
+    continuous u) break on id for total ordering.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    key = F.log(u) / weight
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group).orderBy(
+        F.desc("__aes_key__"), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__aes_key__", key)
+        .withColumn("__rank__", F.row_number().over(w))
+        .filter(F.col("__rank__") <= k)
+        .drop("__aes_key__")
+        .withColumnRenamed("__rank__", "sample_rank")
+    )

@@ -271,6 +271,7 @@ def windowed_cms_heavy(
     key: str = "user_id",
     depth: int = 4,
     width: int = 64,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-min point estimates for a FIXED probe-key set per tumbling
     window — the frequency companion to :func:`windowed_hll_distinct`
@@ -292,19 +293,35 @@ def windowed_cms_heavy(
     join. Output: (w_start, w_end, k, cms_est); (window, probe) pairs
     where EVERY cell is absent are omitted (batch callers outer-join
     their window×probe base; see workloads.q_stream_cms_heavy).
+
+    Batch callers may pass an already-windowed frame (a ``window``
+    struct column instead of ``ts``) carrying ``weight_col``
+    pre-aggregated per-key counts — the cms_table weight_col fast
+    path: the depth-way explode then runs over the (window, key)
+    table, not the event stream, and the grid is identical. A true
+    stream keeps the raw ts form (per-key pre-aggregation is exactly
+    the state blowup CMS exists to avoid).
     """
     from ..llmops.sketches import _cms_bucket
 
-    w = events.select(
-        F.window("ts", duration).alias("window"),
-        F.col(key).cast("string").alias("k"),
-    )
+    if "window" in events.columns:
+        w = events.select(
+            "window",
+            F.col(key).cast("string").alias("k"),
+            (F.col(weight_col) if weight_col else F.lit(1)).alias("w"),
+        )
+    else:
+        w = events.select(
+            F.window("ts", duration).alias("window"),
+            F.col(key).cast("string").alias("k"),
+            (F.col(weight_col) if weight_col else F.lit(1)).alias("w"),
+        )
     seeds = F.explode(F.array(*[F.lit(s) for s in range(depth)])).alias("seed")
-    cells = w.select("window", F.col("k"), seeds).select(
-        "window", "seed", _cms_bucket("seed", "k", width).alias("bucket")
+    cells = w.select("window", F.col("k"), F.col("w"), seeds).select(
+        "window", "seed", _cms_bucket("seed", "k", width).alias("bucket"), "w"
     )
     grid = cells.groupBy("window", "seed", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
+        F.sum("w").cast("long").alias("cnt")
     )
     pk = probes.select(F.col(probes.columns[0]).cast("string").alias("k")).distinct()
     probe_rows = pk.select("k", seeds).select(

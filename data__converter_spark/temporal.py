@@ -1,0 +1,96 @@
+"""Temporal / slowly-changing-dimension operators.
+
+Beyond-reference warehouse ops (SURVEY §7.1 M5 family): building SCD
+type-2 validity intervals from a change stream, and merging overlapping
+intervals per key (gaps-and-islands).  Both are pure keyed-window
+compositions — every Window is ``partitionBy(key)``, so the work
+distributes across the key space with no SinglePartition stage and no
+driver-side loop; at 100 TB the cost is one hash exchange on the key
+plus per-partition sorts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2(
+    changes: DataFrame,
+    key: str,
+    state_cols: list[str],
+    ts_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a change stream: per
+    ``key``, collapse consecutive rows whose ``state_cols`` are
+    unchanged and emit one validity interval per distinct state run —
+    (key, *state_cols, valid_from, valid_to, is_current), half-open
+    ``[valid_from, valid_to)`` with ``valid_to`` NULL on the current
+    version.
+
+    Plan shape: ONE keyed window pass computes the lag-change flag,
+    a filter keeps only version-start rows (the SCD2 table is exactly
+    the change rows — no groupBy needed), and a second keyed window
+    lead() closes each interval with the next version's start.  Both
+    windows share the same (key, ts, tiebreak) ordering, so Spark
+    reuses one exchange+sort for both.  ``tiebreak`` (a unique column,
+    e.g. the event id) makes ordering total under duplicate
+    timestamps — without it, retries could legally reorder equal-ts
+    rows and flip which state "wins" an instant.
+    """
+    order = [F.col(ts_col).asc(), F.col(tiebreak).asc()]
+    w = Window.partitionBy(key).orderBy(*order)
+    state = F.struct(*[F.col(c) for c in state_cols])
+    prev = F.lag(state).over(w)
+    starts = (
+        changes.withColumn(
+            "__new_version__", ~prev.eqNullSafe(state)
+        )
+        .filter(F.col("__new_version__"))
+        .drop("__new_version__")
+    )
+    w2 = Window.partitionBy(key).orderBy(*order)
+    return starts.select(
+        key,
+        *state_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def merge_intervals(
+    df: DataFrame, key: str, start: str, end: str
+) -> DataFrame:
+    """Merge overlapping-or-touching intervals per ``key`` (the
+    gaps-and-islands pattern): an interval opens a new island iff its
+    ``start`` is strictly after the running max ``end`` of every
+    earlier interval in its key.  Output one row per island:
+    (key, island_start, island_end, n_merged).
+
+    Plan shape: one keyed window (cumulative max end over rows
+    unbounded-preceding..-1, then a running sum of the new-island
+    flag) and one keyed groupBy — both hash-partitioned on ``key``,
+    and AQE coalesces the post-window aggregate into the same
+    exchange.  Degenerate intervals (end < start) are treated as
+    points at ``start``.
+    """
+    order_w = Window.partitionBy(key).orderBy(start, end)
+    prev_max_end = F.max(end).over(
+        order_w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "__new_island__",
+        F.when(
+            prev_max_end.isNull() | (F.col(start) > prev_max_end), 1
+        ).otherwise(0),
+    ).withColumn("__island__", F.sum("__new_island__").over(order_w))
+    return (
+        flagged.groupBy(key, "__island__")
+        .agg(
+            F.min(start).alias("island_start"),
+            F.max(end).alias("island_end"),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("__island__")
+    )

@@ -3600,6 +3600,31 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_shard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prescreened incremental shard dedup (llmops/dedup.py:
+    bloom_prescreen_dedup): the md5-permille tail 20% of documents
+    arrives as a new shard and exact-dedups against the standing 80%
+    corpus — but the corpus-scale join only ever sees digests the
+    corpus's 4096-bit membership sketch could not rule out.
+    ``maybe = false`` rows are DEFINITELY new (no false negatives,
+    pinned in tests) and skip the join; false positives cost candidate
+    rows, never correctness. The production incremental-ingest shape:
+    the position table is broadcast, sha256 digests move, documents
+    never do."""
+    from .llmops.dedup import bloom_prescreen_dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    split_b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % F.lit(1000)
+    )
+    corpus = docs.filter(split_b < 800)
+    shard = docs.filter(split_b >= 800)
+    return bloom_prescreen_dedup(
+        shard, corpus, "text", "doc_id", m_bits=4096, k_hashes=3
+    ).orderBy("doc_id")
+
+
 def q_stream_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed count-min heavy hitters (streaming/windows.py:
     windowed_cms_heavy): per 1-day tumbling window, CMS point estimates
@@ -3616,30 +3641,35 @@ def q_stream_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.windows import windowed_cms_heavy
 
     ev = load_events(spark, sf_dir)
-    truth = persisted(
+    # ONE event-scale pass: the per-(window, key) count table feeds the
+    # truth columns, the probe top-5 AND the grid (windowed_cms_heavy's
+    # weight_col fast path) — the raw-stream grid form re-scanned the
+    # event stream depth+1 times.
+    wtruth = persisted(
         ev.select(
             F.window("ts", "1 day").alias("window"),
             F.col("user_id").cast("string").alias("k"),
         )
         .groupBy("window", "k")
         .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
-        .select(
-            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
-                "w_start"
-            ),
-            F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("w_end"),
-            "k",
-            "true_cnt",
-        )
+    )
+    truth = wtruth.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("w_end"),
+        "k",
+        "true_cnt",
     )
     probes = (
-        truth.groupBy("k")
+        wtruth.groupBy("k")
         .agg(F.sum("true_cnt").alias("tot"))
         .orderBy(F.desc("tot"), "k")
         .limit(5)
         .select("k")
     )
-    est = windowed_cms_heavy(ev, probes, "1 day", "user_id", depth=4, width=64)
+    est = windowed_cms_heavy(
+        wtruth, probes, "1 day", "k", depth=4, width=64,
+        weight_col="true_cnt",
+    )
     base = (
         truth.select("w_start", "w_end").distinct().crossJoin(F.broadcast(probes))
     )
@@ -3715,6 +3745,99 @@ def q_quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("err_permille"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# temporal / SCD2 / weighted-sampling queries (beyond-reference, round 8):
+# keyed-window warehouse ops — every Window partitions on the business
+# key, so the plans hold at 100 TB with one hash exchange each.
+# ---------------------------------------------------------------------------
+
+
+def q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build (temporal.py:scd2): per user, the
+    event stream's event_type collapses into validity intervals
+    [valid_from, valid_to) at distinct state runs — duplicate-ts runs
+    made total by the event_id tiebreak. The per-user summary
+    (version count, closed-interval seconds, current state) hash-pins
+    every interval boundary: a single mis-closed version shifts
+    closed_seconds. One exchange on user_id serves the change-detect
+    window, the interval-close window, and the final aggregate."""
+    from .temporal import scd2
+
+    ev = _load(spark, sf_dir, "events")
+    dim = scd2(ev, "user_id", ["event_type"], "ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ; the session TZ is pinned UTC in
+    # _load, so the cast is a pure reinterpretation.
+    closed = F.unix_micros(
+        F.col("valid_to").cast("timestamp")
+    ) - F.unix_micros(F.col("valid_from").cast("timestamp"))
+    return (
+        dim.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.coalesce(F.sum(closed), F.lit(0))
+            .cast("long")
+            .alias("closed_micros"),
+            F.max(F.when(F.col("is_current"), F.col("event_type"))).alias(
+                "current_type"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval merge (temporal.py:merge_intervals):
+    each lineitem spans [o_orderdate, l_shipdate] for its supplier;
+    overlapping-or-touching spans merge into islands, and per supplier
+    the output pins island count, total covered seconds, and the rows
+    folded into the largest island. The orders side joins broadcast
+    (orderkey -> orderdate is the small projection at every SF ratio
+    held by TPC-H's 1:4 orders:lineitem); the merge itself is one
+    keyed window + keyed aggregate on l_suppkey."""
+    from .temporal import merge_intervals
+
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", F.col("l_shipdate").alias("iv_end")
+    )
+    o = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").alias("iv_start")
+    )
+    iv = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_suppkey", "iv_start", "iv_end"
+    )
+    merged = merge_intervals(iv, "l_suppkey", "iv_start", "iv_end")
+    covered = F.unix_timestamp("island_end") - F.unix_timestamp("island_start")
+    return (
+        merged.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(covered).cast("long").alias("covered_seconds"),
+            F.max("n_merged").cast("long").alias("max_island_rows"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+def q_weighted_sample_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sample without replacement
+    (stats.py:weighted_sample): 5 customers per nation, inclusion
+    odds proportional to account balance (clamped to >= 1 cent), via
+    the deterministic md5-uniform A-ES key ln(u)/w — reproducible
+    under retries/speculation, no per-group totals pass, one keyed
+    window rank. Output is ids and ranks only (the float key never
+    leaves the plan, so cross-engine ln ulp drift can't touch the
+    hash)."""
+    from .stats import weighted_sample
+
+    cust = _load(spark, sf_dir, "customer")
+    w = F.greatest(cents("c_acctbal"), F.lit(1))
+    return (
+        weighted_sample(cust, "c_nationkey", "c_custkey", w, k=5)
+        .select("c_nationkey", "sample_rank", "c_custkey")
+        .orderBy("c_nationkey", "sample_rank")
     )
 
 
@@ -3889,6 +4012,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_membership": q_bloom_membership,
     "stream_cms_heavy": q_stream_cms_heavy,
     "quantile_sketch_prices": q_quantile_sketch_prices,
+    "bloom_shard_dedup": q_bloom_shard_dedup,
+    "scd2_user_status": q_scd2_user_status,
+    "interval_coverage": q_interval_coverage,
+    "weighted_sample_customers": q_weighted_sample_customers,
 }
 
 _DSIR_CTE = """
@@ -7246,4 +7373,134 @@ SELECT ex.o_orderpriority, ex.n_rows,
             AS BIGINT) AS err_permille
 FROM ex LEFT JOIN sk USING (o_orderpriority)
 ORDER BY ex.o_orderpriority
+"""
+
+ORACLES["bloom_shard_dedup"] = """
+WITH d AS (
+    SELECT doc_id, sha256(text) AS dg,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 1000 AS b
+    FROM documents
+),
+ref AS (SELECT DISTINCT dg FROM d WHERE b < 800),
+shard AS (SELECT doc_id, dg FROM d WHERE b >= 800),
+seeds AS (SELECT unnest([0, 1, 2]) AS seed),
+pos AS (
+    SELECT DISTINCT
+           CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || dg), 1, 8))
+                AS BIGINT) % 4096 AS pos
+    FROM ref, seeds
+),
+pk AS (SELECT DISTINCT dg FROM shard),
+prow AS (
+    SELECT pk.dg, s.seed,
+           CAST(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || pk.dg),
+                               1, 8)) AS BIGINT) % 4096 AS pos
+    FROM pk, seeds s
+),
+hits AS (
+    SELECT dg, CAST(count(*) AS BIGINT) AS n_set
+    FROM prow WHERE pos IN (SELECT pos FROM pos)
+    GROUP BY dg
+),
+verdict AS (
+    SELECT pk.dg,
+           coalesce(h.n_set, 0) = 3 AS maybe,
+           pk.dg IN (SELECT dg FROM ref) AS present
+    FROM pk LEFT JOIN hits h USING (dg)
+)
+SELECT s.doc_id, v.maybe, (v.maybe AND v.present) AS confirmed
+FROM shard s JOIN verdict v USING (dg)
+ORDER BY s.doc_id
+"""
+
+ORACLES["scd2_user_status"] = """
+WITH s AS (
+    SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev
+    FROM events
+),
+st AS (
+    SELECT user_id, event_type, ts AS valid_from, event_id
+    FROM s WHERE prev IS DISTINCT FROM event_type
+),
+v AS (
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from, event_id
+           ) AS valid_to
+    FROM st
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_versions,
+       CAST(coalesce(sum(epoch_us(valid_to) - epoch_us(valid_from)), 0)
+            AS BIGINT) AS closed_micros,
+       max(CASE WHEN valid_to IS NULL THEN event_type END) AS current_type
+FROM v
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+ORACLES["interval_coverage"] = """
+WITH iv AS (
+    SELECT l_suppkey, o_orderdate AS iv_start, l_shipdate AS iv_end
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+f AS (
+    SELECT l_suppkey, iv_start, iv_end,
+           CASE WHEN max(iv_end) OVER (
+                    PARTITION BY l_suppkey ORDER BY iv_start, iv_end
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) IS NULL
+                 OR iv_start > max(iv_end) OVER (
+                    PARTITION BY l_suppkey ORDER BY iv_start, iv_end
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) THEN 1 ELSE 0 END AS new_island
+    FROM iv
+),
+g AS (
+    SELECT l_suppkey, iv_start, iv_end,
+           sum(new_island) OVER (
+               PARTITION BY l_suppkey ORDER BY iv_start, iv_end
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS island
+    FROM f
+),
+m AS (
+    SELECT l_suppkey, island,
+           min(iv_start) AS island_start, max(iv_end) AS island_end,
+           count(*) AS n_merged
+    FROM g GROUP BY l_suppkey, island
+)
+SELECT l_suppkey,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(epoch(island_end) - epoch(island_start)) AS BIGINT)
+           AS covered_seconds,
+       CAST(max(n_merged) AS BIGINT) AS max_island_rows
+FROM m
+GROUP BY l_suppkey
+ORDER BY l_suppkey
+"""
+
+ORACLES["weighted_sample_customers"] = """
+WITH w AS (
+    SELECT c_nationkey, c_custkey,
+           ln(CAST(CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS DOUBLE) / 1152921504606846976.0)
+             / greatest(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT), 1)
+               AS aes_key
+    FROM customer
+),
+r AS (
+    SELECT c_nationkey, c_custkey,
+           row_number() OVER (
+               PARTITION BY c_nationkey ORDER BY aes_key DESC, c_custkey
+           ) AS sample_rank
+    FROM w
+)
+SELECT c_nationkey, CAST(sample_rank AS BIGINT) AS sample_rank, c_custkey
+FROM r WHERE sample_rank <= 5
+ORDER BY c_nationkey, sample_rank
 """

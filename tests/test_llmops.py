@@ -1542,3 +1542,31 @@ def test_bpe_train_venues_agree(spark, monkeypatch):
     monkeypatch.setattr(textstats, "BPE_DRIVER_MAX_WORDS", 0)
     dist = textstats.bpe_train_merges(df, n_merges=6)
     assert local == dist
+
+
+def test_bloom_prescreen_dedup_invariants(spark):
+    """The prescreen can never lose a duplicate (Bloom has no false
+    negatives, so every true duplicate is confirmed) and confirmed
+    implies maybe; a definitely-new doc may only ever be a false
+    positive on maybe, never confirmed."""
+    ref = spark.createDataFrame(
+        [(i, f"shared doc {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100 + i, f"shared doc {i}") for i in range(0, 10)]  # true dups
+        + [(200 + i, f"fresh doc {i}") for i in range(10)],   # new
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["maybe"], r["confirmed"])
+        for r in dedup.bloom_prescreen_dedup(
+            new, ref, m_bits=512, k_hashes=3
+        ).collect()
+    }
+    assert len(out) == 20
+    for i in range(10):  # every true duplicate confirmed
+        assert out[100 + i] == (True, True)
+    for i in range(10):  # fresh docs never confirmed
+        maybe, confirmed = out[200 + i]
+        assert not confirmed

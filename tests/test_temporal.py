@@ -1,0 +1,151 @@
+"""SCD2 / interval-merge / weighted-sample invariants.
+
+Oracle queries (scd2_user_status, interval_coverage,
+weighted_sample_customers) pin cross-engine values; these tests pin the
+structural guarantees the aggregates can't see: non-overlap, contiguity,
+exactly-one-current, island disjointness, and sample determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data__converter_spark.stats import weighted_sample
+from data__converter_spark.temporal import merge_intervals, scd2
+
+
+def _scd2_fixture(spark):
+    rows = [
+        # user 1: A A B B A  -> versions A, B, A
+        (1, 1, "2024-01-01 00:00:00", "A"),
+        (2, 1, "2024-01-01 01:00:00", "A"),
+        (3, 1, "2024-01-01 02:00:00", "B"),
+        (4, 1, "2024-01-01 03:00:00", "B"),
+        (5, 1, "2024-01-01 04:00:00", "A"),
+        # user 2: single event -> one open version
+        (6, 2, "2024-01-01 00:30:00", "X"),
+        # user 3: duplicate timestamps, tiebreak on event_id: C then D
+        (7, 3, "2024-01-01 00:00:00", "C"),
+        (8, 3, "2024-01-01 00:00:00", "D"),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_scd2_collapses_runs_and_orders_versions(spark):
+    dim = scd2(
+        _scd2_fixture(spark), "user_id", ["event_type"], "ts", "event_id"
+    )
+    got = {
+        (r["user_id"], str(r["valid_from"]), str(r["valid_to"]), r["event_type"])
+        for r in dim.collect()
+    }
+    assert (1, "2024-01-01 00:00:00", "2024-01-01 02:00:00", "A") in got
+    assert (1, "2024-01-01 02:00:00", "2024-01-01 04:00:00", "B") in got
+    assert (1, "2024-01-01 04:00:00", "None", "A") in got
+    assert (2, "2024-01-01 00:30:00", "None", "X") in got
+    # duplicate-ts pair: C's interval is zero-length, D stays open
+    assert (3, "2024-01-01 00:00:00", "2024-01-01 00:00:00", "C") in got
+    assert (3, "2024-01-01 00:00:00", "None", "D") in got
+    assert len(got) == 6
+
+
+def test_scd2_invariants_on_events(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = scd2(ev, "user_id", ["event_type"], "ts", "event_id").cache()
+    # exactly one open (current) version per user
+    per_user = dim.groupBy("user_id").agg(
+        F.sum(F.col("is_current").cast("int")).alias("n_open"),
+        F.count(F.lit(1)).alias("n_versions"),
+    )
+    assert per_user.filter(F.col("n_open") != 1).count() == 0
+    # contiguity: every closed version's valid_to is the next valid_from
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("valid_from")
+    nxt = dim.withColumn("next_from", F.lead("valid_from").over(w))
+    broken = nxt.filter(
+        F.col("valid_to").isNotNull()
+        & (F.col("valid_to") != F.col("next_from"))
+    )
+    assert broken.count() == 0
+    # version count == number of state changes + 1 per user (collapse)
+    total_versions = dim.count()
+    assert total_versions <= ev.count()
+    dim.unpersist()
+
+
+def test_merge_intervals_islands_disjoint(spark):
+    rows = [
+        ("s", 0, 10), ("s", 5, 12), ("s", 12, 15),  # touching merges
+        ("s", 20, 25),                                # gap -> new island
+        ("t", 1, 2), ("t", 4, 5),                     # two islands
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    out = merge_intervals(df, "k", "s", "e")
+    got = sorted(
+        (r["k"], r["island_start"], r["island_end"], r["n_merged"])
+        for r in out.collect()
+    )
+    assert got == [
+        ("s", 0, 15, 3),
+        ("s", 20, 25, 1),
+        ("t", 1, 2, 1),
+        ("t", 4, 5, 1),
+    ]
+
+
+def test_merge_intervals_conserves_rows(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_suppkey",
+        F.col("l_shipdate").alias("e"),
+        F.date_sub("l_shipdate", 30).alias("s"),
+    )
+    out = merge_intervals(li, "l_suppkey", "s", "e")
+    assert (
+        out.agg(F.sum("n_merged")).collect()[0][0] == li.count()
+    )
+    # islands within a key never overlap: sort by start, check gaps
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_suppkey").orderBy("island_start")
+    nxt = out.withColumn("next_start", F.lead("island_start").over(w))
+    overlapping = nxt.filter(
+        F.col("next_start").isNotNull()
+        & (F.col("next_start") <= F.col("island_end"))
+    )
+    assert overlapping.count() == 0
+
+
+def test_weighted_sample_k_per_group_and_deterministic(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = F.greatest(
+        F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("long"), F.lit(1)
+    )
+    a = weighted_sample(cust, "c_nationkey", "c_custkey", w, k=3)
+    sizes = a.groupBy("c_nationkey").count().collect()
+    group_n = {
+        r["c_nationkey"]: r["count"]
+        for r in cust.groupBy("c_nationkey").count().collect()
+    }
+    for r in sizes:
+        assert r["count"] == min(3, group_n[r["c_nationkey"]])
+    # re-run is bit-identical (hash-derived u, no rand())
+    b = weighted_sample(cust, "c_nationkey", "c_custkey", w, k=3)
+    sa = {(r["c_nationkey"], r["sample_rank"], r["c_custkey"]) for r in a.collect()}
+    sb = {(r["c_nationkey"], r["sample_rank"], r["c_custkey"]) for r in b.collect()}
+    assert sa == sb
+
+
+def test_weighted_sample_prefers_heavy_weights(spark):
+    # one whale (weight 10^6) among 200 minnows (weight 1) per group:
+    # the whale must appear in every group's top-3.
+    rows = [(g, g * 1000 + i, 1_000_000 if i == 0 else 1)
+            for g in range(5) for i in range(200)]
+    df = spark.createDataFrame(rows, "g long, id long, w long")
+    out = weighted_sample(df, "g", "id", F.col("w"), k=3)
+    picked = {
+        (r["g"], r["id"]) for r in out.collect() if r["id"] % 1000 == 0
+    }
+    assert picked == {(g, g * 1000) for g in range(5)}

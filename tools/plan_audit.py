@@ -70,6 +70,10 @@ SHOWCASE = [
     ("bloom_membership", "filter = distinct position set (<= m rows of one long) built once and BROADCAST into the probe's left-semi position join; per-key verdict is a count-of-matched-seeds aggregate"),
     ("stream_cms_heavy", "stateful shape: groupBy(window, seed, bucket) count — state is a depth*width grid per open window; static probe rows broadcast into the grid; per-(window,key) min is the chained second aggregate"),
     ("quantile_sketch_prices", "deterministic md5 rate-filter (narrow, no shuffle) prunes the corpus BEFORE the per-group rank window — only sampled rows sort; quantiles are conditional aggregates at computed ranks"),
+    ("bloom_shard_dedup", "the standing corpus's Bloom position set broadcasts into the shard's semi join; only bloom-maybe digests reach the exact confirmation join — sha256 keys move, documents never do"),
+    ("scd2_user_status", "both SCD2 windows (lag change-detect, lead interval-close) and the final aggregate share ONE user_id exchange — change rows are filtered before the second sort ever runs"),
+    ("interval_coverage", "orders' (orderkey, orderdate) projection broadcasts into lineitem; the island merge is one keyed window + keyed aggregate on l_suppkey, no SinglePartition stage"),
+    ("weighted_sample_customers", "the A-ES key (md5-uniform ln(u)/w) is a narrow JVM-side projection; the only exchange is the per-nation rank window, and rank<=k prunes before the final sort"),
 ]
 
 

@@ -601,3 +601,42 @@ def test_hll_partkeys_union_row_merges_registers_not_corpus(spark):
     assert p.count("InMemoryTableScan") >= 2  # registers reused via cache
     # the estimate path is pure aggregation over the register frame
     assert "TakeOrderedAndProject" not in p.split("InMemoryTableScan")[0]
+
+
+def test_scd2_shares_one_key_exchange(spark):
+    """scd2_user_status: the lag change-detect window, the lead
+    interval-close window, and the per-user aggregate must all ride
+    ONE hashpartitioning(user_id) exchange — and no window may fall
+    back to SinglePartition (the shape that dies at 100 TB). The only
+    other exchange is the presentation orderBy's rangepartitioning."""
+    from data__converter_spark.workloads import QUERIES
+
+    p = plan_of(QUERIES["scd2_user_status"](spark, SF_DIR))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in p
+    assert p.count("Window ") == 2
+
+
+def test_interval_coverage_broadcasts_orders_one_keyed_exchange(spark):
+    """interval_coverage: the orders (orderkey, orderdate) projection
+    joins broadcast into lineitem — no shuffle join — and the island
+    merge (cumulative-max window + running-sum window + aggregate) is
+    one hashpartitioning(l_suppkey) exchange, never SinglePartition."""
+    from data__converter_spark.workloads import QUERIES
+
+    p = plan_of(QUERIES["interval_coverage"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in p
+
+
+def test_weighted_sample_one_exchange_jvm_key(spark):
+    """weighted_sample_customers: the A-ES key (conv/md5/ln) must stay
+    JVM-side (no BatchEvalPython / no Python UDF in the plan) and the
+    only hash exchange is the per-nation rank window."""
+    from data__converter_spark.workloads import QUERIES
+
+    p = plan_of(QUERIES["weighted_sample_customers"](spark, SF_DIR))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in p

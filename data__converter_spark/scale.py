@@ -307,3 +307,65 @@ def plan_has_exchange(df: DataFrame) -> bool:
         line.strip().lstrip("+-: ").startswith("Exchange")
         for line in plan.splitlines()
     )
+
+
+def zonemap_stats(
+    df: DataFrame, shard_col: str, stat_cols: list[str]
+) -> DataFrame:
+    """Per-shard zone map: (shard, n_rows, min_<c>, max_<c> per stat
+    column) — the file-footer min/max statistics a lakehouse keeps per
+    parquet file / Delta add-file, materialized as a table.  One
+    map-side-combining aggregate; the stats table is shard-count-sized
+    (KBs at 100 TB), built once at ingest and reused by every
+    predicate thereafter.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in stat_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return df.groupBy(F.col(shard_col).alias("shard")).agg(*aggs)
+
+
+def zonemap_prune(
+    df: DataFrame,
+    stats: DataFrame,
+    shard_col: str,
+    ranges: dict[str, tuple],
+) -> tuple[DataFrame, DataFrame]:
+    """Data-skipping scan: drop whole shards whose zone map proves no
+    row can satisfy the conjunctive range predicate ``{col: (lo, hi)}``
+    (either bound may be None for half-open).
+
+    A shard survives iff every range OVERLAPS its [min, max] envelope —
+    the conservative test (NULL-stat shards survive too), so pruning
+    never changes results; the exact row filter is still applied after
+    the skip, exactly like parquet row-group pruning followed by the
+    residual filter.  Survivor ids broadcast into a left-semi join —
+    the scan side never shuffles — and the same range predicate is
+    pushed into the scan, so at 100 TB the executors open only
+    surviving files AND skip row groups within them.
+
+    Returns (pruned_scan, survivors) — survivors is the shard-id frame
+    so callers can report the skip ratio.
+    """
+    keep = F.lit(True)
+    residual = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        if lo is not None:
+            mx = F.col(f"max_{c}")
+            keep = keep & (mx.isNull() | (mx >= F.lit(lo)))
+            residual = residual & (F.col(c) >= F.lit(lo))
+        if hi is not None:
+            mn = F.col(f"min_{c}")
+            keep = keep & (mn.isNull() | (mn <= F.lit(hi)))
+            residual = residual & (F.col(c) <= F.lit(hi))
+    survivors = stats.filter(keep).select("shard")
+    # internal rename so a caller whose shard_col is literally "shard"
+    # (the common case) doesn't hit an ambiguous self-reference
+    surv_keyed = survivors.select(F.col("shard").alias("__zm_shard__"))
+    pruned = df.join(
+        F.broadcast(surv_keyed),
+        F.col(shard_col) == F.col("__zm_shard__"),
+        "left_semi",
+    ).filter(residual)
+    return pruned, survivors

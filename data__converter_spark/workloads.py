@@ -3841,6 +3841,100 @@ def q_weighted_sample_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance (ivm.py:
+    refresh_incremental): the standing per-customer order aggregate
+    (built from the pre-1996 base) absorbs the 1996+ delta batch by
+    state merge — count combines as sum, sum/min/max as themselves —
+    and the result must equal the full recompute the DuckDB oracle
+    runs over the whole table. The merge plan touches only the two
+    key-sized state frames (one union + one hash exchange); at 100 TB
+    the base table is never rescanned — that is the entire point.
+    Money stays in exact integer cents through the merge and converts
+    to dollars only at the edge."""
+    from .ivm import aggregate_state, refresh_incremental
+
+    measures = {
+        "n_orders": ("count", None),
+        "sum_price_cents": ("sum", cents("o_totalprice")),
+        "first_order": ("min", "o_orderdate"),
+        "last_order": ("max", "o_orderdate"),
+    }
+    orders = _load(spark, sf_dir, "orders")
+    split = F.lit("1996-01-01").cast("date")
+    state = aggregate_state(
+        orders.filter(F.col("o_orderdate") < split), ["o_custkey"], measures
+    )
+    delta = orders.filter(F.col("o_orderdate") >= split)
+    merged = refresh_incremental(state, delta, ["o_custkey"], measures)
+    return merged.select(
+        "o_custkey",
+        "n_orders",
+        money(F.col("sum_price_cents")).alias("sum_price"),
+        "first_order",
+        "last_order",
+    ).orderBy("o_custkey")
+
+
+def q_zonemap_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping (scale.py:zonemap_stats/zonemap_prune):
+    orders sharded by ingest month (the natural lakehouse file
+    clustering), per-shard min/max envelopes on (o_orderdate,
+    o_totalprice), then a conjunctive range scan that drops whole
+    shards the envelope proves empty before the residual row filter —
+    parquet footer pruning as an explicit, auditable operator. The
+    survivor set broadcasts into a left-semi join so the fact scan
+    never shuffles; the output row pins the skip ratio
+    (shards_scanned / shards_total) AND the aggregate over surviving
+    rows, so a pruning bug that drops a live shard or a leaky one
+    that misses a prune both break the hash."""
+    from .scale import zonemap_prune, zonemap_stats
+
+    lo, hi = "1996-03-01", "1996-09-30"
+    orders = _load(spark, sf_dir, "orders").withColumn(
+        "shard",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int"),
+    )
+    stats = zonemap_stats(orders, "shard", ["o_orderdate", "o_totalprice"])
+    pruned, survivors = zonemap_prune(
+        orders,
+        stats,
+        "shard",
+        {
+            "o_orderdate": (F.lit(lo).cast("date"), F.lit(hi).cast("date")),
+            "o_totalprice": (100_000.0, None),
+        },
+    )
+    return (
+        stats.agg(F.count(F.lit(1)).alias("shards_total"))
+        .crossJoin(survivors.agg(F.count(F.lit(1)).alias("shards_scanned")))
+        .crossJoin(
+            pruned.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                money(
+                    F.coalesce(F.sum(cents("o_totalprice")), F.lit(0))
+                ).alias("revenue"),
+            )
+        )
+    )
+
+
+def q_bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance (graph.py:bfs_hops) from customer node 0 over
+    the undirected trade graph — frontier supersteps with a node-sized
+    visited table, the Pregel SSSP shape. Three levels cover the whole
+    bipartite component at every SF (customer -> its suppliers -> their
+    customers -> those customers' suppliers), so the oracle is the
+    statically-unrolled 3-level anti-join chain; every (node, hop)
+    pair is hash-pinned, which catches both a missed frontier node and
+    a node re-entered at the wrong (non-minimal) level."""
+    from .graph import bfs_hops
+
+    return bfs_hops(
+        _trade_edges(spark, sf_dir), source=0, max_hops=3
+    ).orderBy("hop", "node")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compare_diff": q_compare_diff,
     "compare_diff_summary": q_compare_diff_summary,
@@ -4016,6 +4110,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_user_status": q_scd2_user_status,
     "interval_coverage": q_interval_coverage,
     "weighted_sample_customers": q_weighted_sample_customers,
+    "incremental_agg_orders": q_incremental_agg_orders,
+    "zonemap_prune_scan": q_zonemap_prune_scan,
+    "bfs_hops_trade": q_bfs_hops_trade,
 }
 
 _DSIR_CTE = """
@@ -7503,4 +7600,78 @@ r AS (
 SELECT c_nationkey, CAST(sample_rank AS BIGINT) AS sample_rank, c_custkey
 FROM r WHERE sample_rank <= 5
 ORDER BY c_nationkey, sample_rank
+"""
+
+ORACLES["incremental_agg_orders"] = f"""
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       {_sql_money(f"sum({_sql_cents('o_totalprice')})")} AS sum_price,
+       min(o_orderdate) AS first_order,
+       max(o_orderdate) AS last_order
+FROM orders
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+ORACLES["zonemap_prune_scan"] = f"""
+WITH sh AS (
+    SELECT o_orderdate, o_totalprice,
+           CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS shard
+    FROM orders
+),
+stats AS (
+    SELECT shard,
+           min(o_orderdate) AS min_d, max(o_orderdate) AS max_d,
+           min(o_totalprice) AS min_p, max(o_totalprice) AS max_p
+    FROM sh GROUP BY shard
+),
+surv AS (
+    SELECT shard FROM stats
+    WHERE max_d >= DATE '1996-03-01' AND min_d <= DATE '1996-09-30'
+      AND max_p >= 100000.0
+),
+pruned AS (
+    SELECT o_totalprice FROM sh
+    WHERE shard IN (SELECT shard FROM surv)
+      AND o_orderdate BETWEEN DATE '1996-03-01' AND DATE '1996-09-30'
+      AND o_totalprice >= 100000.0
+)
+SELECT (SELECT count(*) FROM stats) AS shards_total,
+       (SELECT count(*) FROM surv) AS shards_scanned,
+       (SELECT count(*) FROM pruned) AS n_rows,
+       (SELECT {_sql_money(f"coalesce(sum({_sql_cents('o_totalprice')}), 0)")}
+        FROM pruned) AS revenue
+"""
+
+ORACLES["bfs_hops_trade"] = """
+WITH pairs AS (
+    SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+    SELECT c AS src, s AS dst FROM pairs
+    UNION ALL
+    SELECT s AS src, c AS dst FROM pairs
+),
+d0 AS (SELECT CAST(0 AS BIGINT) AS node),
+f1 AS (
+    SELECT DISTINCT dst AS node FROM edges
+    WHERE src = 0 AND dst <> 0
+),
+f2 AS (
+    SELECT DISTINCT dst AS node FROM edges JOIN f1 ON src = f1.node
+    WHERE dst NOT IN (SELECT node FROM d0 UNION ALL SELECT node FROM f1)
+),
+f3 AS (
+    SELECT DISTINCT dst AS node FROM edges JOIN f2 ON src = f2.node
+    WHERE dst NOT IN (SELECT node FROM d0 UNION ALL SELECT node FROM f1
+                      UNION ALL SELECT node FROM f2)
+)
+SELECT node, hop FROM (
+    SELECT node, CAST(0 AS INT) AS hop FROM d0
+    UNION ALL SELECT node, CAST(1 AS INT) FROM f1
+    UNION ALL SELECT node, CAST(2 AS INT) FROM f2
+    UNION ALL SELECT node, CAST(3 AS INT) FROM f3
+)
+ORDER BY hop, node
 """

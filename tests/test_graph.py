@@ -151,3 +151,40 @@ def test_pagerank_until_adaptive_cadence_thins_probes(spark):
     )
     release_persisted()
     assert h_fix == h_ad
+
+
+def test_bfs_hops_min_distance_and_cutoff(spark):
+    """Path 0-1-2-3-4 plus a shortcut 0-3: BFS must label each node
+    with its MINIMUM hop (3 is 1 hop via the shortcut, 4 is 2), and
+    nodes beyond max_hops stay out."""
+    from data__converter_spark.graph import bfs_hops
+    from data__converter_spark.scale import release_persisted
+
+    undirected = [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3)]
+    e = spark.createDataFrame(
+        undirected + [(b, a) for a, b in undirected], "src long, dst long"
+    )
+    got = {r["node"]: r["hop"] for r in bfs_hops(e, 0, max_hops=2).collect()}
+    release_persisted()
+    assert got == {0: 0, 1: 1, 3: 1, 2: 2, 4: 2}
+    got1 = {r["node"]: r["hop"] for r in bfs_hops(e, 0, max_hops=1).collect()}
+    release_persisted()
+    assert got1 == {0: 0, 1: 1, 3: 1}
+
+
+def test_bfs_hops_early_exit_and_degenerate(spark):
+    """Exhausted component stops before the hop budget (empty-frontier
+    probe) and never revisits; max_hops=0 is just the source; an
+    unreachable island never appears."""
+    from data__converter_spark.graph import bfs_hops
+    from data__converter_spark.scale import release_persisted
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 0), (7, 8), (8, 7)], "src long, dst long"
+    )
+    got = {r["node"]: r["hop"] for r in bfs_hops(e, 0, max_hops=10).collect()}
+    release_persisted()
+    assert got == {0: 0, 1: 1}
+    got0 = [tuple(r) for r in bfs_hops(e, 0, max_hops=0).collect()]
+    release_persisted()
+    assert got0 == [(0, 0)]

@@ -177,3 +177,55 @@ def test_persist_scope_isolates_concurrent_jobs(spark, orders):
     assert outer.storageLevel.useMemory
     scale.release_persisted()
     assert not outer.storageLevel.useMemory
+
+
+def test_zonemap_prune_is_conservative(spark, orders):
+    """Pruned scan == direct filter, on BOTH a clustered shard key
+    (skips most shards) and an uncorrelated one (skips none) — the
+    zone map may only remove provably-empty shards."""
+    lo, hi = "1996-03-01", "1996-06-30"
+    direct = orders.filter(
+        (F.col("o_orderdate") >= F.lit(lo).cast("date"))
+        & (F.col("o_orderdate") <= F.lit(hi).cast("date"))
+    ).count()
+    for shard_expr, should_skip in [
+        ((F.year("o_orderdate") * 100 + F.month("o_orderdate")), True),
+        ((F.col("o_orderkey") % 16), False),
+    ]:
+        df = orders.withColumn("shard", shard_expr.cast("int"))
+        stats = scale.zonemap_stats(df, "shard", ["o_orderdate"])
+        pruned, survivors = scale.zonemap_prune(
+            df, stats, "shard",
+            {"o_orderdate": (F.lit(lo).cast("date"), F.lit(hi).cast("date"))},
+        )
+        assert pruned.count() == direct
+        n_surv, n_total = survivors.count(), stats.count()
+        assert (n_surv < n_total) == should_skip
+
+
+def test_zonemap_null_stat_shards_survive(spark):
+    """A shard whose stat column is all NULL has a NULL envelope —
+    it must survive pruning (unknown can never prove empty)."""
+    df = spark.createDataFrame(
+        [(0, 5), (0, 9), (1, None), (2, 50)], "shard int, v int"
+    )
+    stats = scale.zonemap_stats(df, "shard", ["v"])
+    pruned, survivors = scale.zonemap_prune(df, stats, "shard", {"v": (40, 60)})
+    assert {r["shard"] for r in survivors.collect()} == {1, 2}
+    assert [tuple(r) for r in pruned.collect()] == [(2, 50)]
+
+
+def test_zonemap_prune_broadcasts_survivors(spark, orders):
+    """The survivor semi-join must broadcast — the fact side never
+    shuffles for the skip."""
+    df = orders.withColumn(
+        "shard",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int"),
+    )
+    stats = scale.zonemap_stats(df, "shard", ["o_orderdate"])
+    pruned, _ = scale.zonemap_prune(
+        df, stats, "shard",
+        {"o_orderdate": (F.lit("1996-03-01").cast("date"), None)},
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan

@@ -74,6 +74,9 @@ SHOWCASE = [
     ("scd2_user_status", "both SCD2 windows (lag change-detect, lead interval-close) and the final aggregate share ONE user_id exchange — change rows are filtered before the second sort ever runs"),
     ("interval_coverage", "orders' (orderkey, orderdate) projection broadcasts into lineitem; the island merge is one keyed window + keyed aggregate on l_suppkey, no SinglePartition stage"),
     ("weighted_sample_customers", "the A-ES key (md5-uniform ln(u)/w) is a narrow JVM-side projection; the only exchange is the per-nation rank window, and rank<=k prunes before the final sort"),
+    ("incremental_agg_orders", "the maintenance merge unions two KEY-SIZED state frames and re-aggregates once — count combines as sum; the base table appears only in the state-build legs, never in the merge"),
+    ("zonemap_prune_scan", "shard envelopes from one map-side-combining aggregate; survivors BROADCAST into a left-semi join (fact side never shuffles) with the residual range filter pushed into the scan"),
+    ("bfs_hops_trade", "frontier supersteps: each level joins the FRONTIER (not the visited table) onto the persisted edge frame, dedupes, anti-joins visited; localCheckpoint truncates per-level lineage"),
 ]
 
 

@@ -392,3 +392,57 @@ def bfs_hops(
         dist = dist.unionByName(new)
         frontier = new.select("node")
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan
+    2007; the semantics of GraphFrames' labelPropagation): labels
+    start as node ids, and each superstep every node adopts the most
+    frequent label among its in-neighbors — ties broken by SMALLEST
+    label, nodes with no in-edges keep their label — making a fixed
+    iteration count bit-deterministic on any engine and partition
+    order (the property the unrolled SQL oracle needs; classic LPA's
+    random tie-break is unreproducible by design, so the deterministic
+    break is the documented divergence).
+
+    Per superstep: one labels-onto-edges join on src, one
+    (dst, label) count aggregate, one per-dst row_number window to
+    pick the argmax — all keyed by node, no SinglePartition stage.
+    The chain stays lazy across supersteps (same amortization as
+    :func:`pagerank`); for long runs the caller should checkpoint
+    every few supersteps exactly as :func:`pagerank_until` does.
+    """
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("lab"))
+    w = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("lab"))
+    for _ in range(iterations):
+        neigh = (
+            e.join(
+                labels.select(F.col("node").alias("src"), "lab"), "src"
+            )
+            .groupBy("dst", "lab")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = (
+            neigh.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("dst", F.col("lab").alias("new_lab"))
+        )
+        labels = labels.join(
+            best, labels.node == best.dst, "left"
+        ).select("node", F.coalesce("new_lab", "lab").alias("lab"))
+    return labels

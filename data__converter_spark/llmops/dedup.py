@@ -1580,3 +1580,94 @@ def bloom_prescreen_dedup(
             F.coalesce("confirmed", F.lit(False)).alias("confirmed"),
         )
     )
+
+
+def setsim_join_prefix(
+    sets: DataFrame,
+    items_col: str = "hs",
+    id_col: str = "doc_id",
+    threshold_milli: int = 500,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering — the
+    PPJoin family (Xiao et al., WWW'08; what MinHash LSH is the
+    *approximate* alternative to).  ``sets`` carries one row per
+    record: (id, array of distinct items — e.g. the shingle-hash sets
+    :func:`_shingle_hash_sets` builds, making this the exact
+    counterpart of :func:`minhash_lsh_pairs` on the same universe).
+    Returns every pair with Jaccard >= threshold (integer milli
+    compare, no float), (id_a, id_b, jac_milli), id_a < id_b.
+
+    Where MinHash trades recall for speed, prefix filtering keeps
+    exactness and still never goes all-pairs: order each record's
+    items RAREST-FIRST (by global document frequency, ties by item),
+    keep only the first ``t - ceil(θ·t) + 1`` as the prefix, and
+    index those.  By pigeonhole, two sets with Jaccard >= θ MUST
+    share a prefix item, so the candidate join is
+    postings-on-prefix-items — and because the ordering puts RARE
+    items in prefixes, the postings lists are short where it matters
+    (a corpus-wide common shingle never lands in a long record's
+    prefix).  A length-ratio filter (θ·|x| <= |y| both ways, integer
+    cross-multiplied) prunes candidates before verification; exact
+    verify intersects the full item arrays.
+
+    Plan shape: one (id, item) explode -> one df aggregate -> one
+    per-record rank window (keyed by id, no global sort) -> prefix
+    postings self-join on item -> distinct pairs -> verify join
+    against the per-record arrays.  Shuffles carry (item, id, len)
+    postings; full arrays cross the wire once for the verify, never
+    per-candidate.  At 100 TB the known hazard is an item rare enough
+    to land in many prefixes yet frequent in absolute terms; the same
+    ``max_shingle_freq``-style postings cap as
+    :func:`ngram_jaccard_dedup` applies if a corpus needs it (not
+    engaged here — exactness is this operator's contract).
+    """
+    from pyspark.sql import Window
+
+    tm = int(threshold_milli)
+    if not 0 < tm <= 1000:
+        raise ValueError(f"threshold_milli must be in (0, 1000], got {tm}")
+    base = sets.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(F.col(items_col)).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    tok = base.select("id", F.explode("toks").alias("w"))
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    w_rank = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("w"))
+    ranked = (
+        tok.join(dfreq, "w")
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .withColumn("t", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    )
+    # prefix length t - ceil(θ·t) + 1, ceil in integer milli
+    pref = ranked.filter(
+        F.col("rnk")
+        <= F.col("t") - ((F.lit(tm) * F.col("t") + 999) / 1000).cast("long")
+        + 1
+    ).select("w", "id", "t")
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.id") < F.col("b.id"))
+            # Jaccard >= θ forces θ <= |x|/|y| <= 1/θ (cross-multiplied)
+            & (F.col("a.t") * tm <= F.col("b.t") * 1000)
+            & (F.col("b.t") * tm <= F.col("a.t") * 1000),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = base.select(F.col("id").alias("id_a"), F.col("toks").alias("ta"))
+    sb = base.select(F.col("id").alias("id_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    uni = F.size(F.array_union("ta", "tb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.lit(1000) * inter >= F.lit(tm) * uni)
+        .select(
+            "id_a",
+            "id_b",
+            ((F.lit(1000) * inter) / uni).cast("long").alias("jac_milli"),
+        )
+    )

@@ -3935,6 +3935,40 @@ def q_bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("hop", "node")
 
 
+def q_setsim_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join with prefix filtering
+    (llmops/dedup.py:setsim_join_prefix) at Jaccard >= 0.5 over the
+    SAME trigram shingle-hash sets `dedup_minhash_lsh` banded-LSHes —
+    the PPJoin-family exact counterpart on the same universe (LSH
+    trades recall for speed; this keeps exactness and still never
+    goes all-pairs). Rarest-first global ordering puts low-df
+    shingles in the prefixes, so the candidate postings join stays
+    short; the integer milli compare (1000·|∩| >= θ·|∪|) keeps the
+    pair set and jac_milli bit-identical to the DuckDB replica."""
+    from .llmops.dedup import _shingle_hash_sets, setsim_join_prefix
+
+    hs = _shingle_hash_sets(
+        _load(spark, sf_dir, "documents"), "text", "doc_id", 3
+    )
+    return setsim_join_prefix(
+        hs, "hs", "doc_id", threshold_milli=500
+    ).orderBy("id_a", "id_b")
+
+
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (graph.py:label_propagation),
+    2 synchronous supersteps over the trade graph with the
+    deterministic most-frequent/smallest-label rule — per-node final
+    labels, every one hash-pinned against the statically-unrolled
+    2-superstep SQL (count argmax via window rank, ties to the
+    smaller label, no-in-edge nodes keep theirs)."""
+    from .graph import label_propagation
+
+    return label_propagation(_trade_edges(spark, sf_dir), iterations=2).orderBy(
+        "node"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compare_diff": q_compare_diff,
     "compare_diff_summary": q_compare_diff_summary,
@@ -4113,6 +4147,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_agg_orders": q_incremental_agg_orders,
     "zonemap_prune_scan": q_zonemap_prune_scan,
     "bfs_hops_trade": q_bfs_hops_trade,
+    "setsim_ppjoin": q_setsim_ppjoin,
+    "lpa_communities": q_lpa_communities,
 }
 
 _DSIR_CTE = """
@@ -7674,4 +7710,83 @@ SELECT node, hop FROM (
     UNION ALL SELECT node, CAST(3 AS INT) FROM f3
 )
 ORDER BY hop, node
+"""
+
+ORACLES["setsim_ppjoin"] = _SHINGLE_HASH_SQL + """
+, base AS (
+    SELECT doc_id, h AS toks
+    FROM hs WHERE len(h) > 0
+),
+tokr AS (SELECT doc_id, unnest(toks) AS w FROM base),
+dfreq AS (SELECT w, count(*) AS df FROM tokr GROUP BY w),
+ranked AS (
+    SELECT doc_id, w,
+           row_number() OVER (PARTITION BY doc_id ORDER BY df, w) AS rnk,
+           count(*) OVER (PARTITION BY doc_id) AS t
+    FROM tokr JOIN dfreq USING (w)
+),
+pref AS (
+    SELECT w, doc_id, t FROM ranked
+    WHERE rnk <= t - ((500 * t + 999) // 1000) + 1
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM pref a JOIN pref b
+      ON a.w = b.w AND a.doc_id < b.doc_id
+     AND a.t * 500 <= b.t * 1000 AND b.t * 500 <= a.t * 1000
+),
+ver AS (
+    SELECT id_a, id_b,
+           len(list_intersect(x.toks, y.toks)) AS inter,
+           len(list_distinct(list_concat(x.toks, y.toks))) AS uni
+    FROM cand JOIN base x ON id_a = x.doc_id JOIN base y ON id_b = y.doc_id
+)
+SELECT id_a, id_b, CAST((1000 * inter) // uni AS BIGINT) AS jac_milli
+FROM ver WHERE 1000 * inter >= 500 * uni
+ORDER BY id_a, id_b
+"""
+
+ORACLES["lpa_communities"] = """
+WITH pairs AS (
+    SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+    SELECT c AS src, s AS dst FROM pairs
+    UNION ALL
+    SELECT s AS src, c AS dst FROM pairs
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+l0 AS (SELECT node, node AS lab FROM nodes),
+n1 AS (
+    SELECT e.dst, l.lab, count(*) AS cnt
+    FROM edges e JOIN l0 l ON e.src = l.node GROUP BY e.dst, l.lab
+),
+b1 AS (
+    SELECT dst, lab FROM (
+        SELECT dst, lab,
+               row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, lab ASC) AS rn
+        FROM n1
+    ) WHERE rn = 1
+),
+l1 AS (
+    SELECT l.node, coalesce(b.lab, l.lab) AS lab
+    FROM l0 l LEFT JOIN b1 b ON l.node = b.dst
+),
+n2 AS (
+    SELECT e.dst, l.lab, count(*) AS cnt
+    FROM edges e JOIN l1 l ON e.src = l.node GROUP BY e.dst, l.lab
+),
+b2 AS (
+    SELECT dst, lab FROM (
+        SELECT dst, lab,
+               row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, lab ASC) AS rn
+        FROM n2
+    ) WHERE rn = 1
+),
+l2 AS (
+    SELECT l.node, coalesce(b.lab, l.lab) AS lab
+    FROM l1 l LEFT JOIN b2 b ON l.node = b.dst
+)
+SELECT node, lab FROM l2 ORDER BY node
 """

@@ -188,3 +188,37 @@ def test_bfs_hops_early_exit_and_degenerate(spark):
     got0 = [tuple(r) for r in bfs_hops(e, 0, max_hops=0).collect()]
     release_persisted()
     assert got0 == [(0, 0)]
+
+
+def test_lpa_two_cliques_converge_to_min_labels(spark):
+    """Two triangles joined by one bridge edge: after 2 supersteps
+    each triangle carries its own minimum label, and the deterministic
+    (count desc, label asc) tie-break picks the smaller label when
+    neighbor labels tie."""
+    from data__converter_spark.graph import label_propagation
+
+    tri1 = [(0, 1), (1, 2), (2, 0)]
+    tri2 = [(10, 11), (11, 12), (12, 10)]
+    und = tri1 + tri2 + [(2, 10)]
+    e = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {r["node"]: r["lab"] for r in label_propagation(e, 2).collect()}
+    # triangle 1: every node's neighbors all distinct -> min label 0
+    # wins the tie; triangle 2 pulls toward its own min (10) except
+    # where the bridge injects the smaller 2-side labels
+    assert got[1] == 0 and got[0] <= 1 and got[11] <= 10
+    # determinism: second run bit-identical
+    again = {r["node"]: r["lab"] for r in label_propagation(e, 2).collect()}
+    assert got == again
+
+
+def test_lpa_no_in_edges_keeps_label_and_zero_iters(spark):
+    from data__converter_spark.graph import label_propagation
+
+    # directed: 5 -> 6 only; 5 has no in-edges and must keep label 5
+    e = spark.createDataFrame([(5, 6)], "src long, dst long")
+    got = {r["node"]: r["lab"] for r in label_propagation(e, 3).collect()}
+    assert got == {5: 5, 6: 5}
+    got0 = {r["node"]: r["lab"] for r in label_propagation(e, 0).collect()}
+    assert got0 == {5: 5, 6: 6}

@@ -1570,3 +1570,69 @@ def test_bloom_prescreen_dedup_invariants(spark):
     for i in range(10):  # fresh docs never confirmed
         maybe, confirmed = out[200 + i]
         assert not confirmed
+
+
+def test_setsim_prefix_equals_bruteforce(spark):
+    """PPJoin prefix filtering is EXACT: pair-for-pair equal to the
+    all-pairs Jaccard join on a corpus small enough to brute-force,
+    and jac_milli is the integer-floored Jaccard."""
+    from data__converter_spark.llmops.dedup import setsim_join_prefix
+
+    rows = [
+        ("a", [1, 2, 3, 4]),
+        ("b", [1, 2, 3, 5]),       # jac(a,b) = 3/5 = 600
+        ("c", [1, 2, 3, 4]),       # jac(a,c) = 1000
+        ("d", [7, 8]),             # disjoint-ish
+        ("e", [7, 8, 9]),          # jac(d,e) = 2/3 = 666
+        ("f", [42]),               # singleton, no partner
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, hs array<long>")
+    got = {
+        (r.id_a, r.id_b): r.jac_milli
+        for r in setsim_join_prefix(df, "hs", "doc_id", 500).collect()
+    }
+    # brute force
+    sets = dict(rows)
+    want = {}
+    ids = sorted(sets)
+    for i, x in enumerate(ids):
+        for y in ids[i + 1:]:
+            inter = len(set(sets[x]) & set(sets[y]))
+            uni = len(set(sets[x]) | set(sets[y]))
+            if 1000 * inter >= 500 * uni:
+                want[(x, y)] = 1000 * inter // uni
+    assert got == want and ("a", "c") in got and got[("a", "c")] == 1000
+
+
+def test_setsim_prefix_matches_ngram_pairs(spark, documents):
+    """Cross-validation on real smoke docs: PPJoin over the md5-32
+    shingle-hash sets finds the same pair set as the inverted-index
+    exact Jaccard join over the shingle strings (the universes differ
+    only on 32-bit collisions, absent in the smoke corpus)."""
+    from data__converter_spark.llmops.dedup import (
+        _shingle_hash_sets,
+        ngram_jaccard_pairs,
+        setsim_join_prefix,
+    )
+
+    hs = _shingle_hash_sets(documents, "text", "doc_id", 3)
+    pp = {
+        (r.id_a, r.id_b)
+        for r in setsim_join_prefix(hs, "hs", "doc_id", 500).collect()
+    }
+    ref = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            documents, "text", "doc_id", 3, 0.5
+        ).collect()
+    }
+    assert pp == ref and len(pp) > 0
+
+
+def test_setsim_prefix_threshold_validation(spark):
+    from data__converter_spark.llmops.dedup import setsim_join_prefix
+
+    df = spark.createDataFrame([("a", [1])], "doc_id string, hs array<long>")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="threshold_milli"):
+        setsim_join_prefix(df, "hs", "doc_id", 0)

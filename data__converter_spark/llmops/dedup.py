@@ -1587,6 +1587,7 @@ def setsim_join_prefix(
     items_col: str = "hs",
     id_col: str = "doc_id",
     threshold_milli: int = 500,
+    max_item_freq: int | None = None,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering — the
     PPJoin family (Xiao et al., WWW'08; what MinHash LSH is the
@@ -1616,10 +1617,14 @@ def setsim_join_prefix(
     against the per-record arrays.  Shuffles carry (item, id, len)
     postings; full arrays cross the wire once for the verify, never
     per-candidate.  At 100 TB the known hazard is an item rare enough
-    to land in many prefixes yet frequent in absolute terms; the same
-    ``max_shingle_freq``-style postings cap as
-    :func:`ngram_jaccard_dedup` applies if a corpus needs it (not
-    engaged here — exactness is this operator's contract).
+    to land in many prefixes yet frequent in absolute terms (an item
+    shared by f records costs up to f² candidate pairs);
+    ``max_item_freq`` is the same guard as
+    :func:`ngram_jaccard_pairs`' ``max_shingle_freq`` — items with
+    df > cap leave the universe entirely (both prefix AND verify, so
+    the two stages stay consistent), the documented accuracy trade a
+    duplicate-heavy corpus may need.  Default None keeps the result
+    exact — this operator's contract.
     """
     from pyspark.sql import Window
 
@@ -1632,6 +1637,12 @@ def setsim_join_prefix(
     ).filter(F.size("toks") > 0)
     tok = base.select("id", F.explode("toks").alias("w"))
     dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    if max_item_freq is not None:
+        dfreq = dfreq.filter(F.col("df") <= F.lit(int(max_item_freq)))
+        tok = tok.join(dfreq.select("w"), "w")
+        base = tok.groupBy("id").agg(
+            F.array_sort(F.collect_set("w")).alias("toks")
+        )
     w_rank = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("w"))
     ranked = (
         tok.join(dfreq, "w")

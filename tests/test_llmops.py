@@ -1636,3 +1636,28 @@ def test_setsim_prefix_threshold_validation(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="threshold_milli"):
         setsim_join_prefix(df, "hs", "doc_id", 0)
+
+
+def test_setsim_prefix_hot_item_cap(spark):
+    """max_item_freq drops ultra-hot items from BOTH the prefix index
+    and the verify universe: a pair whose only similarity came through
+    the hot item disappears, while genuinely-similar pairs survive
+    with their Jaccard recomputed on the reduced sets."""
+    from data__converter_spark.llmops.dedup import setsim_join_prefix
+
+    rows = [
+        ("a", [99, 1, 2, 3]),
+        ("b", [99, 1, 2, 4]),   # without 99: jac = 2/4 = 500
+        ("c", [99, 7, 8, 9]),
+        ("d", [99, 10, 11, 12]),  # c-d share ONLY hot 99: jac = 1/7 = 142
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, hs array<long>")
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in setsim_join_prefix(df, "hs", "doc_id", 100).collect()
+    }
+    assert ("c", "d") in uncapped  # 142 >= 100, found through hot 99
+    capped = setsim_join_prefix(df, "hs", "doc_id", 100, max_item_freq=3)
+    got = {(r.id_a, r.id_b): r.jac_milli for r in capped.collect()}
+    assert ("c", "d") not in got  # hot item gone -> nothing shared
+    assert got[("a", "b")] == 500  # inter {1,2} over union {1,2,3,4}

@@ -77,6 +77,8 @@ SHOWCASE = [
     ("incremental_agg_orders", "the maintenance merge unions two KEY-SIZED state frames and re-aggregates once — count combines as sum; the base table appears only in the state-build legs, never in the merge"),
     ("zonemap_prune_scan", "shard envelopes from one map-side-combining aggregate; survivors BROADCAST into a left-semi join (fact side never shuffles) with the residual range filter pushed into the scan"),
     ("bfs_hops_trade", "frontier supersteps: each level joins the FRONTIER (not the visited table) onto the persisted edge frame, dedupes, anti-joins visited; localCheckpoint truncates per-level lineage"),
+    ("setsim_ppjoin", "rarest-first prefix postings self-join — candidates carry (item, id, len) only; the rank window is keyed per doc (no global sort); full arrays appear once, in the verify join"),
+    ("lpa_communities", "2 unrolled supersteps: labels-onto-edges join + (dst,label) count + per-dst rank window, all keyed by node; the argmax never collects"),
 ]
 
 

@@ -382,11 +382,17 @@ def bfs_hops(
             .select(F.col("dst").alias("node"))
             .distinct()
         )
-        new = (
-            succ.join(dist, "node", "left_anti")
-            .withColumn("hop", F.lit(h).cast("int"))
-            .localCheckpoint()
+        new = succ.join(dist, "node", "left_anti").withColumn(
+            "hop", F.lit(h).cast("int")
         )
+        if h == max_hops:
+            # Final level: nothing downstream consumes this frontier, so
+            # skip the materializing checkpoint AND the emptiness probe —
+            # an empty last level unions zero rows, same result, two
+            # fewer jobs per call.
+            dist = dist.unionByName(new)
+            break
+        new = new.localCheckpoint()
         if new.limit(1).count() == 0:
             break
         dist = dist.unionByName(new)
@@ -411,15 +417,17 @@ def label_propagation(
     break is the documented divergence).
 
     Per superstep: one labels-onto-edges join on src, one
-    (dst, label) count aggregate, one per-dst row_number window to
-    pick the argmax — all keyed by node, no SinglePartition stage.
+    (dst, label) count aggregate, one per-dst ``max_by`` hash
+    aggregate picking the argmax label by (cnt DESC, lab ASC) — all
+    keyed by node, no SinglePartition stage and no per-partition sort
+    (the struct-ordered ``max_by`` replaces a row_number window: a
+    hash agg instead of an exchange+sort, same deterministic winner).
     The chain stays lazy across supersteps (same amortization as
     :func:`pagerank`); for long runs the caller should checkpoint
     every few supersteps exactly as :func:`pagerank_until` does.
     """
     if iterations < 0:
         raise ValueError(f"iterations must be >= 0, got {iterations}")
-    from pyspark.sql import Window
 
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     nodes = (
@@ -428,7 +436,6 @@ def label_propagation(
         .distinct()
     )
     labels = nodes.select("node", F.col("node").alias("lab"))
-    w = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("lab"))
     for _ in range(iterations):
         neigh = (
             e.join(
@@ -437,10 +444,12 @@ def label_propagation(
             .groupBy("dst", "lab")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        best = (
-            neigh.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("dst", F.col("lab").alias("new_lab"))
+        # argmax by (cnt DESC, lab ASC) via struct-ordered max_by:
+        # (cnt, -lab) maximized lexicographically = highest count, ties
+        # to the smallest label.  Labels are node ids (non-negative
+        # longs), so the negation cannot overflow.
+        best = neigh.groupBy("dst").agg(
+            F.expr("max_by(lab, struct(cnt, -lab))").alias("new_lab")
         )
         labels = labels.join(
             best, labels.node == best.dst, "left"

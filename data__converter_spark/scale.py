@@ -369,3 +369,59 @@ def zonemap_prune(
         "left_semi",
     ).filter(residual)
     return pruned, survivors
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    mins: dict[str, int],
+    maxs: dict[str, int],
+    bits_per_dim: int = 4,
+) -> DataFrame:
+    """Z-order (Morton) clustering key over integer-valued dimensions:
+    each column is quantized to ``2^bits_per_dim`` equi-width bins
+    inside its [min, max] envelope, and the bin codes' bits interleave
+    into one ``zorder`` integer.  Rows written in zorder runs give
+    every file a TIGHT min/max envelope on EVERY participating
+    dimension simultaneously — which is the whole trick: a month-
+    sharded table skips nothing for a price predicate, but a z-ordered
+    one lets :func:`zonemap_prune` drop files for range predicates on
+    ANY of the clustered columns (Delta/Iceberg ``OPTIMIZE ZORDER BY``
+    is exactly this key + a sort-write).
+
+    Pure integer arithmetic end to end — equi-width bin =
+    ``(v - min) * 2^bits div (max - min + 1)``, interleave = shifted
+    bit picks — so the key is bit-identical on any engine (the
+    property the DuckDB oracle needs).  ``mins``/``maxs`` come from
+    the caller (one tiny aggregate, or the table's existing zone
+    maps); passing them in keeps this a pure narrow projection — no
+    job, no shuffle, appendable at ingest.
+    """
+    if not (1 <= bits_per_dim <= 16):
+        raise ValueError(f"bits_per_dim must be in [1, 16], got {bits_per_dim}")
+    if len(cols) * bits_per_dim > 63:
+        raise ValueError("interleaved key would overflow a signed 64-bit int")
+    n_bins = 1 << bits_per_dim
+    z = F.lit(0).cast("long")
+    bins = []
+    for d, c in enumerate(cols):
+        lo, hi = int(mins[c]), int(maxs[c])
+        width = hi - lo + 1
+        # clamp both ends so out-of-envelope values (stale zone maps)
+        # land in the edge bins instead of corrupting the interleave
+        b = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(n_bins - 1),
+                F.expr(f"(({c}) - {lo}) * {n_bins} div {width}"),
+            ),
+        ).cast("long")
+        bins.append(b.alias(f"bin_{c}"))
+        for i in range(bits_per_dim):
+            # bit i of this dim lands at interleaved position
+            # i*len(cols) + d  (dim 0 gets the low bit of each group)
+            z = z + F.shiftleft(
+                F.shiftright(b, i).bitwiseAND(F.lit(1)),
+                i * len(cols) + d,
+            )
+    return df.select("*", *bins, z.cast("long").alias("zorder"))

@@ -376,3 +376,127 @@ def weighted_sample(
         .drop("__aes_key__")
         .withColumnRenamed("__rank__", "sample_rank")
     )
+
+
+def rfm_scores(
+    orders: DataFrame,
+    customer_col: str,
+    group_col: str,
+    date_col: str,
+    amount_cents_col: str,
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation with
+    per-group quintiles: one aggregate pass folds each customer's
+    order history into (last_order, n_orders, cents), then three
+    ``ntile`` windows — ALL partitioned by ``group_col`` (nation,
+    region, market segment), never a global ordering — grade each
+    dimension 1..n (1 = best: most recent, most frequent, highest
+    spend).  ``rfm_code`` packs the three digits (r*100 + f*10 + m)
+    into the classic segment label.
+
+    Every window carries a full deterministic tiebreak (metric,
+    customer id), which is what makes ntile — a pure function of row
+    order and partition size — bit-identical on any engine.
+
+    Scale shape: one keyed aggregate on the customer key, then three
+    windows sharing the SAME group-key exchange (Spark plans one
+    Exchange + three sorts).  Partition width = customers per group;
+    a global RFM would be a SinglePartition sort, which is exactly
+    what the per-group form avoids at 100 TB — segment within a
+    business dimension, not across the universe.
+    """
+    from pyspark.sql import Window
+
+    base = orders.groupBy(
+        F.col(customer_col).alias("cust"), F.col(group_col).alias("grp")
+    ).agg(
+        F.max(date_col).alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(amount_cents_col).cast("bigint").alias("cents"),
+    )
+    w_r = Window.partitionBy("grp").orderBy(F.desc("last_order"), F.asc("cust"))
+    w_f = Window.partitionBy("grp").orderBy(F.desc("n_orders"), F.asc("cust"))
+    w_m = Window.partitionBy("grp").orderBy(F.desc("cents"), F.asc("cust"))
+    n = int(n_tiles)
+    return base.select(
+        "cust",
+        "grp",
+        "last_order",
+        "n_orders",
+        "cents",
+        F.ntile(n).over(w_r).alias("r_score"),
+        F.ntile(n).over(w_f).alias("f_score"),
+        F.ntile(n).over(w_m).alias("m_score"),
+    ).withColumn(
+        "rfm_code",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("int"),
+    )
+
+
+def assoc_pairs(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Market-basket association mining over (basket, item) rows: pair
+    support, directional confidence, and lift for every item pair that
+    co-occurs in >= ``min_pair_count`` baskets — the A-priori pair
+    pass, the co-occurrence statistic a training-data pipeline reuses
+    for tag/domain affinity ("documents labeled X are usually also Y").
+
+    All three ratios ship as exact integer milli-units computed by
+    cross-multiplication on BIGINT counts (``1000 * co div cnt``), so
+    any engine agrees exactly — no double division anywhere:
+
+    - ``conf_ab_milli`` = P(b | a) * 1000  (floored)
+    - ``conf_ba_milli`` = P(a | b) * 1000
+    - ``lift_milli``    = P(ab) / (P(a)P(b)) * 1000
+                        = 1000 * co * n_baskets div (cnt_a * cnt_b)
+
+    Scale shape: the pair generation is a self-join keyed on the
+    basket id, so its cost is Σ |basket|² — bounded when baskets are
+    (order line counts, doc tag sets), and the place to cap or salt
+    when they are not.  Item marginals are a separate slim aggregate
+    joined back on the item key; the basket total is a 1-row broadcast.
+    """
+    b = baskets.select(
+        F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+    ).distinct()
+    n_baskets = b.agg(
+        F.countDistinct("bk").cast("bigint").alias("n_baskets")
+    )
+    item_cnt = b.groupBy("it").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    lhs = b.select("bk", F.col("it").alias("item_a"))
+    rhs = b.select("bk", F.col("it").alias("item_b"))
+    co = (
+        lhs.join(rhs, "bk")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+        .filter(F.col("co") >= int(min_pair_count))
+    )
+    ca = item_cnt.select(F.col("it").alias("item_a"), F.col("cnt").alias("cnt_a"))
+    cb = item_cnt.select(F.col("it").alias("item_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        co.join(ca, "item_a")
+        .join(cb, "item_b")
+        .crossJoin(n_baskets)
+        .select(
+            "item_a",
+            "item_b",
+            "co",
+            "cnt_a",
+            "cnt_b",
+            # `div` = exact BIGINT division (no double round-trip, so
+            # no ulp drift against the oracle's `//`)
+            F.expr("co * 1000 div cnt_a").cast("bigint").alias("conf_ab_milli"),
+            F.expr("co * 1000 div cnt_b").cast("bigint").alias("conf_ba_milli"),
+            F.expr("co * 1000 * n_baskets div (cnt_a * cnt_b)")
+            .cast("bigint")
+            .alias("lift_milli"),
+        )
+    )

@@ -3969,6 +3969,144 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_predict_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction (graph.py:link_predict): customers who bought
+    the same RARE part are candidate affinity links, scored by common
+    parts and the resource-allocation index in exact integer micros
+    (1_000_000 div deg summed over shared parts — the Adamic-Adar
+    family member that survives a bit-exact oracle).  The middle-degree
+    cap (20) is the quadratic guard doing real work on THIS data: the
+    synthetic part->customer degree floor is ~11 with a dense middle
+    at ~30, so the cap keeps only genuinely informative rare parts and
+    bounds the wedge join at C(20,2) per middle.  Top 100 pairs under
+    a total (ra DESC, common DESC, a, b) order."""
+    from .graph import link_predict
+
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = _load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    m = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_partkey", "o_custkey"
+    )
+    return (
+        link_predict(m, "l_partkey", "o_custkey", max_middle_degree=20)
+        .select(
+            F.col("node_a").alias("cust_a"),
+            F.col("node_b").alias("cust_b"),
+            F.col("common_middles").alias("common_parts"),
+            "ra_micro",
+        )
+        .orderBy(
+            F.desc("ra_micro"), F.desc("common_parts"), "cust_a", "cust_b"
+        )
+        .limit(100)
+    )
+
+
+def q_basket_lift_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association pairs (stats.py:assoc_pairs): parts
+    co-purchased in >= 2 orders, with confidence and lift as exact
+    integer milli-units (BIGINT cross-multiplication, `div` both
+    engines — no double division anywhere).  The pair self-join is
+    keyed on the order id, so its cost is sum-of-squared basket sizes
+    — bounded by the ~7-line order cap the way the wedge join in
+    link_predict is bounded by the middle cap.  Top 50 by
+    (co, lift) under a total order."""
+    from .stats import assoc_pairs
+
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return (
+        assoc_pairs(li, "l_orderkey", "l_partkey", min_pair_count=2)
+        .select(
+            F.col("item_a").alias("part_a"),
+            F.col("item_b").alias("part_b"),
+            "co",
+            "cnt_a",
+            "cnt_b",
+            "conf_ab_milli",
+            "conf_ba_milli",
+            "lift_milli",
+        )
+        .orderBy(F.desc("co"), F.desc("lift_milli"), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (stats.py:rfm_scores): per-nation quintile
+    grades on recency / frequency / monetary over each customer's
+    order history — 1 = best in every dimension, rfm_code packs the
+    digits.  Orders aggregate once on the customer key, the nation
+    arrives via the customer dimension join, and all three ntile
+    windows share ONE nation-key exchange — segmentation stays inside
+    a business dimension precisely so no global sort exists at any
+    scale.  Customers with no orders are absent by construction
+    (inner join), matching the oracle."""
+    from .stats import rfm_scores
+
+    o = _load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", cents("o_totalprice").alias("p_cents")
+    )
+    c = _load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    joined = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_custkey", "c_nationkey", "o_orderdate", "p_cents"
+    )
+    r = rfm_scores(
+        joined, "c_custkey", "c_nationkey", "o_orderdate", "p_cents"
+    )
+    return r.select(
+        F.col("cust").alias("c_custkey"),
+        F.col("grp").alias("c_nationkey"),
+        F.col("last_order"),
+        F.col("n_orders"),
+        money(F.col("cents")).alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        "rfm_code",
+    ).orderBy("c_custkey")
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout planner (scale.py:zorder_key): Morton-interleave
+    4-bit equi-width bins of (order epoch-day, totalprice cents) into
+    a 256-cell clustering key, then report each occupied cell's row
+    count and BOTH dimensions' min/max envelope — the zone maps a
+    rewrite in zorder runs would give every file, i.e. the input
+    statistics for zonemap_prune-style skipping on EITHER column.
+    The envelope bounds come from one bounded 1-row aggregate pull;
+    the key itself is a pure narrow projection (no job, no shuffle),
+    and the report is one keyed aggregate on the cell id."""
+    from .scale import zorder_key
+
+    o = _load(spark, sf_dir, "orders").select(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("oday"),
+        cents("o_totalprice").cast("long").alias("p_cents"),
+    )
+    env = o.agg(
+        F.min("oday"), F.max("oday"), F.min("p_cents"), F.max("p_cents")
+    ).collect()[0]
+    keyed = zorder_key(
+        o,
+        ["oday", "p_cents"],
+        {"oday": env[0], "p_cents": env[2]},
+        {"oday": env[1], "p_cents": env[3]},
+        bits_per_dim=4,
+    )
+    return (
+        keyed.groupBy("zorder")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("oday").alias("min_day"),
+            F.max("oday").alias("max_day"),
+            F.min("p_cents").alias("min_cents"),
+            F.max("p_cents").alias("max_cents"),
+        )
+        .orderBy("zorder")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compare_diff": q_compare_diff,
     "compare_diff_summary": q_compare_diff_summary,
@@ -4149,6 +4287,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bfs_hops_trade": q_bfs_hops_trade,
     "setsim_ppjoin": q_setsim_ppjoin,
     "lpa_communities": q_lpa_communities,
+    "link_predict_customers": q_link_predict_customers,
+    "basket_lift_parts": q_basket_lift_parts,
+    "rfm_segments": q_rfm_segments,
+    "zorder_layout": q_zorder_layout,
 }
 
 _DSIR_CTE = """
@@ -7789,4 +7931,134 @@ l2 AS (
     FROM l1 l LEFT JOIN b2 b ON l.node = b.dst
 )
 SELECT node, lab FROM l2 ORDER BY node
+"""
+
+ORACLES["link_predict_customers"] = """
+WITH m AS (
+    SELECT DISTINCT l_partkey AS mid, o_custkey AS node
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+d AS (
+    SELECT mid, count(*) AS deg FROM m GROUP BY mid
+    HAVING count(*) BETWEEN 2 AND 20
+),
+k AS (
+    SELECT m.mid, m.node, 1000000 // d.deg AS w
+    FROM m JOIN d USING (mid)
+),
+p AS (
+    SELECT a.node AS cust_a, b.node AS cust_b,
+           count(*) AS common_parts, sum(a.w) AS ra_micro
+    FROM k a JOIN k b ON a.mid = b.mid AND a.node < b.node
+    GROUP BY 1, 2
+)
+SELECT cust_a, cust_b,
+       CAST(common_parts AS BIGINT) AS common_parts,
+       CAST(ra_micro AS BIGINT) AS ra_micro
+FROM p
+ORDER BY ra_micro DESC, common_parts DESC, cust_a, cust_b
+LIMIT 100
+"""
+
+ORACLES["basket_lift_parts"] = """
+WITH b AS (
+    SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+),
+n AS (SELECT count(DISTINCT bk) AS n_baskets FROM b),
+ic AS (SELECT it, count(*) AS cnt FROM b GROUP BY it),
+co AS (
+    SELECT a.it AS part_a, b2.it AS part_b, count(*) AS co
+    FROM b a JOIN b b2 ON a.bk = b2.bk AND a.it < b2.it
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+)
+SELECT part_a, part_b,
+       CAST(co AS BIGINT) AS co,
+       CAST(ca.cnt AS BIGINT) AS cnt_a,
+       CAST(cb.cnt AS BIGINT) AS cnt_b,
+       CAST(co * 1000 // ca.cnt AS BIGINT) AS conf_ab_milli,
+       CAST(co * 1000 // cb.cnt AS BIGINT) AS conf_ba_milli,
+       CAST(co * 1000 * n.n_baskets // (ca.cnt * cb.cnt) AS BIGINT)
+           AS lift_milli
+FROM co
+JOIN ic ca ON co.part_a = ca.it
+JOIN ic cb ON co.part_b = cb.it
+CROSS JOIN n
+ORDER BY co DESC, lift_milli DESC, part_a, part_b
+LIMIT 50
+"""
+
+ORACLES["rfm_segments"] = f"""
+WITH base AS (
+    SELECT c_custkey, c_nationkey,
+           max(o_orderdate) AS last_order,
+           count(*) AS n_orders,
+           sum({_sql_cents('o_totalprice')}) AS cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT c_custkey, c_nationkey, last_order, n_orders, cents,
+           ntile(5) OVER (
+               PARTITION BY c_nationkey
+               ORDER BY last_order DESC, c_custkey ASC
+           ) AS r_score,
+           ntile(5) OVER (
+               PARTITION BY c_nationkey
+               ORDER BY n_orders DESC, c_custkey ASC
+           ) AS f_score,
+           ntile(5) OVER (
+               PARTITION BY c_nationkey
+               ORDER BY cents DESC, c_custkey ASC
+           ) AS m_score
+    FROM base
+)
+SELECT c_custkey, c_nationkey, last_order,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       {_sql_money('cents')} AS monetary,
+       CAST(r_score AS INT) AS r_score,
+       CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm_code
+FROM scored
+ORDER BY c_custkey
+"""
+
+ORACLES["zorder_layout"] = f"""
+WITH o AS (
+    SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS oday,
+           {_sql_cents('o_totalprice')} AS p_cents
+    FROM orders
+),
+env AS (
+    SELECT min(oday) AS dlo, max(oday) AS dhi,
+           min(p_cents) AS plo, max(p_cents) AS phi
+    FROM o
+),
+b AS (
+    SELECT oday, p_cents,
+           greatest(0, least(15, (oday - dlo) * 16 // (dhi - dlo + 1)))
+               AS bd,
+           greatest(0, least(15, (p_cents - plo) * 16 // (phi - plo + 1)))
+               AS bp
+    FROM o CROSS JOIN env
+),
+z AS (
+    SELECT oday, p_cents,
+           CAST(
+               ((bd >> 0) & 1) * 1 + ((bp >> 0) & 1) * 2
+             + ((bd >> 1) & 1) * 4 + ((bp >> 1) & 1) * 8
+             + ((bd >> 2) & 1) * 16 + ((bp >> 2) & 1) * 32
+             + ((bd >> 3) & 1) * 64 + ((bp >> 3) & 1) * 128
+           AS BIGINT) AS zorder
+    FROM b
+)
+SELECT zorder,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(oday) AS min_day, max(oday) AS max_day,
+       min(p_cents) AS min_cents, max(p_cents) AS max_cents
+FROM z
+GROUP BY zorder
+ORDER BY zorder
 """

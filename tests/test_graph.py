@@ -222,3 +222,42 @@ def test_lpa_no_in_edges_keeps_label_and_zero_iters(spark):
     assert got == {5: 5, 6: 5}
     got0 = {r["node"]: r["lab"] for r in label_propagation(e, 0).collect()}
     assert got0 == {5: 5, 6: 6}
+
+
+def test_link_predict_ra_index_and_cap(spark):
+    from data__converter_spark.graph import link_predict
+
+    # middles: m1 shared by {1,2} (deg 2), m2 by {1,2,3} (deg 3),
+    # m3 by {2,3} (deg 2), hot by {1,2,3,4} (deg 4 -> capped out).
+    rows = (
+        [("m1", n) for n in (1, 2)]
+        + [("m2", n) for n in (1, 2, 3)]
+        + [("m3", n) for n in (2, 3)]
+        + [("hot", n) for n in (1, 2, 3, 4)]
+    )
+    df = spark.createDataFrame(rows, "mid string, node int")
+    out = {
+        (r["node_a"], r["node_b"]): (r["common_middles"], r["ra_micro"])
+        for r in link_predict(df, "mid", "node", max_middle_degree=3).collect()
+    }
+    # (1,2): m1 (1/2) + m2 (1/3) -> 500000 + 333333
+    assert out[(1, 2)] == (2, 833333)
+    # (2,3): m2 + m3 -> 333333 + 500000
+    assert out[(2, 3)] == (2, 833333)
+    # (1,3): m2 only
+    assert out[(1, 3)] == (1, 333333)
+    # node 4 only appears under the capped hot middle -> no pairs
+    assert not any(4 in k for k in out)
+
+
+def test_link_predict_dedupes_memberships_and_validates(spark):
+    import pytest as _pytest
+
+    from data__converter_spark.graph import link_predict
+
+    rows = [("m", 1), ("m", 1), ("m", 2)]  # duplicate membership row
+    df = spark.createDataFrame(rows, "mid string, node int")
+    out = link_predict(df, "mid", "node").collect()
+    assert len(out) == 1 and out[0]["common_middles"] == 1
+    with _pytest.raises(ValueError):
+        link_predict(df, "mid", "node", max_middle_degree=1)

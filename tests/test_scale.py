@@ -229,3 +229,59 @@ def test_zonemap_prune_broadcasts_survivors(spark, orders):
     )
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from data__converter_spark.scale import zorder_key
+
+    # 2 bits/dim over x,y in [0,3]: bin == value; z interleaves
+    # x bits at even positions, y bits at odd positions.
+    rows = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    out = zorder_key(
+        df, ["x", "y"], {"x": 0, "y": 0}, {"x": 3, "y": 3}, bits_per_dim=2
+    ).collect()
+
+    def morton(x, y):
+        z = 0
+        for i in range(2):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for r in out:
+        assert r["bin_x"] == r["x"] and r["bin_y"] == r["y"]
+        assert r["zorder"] == morton(r["x"], r["y"])
+    # all 16 cells distinct -> a bijection on the 4x4 grid
+    assert len({r["zorder"] for r in out}) == 16
+
+
+def test_zorder_key_quantizes_and_clamps(spark):
+    from data__converter_spark.scale import zorder_key
+
+    df = spark.createDataFrame(
+        [(0,), (99,), (100,), (199,), (250,), (-5,)], "v long"
+    )
+    out = {
+        r["v"]: r["bin_v"]
+        for r in zorder_key(
+            df, ["v"], {"v": 0}, {"v": 199}, bits_per_dim=1
+        ).collect()
+    }
+    # equi-width halves of [0,199]: [0,99] -> 0, [100,199] -> 1;
+    # out-of-envelope values clamp to the edge bins
+    assert out[0] == 0 and out[99] == 0
+    assert out[100] == 1 and out[199] == 1
+    assert out[250] == 1 and out[-5] == 0
+
+
+def test_zorder_key_rejects_overflow_and_bad_bits(spark):
+    import pytest as _pytest
+
+    from data__converter_spark.scale import zorder_key
+
+    df = spark.createDataFrame([(1, 2)], "a int, b int")
+    with _pytest.raises(ValueError):
+        zorder_key(df, ["a", "b"], {}, {}, bits_per_dim=32)
+    with _pytest.raises(ValueError):
+        zorder_key(df, ["a", "b"], {}, {}, bits_per_dim=0)

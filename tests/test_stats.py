@@ -127,3 +127,85 @@ def test_robust_outliers_median_mad(spark):
     )
     out2 = {r["id"]: r["is_outlier"] for r in robust_outliers(df2, "k", "v", "id").collect()}
     assert out2 == {0: False, 1: False, 2: False, 3: False, 4: False, 9: True}
+
+
+def test_rfm_scores_quintiles_and_code(spark):
+    from data__converter_spark.stats import rfm_scores
+
+    # 10 customers in one group, each with one order; dates/amounts
+    # arranged so recency rank == frequency tiebreak rank == monetary
+    # rank == customer index -> ntile(5) gives 2 customers per tile.
+    rows = [
+        (c, "g", datetime.date(2024, 1, 20 - c), 100 * (10 - c))
+        for c in range(1, 11)
+    ]
+    df = spark.createDataFrame(
+        rows, "cust int, grp string, odate date, cents long"
+    )
+    out = rfm_scores(df, "cust", "grp", "odate", "cents").collect()
+    by_cust = {r["cust"]: r for r in out}
+    # customer 1: newest date, highest cents, freq ties broken by cust
+    assert by_cust[1]["r_score"] == 1
+    assert by_cust[1]["m_score"] == 1
+    assert by_cust[10]["r_score"] == 5
+    assert by_cust[10]["m_score"] == 5
+    assert by_cust[1]["rfm_code"] == 111
+    # equal frequency everywhere: tiles assigned by cust-id tiebreak
+    assert by_cust[1]["f_score"] == 1 and by_cust[10]["f_score"] == 5
+    # two customers per tile in every dimension
+    from collections import Counter
+
+    assert Counter(r["r_score"] for r in out) == {t: 2 for t in range(1, 6)}
+
+
+def test_rfm_scores_partitions_by_group(spark):
+    from data__converter_spark.stats import rfm_scores
+
+    # two groups scored independently: each group's best gets tile 1
+    rows = [
+        (1, "a", datetime.date(2024, 1, 2), 50),
+        (2, "a", datetime.date(2024, 1, 1), 10),
+        (3, "b", datetime.date(2023, 6, 2), 5),
+        (4, "b", datetime.date(2023, 6, 1), 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "cust int, grp string, odate date, cents long"
+    )
+    out = {r["cust"]: r for r in rfm_scores(df, "cust", "grp", "odate", "cents", n_tiles=2).collect()}
+    assert out[1]["r_score"] == 1 and out[3]["r_score"] == 1
+    assert out[2]["r_score"] == 2 and out[4]["r_score"] == 2
+
+
+def test_assoc_pairs_counts_confidence_lift(spark):
+    from data__converter_spark.stats import assoc_pairs
+
+    # 4 baskets: {x,y} {x,y} {x,z} {y}; pair (x,y): co=2, cnt_x=3,
+    # cnt_y=3, n=4 -> conf both = 666, lift = 2*4*1000 div 9 = 888.
+    rows = [
+        (1, "x"), (1, "y"),
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "z"),
+        (4, "y"),
+        (2, "x"),  # duplicate line in one basket: must not double-count
+    ]
+    df = spark.createDataFrame(rows, "bk int, it string")
+    out = assoc_pairs(df, "bk", "it", min_pair_count=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["item_a"], r["item_b"]) == ("x", "y")
+    assert r["co"] == 2 and r["cnt_a"] == 3 and r["cnt_b"] == 3
+    assert r["conf_ab_milli"] == 666 and r["conf_ba_milli"] == 666
+    assert r["lift_milli"] == 888
+
+
+def test_assoc_pairs_min_count_filters(spark):
+    from data__converter_spark.stats import assoc_pairs
+
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "z")]
+    df = spark.createDataFrame(rows, "bk int, it string")
+    pairs = {
+        (r["item_a"], r["item_b"])
+        for r in assoc_pairs(df, "bk", "it", min_pair_count=1).collect()
+    }
+    assert pairs == {("x", "y"), ("x", "z")}
+    assert assoc_pairs(df, "bk", "it", min_pair_count=2).count() == 0

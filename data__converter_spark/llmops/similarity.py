@@ -1114,3 +1114,90 @@ def sparse_retrieval(
         "score",
         F.row_number().over(w).cast("int").alias("rank"),
     ).filter(F.col("rank") <= int(top_k))
+
+
+def scatter_matrix(
+    df: DataFrame, vec_col: str, group_col: str
+) -> DataFrame:
+    """Per-group scatter (second-moment) table over the embedding
+    column on the VEC_QUANT integer grid — the one-pass distributed
+    statistic behind PCA / covariance / whitening: for each group and
+    each dimension pair i <= j it returns n, Σxᵢ, Σxⱼ and Σxᵢxⱼ, from
+    which covariance and correlation are pure post-processing.
+
+    Plan shape — the kmeans_step discipline applied to moments:
+    vectors NEVER shuffle.  One ``mapInPandas`` pass computes each
+    batch's partial Gram with an int64 matmul (``m.T @ m`` on the
+    quantized grid — exact integers, so any batch split and any
+    accumulation order gives the same sums; int64 rather than float64
+    BLAS because a batch's Σxᵢxⱼ can exceed 2^53 while staying far
+    under 2^63), and only the (group, i, j, partial) rows — d(d+1)/2
+    + d + 1 per group per batch, independent of row count — reach the
+    one hash aggregate.  Marginal Σxᵢ rows ride the same output under
+    j = -1 and the group count under i = j = -1, so one kernel and one
+    shuffle serve all three moment kinds.
+
+    Group column must be integer-typed (cast upstream); output is
+    (grp, i, j, v) partials — callers aggregate and reshape (see
+    q_embedding_scatter).
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    out_schema = "grp long, i int, j int, v long"
+    src = df.select(
+        F.col(group_col).cast("long").alias("grp"), F.col(vec_col).alias("vec")
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            outs = []
+            for g, sub in pdf.groupby("grp"):
+                m = np.floor(
+                    np.stack(sub["vec"].to_numpy()).astype(np.float64)
+                    * VEC_QUANT
+                    + 0.5
+                ).astype(np.int64)
+                d = m.shape[1]
+                gram = m.T @ m
+                iu, ju = np.triu_indices(d)
+                sx = m.sum(axis=0)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "grp": np.int64(g),
+                            "i": iu.astype(np.int32),
+                            "j": ju.astype(np.int32),
+                            "v": gram[iu, ju],
+                        }
+                    )
+                )
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "grp": np.int64(g),
+                            "i": np.arange(d, dtype=np.int32),
+                            "j": np.full(d, -1, dtype=np.int32),
+                            "v": sx,
+                        }
+                    )
+                )
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "grp": [np.int64(g)],
+                            "i": np.array([-1], dtype=np.int32),
+                            "j": np.array([-1], dtype=np.int32),
+                            "v": [np.int64(len(sub))],
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    return src.mapInPandas(kernel, out_schema).groupBy("grp", "i", "j").agg(
+        F.sum("v").cast("long").alias("v")
+    )

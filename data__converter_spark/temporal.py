@@ -94,3 +94,28 @@ def merge_intervals(
         )
         .drop("__island__")
     )
+
+
+def snapshot_at(
+    dim: DataFrame,
+    ts,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time read of an SCD2 dimension: the one version per
+    key whose half-open validity interval contains ``ts`` —
+    ``valid_from <= ts < valid_to`` with a NULL ``valid_to`` meaning
+    open-ended.  This is the time-travel query the SCD2 build exists
+    to serve (and the AS OF join's degenerate single-timestamp form):
+    a pure narrow filter, no shuffle, no window — at 100 TB the
+    predicate pushes into the dimension scan and zone maps on
+    valid_from/valid_to skip whole files.
+    """
+    t = F.lit(ts).cast("timestamp")
+    return dim.filter(
+        (F.col(valid_from).cast("timestamp") <= t)
+        & (
+            F.col(valid_to).isNull()
+            | (F.col(valid_to).cast("timestamp") > t)
+        )
+    )

@@ -4107,6 +4107,77 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension read (temporal.py:snapshot_at) — the
+    time-travel query the SCD2 build exists to serve: reconstruct
+    every user's state AS OF 2024-01-15 from the same validity
+    intervals q_scd2_user_status builds, then summarize per state
+    (user count, earliest/latest version start among then-current
+    versions).  The snapshot itself is a pure narrow filter on
+    [valid_from, valid_to) — no window, no extra exchange beyond the
+    SCD2 build's one user_id exchange; at 100 TB the interval
+    predicate pushes into the stored dimension's scan."""
+    from .temporal import scd2, snapshot_at
+
+    ev = _load(spark, sf_dir, "events")
+    dim = scd2(ev, "user_id", ["event_type"], "ts", "event_id")
+    snap = snapshot_at(dim, "2024-01-15 00:00:00")
+    return (
+        snap.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.min("valid_from").alias("earliest_from"),
+            F.max("valid_from").alias("latest_from"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_embedding_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label scatter-moment table (llmops/similarity.py:
+    scatter_matrix): n, Σxᵢ, Σxⱼ, Σxᵢxⱼ for every dimension pair
+    i <= j on the VEC_QUANT integer grid — the one-pass input to
+    covariance / PCA / whitening over the corpus embeddings.  Vectors
+    never shuffle: each batch ships only its d(d+1)/2-row partial
+    Gram (int64 matmul, exact in any accumulation order), and the
+    reshape joins run on constant-size moment frames (broadcast).
+    Output limited to the first 8 dimensions (36 pairs x 10 labels)
+    to keep the oracle compare tight; the kernel computes all 64."""
+    from .llmops.similarity import scatter_matrix
+
+    emb = _load(spark, sf_dir, "embeddings")
+    tot = scatter_matrix(emb, "embedding", "label")
+    from .scale import persisted
+
+    tot = persisted(tot)
+    gram = tot.filter(
+        (F.col("i") >= 0) & (F.col("j") >= 0) & (F.col("j") <= 7)
+    ).select("grp", "i", "j", F.col("v").alias("sxy"))
+    marg = tot.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        "grp", F.col("i").alias("mi"), F.col("v").alias("s")
+    )
+    n = tot.filter(F.col("i") == -1).select(
+        "grp", F.col("v").alias("n")
+    )
+    mx = marg.select("grp", F.col("mi").alias("i"), F.col("s").alias("sx"))
+    my = marg.select("grp", F.col("mi").alias("j"), F.col("s").alias("sy"))
+    return (
+        gram.join(F.broadcast(mx), ["grp", "i"])
+        .join(F.broadcast(my), ["grp", "j"])
+        .join(F.broadcast(n), "grp")
+        .select(
+            F.col("grp").alias("label"),
+            F.col("i").alias("dim_i"),
+            F.col("j").alias("dim_j"),
+            "n",
+            "sx",
+            "sy",
+            "sxy",
+        )
+        .orderBy("label", "dim_i", "dim_j")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compare_diff": q_compare_diff,
     "compare_diff_summary": q_compare_diff_summary,
@@ -4291,6 +4362,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "basket_lift_parts": q_basket_lift_parts,
     "rfm_segments": q_rfm_segments,
     "zorder_layout": q_zorder_layout,
+    "scd2_snapshot": q_scd2_snapshot,
+    "embedding_scatter": q_embedding_scatter,
 }
 
 _DSIR_CTE = """
@@ -8061,4 +8134,69 @@ SELECT zorder,
 FROM z
 GROUP BY zorder
 ORDER BY zorder
+"""
+
+ORACLES["scd2_snapshot"] = """
+WITH s AS (
+    SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev
+    FROM events
+),
+st AS (
+    SELECT user_id, event_type, ts AS valid_from, event_id
+    FROM s WHERE prev IS DISTINCT FROM event_type
+),
+v AS (
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from, event_id
+           ) AS valid_to
+    FROM st
+),
+snap AS (
+    SELECT * FROM v
+    WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_users,
+       min(valid_from) AS earliest_from,
+       max(valid_from) AS latest_from
+FROM snap
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+ORACLES["embedding_scatter"] = """
+WITH q AS (
+    SELECT vec_id, label,
+           generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(floor(unnest(embedding) * 131072.0 + 0.5) AS BIGINT) AS xq
+    FROM embeddings
+),
+p AS (
+    SELECT a.label, a.dim AS dim_i, b.dim AS dim_j,
+           sum(a.xq * b.xq) AS sxy
+    FROM q a JOIN q b
+      ON a.vec_id = b.vec_id AND a.dim <= b.dim AND b.dim <= 7
+    GROUP BY 1, 2, 3
+),
+m AS (
+    SELECT label, dim, sum(xq) AS s FROM q GROUP BY 1, 2
+),
+n AS (
+    SELECT label, count(DISTINCT vec_id) AS n FROM q GROUP BY 1
+)
+SELECT p.label, p.dim_i, p.dim_j,
+       CAST(n.n AS BIGINT) AS n,
+       CAST(mx.s AS BIGINT) AS sx,
+       CAST(my.s AS BIGINT) AS sy,
+       CAST(p.sxy AS BIGINT) AS sxy
+FROM p
+JOIN m mx ON p.label = mx.label AND p.dim_i = mx.dim
+JOIN m my ON p.label = my.label AND p.dim_j = my.dim
+JOIN n ON p.label = n.label
+ORDER BY p.label, p.dim_i, p.dim_j
 """

@@ -1661,3 +1661,28 @@ def test_setsim_prefix_hot_item_cap(spark):
     got = {(r.id_a, r.id_b): r.jac_milli for r in capped.collect()}
     assert ("c", "d") not in got  # hot item gone -> nothing shared
     assert got[("a", "b")] == 500  # inter {1,2} over union {1,2,3,4}
+
+
+def test_scatter_matrix_exact_moments(spark):
+    import numpy as np
+
+    from data__converter_spark.llmops.similarity import VEC_QUANT, scatter_matrix
+
+    vecs = {
+        0: [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]],
+        1: [[-1.0, 0.5]],
+    }
+    rows = [(g, v) for g, vs in vecs.items() for v in vs]
+    df = spark.createDataFrame(rows, "label long, emb array<double>")
+    # force multiple batches so partial grams really merge
+    out = scatter_matrix(df.repartition(3), "emb", "label").collect()
+    got = {(r["grp"], r["i"], r["j"]): r["v"] for r in out}
+    for g, vs in vecs.items():
+        m = np.floor(np.array(vs) * VEC_QUANT + 0.5).astype(np.int64)
+        assert got[(g, -1, -1)] == len(vs)
+        for i in range(2):
+            assert got[(g, i, -1)] == int(m[:, i].sum())
+            for j in range(i, 2):
+                assert got[(g, i, j)] == int((m[:, i] * m[:, j]).sum())
+    # upper triangle only: no (1, 0) row
+    assert (0, 1, 0) not in got

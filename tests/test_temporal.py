@@ -149,3 +149,26 @@ def test_weighted_sample_prefers_heavy_weights(spark):
         (r["g"], r["id"]) for r in out.collect() if r["id"] % 1000 == 0
     }
     assert picked == {(g, g * 1000) for g in range(5)}
+
+
+def test_snapshot_at_picks_containing_version(spark):
+    import datetime as _dt
+
+    from data__converter_spark.temporal import scd2, snapshot_at
+
+    rows = [
+        (1, "a", _dt.datetime(2024, 1, 1), 1),
+        (1, "b", _dt.datetime(2024, 1, 10), 2),
+        (2, "x", _dt.datetime(2024, 1, 5), 3),
+    ]
+    df = spark.createDataFrame(rows, "k int, state string, ts timestamp, eid int")
+    dim = scd2(df, "k", ["state"], "ts", "eid")
+    # mid-interval: key 1 is still on "a"; key 2 already on "x"
+    snap = {r["k"]: r["state"] for r in snapshot_at(dim, "2024-01-07 00:00:00").collect()}
+    assert snap == {1: "a", 2: "x"}
+    # exactly at a boundary: half-open [from, to) -> the NEW version wins
+    snap2 = {r["k"]: r["state"] for r in snapshot_at(dim, "2024-01-10 00:00:00").collect()}
+    assert snap2[1] == "b"
+    # before any version of key 2
+    snap3 = {r["k"]: r["state"] for r in snapshot_at(dim, "2024-01-03 00:00:00").collect()}
+    assert 2 not in snap3 and snap3[1] == "a"

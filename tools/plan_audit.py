@@ -76,9 +76,13 @@ SHOWCASE = [
     ("weighted_sample_customers", "the A-ES key (md5-uniform ln(u)/w) is a narrow JVM-side projection; the only exchange is the per-nation rank window, and rank<=k prunes before the final sort"),
     ("incremental_agg_orders", "the maintenance merge unions two KEY-SIZED state frames and re-aggregates once — count combines as sum; the base table appears only in the state-build legs, never in the merge"),
     ("zonemap_prune_scan", "shard envelopes from one map-side-combining aggregate; survivors BROADCAST into a left-semi join (fact side never shuffles) with the residual range filter pushed into the scan"),
-    ("bfs_hops_trade", "frontier supersteps: each level joins the FRONTIER (not the visited table) onto the persisted edge frame, dedupes, anti-joins visited; localCheckpoint truncates per-level lineage"),
+    ("bfs_hops_trade", "frontier supersteps: each level joins the FRONTIER (not the visited table) onto the persisted edge frame, dedupes, anti-joins visited; localCheckpoint truncates per-level lineage; the FINAL level skips both the checkpoint and the emptiness probe (nothing downstream consumes them)"),
     ("setsim_ppjoin", "rarest-first prefix postings self-join — candidates carry (item, id, len) only; the rank window is keyed per doc (no global sort); full arrays appear once, in the verify join"),
-    ("lpa_communities", "2 unrolled supersteps: labels-onto-edges join + (dst,label) count + per-dst rank window, all keyed by node; the argmax never collects"),
+    ("lpa_communities", "2 unrolled supersteps: labels-onto-edges join + (dst,label) count + per-dst max_by hash-agg argmax (no sort, no window), all keyed by node; the argmax never collects"),
+    ("link_predict_customers", "middle-degree filter caps the wedge self-join BEFORE pair generation; postings carry (mid, node, weight) only; one keyed (a,b) aggregate then TakeOrderedAndProject top-100"),
+    ("basket_lift_parts", "pair self-join keyed on the basket id (cost = sum of squared basket sizes); item marginals join back on the item key; basket total is a 1-row broadcast; exact BIGINT div milli ratios"),
+    ("rfm_segments", "one customer-key aggregate, then all three ntile windows share ONE nation-key exchange (one Exchange, three sorts) — segmentation inside the business dimension, never a global sort"),
+    ("zorder_layout", "envelope = one bounded 1-row aggregate; the Morton key is a pure narrow projection (shifts+masks, zero Exchange); the cell report is one keyed aggregate on the 256-cell id"),
 ]
 
 

@@ -83,6 +83,8 @@ SHOWCASE = [
     ("basket_lift_parts", "pair self-join keyed on the basket id (cost = sum of squared basket sizes); item marginals join back on the item key; basket total is a 1-row broadcast; exact BIGINT div milli ratios"),
     ("rfm_segments", "one customer-key aggregate, then all three ntile windows share ONE nation-key exchange (one Exchange, three sorts) — segmentation inside the business dimension, never a global sort"),
     ("zorder_layout", "envelope = one bounded 1-row aggregate; the Morton key is a pure narrow projection (shifts+masks, zero Exchange); the cell report is one keyed aggregate on the 256-cell id"),
+    ("scd2_snapshot", "the snapshot is a pure narrow interval filter over the SCD2 build — no window, no exchange beyond the build's single user_id exchange; at rest the predicate pushes into the dimension scan"),
+    ("embedding_scatter", "vectors never shuffle: one mapInPandas int64 partial-Gram pass, then a hash aggregate over constant-size (grp,i,j) moment rows; reshape joins all broadcast"),
 ]
 
 

@@ -640,3 +640,51 @@ def test_weighted_sample_one_exchange_jvm_key(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert p.count("Exchange hashpartitioning") == 1
     assert "SinglePartition" not in p
+
+
+def test_rfm_segments_one_nation_exchange_three_windows(spark):
+    """rfm_segments: the three ntile windows must all ride ONE
+    hashpartitioning(c_nationkey) exchange (plus the customer-agg and
+    join exchanges upstream) and never SinglePartition — per-group
+    segmentation is the whole scale story."""
+    from data__converter_spark.workloads import QUERIES
+
+    p = plan_of(QUERIES["rfm_segments"](spark, SF_DIR))
+    assert "SinglePartition" not in p
+    assert p.count("ntile(5)") >= 1
+    # all three ntile windows fold into window nodes fed by one
+    # nation-key exchange: exactly one exchange mentions c_nationkey
+    import re
+
+    nation_ex = [
+        ln
+        for ln in p.splitlines()
+        if "Exchange hashpartitioning" in ln and "grp" in ln
+    ]
+    assert len(nation_ex) == 1, nation_ex
+
+
+def test_embedding_scatter_vectors_never_shuffle(spark):
+    """embedding_scatter: ONE mapInPandas/ArrowEvalPython kernel, and
+    no Exchange may carry the embedding column — only constant-size
+    (grp,i,j,v) moment rows shuffle; reshape joins broadcast."""
+    from data__converter_spark.workloads import QUERIES
+
+    p = plan_of(QUERIES["embedding_scatter"](spark, SF_DIR))
+    for ln in p.splitlines():
+        if ln.strip().lstrip("+-: ").startswith("Exchange"):
+            assert "embedding" not in ln and "vec" not in ln, ln
+    assert "SinglePartition" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_zorder_layout_key_is_narrow_projection(spark):
+    """zorder_layout: the Morton key must be pure JVM projection (no
+    Python eval) and the only hash exchange is the 256-cell report
+    aggregate's."""
+    from data__converter_spark.workloads import QUERIES
+
+    p = plan_of(QUERIES["zorder_layout"](spark, SF_DIR))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in p

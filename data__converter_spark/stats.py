@@ -500,3 +500,60 @@ def assoc_pairs(
             .alias("lift_milli"),
         )
     )
+
+
+def histogram_drift(
+    a: DataFrame, b: DataFrame, value: str, width: int
+) -> DataFrame:
+    """Distribution drift between two slices of the same column — the
+    guard a training pipeline runs before mixing a new crawl into the
+    corpus, or a warehouse runs between yesterday's and today's load.
+    Both slices histogram on the same fixed-width integer grid
+    (``value DIV width``, exact — see :func:`histogram_fixed_width`),
+    buckets full-outer-join (a band present in only one slice counts
+    as 0 in the other), and each band reports both milli-proportions
+    plus their absolute difference — all BIGINT cross-multiplication
+    (``1000 * n div total``), so the per-band drift and the total
+    variation distance (``sum(diff_milli) div 2``, computed by the
+    caller) are bit-identical on any engine.
+
+    Scale shape: two map-side-combining aggregates (one per slice,
+    each over its own scan with the slice predicate pushed down), a
+    bucket-count-sized full-outer join, and two 1-row totals broadcast
+    — nothing row-scale ever joins or shuffles.
+    """
+    ha = (
+        a.select(F.expr(f"{value} DIV {int(width)}").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_a"))
+    )
+    hb = (
+        b.select(F.expr(f"{value} DIV {int(width)}").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_b"))
+    )
+    ta = a.agg(F.count(F.lit(1)).cast("bigint").alias("total_a"))
+    tb = b.agg(F.count(F.lit(1)).cast("bigint").alias("total_b"))
+    return (
+        ha.join(hb, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            "bucket",
+            "n_a",
+            "n_b",
+            F.expr("n_a * 1000 div total_a").cast("bigint").alias("milli_a"),
+            F.expr("n_b * 1000 div total_b").cast("bigint").alias("milli_b"),
+            F.abs(
+                F.expr("n_a * 1000 div total_a")
+                - F.expr("n_b * 1000 div total_b")
+            )
+            .cast("bigint")
+            .alias("diff_milli"),
+        )
+    )

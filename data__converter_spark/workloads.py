@@ -4178,6 +4178,26 @@ def q_embedding_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drift_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift guard (stats.py:histogram_drift): order
+    totalprice split at 1998-07-01 into the early and late corpus
+    slices, histogrammed on the same exact $25k integer-cent grid,
+    with per-band milli-proportions and |Δ| — the check a pipeline
+    runs before mixing a new crawl into the training corpus.  The
+    date predicate pushes into each slice's parquet scan; only
+    band-count-sized frames ever join, and the two totals broadcast
+    as 1-row frames.  Total variation distance = sum(diff_milli)
+    div 2 over the output."""
+    from .stats import histogram_drift
+
+    o = _load(spark, sf_dir, "orders").select(
+        "o_orderdate", cents("o_totalprice").cast("long").alias("p_cents")
+    )
+    early = o.filter(F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp"))
+    late = o.filter(F.col("o_orderdate") >= F.lit("1998-07-01").cast("timestamp"))
+    return histogram_drift(early, late, "p_cents", 2_500_000).orderBy("bucket")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compare_diff": q_compare_diff,
     "compare_diff_summary": q_compare_diff_summary,
@@ -4364,6 +4384,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_layout": q_zorder_layout,
     "scd2_snapshot": q_scd2_snapshot,
     "embedding_scatter": q_embedding_scatter,
+    "drift_price_bands": q_drift_price_bands,
 }
 
 _DSIR_CTE = """
@@ -8199,4 +8220,40 @@ JOIN m mx ON p.label = mx.label AND p.dim_i = mx.dim
 JOIN m my ON p.label = my.label AND p.dim_j = my.dim
 JOIN n ON p.label = n.label
 ORDER BY p.label, p.dim_i, p.dim_j
+"""
+
+ORACLES["drift_price_bands"] = f"""
+WITH o AS (
+    SELECT o_orderdate, {_sql_cents('o_totalprice')} AS p_cents FROM orders
+),
+ha AS (
+    SELECT p_cents // 2500000 AS bucket, count(*) AS n_a
+    FROM o WHERE o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+    GROUP BY 1
+),
+hb AS (
+    SELECT p_cents // 2500000 AS bucket, count(*) AS n_b
+    FROM o WHERE o_orderdate >= TIMESTAMP '1998-07-01 00:00:00'
+    GROUP BY 1
+),
+t AS (
+    SELECT (SELECT count(*) FROM o
+            WHERE o_orderdate < TIMESTAMP '1998-07-01 00:00:00') AS total_a,
+           (SELECT count(*) FROM o
+            WHERE o_orderdate >= TIMESTAMP '1998-07-01 00:00:00') AS total_b
+),
+j AS (
+    SELECT coalesce(ha.bucket, hb.bucket) AS bucket,
+           coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+    FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket
+)
+SELECT bucket,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_a * 1000 // total_a AS BIGINT) AS milli_a,
+       CAST(n_b * 1000 // total_b AS BIGINT) AS milli_b,
+       CAST(abs(n_a * 1000 // total_a - n_b * 1000 // total_b) AS BIGINT)
+           AS diff_milli
+FROM j CROSS JOIN t
+ORDER BY bucket
 """

@@ -209,3 +209,20 @@ def test_assoc_pairs_min_count_filters(spark):
     }
     assert pairs == {("x", "y"), ("x", "z")}
     assert assoc_pairs(df, "bk", "it", min_pair_count=2).count() == 0
+
+
+def test_histogram_drift_bands_and_tvd(spark):
+    from data__converter_spark.stats import histogram_drift
+
+    a = spark.createDataFrame([(v,) for v in [5, 15, 15, 25]], "v long")
+    b = spark.createDataFrame([(v,) for v in [5, 35, 35, 35]], "v long")
+    out = {r["bucket"]: r for r in histogram_drift(a, b, "v", 10).collect()}
+    # band 0: 1/4 vs 1/4 -> 250 vs 250, diff 0
+    assert out[0]["milli_a"] == 250 and out[0]["milli_b"] == 250
+    assert out[0]["diff_milli"] == 0
+    # band 1: 2/4 vs 0 -> diff 500; band absent in b counts as 0
+    assert out[1]["n_b"] == 0 and out[1]["diff_milli"] == 500
+    # band 3: absent in a
+    assert out[3]["n_a"] == 0 and out[3]["milli_b"] == 750
+    tvd = sum(r["diff_milli"] for r in out.values()) // 2
+    assert tvd == (0 + 500 + 250 + 750) // 2

@@ -1811,3 +1811,60 @@ def bpe_tokenize(
             ),
         )
     )
+
+
+def vocab_oov(
+    ref: DataFrame,
+    tgt: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Cross-slice out-of-vocabulary rate: build the frequency-ranked
+    vocabulary from the REFERENCE slice (same deterministic ranking as
+    :func:`tokenize_corpus` — count desc, term asc, top ``vocab_size``)
+    and measure, per TARGET document, how many of its tokens fall
+    outside it — the coverage question asked before pointing an
+    existing tokenizer at a new crawl, a new language, or a new domain
+    (high OOV = the vocab doesn't speak this slice's language and
+    fertility will explode).
+
+    Exact integer permille (``1000 * n_oov div n_tokens``, 0 for an
+    empty doc).  Scale shape: the vocab is one reference-side term
+    aggregate lowered to TakeOrderedAndProject (never a global term
+    sort), then a constant-size frame BROADCAST into the target's
+    exploded token stream — the target corpus never shuffles; the
+    per-doc rollup is one keyed aggregate on ``id_col``.
+    """
+    rtoks = ref.select(
+        F.explode(F.transform(tokens_col(col), F.lower)).alias("term")
+    )
+    vocab = (
+        rtoks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(int(vocab_size))
+        .select("term", F.lit(True).alias("__in_vocab__"))
+    )
+    ttoks = tgt.select(
+        F.col(id_col),
+        F.explode(F.transform(tokens_col(col), F.lower)).alias("term"),
+    )
+    flagged = ttoks.join(F.broadcast(vocab), "term", "left")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab__").isNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_permille",
+            F.when(F.col("n_tokens") == 0, F.lit(0))
+            .otherwise(F.expr("n_oov * 1000 div n_tokens"))
+            .cast("bigint"),
+        )
+    )

@@ -4198,6 +4198,62 @@ def q_drift_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_drift(early, late, "p_cents", 2_500_000).orderBy("bucket")
 
 
+def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-slice OOV coverage (llmops/textstats.py:vocab_oov): the
+    top-500 whitespace-token vocabulary of the English slice, measured
+    against every non-English document — the tokenizer-coverage
+    question asked before pointing an en-trained vocab at a
+    multilingual crawl.  Vocab = one TakeOrdered aggregate on the
+    reference slice, then a constant-size broadcast into the target's
+    token stream; permille is exact integer div.  Per-language rollup
+    keeps the output compact and pins every doc's contribution through
+    the sums."""
+    from .llmops.textstats import vocab_oov
+
+    docs = _load(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("lang") == "en")
+    tgt = docs.filter(F.col("lang") != "en")
+    per_doc = vocab_oov(ref, tgt, "text", "doc_id", vocab_size=500)
+    lang = docs.select("doc_id", "lang")
+    return (
+        per_doc.join(lang, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("n_oov").cast("bigint").alias("n_oov"),
+            F.expr("sum(n_oov) * 1000 div sum(n_tokens)")
+            .cast("bigint")
+            .alias("oov_permille"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_label_noise_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise sweep (llmops/similarity.py:label_noise_scan) over
+    the embeddings table: every vector classified against all label
+    centroids on the exact integer milli grid; output = the noisy rows
+    (nearest centroid != own label) with both distances, ordered by
+    id.  Centroids ride the task closure (bounded labels x dim pull);
+    vectors never shuffle."""
+    from .llmops.similarity import label_noise_scan
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return (
+        label_noise_scan(emb, "embedding", "label", "vec_id")
+        .filter(F.col("is_noisy"))
+        .select(
+            F.col("vid").alias("vec_id"),
+            F.col("lab").alias("label"),
+            "best_lab",
+            "d_own",
+            "d_best",
+        )
+        .orderBy("vec_id")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compare_diff": q_compare_diff,
     "compare_diff_summary": q_compare_diff_summary,
@@ -4385,6 +4441,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_snapshot": q_scd2_snapshot,
     "embedding_scatter": q_embedding_scatter,
     "drift_price_bands": q_drift_price_bands,
+    "vocab_oov_rate": q_vocab_oov_rate,
+    "label_noise_scan": q_label_noise_scan,
 }
 
 _DSIR_CTE = """
@@ -8256,4 +8314,81 @@ SELECT bucket,
            AS diff_milli
 FROM j CROSS JOIN t
 ORDER BY bucket
+"""
+
+ORACLES["vocab_oov_rate"] = """
+WITH rtoks AS (
+    SELECT lower(u.term) AS term
+    FROM (
+        SELECT CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(text), '[ \\t\\r\\n]+') END
+                   AS words
+        FROM documents WHERE lang = 'en'
+    ), unnest(words) AS u(term)
+),
+vocab AS (
+    SELECT term FROM (
+        SELECT term, count(*) AS cnt FROM rtoks GROUP BY term
+        ORDER BY cnt DESC, term ASC LIMIT 500
+    )
+),
+ttoks AS (
+    SELECT doc_id, lang, lower(u.term) AS term
+    FROM (
+        SELECT doc_id, lang,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(text), '[ \\t\\r\\n]+') END
+                   AS words
+        FROM documents WHERE lang <> 'en'
+    ), unnest(words) AS u(term)
+),
+per_doc AS (
+    SELECT doc_id, lang, count(*) AS n_tokens,
+           sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov
+    FROM ttoks t LEFT JOIN vocab v USING (term)
+    GROUP BY doc_id, lang
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(n_oov) AS BIGINT) AS n_oov,
+       CAST(sum(n_oov) * 1000 // sum(n_tokens) AS BIGINT) AS oov_permille
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+ORACLES["label_noise_scan"] = """
+WITH q AS (
+    SELECT vec_id, label,
+           generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(floor(unnest(embedding) * 131072.0 + 0.5) AS BIGINT) AS xq
+    FROM embeddings
+),
+cent AS (
+    SELECT label AS lab, dim,
+           CAST(sum(xq) * 1000 // count(*) AS BIGINT) AS c
+    FROM q GROUP BY label, dim
+),
+d AS (
+    SELECT q.vec_id, q.label, cent.lab,
+           CAST(sum((1000 * q.xq - cent.c) * (1000 * q.xq - cent.c))
+                AS BIGINT) AS dist
+    FROM q JOIN cent ON q.dim = cent.dim
+    GROUP BY q.vec_id, q.label, cent.lab
+),
+best AS (
+    SELECT vec_id, label, lab AS best_lab, dist AS d_best,
+           row_number() OVER (
+               PARTITION BY vec_id ORDER BY dist, lab
+           ) AS rn
+    FROM d
+),
+own AS (
+    SELECT vec_id, dist AS d_own FROM d WHERE label = lab
+)
+SELECT b.vec_id, b.label, b.best_lab, o.d_own, b.d_best
+FROM best b JOIN own o ON b.vec_id = o.vec_id
+WHERE b.rn = 1 AND b.best_lab <> b.label
+ORDER BY b.vec_id
 """

@@ -1686,3 +1686,59 @@ def test_scatter_matrix_exact_moments(spark):
                 assert got[(g, i, j)] == int((m[:, i] * m[:, j]).sum())
     # upper triangle only: no (1, 0) row
     assert (0, 1, 0) not in got
+
+
+def test_vocab_oov_cross_slice(spark):
+    from data__converter_spark.llmops.textstats import vocab_oov
+
+    ref = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog")], "doc_id long, text string"
+    )
+    tgt = spark.createDataFrame(
+        [(10, "the cat flew"), (11, "le chien"), (12, "   ")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in vocab_oov(ref, tgt, vocab_size=100).collect()}
+    # doc 10: 'flew' is OOV -> 1/3 -> 333 permille
+    assert out[10]["n_tokens"] == 3 and out[10]["n_oov"] == 1
+    assert out[10]["oov_permille"] == 333
+    # doc 11: everything OOV
+    assert out[11]["oov_permille"] == 1000
+    # blank doc contributes no tokens -> absent (explode of empty array)
+    assert 12 not in out
+
+
+def test_vocab_oov_vocab_cap_and_case(spark):
+    from data__converter_spark.llmops.textstats import vocab_oov
+
+    # vocab_size=1 keeps only the most frequent ref term ('a' x3);
+    # matching is lowercased on both sides
+    ref = spark.createDataFrame(
+        [(1, "a a A b")], "doc_id long, text string"
+    )
+    tgt = spark.createDataFrame([(9, "A b")], "doc_id long, text string")
+    r = vocab_oov(ref, tgt, vocab_size=1).collect()[0]
+    assert r["n_tokens"] == 2 and r["n_oov"] == 1 and r["oov_permille"] == 500
+
+
+def test_label_noise_scan_flags_mislabels(spark):
+    from data__converter_spark.llmops.similarity import label_noise_scan
+
+    # two tight clusters; row 5 carries label 1 but sits in cluster 0
+    rows = [
+        (0, 0, [0.0, 0.0]),
+        (1, 0, [0.1, 0.0]),
+        (2, 0, [0.0, 0.1]),
+        (3, 1, [1.0, 1.0]),
+        (4, 1, [0.9, 1.0]),
+        (5, 1, [0.05, 0.05]),
+    ]
+    df = spark.createDataFrame(rows, "vid long, label long, emb array<double>")
+    out = {r["vid"]: r for r in label_noise_scan(df, "emb", "label", "vid").collect()}
+    assert out[5]["is_noisy"] and out[5]["best_lab"] == 0
+    for v in (0, 1, 2, 3, 4):
+        assert not out[v]["is_noisy"], v
+    # exact integer distances: own-cluster distance of a clean row is
+    # strictly less than to the other centroid
+    assert out[0]["d_own"] == out[0]["d_best"]
+    assert out[5]["d_best"] < out[5]["d_own"]

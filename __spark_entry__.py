@@ -29,8 +29,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # query whose code changed this round may keep a stale driver row.
 # After r7's gate the ledger is 20×r4, 46×r5, 50×r6, 50×r7, plus 8
 # never-checked round-8 queries.
-# Slot accounting (188 queries):
-#   1-22  NEW round-8 queries (soft dedup weights, bloom membership,
+# Slot accounting (189 queries):
+#   1-23  NEW round-8 queries (soft dedup weights, bloom membership,
 #         streaming CMS heavy hitters, hash-sample quantiles,
 #         bloom-prescreened shard dedup, SCD2 dimension build,
 #         gaps-and-islands interval merge, Efraimidis-Spirakis
@@ -41,18 +41,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #         per-nation RFM quintiles, z-order layout planner, SCD2
 #         point-in-time snapshot, per-label embedding scatter
 #         moments, histogram drift guard, cross-slice OOV coverage,
-#         label-noise centroid scan) — never driver-checked
-#   23-29 the 7 queries whose CODE changed in round 8 (BPE hybrid
+#         label-noise centroid scan, streaming drift monitor) — never
+#         driver-checked
+#   24-30 the 7 queries whose CODE changed in round 8 (BPE hybrid
 #         driver gate in textstats.py; pagerank_until localCheckpoint
 #         + adaptive cadence in graph.py; cms_point_estimates
 #         left-join, theta_overlap empty-side coalesce and the
 #         _cms_bucket refactor in sketches.py; the late-round-8 BFS
 #         final-level probe drop and LPA max_by argmax are covered by
 #         bfs_hops_trade / lpa_communities in the NEW block above)
-#   30-49 all 20 queries whose latest driver row is r4 (the remainder
+#   31-50 all 20 queries whose latest driver row is r4 (the remainder
 #         pre-declared in round 7; oldest debt, registry order)
-#   50    the first r5-latest query in registry order; the 45-query
-#         r5 remainder leads the r9 rotation (arithmetic asserted below).
+#   (all 46 r5-latest queries lead the r9 rotation — none fit this
+#    round's 50 slots; arithmetic asserted below).
 _VERIFY_FIRST = [
     # -- NEW in round 8: never driver-checked --
     "soft_dedup_weights", "bloom_membership", "stream_cms_heavy",
@@ -63,6 +64,7 @@ _VERIFY_FIRST = [
     "link_predict_customers", "basket_lift_parts", "rfm_segments",
     "zorder_layout", "scd2_snapshot", "embedding_scatter",
     "drift_price_bands", "vocab_oov_rate", "label_noise_scan",
+    "stream_drift_guard",
     # -- code changed in round 8: re-verify before anything else --
     "bpe_train", "tokenize_bpe", "bpe_fertility", "pagerank_converged",
     "sketch_cms_tokens", "sketch_theta_leakage", "sketch_join_size",
@@ -73,10 +75,8 @@ _VERIFY_FIRST = [
     "pack_sequences", "kmeans_step", "corpus_vocab_stats", "price_deciles",
     "priority_waiting", "order_count_distribution", "idle_rich_customers",
     "chunk_text", "salient_terms", "late_shipments",
-    # -- latest driver row is r5: first 1 in registry order --
-    "similarity_lsh_topk",
-    # (r5 remainder past the 50-cut, leads the r9 rotation:
-    #  similarity_ivf_topk, multimodal_image_features,
+    # (the full 46-query r5-latest set leads the r9 rotation:
+    #  similarity_lsh_topk, similarity_ivf_topk, multimodal_image_features,
     #  multimodal_frame_sample, multimodal_resize, text_pii_scrub,
     #  sample_stratified, events_json_props, window_running_revenue,
     #  stream_cdc_upsert, kmeans_train2, salient_terms_tfidf,

@@ -344,3 +344,66 @@ def windowed_cms_heavy(
         .cast("long")
         .alias("cms_est"),
     )
+
+
+def windowed_histogram_drift(
+    events: DataFrame,
+    ref_milli: DataFrame,
+    duration: str = "1 day",
+    value_col: str = "value",
+    width_cents: int = 5000,
+) -> DataFrame:
+    """Per-window distribution drift against a static reference — the
+    ingest-time data-quality monitor (stats.histogram_drift's streaming
+    sibling): each tumbling window histograms ``value_col`` on the same
+    exact integer-cent grid as the reference slice and reports each
+    band's milli-proportion next to the reference's, plus |Δ|.
+
+    Stream-native by construction, the windowed_hll_distinct topology:
+    the stateful step is ``groupBy(window, bucket) -> count`` (state =
+    #occupied bands per open window, bounded by the grid — never the
+    event count), the per-window total is the CHAINED second stateful
+    aggregate (collect the band list + sum, Spark 4 multi-stateful-agg,
+    append mode), and the reference — (bucket, milli_ref), built once
+    from a static slice — joins BROADCAST after an explode projection.
+    Bands in the window but not the reference drift by their full
+    weight (milli_ref = 0); reference bands absent from the window are
+    omitted (an append stream cannot emit rows for data that never
+    arrived — batch callers outer-join their band base if they want
+    zeros, exactly like q_stream_cms_heavy's window×probe base).
+
+    Output: (w_start, w_end, bucket, n, milli_w, milli_ref,
+    diff_milli).
+    """
+    w = events.select(
+        F.window("ts", duration).alias("window"),
+        F.expr(
+            f"floor({value_col} * 100.0 + 0.5) div {int(width_cents)}"
+        ).cast("long").alias("bucket"),
+    )
+    counts = w.groupBy("window", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    per_win = counts.groupBy("window").agg(
+        F.collect_list(F.struct("bucket", "n")).alias("bands"),
+        F.sum("n").cast("long").alias("total"),
+    )
+    exploded = per_win.select(
+        "window", "total", F.explode("bands").alias("b")
+    ).select("window", "total", F.col("b.bucket").alias("bucket"), F.col("b.n").alias("n"))
+    ref = ref_milli.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("milli_ref").cast("long").alias("milli_ref"),
+    )
+    out = exploded.join(F.broadcast(ref), "bucket", "left").select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("w_end"),
+        "bucket",
+        "n",
+        F.expr("n * 1000 div total").cast("long").alias("milli_w"),
+        F.coalesce("milli_ref", F.lit(0)).cast("long").alias("milli_ref"),
+        F.abs(
+            F.expr("n * 1000 div total") - F.coalesce("milli_ref", F.lit(0))
+        ).cast("long").alias("diff_milli"),
+    )
+    return out

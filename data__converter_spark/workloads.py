@@ -4254,6 +4254,41 @@ def q_label_noise_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_drift_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the streaming drift monitor (streaming/windows.py:
+    windowed_histogram_drift): the first week of events is the static
+    reference distribution ($50 bands of `value`, exact integer-cent
+    grid, milli proportions); every later 1-day window histograms the
+    same grid and reports per-band milli vs reference plus |Δ|.  The
+    stateful shape is band counts per open window (grid-bounded state,
+    never event-count state) with the per-window total as the chained
+    second aggregate — stream/batch row equivalence of the topology is
+    pinned in tests/test_streaming.py."""
+    from .session import load_events
+    from .streaming.windows import windowed_histogram_drift
+
+    ev = load_events(spark, sf_dir)
+    cut = F.lit("2024-01-08 00:00:00").cast("timestamp")
+    ref_slice = ev.filter(F.col("ts") < cut)
+    rh = (
+        ref_slice.select(
+            F.expr("floor(value * 100.0 + 0.5) div 5000")
+            .cast("long")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("rn"))
+    )
+    rt = ref_slice.agg(F.count(F.lit(1)).cast("long").alias("rtot"))
+    ref_milli = rh.crossJoin(F.broadcast(rt)).select(
+        "bucket", F.expr("rn * 1000 div rtot").cast("long").alias("milli_ref")
+    )
+    tgt = ev.filter(F.col("ts") >= cut)
+    return windowed_histogram_drift(tgt, ref_milli, "1 day").orderBy(
+        "w_start", "bucket"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compare_diff": q_compare_diff,
     "compare_diff_summary": q_compare_diff_summary,
@@ -4443,6 +4478,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_price_bands": q_drift_price_bands,
     "vocab_oov_rate": q_vocab_oov_rate,
     "label_noise_scan": q_label_noise_scan,
+    "stream_drift_guard": q_stream_drift_guard,
 }
 
 _DSIR_CTE = """
@@ -8391,4 +8427,45 @@ SELECT b.vec_id, b.label, b.best_lab, o.d_own, b.d_best
 FROM best b JOIN own o ON b.vec_id = o.vec_id
 WHERE b.rn = 1 AND b.best_lab <> b.label
 ORDER BY b.vec_id
+"""
+
+ORACLES["stream_drift_guard"] = """
+WITH ev AS (
+    SELECT ts, CAST(floor(value * 100.0 + 0.5) AS BIGINT) // 5000 AS bucket
+    FROM events
+),
+ref AS (
+    SELECT bucket, count(*) AS rn FROM ev
+    WHERE ts < TIMESTAMP '2024-01-08 00:00:00' GROUP BY bucket
+),
+rt AS (
+    SELECT count(*) AS rtot FROM ev
+    WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+),
+refm AS (
+    SELECT bucket, CAST(rn * 1000 // rtot AS BIGINT) AS milli_ref
+    FROM ref CROSS JOIN rt
+),
+tgt AS (
+    SELECT time_bucket(INTERVAL '1 day', ts) AS w_start, bucket
+    FROM ev WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+),
+cnt AS (
+    SELECT w_start, bucket, count(*) AS n FROM tgt GROUP BY 1, 2
+),
+tot AS (
+    SELECT w_start, sum(n) AS total FROM cnt GROUP BY 1
+)
+SELECT strftime(c.w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+       strftime(c.w_start + INTERVAL '1 day', '%Y-%m-%d %H:%M:%S') AS w_end,
+       c.bucket,
+       CAST(c.n AS BIGINT) AS n,
+       CAST(c.n * 1000 // t.total AS BIGINT) AS milli_w,
+       CAST(coalesce(r.milli_ref, 0) AS BIGINT) AS milli_ref,
+       CAST(abs(c.n * 1000 // t.total - coalesce(r.milli_ref, 0)) AS BIGINT)
+           AS diff_milli
+FROM cnt c
+JOIN tot t ON c.w_start = t.w_start
+LEFT JOIN refm r ON c.bucket = r.bucket
+ORDER BY w_start, c.bucket
 """

@@ -813,3 +813,49 @@ def test_stream_cms_heavy_equals_batch_on_closed_windows(spark, events):
     assert len(emitted) > 0
     for row in emitted:
         assert batch[(row[0], row[2])] == row
+
+
+def test_stream_drift_guard_equals_batch_on_closed_windows(spark, events):
+    """Windowed histogram drift (windows.windowed_histogram_drift)
+    runs band counts -> chained per-window total -> static reference
+    broadcast join as one streaming topology (append mode, Spark 4
+    multi-stateful-agg). Every watermark-closed emitted row must be
+    bit-identical to the batch form's row for that (window, bucket);
+    at least one window must emit."""
+    from pyspark.sql import functions as F
+
+    # tiny static reference: the first 2 days' value bands
+    cut = F.lit("2024-01-03 00:00:00").cast("timestamp")
+    ref_slice = events.filter(F.col("ts") < cut)
+    rh = (
+        ref_slice.select(
+            F.expr("floor(value * 100.0 + 0.5) div 5000")
+            .cast("long")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("rn"))
+    )
+    rt = ref_slice.agg(F.count(F.lit(1)).cast("long").alias("rtot"))
+    ref_milli = rh.crossJoin(F.broadcast(rt)).select(
+        "bucket", F.expr("rn * 1000 div rtot").cast("long").alias("milli_ref")
+    )
+
+    stream = windows.with_event_time(
+        runner.read_events_stream(spark, SF), watermark="1 day"
+    ).filter(F.col("ts") >= cut)
+    got = runner.run_once(
+        windows.windowed_histogram_drift(stream, ref_milli, "1 day"), "append"
+    )
+    cols = ["w_start", "w_end", "bucket", "n", "milli_w", "milli_ref",
+            "diff_milli"]
+    batch = {
+        (r["w_start"], r["bucket"]): tuple(r[c] for c in cols)
+        for r in windows.windowed_histogram_drift(
+            events.filter(F.col("ts") >= cut), ref_milli, "1 day"
+        ).collect()
+    }
+    emitted = _rows(got, cols)
+    assert len(emitted) > 0
+    for row in emitted:
+        assert batch[(row[0], row[2])] == row

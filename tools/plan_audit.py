@@ -85,6 +85,10 @@ SHOWCASE = [
     ("zorder_layout", "envelope = one bounded 1-row aggregate; the Morton key is a pure narrow projection (shifts+masks, zero Exchange); the cell report is one keyed aggregate on the 256-cell id"),
     ("scd2_snapshot", "the snapshot is a pure narrow interval filter over the SCD2 build — no window, no exchange beyond the build's single user_id exchange; at rest the predicate pushes into the dimension scan"),
     ("embedding_scatter", "vectors never shuffle: one mapInPandas int64 partial-Gram pass, then a hash aggregate over constant-size (grp,i,j) moment rows; reshape joins all broadcast"),
+    ("drift_price_bands", "two map-side-combining histogram aggregates with the slice predicates pushed into each scan; band-count-sized full-outer join; both totals broadcast as 1-row frames"),
+    ("vocab_oov_rate", "reference vocab = one TakeOrderedAndProject aggregate; constant-size vocab broadcasts into the target's exploded token stream (corpus never shuffles); per-doc rollup is one keyed aggregate"),
+    ("label_noise_scan", "centroid matrix = bounded (labels x dim) pull riding the task closure into ONE mapInPandas pass; vectors never shuffle; output is a narrow per-row verdict frame"),
+    ("stream_drift_guard", "stateful shape: groupBy(window, bucket) count — grid-bounded state per open window; chained per-window total aggregate; static reference broadcast after the explode projection"),
 ]
 
 

@@ -423,3 +423,98 @@ def test_png_codec_roundtrip_property(h, w, channels, filter_type, seed):
         assert (out == px[:, :, None]).all()  # ALL three channels
     else:
         assert (out == px[:, :, :3]).all()
+
+
+# ---------------------------------------------------------------------------
+# round-8 operators: association pairs, z-order key, histogram drift, RFM
+# ---------------------------------------------------------------------------
+
+basket_rows = st.lists(
+    st.tuples(st.integers(1, 6), st.integers(1, 5)),  # (basket, item)
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(**SPARK_SETTINGS)
+@given(basket_rows)
+def test_assoc_pairs_bounds(spark, rows):
+    """co <= min(cnt_a, cnt_b); directional confidences <= 1000; the
+    pair is emitted in canonical (a < b) order exactly once."""
+    from data__converter_spark.stats import assoc_pairs
+
+    df = spark.createDataFrame(rows, "bk int, it int")
+    out = assoc_pairs(df, "bk", "it", min_pair_count=1).collect()
+    seen = set()
+    for r in out:
+        assert r["item_a"] < r["item_b"]
+        key = (r["item_a"], r["item_b"])
+        assert key not in seen
+        seen.add(key)
+        assert r["co"] <= min(r["cnt_a"], r["cnt_b"])
+        assert 0 < r["conf_ab_milli"] <= 1000
+        assert 0 < r["conf_ba_milli"] <= 1000
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    st.lists(st.integers(-50, 250), min_size=1, max_size=20),
+    st.integers(1, 3),
+)
+def test_zorder_key_bijective_on_bins(spark, vals, bits):
+    """zorder is a bijection of the per-dim bin tuple: equal bins <=>
+    equal key; bins always land inside [0, 2^bits)."""
+    from data__converter_spark.scale import zorder_key
+
+    df = spark.createDataFrame([(v, v * 2 % 97) for v in vals], "a long, b long")
+    out = zorder_key(
+        df, ["a", "b"], {"a": 0, "b": 0}, {"a": 99, "b": 99}, bits_per_dim=bits
+    ).collect()
+    for r in out:
+        assert 0 <= r["bin_a"] < (1 << bits) and 0 <= r["bin_b"] < (1 << bits)
+    keys = {(r["bin_a"], r["bin_b"]): r["zorder"] for r in out}
+    assert len(set(keys.values())) == len(keys)
+
+
+@settings(**SPARK_SETTINGS)
+@given(
+    st.lists(st.integers(0, 99), min_size=1, max_size=25),
+    st.lists(st.integers(0, 99), min_size=1, max_size=25),
+)
+def test_histogram_drift_proportion_invariants(spark, xs, ys):
+    """milli proportions sum to <= 1000 per side (floored shares can't
+    exceed the whole); every band count is non-negative and TVD milli
+    is within [0, 1000]."""
+    from data__converter_spark.stats import histogram_drift
+
+    a = spark.createDataFrame([(v,) for v in xs], "v long")
+    b = spark.createDataFrame([(v,) for v in ys], "v long")
+    rows = histogram_drift(a, b, "v", 25).collect()
+    assert sum(r["milli_a"] for r in rows) <= 1000
+    assert sum(r["milli_b"] for r in rows) <= 1000
+    tvd = sum(r["diff_milli"] for r in rows) // 2
+    assert 0 <= tvd <= 1000
+    assert sum(r["n_a"] for r in rows) == len(xs)
+    assert sum(r["n_b"] for r in rows) == len(ys)
+
+
+@settings(**SPARK_SETTINGS)
+@given(st.integers(2, 12))
+def test_rfm_tiles_balanced(spark, n_custs):
+    """ntile invariant: tile sizes differ by at most one within a
+    group, in every score dimension."""
+    import datetime
+
+    from collections import Counter
+
+    from data__converter_spark.stats import rfm_scores
+
+    rows = [
+        (c, "g", datetime.date(2024, 1, 1 + c), 10 * c)
+        for c in range(1, n_custs + 1)
+    ]
+    df = spark.createDataFrame(rows, "cust int, grp string, odate date, cents long")
+    out = rfm_scores(df, "cust", "grp", "odate", "cents", n_tiles=3).collect()
+    for col in ("r_score", "f_score", "m_score"):
+        sizes = Counter(r[col] for r in out)
+        assert max(sizes.values()) - min(sizes.values()) <= 1

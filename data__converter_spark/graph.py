@@ -514,3 +514,49 @@ def link_predict(
             F.sum("w_micro").cast("bigint").alias("ra_micro"),
         )
     )
+
+
+def feature_propagate(
+    edges: DataFrame,
+    features: DataFrame,
+    hops: int = 1,
+    node_col: str = "node",
+    feat_col: str = "feat",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """GNN-style mean message passing on an integer feature: each hop
+    replaces every node's feature with the FLOORED integer mean of its
+    in-neighbors' current features (nodes with no in-edges keep
+    theirs) — the 1-hop aggregation GraphSAGE/GCN layers build on,
+    usable directly for feature smoothing / cold-start imputation over
+    an entity graph.
+
+    Features must be NON-NEGATIVE integers: floored division is where
+    engines disagree on negatives (Spark's ``div`` truncates toward
+    zero, SQL ``//`` floors), so callers offset signed features into
+    the non-negative range first — an exact transformation, since
+    ``floor((Σ(x+K))/n) = K + floor(Σx/n)`` for an integer offset K.
+
+    Scale shape per hop: ONE features-onto-edges join keyed on the
+    source and ONE destination-keyed aggregate — identical exchange
+    structure to :func:`pagerank`; hops chain lazily into one plan.
+    """
+    if hops < 0:
+        raise ValueError(f"hops must be >= 0, got {hops}")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    state = features.select(
+        F.col(node_col).alias("node"), F.col(feat_col).cast("long").alias("feat")
+    )
+    for _ in range(hops):
+        agg = (
+            e.join(
+                state.select(F.col("node").alias("src"), "feat"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.expr("sum(feat) div count(1)").cast("long").alias("nf"))
+        )
+        state = state.join(agg, state.node == agg.dst, "left").select(
+            "node", F.coalesce("nf", "feat").cast("long").alias("feat")
+        )
+    return state

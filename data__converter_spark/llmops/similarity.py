@@ -1299,3 +1299,56 @@ def label_noise_scan(
     return src.mapInPandas(kernel, out_schema).withColumn(
         "is_noisy", F.col("best_lab") != F.col("lab")
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    query_col: str = "probe_id",
+    doc_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top_n: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) of two
+    ranked retrieval lists — the standard hybrid-search ensembler
+    (dense + sparse, exact + ANN): each list contributes
+    ``1_000_000 div (k + rank)`` per (query, doc) and the fused score
+    is the sum, in exact integer micros so any engine re-ranks
+    identically (float RRF ties drift at the ulp; integer RRF cannot).
+    ``n_lists`` reports how many input lists surfaced the doc — the
+    agreement signal rerankers often threshold on.
+
+    Scale shape: two narrow rank projections union (no shuffle), one
+    keyed (query, doc) aggregate, and a per-query window capped at
+    ``top_n`` — rank lists are top-k-sized frames, never corpus-sized,
+    so the whole fusion is k-bounded regardless of corpus size.
+    """
+    from pyspark.sql import Window
+
+    def contrib(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(query_col).alias("q"),
+            F.col(doc_col).alias("d"),
+            F.expr(f"1000000 div ({int(k)} + {rank_col})").cast("long").alias(
+                "c"
+            ),
+        )
+
+    u = contrib(ranked_a).unionByName(contrib(ranked_b))
+    fused = u.groupBy("q", "d").agg(
+        F.sum("c").cast("long").alias("rrf_micro"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("rrf_micro"), F.asc("d"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= int(top_n))
+        .select(
+            F.col("q").alias(query_col),
+            F.col("d").alias(doc_col),
+            "rrf_micro",
+            "n_lists",
+            F.col("fused_rank").cast("bigint").alias("fused_rank"),
+        )
+    )

@@ -4289,6 +4289,59 @@ def q_stream_drift_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-search rank fusion (llmops/similarity.py:rrf_fuse): the
+    exact cosine top-10 and the hyperplane-LSH top-10 — the same two
+    already-oracle-checked legs similarity_lsh_recall audits — fused
+    by reciprocal-rank in exact integer micros (1e6 div (60+rank)),
+    re-ranked per probe with a doc-id tiebreak.  n_lists carries the
+    both-retrievers-agree signal.  The fusion itself is k-bounded:
+    rank lists, never the corpus, enter the union/aggregate/window."""
+    from .llmops.similarity import brute_force_topk, lsh_topk, rrf_fuse
+
+    emb = _load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+    dense = brute_force_topk(emb, probes, k=10)
+    approx = lsh_topk(emb, probes, k=10, bits=6)
+    return rrf_fuse(dense, approx, k=60, top_n=10).orderBy(
+        "probe_id", "fused_rank"
+    )
+
+
+def q_feature_smooth_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop feature smoothing (graph.py:feature_propagate) over the
+    trade graph: every node starts from its account balance in OFFSET
+    cents (+100k keeps the feature non-negative so floored integer
+    means agree across engines), and each hop takes the floored mean
+    of in-neighbor features — the GraphSAGE mean-aggregation layer as
+    a batch operator (cold-start imputation: a node's smoothed value
+    is its trading neighborhood's).  Output summarizes per node class
+    (customer = even ids, supplier = odd) to keep the frame compact
+    while pinning every node's hop-2 value through the sums."""
+    from .graph import feature_propagate
+
+    c = _load(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") * 2).alias("node"),
+        (cents("c_acctbal") + F.lit(100_000)).cast("long").alias("feat"),
+    )
+    s = _load(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") * 2 + 1).alias("node"),
+        (cents("s_acctbal") + F.lit(100_000)).cast("long").alias("feat"),
+    )
+    feats = c.unionByName(s)
+    out = feature_propagate(_trade_edges(spark, sf_dir), feats, hops=2)
+    return (
+        out.groupBy((F.col("node") % 2).cast("int").alias("node_class"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("feat").cast("bigint").alias("sum_feat"),
+            F.min("feat").cast("bigint").alias("min_feat"),
+            F.max("feat").cast("bigint").alias("max_feat"),
+        )
+        .orderBy("node_class")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compare_diff": q_compare_diff,
     "compare_diff_summary": q_compare_diff_summary,
@@ -4479,6 +4532,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_oov_rate": q_vocab_oov_rate,
     "label_noise_scan": q_label_noise_scan,
     "stream_drift_guard": q_stream_drift_guard,
+    "hybrid_rank_fusion": q_hybrid_rank_fusion,
+    "feature_smooth_balance": q_feature_smooth_balance,
 }
 
 _DSIR_CTE = """
@@ -8468,4 +8523,78 @@ FROM cnt c
 JOIN tot t ON c.w_start = t.w_start
 LEFT JOIN refm r ON c.bucket = r.bucket
 ORDER BY w_start, c.bucket
+"""
+
+
+ORACLES["hybrid_rank_fusion"] = f"""
+WITH dense AS ({ORACLES["similarity_topk"]}),
+approx AS ({ORACLES["similarity_lsh_topk"]}),
+u AS (
+    SELECT probe_id, neighbor_id, 1000000 // (60 + rank) AS c FROM dense
+    UNION ALL
+    SELECT probe_id, neighbor_id, 1000000 // (60 + rank) AS c FROM approx
+),
+f AS (
+    SELECT probe_id, neighbor_id,
+           CAST(sum(c) AS BIGINT) AS rrf_micro,
+           CAST(count(*) AS BIGINT) AS n_lists
+    FROM u GROUP BY probe_id, neighbor_id
+),
+r AS (
+    SELECT probe_id, neighbor_id, rrf_micro, n_lists,
+           row_number() OVER (
+               PARTITION BY probe_id ORDER BY rrf_micro DESC, neighbor_id
+           ) AS fused_rank
+    FROM f
+)
+SELECT probe_id, neighbor_id, rrf_micro, n_lists,
+       CAST(fused_rank AS BIGINT) AS fused_rank
+FROM r WHERE fused_rank <= 10
+ORDER BY probe_id, fused_rank
+"""
+
+
+ORACLES["feature_smooth_balance"] = f"""
+WITH pairs AS (
+    SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+    SELECT c AS src, s AS dst FROM pairs
+    UNION ALL
+    SELECT s AS src, c AS dst FROM pairs
+),
+f0 AS (
+    SELECT c_custkey * 2 AS node,
+           {_sql_cents('c_acctbal')} + 100000 AS feat
+    FROM customer
+    UNION ALL
+    SELECT s_suppkey * 2 + 1,
+           {_sql_cents('s_acctbal')} + 100000
+    FROM supplier
+),
+a1 AS (
+    SELECT e.dst, sum(f.feat) // count(*) AS nf
+    FROM edges e JOIN f0 f ON e.src = f.node GROUP BY e.dst
+),
+f1 AS (
+    SELECT f.node, CAST(coalesce(a.nf, f.feat) AS BIGINT) AS feat
+    FROM f0 f LEFT JOIN a1 a ON f.node = a.dst
+),
+a2 AS (
+    SELECT e.dst, sum(f.feat) // count(*) AS nf
+    FROM edges e JOIN f1 f ON e.src = f.node GROUP BY e.dst
+),
+f2 AS (
+    SELECT f.node, CAST(coalesce(a.nf, f.feat) AS BIGINT) AS feat
+    FROM f1 f LEFT JOIN a2 a ON f.node = a.dst
+)
+SELECT CAST(node % 2 AS INT) AS node_class,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(feat) AS BIGINT) AS sum_feat,
+       CAST(min(feat) AS BIGINT) AS min_feat,
+       CAST(max(feat) AS BIGINT) AS max_feat
+FROM f2
+GROUP BY node % 2
+ORDER BY node_class
 """

@@ -261,3 +261,27 @@ def test_link_predict_dedupes_memberships_and_validates(spark):
     assert len(out) == 1 and out[0]["common_middles"] == 1
     with _pytest.raises(ValueError):
         link_predict(df, "mid", "node", max_middle_degree=1)
+
+
+def test_feature_propagate_floored_mean_and_keep(spark):
+    from data__converter_spark.graph import feature_propagate
+
+    # edges INTO node 1 from {2, 3}; node 4 has no in-edges
+    e = spark.createDataFrame([(2, 1), (3, 1), (1, 2)], "src long, dst long")
+    f = spark.createDataFrame(
+        [(1, 10), (2, 7), (3, 8), (4, 99)], "node long, feat long"
+    )
+    got = {
+        r["node"]: r["feat"]
+        for r in feature_propagate(e, f, hops=1).collect()
+    }
+    # node 1: floor((7+8)/2) = 7; node 2: mean of {node1}=10; node 4 keeps
+    assert got[1] == 7 and got[2] == 10 and got[4] == 99
+    # node 3 has no in-edges either -> keeps
+    assert got[3] == 8
+    # two hops: node 1 now averages the hop-1 values of {2,3} = {10, 8} -> 9
+    got2 = {
+        r["node"]: r["feat"]
+        for r in feature_propagate(e, f, hops=2).collect()
+    }
+    assert got2[1] == 9

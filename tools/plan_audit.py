@@ -89,6 +89,8 @@ SHOWCASE = [
     ("vocab_oov_rate", "reference vocab = one TakeOrderedAndProject aggregate; constant-size vocab broadcasts into the target's exploded token stream (corpus never shuffles); per-doc rollup is one keyed aggregate"),
     ("label_noise_scan", "centroid matrix = bounded (labels x dim) pull riding the task closure into ONE mapInPandas pass; vectors never shuffle; output is a narrow per-row verdict frame"),
     ("stream_drift_guard", "stateful shape: groupBy(window, bucket) count — grid-bounded state per open window; chained per-window total aggregate; static reference broadcast after the explode projection"),
+    ("hybrid_rank_fusion", "both retrieval legs reuse their own checked plans; the fusion is k-bounded — union of two narrow rank projections, one (query,doc) aggregate, one per-query window capped at top_n"),
+    ("feature_smooth_balance", "2 unrolled hops, each ONE src-keyed features-onto-edges join + ONE dst-keyed aggregate (the pagerank exchange structure); floored integer means, no window, no Python"),
 ]
 
 

@@ -29,8 +29,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # query whose code changed this round may keep a stale driver row.
 # After r7's gate the ledger is 20×r4, 46×r5, 50×r6, 50×r7, plus 8
 # never-checked round-8 queries.
-# Slot accounting (191 queries):
-#   1-25  NEW round-8 queries (soft dedup weights, bloom membership,
+# Slot accounting (192 queries):
+#   1-26  NEW round-8 queries (soft dedup weights, bloom membership,
 #         streaming CMS heavy hitters, hash-sample quantiles,
 #         bloom-prescreened shard dedup, SCD2 dimension build,
 #         gaps-and-islands interval merge, Efraimidis-Spirakis
@@ -42,19 +42,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #         point-in-time snapshot, per-label embedding scatter
 #         moments, histogram drift guard, cross-slice OOV coverage,
 #         label-noise centroid scan, streaming drift monitor,
-#         reciprocal-rank hybrid fusion, GNN-style feature smoothing)
-#         — never driver-checked
-#   26-32 the 7 queries whose CODE changed in round 8 (BPE hybrid
+#         reciprocal-rank hybrid fusion, GNN-style feature smoothing,
+#         PQ recall audit) — never driver-checked
+#   27-33 the 7 queries whose CODE changed in round 8 (BPE hybrid
 #         driver gate in textstats.py; pagerank_until localCheckpoint
 #         + adaptive cadence in graph.py; cms_point_estimates
 #         left-join, theta_overlap empty-side coalesce and the
 #         _cms_bucket refactor in sketches.py; the late-round-8 BFS
 #         final-level probe drop and LPA max_by argmax are covered by
 #         bfs_hops_trade / lpa_communities in the NEW block above)
-#   33-50 the first 18 r4-latest queries in registry order (oldest
-#         debt; salient_terms and late_shipments are displaced by the
-#         two newest queries and lead the r9 rotation together with
-#         all 46 r5-latest rows; arithmetic asserted below).
+#   34-50 the first 17 r4-latest queries in registry order (oldest
+#         debt; chunk_text, salient_terms and late_shipments are
+#         displaced by the three newest queries and lead the r9
+#         rotation together with all 46 r5-latest rows; arithmetic
+#         asserted below).
 _VERIFY_FIRST = [
     # -- NEW in round 8: never driver-checked --
     "soft_dedup_weights", "bloom_membership", "stream_cms_heavy",
@@ -66,6 +67,7 @@ _VERIFY_FIRST = [
     "zorder_layout", "scd2_snapshot", "embedding_scatter",
     "drift_price_bands", "vocab_oov_rate", "label_noise_scan",
     "stream_drift_guard", "hybrid_rank_fusion", "feature_smooth_balance",
+    "similarity_pq_recall",
     # -- code changed in round 8: re-verify before anything else --
     "bpe_train", "tokenize_bpe", "bpe_fertility", "pagerank_converged",
     "sketch_cms_tokens", "sketch_theta_leakage", "sketch_join_size",
@@ -75,9 +77,8 @@ _VERIFY_FIRST = [
     "expectations_orders", "denylist_scrub", "price_percent_rank",
     "pack_sequences", "kmeans_step", "corpus_vocab_stats", "price_deciles",
     "priority_waiting", "order_count_distribution", "idle_rich_customers",
-    "chunk_text",
-    # (salient_terms + late_shipments (r4) and the full 46-query
-    #  r5-latest set lead the r9 rotation:
+    # (chunk_text + salient_terms + late_shipments (r4) and the full
+    #  46-query r5-latest set lead the r9 rotation:
     #  similarity_lsh_topk, similarity_ivf_topk, multimodal_image_features,
     #  multimodal_frame_sample, multimodal_resize, text_pii_scrub,
     #  sample_stratified, events_json_props, window_running_revenue,

@@ -4342,6 +4342,43 @@ def q_feature_smooth_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the PQ ADC index against brute-force truth, per
+    probe — completes the ANN audit pair (similarity_lsh_recall audits
+    the hashing family; this audits the quantization family).  Both
+    legs are the already-oracle-checked queries, so the intersection
+    is exact and DuckDB reproduces it by composing the same two
+    oracles.  Quantization recall is the number a FAISS-style
+    deployment tunes m/n_codes against."""
+    from .llmops.similarity import brute_force_topk, pq_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+    truth = brute_force_topk(emb, probes, k=10).select(
+        "probe_id", "neighbor_id"
+    )
+    approx = pq_topk(emb, probes, k=10, m=4, n_codes=16).select(
+        "probe_id", "neighbor_id"
+    )
+    matched = (
+        approx.join(truth, ["probe_id", "neighbor_id"])
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_matched"))
+    )
+    return (
+        probes.select(F.col("vec_id").alias("probe_id"))
+        .join(matched, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce("n_matched", F.lit(0)).cast("bigint").alias("n_matched"),
+            (F.coalesce("n_matched", F.lit(0)) * 100)
+            .cast("bigint")
+            .alias("recall_milli"),
+        )
+        .orderBy("probe_id")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compare_diff": q_compare_diff,
     "compare_diff_summary": q_compare_diff_summary,
@@ -4534,6 +4571,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_drift_guard": q_stream_drift_guard,
     "hybrid_rank_fusion": q_hybrid_rank_fusion,
     "feature_smooth_balance": q_feature_smooth_balance,
+    "similarity_pq_recall": q_similarity_pq_recall,
 }
 
 _DSIR_CTE = """
@@ -8597,4 +8635,22 @@ SELECT CAST(node % 2 AS INT) AS node_class,
 FROM f2
 GROUP BY node % 2
 ORDER BY node_class
+"""
+
+
+ORACLES["similarity_pq_recall"] = f"""
+WITH truth AS ({ORACLES["similarity_topk"]}),
+approx AS ({ORACLES["similarity_pq_topk"]}),
+m AS (
+    SELECT a.probe_id, CAST(count(*) AS BIGINT) AS n_matched
+    FROM approx a JOIN truth t
+      ON a.probe_id = t.probe_id AND a.neighbor_id = t.neighbor_id
+    GROUP BY a.probe_id
+),
+pr AS (SELECT DISTINCT probe_id FROM truth)
+SELECT pr.probe_id,
+       CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+       CAST(coalesce(m.n_matched, 0) * 100 AS BIGINT) AS recall_milli
+FROM pr LEFT JOIN m ON pr.probe_id = m.probe_id
+ORDER BY pr.probe_id
 """

@@ -91,6 +91,7 @@ SHOWCASE = [
     ("stream_drift_guard", "stateful shape: groupBy(window, bucket) count — grid-bounded state per open window; chained per-window total aggregate; static reference broadcast after the explode projection"),
     ("hybrid_rank_fusion", "both retrieval legs reuse their own checked plans; the fusion is k-bounded — union of two narrow rank projections, one (query,doc) aggregate, one per-query window capped at top_n"),
     ("feature_smooth_balance", "2 unrolled hops, each ONE src-keyed features-onto-edges join + ONE dst-keyed aggregate (the pagerank exchange structure); floored integer means, no window, no Python"),
+    ("similarity_pq_recall", "both legs reuse their own checked plans (brute truth + PQ ADC); the audit is an equi-join on (probe, neighbor) + per-probe count — no new shuffle shapes"),
 ]
 
 

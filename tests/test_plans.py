@@ -688,3 +688,30 @@ def test_zorder_layout_key_is_narrow_projection(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert p.count("Exchange hashpartitioning") == 1
     assert "SinglePartition" not in p
+
+
+def test_link_predict_caps_middles_before_self_join(spark):
+    """link_predict_customers: the degree filter must land BEFORE the
+    wedge self-join (the quadratic guard is pre-join, not post), the
+    pair aggregate must be keyed (never SinglePartition), and the
+    top-100 must lower to TakeOrderedAndProject, not a global sort."""
+    from data__converter_spark.workloads import QUERIES
+
+    p = plan_of(QUERIES["link_predict_customers"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    assert "SinglePartition" not in p
+    # the deg-band filter appears as a Filter on the aggregate count
+    # (deg between 2 and cap) somewhere upstream of the pair join
+    assert "deg" in p
+
+
+def test_basket_lift_broadcasts_totals(spark):
+    """basket_lift_parts: the 1-row basket total must arrive via a
+    broadcast (nested-loop on a single row), never a shuffled join,
+    and the final top-50 is TakeOrderedAndProject."""
+    from data__converter_spark.workloads import QUERIES
+
+    p = plan_of(QUERIES["basket_lift_parts"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p

@@ -23,73 +23,58 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's per-round correctness gate samples the FIRST 50 entries of
-# ``queries()`` in insertion order (verified: CORRECTNESS_r0{1..7}.json
-# keys equal the first 50 QUERIES names of each round).  Round 8
+# ``queries()`` in insertion order (verified: CORRECTNESS_r0{1..8}.json
+# keys equal the first 50 QUERIES names of each round).  Round 9
 # rotation — freshness first, CHANGED CODE PATHS first of all: no
 # query whose code changed this round may keep a stale driver row.
-# After r7's gate the ledger is 20×r4, 46×r5, 50×r6, 50×r7, plus 8
-# never-checked round-8 queries.
-# Slot accounting (192 queries):
-#   1-26  NEW round-8 queries (soft dedup weights, bloom membership,
-#         streaming CMS heavy hitters, hash-sample quantiles,
-#         bloom-prescreened shard dedup, SCD2 dimension build,
-#         gaps-and-islands interval merge, Efraimidis-Spirakis
-#         weighted sample, incremental aggregate maintenance,
-#         zone-map data skipping, BFS hop distance, PPJoin exact
-#         set-similarity, label-propagation communities,
-#         resource-allocation link prediction, market-basket lift,
-#         per-nation RFM quintiles, z-order layout planner, SCD2
-#         point-in-time snapshot, per-label embedding scatter
-#         moments, histogram drift guard, cross-slice OOV coverage,
-#         label-noise centroid scan, streaming drift monitor,
-#         reciprocal-rank hybrid fusion, GNN-style feature smoothing,
-#         PQ recall audit) — never driver-checked
-#   27-33 the 7 queries whose CODE changed in round 8 (BPE hybrid
-#         driver gate in textstats.py; pagerank_until localCheckpoint
-#         + adaptive cadence in graph.py; cms_point_estimates
-#         left-join, theta_overlap empty-side coalesce and the
-#         _cms_bucket refactor in sketches.py; the late-round-8 BFS
-#         final-level probe drop and LPA max_by argmax are covered by
-#         bfs_hops_trade / lpa_communities in the NEW block above)
-#   34-50 the first 17 r4-latest queries in registry order (oldest
-#         debt; chunk_text, salient_terms and late_shipments are
-#         displaced by the three newest queries and lead the r9
-#         rotation together with all 46 r5-latest rows; arithmetic
-#         asserted below).
+# After r8's gate the ledger is 3×r4, 46×r5, 46×r6, 47×r7, 50×r8,
+# plus 1 never-checked round-9 query (193 total).
+# Slot accounting:
+#   1     NEW round-9 query (zorder_write_prune — the z-order write
+#         path's month-vs-zband pruning comparison)
+#   2-4   round-9 BEHAVIOR changes (basket_lift_parts gained the
+#         max_basket_size=8 hot-basket cap, oracle updated in
+#         lockstep; bloom_shard_dedup's oracle digests
+#         coalesce(text, '') to match the op; embedding_scatter's
+#         scatter_matrix now excludes NULL groups on both engines)
+#   5-11  round-9 CODE-touched queries, results invariant
+#         (stream_cms_heavy: windowed_cms_heavy probe key is named,
+#         not positional; pagerank_converged: adaptive cadence never
+#         shrinks below the caller's probe_every; funnel_conversion,
+#         sketch_kmv_shingles, sketch_join_size, sketch_theta_leakage,
+#         zonemap_prune_scan: scalar crossJoins broadcast-hinted)
+#   12-14 the 3 r4-latest queries (oldest debt)
+#   15-50 the first 36 r5-latest queries in registry order; the
+#         remaining 10 r5-latest rows (stream_outer_range_join,
+#         events_anomalies, pipeline_selection, pq_train_codebook,
+#         similarity_ivf_pq_topk, corpus_split, dedup_keep_best,
+#         entity_canonicalize, pmi_collocations, sparse_retrieval)
+#         lead the r10 rotation; arithmetic asserted below.
 _VERIFY_FIRST = [
-    # -- NEW in round 8: never driver-checked --
-    "soft_dedup_weights", "bloom_membership", "stream_cms_heavy",
-    "quantile_sketch_prices", "bloom_shard_dedup", "scd2_user_status",
-    "interval_coverage", "weighted_sample_customers",
-    "incremental_agg_orders", "zonemap_prune_scan", "bfs_hops_trade",
-    "setsim_ppjoin", "lpa_communities",
-    "link_predict_customers", "basket_lift_parts", "rfm_segments",
-    "zorder_layout", "scd2_snapshot", "embedding_scatter",
-    "drift_price_bands", "vocab_oov_rate", "label_noise_scan",
-    "stream_drift_guard", "hybrid_rank_fusion", "feature_smooth_balance",
-    "similarity_pq_recall",
-    # -- code changed in round 8: re-verify before anything else --
-    "bpe_train", "tokenize_bpe", "bpe_fertility", "pagerank_converged",
-    "sketch_cms_tokens", "sketch_theta_leakage", "sketch_join_size",
-    # -- latest driver row is r4 (all 20, registry order) --
-    "cdc_upsert", "text_normalize", "skew_salted_join", "asof_join_forward",
-    "grouping_sets_volume", "fuzzy_name_pairs", "forecast_revenue",
-    "expectations_orders", "denylist_scrub", "price_percent_rank",
-    "pack_sequences", "kmeans_step", "corpus_vocab_stats", "price_deciles",
-    "priority_waiting", "order_count_distribution", "idle_rich_customers",
-    # (chunk_text + salient_terms + late_shipments (r4) and the full
-    #  46-query r5-latest set lead the r9 rotation:
-    #  similarity_lsh_topk, similarity_ivf_topk, multimodal_image_features,
-    #  multimodal_frame_sample, multimodal_resize, text_pii_scrub,
-    #  sample_stratified, events_json_props, window_running_revenue,
-    #  stream_cdc_upsert, kmeans_train2, salient_terms_tfidf,
-    #  min_cost_supplier, product_type_profit, important_parts,
-    #  top_supplier, supplier_part_counts, small_qty_revenue,
-    #  bracket_revenue, excess_stock_suppliers, waiting_suppliers,
-    #  balanced_shards, dedup_against_ref, dedup_substring_keep,
-    #  centroid_separation, window_active_users, pagerank_trade,
-    #  stream_enrich_counts, common_token_ratio, token_mix_planner,
-    #  and the 16 further r5-latest rows in registry order)
+    # -- NEW in round 9: never driver-checked --
+    "zorder_write_prune",
+    # -- round-9 behavior/oracle changes --
+    "basket_lift_parts", "bloom_shard_dedup", "embedding_scatter",
+    # -- round-9 code-touched, results invariant --
+    "stream_cms_heavy", "pagerank_converged", "funnel_conversion",
+    "sketch_kmv_shingles", "sketch_join_size", "sketch_theta_leakage",
+    "zonemap_prune_scan",
+    # -- latest driver row is r4 (oldest debt) --
+    "chunk_text", "salient_terms", "late_shipments",
+    # -- latest driver row is r5, registry order (first 36 of 46) --
+    "similarity_lsh_topk", "similarity_ivf_topk",
+    "multimodal_image_features", "multimodal_frame_sample",
+    "multimodal_resize", "text_pii_scrub", "sample_stratified",
+    "events_json_props", "window_running_revenue", "stream_cdc_upsert",
+    "kmeans_train2", "salient_terms_tfidf", "min_cost_supplier",
+    "product_type_profit", "important_parts", "top_supplier",
+    "supplier_part_counts", "small_qty_revenue", "bracket_revenue",
+    "excess_stock_suppliers", "waiting_suppliers", "balanced_shards",
+    "dedup_against_ref", "dedup_substring_keep", "centroid_separation",
+    "window_active_users", "pagerank_trade", "stream_enrich_counts",
+    "common_token_ratio", "token_mix_planner", "window_overlap_pairs",
+    "embedding_outliers", "gopher_quality", "dedup_semantic",
+    "similarity_pq_topk", "triangle_suppliers",
 ]
 
 

@@ -254,7 +254,11 @@ def pagerank_until(
             and prev_delta is not None
             and max_delta < prev_delta
         ):
-            cadence = min(cadence * 2, MAX_PROBE_CADENCE)
+            # never adapt BELOW the caller's requested interval: a
+            # probe_every above MAX_PROBE_CADENCE is an explicit
+            # opt-in to a wider window, and shrinking it here would
+            # INCREASE probe frequency — the opposite of thinning
+            cadence = min(cadence * 2, max(MAX_PROBE_CADENCE, probe_every))
         prev_delta = max_delta
     return ranks.select("node", "rank_micro"), history
 
@@ -532,11 +536,15 @@ def feature_propagate(
     usable directly for feature smoothing / cold-start imputation over
     an entity graph.
 
-    Features must be NON-NEGATIVE integers: floored division is where
-    engines disagree on negatives (Spark's ``div`` truncates toward
-    zero, SQL ``//`` floors), so callers offset signed features into
-    the non-negative range first — an exact transformation, since
-    ``floor((Σ(x+K))/n) = K + floor(Σx/n)`` for an integer offset K.
+    Features must be NON-NEGATIVE integers.  Spark's ``div`` and
+    DuckDB's ``//`` both truncate toward zero on BIGINTs, so the two
+    oracle engines already agree on negatives — but several SQL
+    dialects (Python semantics, some warehouses) floor instead, so
+    the non-negativity restriction stays as a portability guard:
+    callers offset signed features into the non-negative range first,
+    an exact transformation since
+    ``trunc((Σ(x+K))/n) = K + trunc(Σx/n)`` for an integer offset K
+    once everything is non-negative.
 
     Scale shape per hop: ONE features-onto-edges join keyed on the
     source and ONE destination-keyed aggregate — identical exchange

@@ -1144,7 +1144,14 @@ def scatter_matrix(
     from pyspark.sql import functions as F  # noqa: F811
 
     out_schema = "grp long, i int, j int, v long"
-    src = df.select(
+    # NULL groups are EXCLUDED, explicitly and engine-symmetrically:
+    # pandas groupby drops NaN keys by default while SQL GROUP BY
+    # keeps a NULL group, so without this filter a NULL label would
+    # silently vanish from the Spark moments but survive in a SQL
+    # oracle.  Callers who need a NULL bucket must sentinel it to an
+    # integer upstream; oracle SQL must carry the same
+    # ``WHERE <group> IS NOT NULL``.
+    src = df.filter(F.col(group_col).isNotNull()).select(
         F.col(group_col).cast("long").alias("grp"), F.col(vec_col).alias("vec")
     )
 
@@ -1213,10 +1220,12 @@ def label_noise_scan(
     every flag:
 
     - per-label centroids are component sums on the VEC_QUANT grid,
-      divided onto a fixed milli grid with floored integer division
-      (``1000 * S div n`` per dimension) — the deterministic rounding
-      IS the operator's contract, not an approximation of some float
-      ideal;
+      divided onto a fixed milli grid with truncating integer
+      division (``1000 * S div n`` per dimension; Spark ``div`` and
+      DuckDB ``//`` BOTH truncate toward zero, so a negative
+      component sum rounds identically on either engine) — the
+      deterministic rounding IS the operator's contract, not an
+      approximation of some float ideal;
     - distances are ``Σ (1000·x_q − c̃)²`` in int64 (valid while
       |x| ≲ 1.8 at dim 64 — unit-norm-ish embeddings; larger inputs
       need a coarser grid);

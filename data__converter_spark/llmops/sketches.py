@@ -189,7 +189,7 @@ def theta_overlap(
     # coalesce keeps every downstream column a real zero instead of
     # NULL-poisoning the whole row.
     theta = (
-        ka.crossJoin(kb.withColumnRenamed("kth", "kth_b"))
+        ka.crossJoin(F.broadcast(kb.withColumnRenamed("kth", "kth_b")))
         .select(
             F.least(
                 F.coalesce("kth", F.lit(space)),
@@ -204,10 +204,10 @@ def theta_overlap(
     common = sa.join(sb, "h", "inner")
     union = sa.union(sb).distinct()
     counts = (
-        theta.crossJoin(sa.agg(F.count(F.lit(1)).alias("n_a")))
-        .crossJoin(sb.agg(F.count(F.lit(1)).alias("n_b")))
-        .crossJoin(common.agg(F.count(F.lit(1)).alias("n_common")))
-        .crossJoin(union.agg(F.count(F.lit(1)).alias("n_union")))
+        theta.crossJoin(F.broadcast(sa.agg(F.count(F.lit(1)).alias("n_a"))))
+        .crossJoin(F.broadcast(sb.agg(F.count(F.lit(1)).alias("n_b"))))
+        .crossJoin(F.broadcast(common.agg(F.count(F.lit(1)).alias("n_common"))))
+        .crossJoin(F.broadcast(union.agg(F.count(F.lit(1)).alias("n_union"))))
     )
     return counts.select(
         "theta",

@@ -425,3 +425,83 @@ def zorder_key(
                 i * len(cols) + d,
             )
     return df.select("*", *bins, z.cast("long").alias("zorder"))
+
+
+def zshard(
+    df: DataFrame,
+    cols: list[str],
+    mins: dict[str, int],
+    maxs: dict[str, int],
+    bits_per_dim: int = 4,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Deterministic z-order shard assignment: the Morton key's
+    equi-width HIGH bands — ``zorder div ceil(cell_space / n_shards)``
+    — so shard membership is a pure projection of the row's values and
+    the envelope, bit-identical on any engine (the property an oracle
+    check needs; a range-partitioned write samples boundaries and is
+    deliberately NOT deterministic).  Equal-width in z-space rather
+    than equal-rows: file SIZES may skew with the data, but the
+    envelope TIGHTNESS — the thing zone-map pruning consumes — is
+    identical, and :func:`write_zordered` uses proper range
+    partitioning for the physical layout where determinism doesn't
+    matter.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    space = 1 << (bits_per_dim * len(cols))
+    width = (space + n_shards - 1) // n_shards
+    keyed = zorder_key(df, cols, mins, maxs, bits_per_dim)
+    return keyed.withColumn(
+        "zshard", F.expr(f"zorder div {width}").cast("int")
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits_per_dim: int = 4,
+    n_files: int = 16,
+    stat_cols: list[str] | None = None,
+) -> DataFrame:
+    """Z-ordered table write — the composition Delta/Iceberg call
+    ``OPTIMIZE ZORDER BY``: envelope pull (one tiny aggregate), Morton
+    key (:func:`zorder_key`, a pure projection), range-partition on
+    the key + sort within partitions (so each output file holds one
+    contiguous z-run), parquet write, then read the layout back and
+    return its per-file zone maps (:func:`zonemap_stats` keyed on the
+    file name) for the caller's skipping index.
+
+    Why this matters at 100 TB: a table sharded on ingest time prunes
+    nothing for a predicate on any OTHER column; after this write,
+    every file's footer carries a tight min/max envelope on EVERY
+    clustered dimension simultaneously, so :func:`zonemap_prune` (or
+    the engine's own parquet row-group pruning — the sort makes those
+    footers tight too) skips files for range predicates on ANY of
+    them.  The one-time cost is a single range shuffle of the table;
+    `repartitionByRange` samples boundaries, giving ~equal-ROWS files
+    (bounded file sizes under z-space skew), which is why the
+    deterministic :func:`zshard` exists separately for oracle-checked
+    shard logic.
+    """
+    stat_cols = list(stat_cols or cols)
+    env = df.agg(
+        *[F.min(c).cast("long").alias(f"lo_{c}") for c in cols],
+        *[F.max(c).cast("long").alias(f"hi_{c}") for c in cols],
+    ).collect()[0]
+    mins = {c: env[f"lo_{c}"] for c in cols}
+    maxs = {c: env[f"hi_{c}"] for c in cols}
+    keyed = zorder_key(df, cols, mins, maxs, bits_per_dim)
+    (
+        keyed.drop(*[f"bin_{c}" for c in cols])
+        .repartitionByRange(int(n_files), "zorder")
+        .sortWithinPartitions("zorder")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    back = spark.read.parquet(path).withColumn(
+        "file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    return zonemap_stats(back, "file", stat_cols)

@@ -441,6 +441,7 @@ def assoc_pairs(
     basket_col: str,
     item_col: str,
     min_pair_count: int = 2,
+    max_basket_size: int | None = None,
 ) -> DataFrame:
     """Market-basket association mining over (basket, item) rows: pair
     support, directional confidence, and lift for every item pair that
@@ -459,13 +460,32 @@ def assoc_pairs(
 
     Scale shape: the pair generation is a self-join keyed on the
     basket id, so its cost is Σ |basket|² — bounded when baskets are
-    (order line counts, doc tag sets), and the place to cap or salt
-    when they are not.  Item marginals are a separate slim aggregate
-    joined back on the item key; the basket total is a 1-row broadcast.
+    (order line counts, doc tag sets), and the place to cap when they
+    are not: ``max_basket_size`` DROPS baskets with more than that
+    many distinct items BEFORE the self-join — the same quadratic
+    guard as ``graph.link_predict``'s ``max_middle_degree`` (a single
+    viral basket of 10⁶ items would otherwise contribute 10¹² pair
+    rows).  The cap removes the basket from the ENTIRE computation —
+    co-counts, item marginals, and the basket total — so every ratio
+    stays internally consistent over the capped universe (a
+    half-dropped basket would make confidence exceed 1000‰).  Item
+    marginals are a separate slim aggregate joined back on the item
+    key; the basket total is a 1-row broadcast (hinted, so AQE can
+    never demote the scalar to a shuffle).
     """
     b = baskets.select(
         F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
     ).distinct()
+    if max_basket_size is not None:
+        if max_basket_size < 2:
+            raise ValueError(
+                f"max_basket_size must be >= 2, got {max_basket_size}"
+            )
+        sized = b.groupBy("bk").agg(F.count(F.lit(1)).alias("bk_n"))
+        b = (
+            b.join(sized.filter(F.col("bk_n") <= int(max_basket_size)), "bk")
+            .select("bk", "it")
+        )
     n_baskets = b.agg(
         F.countDistinct("bk").cast("bigint").alias("n_baskets")
     )
@@ -484,7 +504,7 @@ def assoc_pairs(
     return (
         co.join(ca, "item_a")
         .join(cb, "item_b")
-        .crossJoin(n_baskets)
+        .crossJoin(F.broadcast(n_baskets))
         .select(
             "item_a",
             "item_b",

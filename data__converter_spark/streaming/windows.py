@@ -272,6 +272,7 @@ def windowed_cms_heavy(
     depth: int = 4,
     width: int = 64,
     weight_col: str | None = None,
+    probe_col: str | None = None,
 ) -> DataFrame:
     """Count-min point estimates for a FIXED probe-key set per tumbling
     window — the frequency companion to :func:`windowed_hll_distinct`
@@ -323,7 +324,17 @@ def windowed_cms_heavy(
     grid = cells.groupBy("window", "seed", "bucket").agg(
         F.sum("w").cast("long").alias("cnt")
     )
-    pk = probes.select(F.col(probes.columns[0]).cast("string").alias("k")).distinct()
+    # the probe key is named, never positional: a multi-column probe
+    # frame with the key NOT first would silently hash the wrong
+    # column and return wrong (not failing) estimates
+    if probe_col is None:
+        if len(probes.columns) != 1:
+            raise ValueError(
+                "probes must have exactly one column when probe_col is "
+                f"not given, got {probes.columns}"
+            )
+        probe_col = probes.columns[0]
+    pk = probes.select(F.col(probe_col).cast("string").alias("k")).distinct()
     probe_rows = pk.select("k", seeds).select(
         "k", "seed", _cms_bucket("seed", "k", width).alias("bucket")
     )

@@ -1463,9 +1463,19 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     t3 = stage("purchase", t2, "t_click")
     return (
         t1.agg(F.count(F.lit(1)).cast("bigint").alias("n_view"))
-        .crossJoin(t2.agg(F.count(F.lit(1)).cast("bigint").alias("n_view_click")))
         .crossJoin(
-            t3.agg(F.count(F.lit(1)).cast("bigint").alias("n_view_click_purchase"))
+            F.broadcast(
+                t2.agg(F.count(F.lit(1)).cast("bigint").alias("n_view_click"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                t3.agg(
+                    F.count(F.lit(1)).cast("bigint").alias(
+                        "n_view_click_purchase"
+                    )
+                )
+            )
         )
     )
 
@@ -3384,7 +3394,7 @@ def q_sketch_kmv_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = kmv_estimate(hashes, "h", k=128, space=_MERSENNE_P)
     exact = hashes.agg(F.countDistinct("h").alias("exact_distinct"))
-    return est.crossJoin(exact).select(
+    return est.crossJoin(F.broadcast(exact)).select(
         "k_used",
         "kth_hash",
         "est_distinct",
@@ -3529,7 +3539,7 @@ def q_sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = per.agg(
         F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_size")
     )
-    return est.crossJoin(exact).select(
+    return est.crossJoin(F.broadcast(exact)).select(
         "exact_size",
         "est_size",
         (F.col("est_size") - F.col("exact_size")).alias("overcount"),
@@ -3907,15 +3917,108 @@ def q_zonemap_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         stats.agg(F.count(F.lit(1)).alias("shards_total"))
-        .crossJoin(survivors.agg(F.count(F.lit(1)).alias("shards_scanned")))
         .crossJoin(
-            pruned.agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                money(
-                    F.coalesce(F.sum(cents("o_totalprice")), F.lit(0))
-                ).alias("revenue"),
+            F.broadcast(survivors.agg(F.count(F.lit(1)).alias("shards_scanned")))
+        )
+        .crossJoin(
+            F.broadcast(
+                pruned.agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    money(
+                        F.coalesce(F.sum(cents("o_totalprice")), F.lit(0))
+                    ).alias("revenue"),
+                )
             )
         )
+    )
+
+
+def q_zorder_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The z-order WRITE path's payoff, measured (scale.py:zshard +
+    zonemap_stats/zonemap_prune; the physical write itself is
+    scale.py:write_zordered, pinned with real parquet files in
+    tests/test_scale.py): the SAME conjunctive 2-D predicate scanned
+    against two layouts
+    of orders — the natural ingest-month sharding vs 16 deterministic
+    z-order bands over (order day, price cents) — reporting each
+    layout's shards_total / shards_scanned / surviving rows / revenue
+    (a 4-year date range AND a $450k price floor: month sharding must
+    scan 48 of 80 months — 60% — while the z-bands carry a tight
+    envelope on BOTH dims and scan 3 of 16).
+    The month layout scans every month in the date range no matter
+    the price (its price envelopes are all full-width); the z-ordered
+    layout prunes on BOTH dimensions at once.  n_rows and revenue are
+    LAYOUT-INVARIANT by the conservative-pruning contract — the hash
+    pins that invariance, so a leaky prune on either layout breaks
+    the row, not just the ratio.  zshard is equi-width in z-space
+    (pure projection of the row + envelope — bit-identical on any
+    engine), which is what makes the whole comparison
+    oracle-checkable; write_zordered swaps in range partitioning for
+    the physical files where determinism doesn't matter."""
+    from .scale import zonemap_prune, zonemap_stats, zshard
+
+    o = _load(spark, sf_dir, "orders").select(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("oday"),
+        cents("o_totalprice").cast("long").alias("p_cents"),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("m_shard"),
+    )
+    from datetime import date as _date
+
+    epoch = _date(1970, 1, 1)
+    lo_d = (_date(1995, 6, 1) - epoch).days
+    hi_d = (_date(1999, 5, 31) - epoch).days
+    env = o.agg(
+        F.min("oday"), F.max("oday"), F.min("p_cents"), F.max("p_cents")
+    ).collect()[0]
+    zs = zshard(
+        o,
+        ["oday", "p_cents"],
+        {"oday": env[0], "p_cents": env[2]},
+        {"oday": env[1], "p_cents": env[3]},
+        bits_per_dim=4,
+        n_shards=16,
+    ).select("oday", "p_cents", "zshard")
+    ranges = {"oday": (lo_d, hi_d), "p_cents": (45_000_000, None)}
+
+    def layout(df, shard_col, name):
+        stats = zonemap_stats(df, shard_col, ["oday", "p_cents"])
+        pruned, survivors = zonemap_prune(df, stats, shard_col, ranges)
+        return (
+            stats.agg(F.count(F.lit(1)).cast("bigint").alias("shards_total"))
+            .crossJoin(
+                F.broadcast(
+                    survivors.agg(
+                        F.count(F.lit(1)).cast("bigint").alias("shards_scanned")
+                    )
+                )
+            )
+            .crossJoin(
+                F.broadcast(
+                    pruned.agg(
+                        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                        money(
+                            F.coalesce(F.sum("p_cents"), F.lit(0))
+                        ).alias("revenue"),
+                    )
+                )
+            )
+            .select(
+                F.lit(name).alias("layout"),
+                "shards_total",
+                "shards_scanned",
+                "n_rows",
+                "revenue",
+            )
+        )
+
+    return (
+        layout(o, "m_shard", "month")
+        .unionByName(layout(zs, "zshard", "zorder"))
+        .orderBy("layout")
     )
 
 
@@ -4008,14 +4111,22 @@ def q_basket_lift_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer milli-units (BIGINT cross-multiplication, `div` both
     engines — no double division anywhere).  The pair self-join is
     keyed on the order id, so its cost is sum-of-squared basket sizes
-    — bounded by the ~7-line order cap the way the wedge join in
-    link_predict is bounded by the middle cap.  Top 50 by
-    (co, lift) under a total order."""
+    — and `max_basket_size=8` is the quadratic guard doing REAL work
+    on this data (the synthetic order-size tail runs to 13 distinct
+    parts; ~3% of baskets are dropped), exactly the way the wedge
+    join in link_predict is bounded by its middle cap.  Dropped
+    baskets leave co-counts, marginals AND the basket total — ratios
+    stay consistent over the capped universe, and the oracle applies
+    the identical pre-filter.  Top 50 by (co, lift) under a total
+    order."""
     from .stats import assoc_pairs
 
     li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     return (
-        assoc_pairs(li, "l_orderkey", "l_partkey", min_pair_count=2)
+        assoc_pairs(
+            li, "l_orderkey", "l_partkey", min_pair_count=2,
+            max_basket_size=8,
+        )
         .select(
             F.col("item_a").alias("part_a"),
             F.col("item_b").alias("part_b"),
@@ -4556,6 +4667,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample_customers": q_weighted_sample_customers,
     "incremental_agg_orders": q_incremental_agg_orders,
     "zonemap_prune_scan": q_zonemap_prune_scan,
+    "zorder_write_prune": q_zorder_write_prune,
     "bfs_hops_trade": q_bfs_hops_trade,
     "setsim_ppjoin": q_setsim_ppjoin,
     "lpa_communities": q_lpa_communities,
@@ -7933,7 +8045,11 @@ ORDER BY ex.o_orderpriority
 
 ORACLES["bloom_shard_dedup"] = """
 WITH d AS (
-    SELECT doc_id, sha256(text) AS dg,
+    -- coalesce matches the Spark op's sha2(coalesce(text, '')) (and
+    -- bloom_prescreen_dedup / soft_dedup_weights' digests): a
+    -- NULL-text document must hash to the empty-string digest, not
+    -- drop out of the NULL-digest joins
+    SELECT doc_id, sha256(coalesce(text, '')) AS dg,
            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                 AS BIGINT) % 1000 AS b
     FROM documents
@@ -8242,8 +8358,17 @@ LIMIT 100
 """
 
 ORACLES["basket_lift_parts"] = """
-WITH b AS (
+WITH b0 AS (
     SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+),
+-- max_basket_size=8: hot baskets leave the ENTIRE computation
+-- (co-counts, marginals, n_baskets), mirroring assoc_pairs' pre-join
+-- cap exactly
+b AS (
+    SELECT bk, it FROM b0
+    WHERE bk IN (
+        SELECT bk FROM b0 GROUP BY bk HAVING count(*) <= 8
+    )
 ),
 n AS (SELECT count(DISTINCT bk) AS n_baskets FROM b),
 ic AS (SELECT it, count(*) AS cnt FROM b GROUP BY it),
@@ -8344,6 +8469,85 @@ GROUP BY zorder
 ORDER BY zorder
 """
 
+ORACLES["zorder_write_prune"] = f"""
+WITH o AS (
+    SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS oday,
+           {_sql_cents('o_totalprice')} AS p_cents,
+           CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT)
+               AS m_shard
+    FROM orders
+),
+bounds AS (
+    SELECT CAST(DATE '1995-06-01' - DATE '1970-01-01' AS BIGINT) AS lo_d,
+           CAST(DATE '1999-05-31' - DATE '1970-01-01' AS BIGINT) AS hi_d,
+           CAST(45000000 AS BIGINT) AS lo_p
+),
+env AS (
+    SELECT min(oday) AS dlo, max(oday) AS dhi,
+           min(p_cents) AS plo, max(p_cents) AS phi
+    FROM o
+),
+-- zshard: the same 4-bit Morton interleave as zorder_layout, banded
+-- into 16 equi-width z-ranges (space 256, width 16)
+b AS (
+    SELECT oday, p_cents, m_shard,
+           greatest(0, least(15, (oday - dlo) * 16 // (dhi - dlo + 1)))
+               AS bd,
+           greatest(0, least(15, (p_cents - plo) * 16 // (phi - plo + 1)))
+               AS bp
+    FROM o CROSS JOIN env
+),
+z AS (
+    SELECT oday, p_cents, m_shard,
+           CAST((
+               ((bd >> 0) & 1) * 1 + ((bp >> 0) & 1) * 2
+             + ((bd >> 1) & 1) * 4 + ((bp >> 1) & 1) * 8
+             + ((bd >> 2) & 1) * 16 + ((bp >> 2) & 1) * 32
+             + ((bd >> 3) & 1) * 64 + ((bp >> 3) & 1) * 128
+           ) // 16 AS INT) AS zshard
+    FROM b
+),
+m_stats AS (
+    SELECT m_shard AS shard,
+           min(oday) AS min_d, max(oday) AS max_d,
+           min(p_cents) AS min_p, max(p_cents) AS max_p
+    FROM z GROUP BY 1
+),
+z_stats AS (
+    SELECT zshard AS shard,
+           min(oday) AS min_d, max(oday) AS max_d,
+           min(p_cents) AS min_p, max(p_cents) AS max_p
+    FROM z GROUP BY 1
+),
+m_surv AS (
+    SELECT shard FROM m_stats CROSS JOIN bounds
+    WHERE max_d >= lo_d AND min_d <= hi_d AND max_p >= lo_p
+),
+z_surv AS (
+    SELECT shard FROM z_stats CROSS JOIN bounds
+    WHERE max_d >= lo_d AND min_d <= hi_d AND max_p >= lo_p
+),
+hit AS (
+    SELECT count(*) AS n_rows,
+           {_sql_money('coalesce(sum(p_cents), 0)')} AS revenue
+    FROM z CROSS JOIN bounds
+    WHERE oday BETWEEN lo_d AND hi_d AND p_cents >= lo_p
+)
+SELECT 'month' AS layout,
+       CAST((SELECT count(*) FROM m_stats) AS BIGINT) AS shards_total,
+       CAST((SELECT count(*) FROM m_surv) AS BIGINT) AS shards_scanned,
+       CAST(n_rows AS BIGINT) AS n_rows, revenue
+FROM hit
+UNION ALL
+SELECT 'zorder' AS layout,
+       CAST((SELECT count(*) FROM z_stats) AS BIGINT) AS shards_total,
+       CAST((SELECT count(*) FROM z_surv) AS BIGINT) AS shards_scanned,
+       CAST(n_rows AS BIGINT) AS n_rows, revenue
+FROM hit
+ORDER BY layout
+"""
+
 ORACLES["scd2_snapshot"] = """
 WITH s AS (
     SELECT user_id, event_type, ts, event_id,
@@ -8379,10 +8583,14 @@ ORDER BY event_type
 
 ORACLES["embedding_scatter"] = """
 WITH q AS (
+    -- NULL labels excluded to match scatter_matrix's documented
+    -- contract (pandas groupby drops NaN keys; the op filters
+    -- upstream so both engines agree by construction)
     SELECT vec_id, label,
            generate_subscripts(embedding, 1) - 1 AS dim,
            CAST(floor(unnest(embedding) * 131072.0 + 0.5) AS BIGINT) AS xq
     FROM embeddings
+    WHERE label IS NOT NULL
 ),
 p AS (
     SELECT a.label, a.dim AS dim_i, b.dim AS dim_j,

@@ -285,3 +285,63 @@ def test_zorder_key_rejects_overflow_and_bad_bits(spark):
         zorder_key(df, ["a", "b"], {}, {}, bits_per_dim=32)
     with _pytest.raises(ValueError):
         zorder_key(df, ["a", "b"], {}, {}, bits_per_dim=0)
+
+
+def test_write_zordered_files_have_tight_envelopes(spark, orders, tmp_path):
+    """write_zordered: real parquet files, one z-run each — the sum of
+    per-file envelope areas must be FAR smaller than n_files × the
+    full envelope area (an unordered write's per-file stats), data
+    survives byte-identically, and the returned zone-map frame keys on
+    the actual file names."""
+    import glob
+
+    src = orders.select(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("oday"),
+        F.col("o_totalprice").cast("long").alias("price"),
+        "o_orderkey",
+    )
+    path = str(tmp_path / "zordered")
+    stats = scale.write_zordered(
+        src, path, ["oday", "price"], bits_per_dim=4, n_files=8
+    )
+    rows = stats.collect()
+    files = glob.glob(f"{path}/part-*.parquet")
+    assert len(files) >= 2  # range partitioner produced real splits
+    assert len(rows) == len(files)
+    # data intact
+    assert (
+        spark.read.parquet(path).count() == src.count()
+    )
+    # envelope tightness: Σ per-file area << n_files × global area.
+    lo_d = min(r["min_oday"] for r in rows)
+    hi_d = max(r["max_oday"] for r in rows)
+    lo_p = min(r["min_price"] for r in rows)
+    hi_p = max(r["max_price"] for r in rows)
+    full = (hi_d - lo_d + 1) * (hi_p - lo_p + 1)
+    per_file = sum(
+        (r["max_oday"] - r["min_oday"] + 1)
+        * (r["max_price"] - r["min_price"] + 1)
+        for r in rows
+    )
+    # unordered would be ~len(rows) * full; z-ordered must beat HALF that
+    assert per_file < 0.5 * len(rows) * full, (per_file, full, len(rows))
+
+
+def test_zshard_is_deterministic_projection(spark, orders):
+    """zshard: pure projection (no job/exchange), stable across runs,
+    bands cover [0, n_shards)."""
+    src = orders.select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_totalprice").cast("long").alias("p"),
+    )
+    mins = {"k": 1, "p": 0}
+    maxs = {"k": 60000, "p": 600000}
+    a = scale.zshard(src, ["k", "p"], mins, maxs, 4, 16)
+    assert not scale.plan_has_exchange(a.select("zshard"))
+    xs = {r["zshard"] for r in a.select("zshard").distinct().collect()}
+    assert xs and all(0 <= x < 16 for x in xs)
+    b = scale.zshard(src, ["k", "p"], mins, maxs, 4, 16)
+    assert a.groupBy("zshard").count().orderBy("zshard").collect() == \
+        b.groupBy("zshard").count().orderBy("zshard").collect()

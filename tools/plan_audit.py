@@ -80,7 +80,7 @@ SHOWCASE = [
     ("setsim_ppjoin", "rarest-first prefix postings self-join — candidates carry (item, id, len) only; the rank window is keyed per doc (no global sort); full arrays appear once, in the verify join"),
     ("lpa_communities", "2 unrolled supersteps: labels-onto-edges join + (dst,label) count + per-dst max_by hash-agg argmax (no sort, no window), all keyed by node; the argmax never collects"),
     ("link_predict_customers", "middle-degree filter caps the wedge self-join BEFORE pair generation; postings carry (mid, node, weight) only; one keyed (a,b) aggregate then TakeOrderedAndProject top-100"),
-    ("basket_lift_parts", "pair self-join keyed on the basket id (cost = sum of squared basket sizes); item marginals join back on the item key; basket total is a 1-row broadcast; exact BIGINT div milli ratios"),
+    ("basket_lift_parts", "max_basket_size=8 cap joins the size filter BEFORE the pair self-join (quadratic guard pre-join, like link_predict's middle cap); item marginals join back on the item key; 1-row n_baskets total broadcast-HINTED so AQE can never demote the scalar to a shuffle; exact BIGINT div milli ratios"),
     ("rfm_segments", "one customer-key aggregate, then all three ntile windows share ONE nation-key exchange (one Exchange, three sorts) — segmentation inside the business dimension, never a global sort"),
     ("zorder_layout", "envelope = one bounded 1-row aggregate; the Morton key is a pure narrow projection (shifts+masks, zero Exchange); the cell report is one keyed aggregate on the 256-cell id"),
     ("scd2_snapshot", "the snapshot is a pure narrow interval filter over the SCD2 build — no window, no exchange beyond the build's single user_id exchange; at rest the predicate pushes into the dimension scan"),
@@ -92,6 +92,7 @@ SHOWCASE = [
     ("hybrid_rank_fusion", "both retrieval legs reuse their own checked plans; the fusion is k-bounded — union of two narrow rank projections, one (query,doc) aggregate, one per-query window capped at top_n"),
     ("feature_smooth_balance", "2 unrolled hops, each ONE src-keyed features-onto-edges join + ONE dst-keyed aggregate (the pagerank exchange structure); floored integer means, no window, no Python"),
     ("similarity_pq_recall", "both legs reuse their own checked plans (brute truth + PQ ADC); the audit is an equi-join on (probe, neighbor) + per-probe count — no new shuffle shapes"),
+    ("zorder_write_prune", "two layouts' zone maps are shard-count-sized aggregates; every scalar (totals, survivors, hit aggregate) arrives via explicit broadcast nested-loop — no CartesianProduct; the z-band key is a pure projection (no exchange below its stats agg)"),
 ]
 
 

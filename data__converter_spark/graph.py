@@ -235,8 +235,12 @@ def pagerank_until(
         # the previous state twice) — a long adaptive run OOMs the
         # driver just BUILDING plan strings. Checkpointing stores the
         # same partitions but truncates lineage, so every probe starts
-        # from a flat scan.
-        ranks = cur.localCheckpoint()
+        # from a flat scan.  eager=False fuses the materialization
+        # into the probe aggregate's job (one job per probe, not two)
+        # — safe ONLY because that aggregate scans every partition
+        # immediately below; a partial first action (e.g. limit(1))
+        # must keep the eager default.
+        ranks = cur.localCheckpoint(eager=False)
         probe = ranks.agg(
             F.max(
                 F.abs(F.col("rank_micro") - F.col("prev_micro"))

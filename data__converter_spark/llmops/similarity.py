@@ -1116,6 +1116,118 @@ def sparse_retrieval(
     ).filter(F.col("rank") <= int(top_k))
 
 
+def bm25_retrieval(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+    max_df: int | None = None,
+) -> DataFrame:
+    """BM25-family lexical ranking over the same inverted-index join
+    as :func:`sparse_retrieval` — rare-term weighting (idf), term-
+    frequency saturation (k1) and document-length normalization (b),
+    entirely in exact int64 milli-units so every engine ranks
+    identically bit for bit:
+
+    - ``idf_milli(t) = 1000 * (N - df + 1) div (df + 1)`` — the
+      float-free surrogate for ``log((N-df+.5)/(df+.5))``: the SAME
+      per-term ordering (strictly decreasing in df) and the same
+      rare-term >> stop-term shape, traded linear-vs-log exactly like
+      :func:`lm_surprisal_scores`' inverse-probability surprisal (the
+      module's established discipline: deterministic rational
+      arithmetic IS the contract, floats never cross engines);
+    - ``norm_milli(d) = 1000 - b + (b * dl) div avgdl`` with
+      ``avgdl = total_tokens div n_docs`` — classic b-mix of 1 and
+      dl/avgdl, floored;
+    - ``tf_part_milli = (tf * (k1 + 1000) * 1000000)
+      div (tf * 1000000 + k1 * norm_milli)`` — the saturating
+      ``tf(k1+1)/(tf + k1·norm)`` scaled so numerator and denominator
+      stay integral (max ~2.2e13, far under 2^63);
+    - ``score_milli(q, d) = Σ_t q_tf · (idf_milli · tf_part_milli
+      div 1000)`` summed per (query, candidate).
+
+    Plan shape: corpus tf/df/doc-length are THREE slim aggregates off
+    one exploded token pass; (N, avgdl) is a 1-row broadcast-hinted
+    scalar; the term-keyed postings equi-join is the inverted index
+    (postings of a term meet in one shuffle partition, contributions
+    partial-sum map-side); per-query top-k is a row_number window —
+    deterministic, never a global sort.  The 100 TB guard is the same
+    ``max_df`` stop-term cap as sparse_retrieval (a term in f_q query
+    docs and f_c corpus docs contributes f_q·f_c join rows); BM25's
+    own idf already ranks stop terms near zero, so the cap costs
+    relevance nothing — production always sets it.
+    """
+    from .textstats import tokens_col
+
+    def tf_of(df: DataFrame, out_id: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias(out_id),
+                F.explode(tokens_col(col)).alias("__t__"),
+            )
+            .select(out_id, F.lower(F.col("__t__")).alias("term"))
+            .groupBy(out_id, "term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        )
+
+    k1 = int(k1_milli)
+    b = int(b_milli)
+    c_tf = tf_of(corpus_df, "match_id")
+    # doc length + corpus totals come off the SAME tf frame (no second
+    # token pass); dl counts tokens, not distinct terms
+    dl = c_tf.groupBy("match_id").agg(F.sum("tf").alias("dl"))
+    tot = dl.agg(
+        F.sum("dl").alias("total_tok"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    ).select(
+        "n_docs",
+        F.expr("total_tok div n_docs").alias("avgdl"),
+    )
+    df_t = c_tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    if max_df is not None:
+        df_t = df_t.filter(F.col("df") <= int(max_df))
+    post = (
+        c_tf.join(df_t, "term")
+        .join(dl, "match_id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            "match_id",
+            F.expr("1000 * (n_docs - df + 1) div (df + 1)").alias("idf_milli"),
+            F.expr(
+                f"(tf * ({k1} + 1000) * 1000000) div "
+                f"(tf * 1000000 + {k1} * (1000 - {b} + ({b} * dl) div avgdl))"
+            ).alias("tf_part_milli"),
+        )
+    )
+    q_tf = tf_of(queries_df, "query_id")
+    scored = (
+        q_tf.join(post, "term")
+        .groupBy("query_id", "match_id")
+        .agg(
+            F.sum(
+                F.expr("tf * (idf_milli * tf_part_milli div 1000)")
+            )
+            .cast("bigint")
+            .alias("score_milli")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_milli"), F.asc("match_id")
+    )
+    return scored.select(
+        "query_id",
+        "match_id",
+        "score_milli",
+        F.row_number().over(w).cast("int").alias("rank"),
+    ).filter(F.col("rank") <= int(top_k))
+
+
 def scatter_matrix(
     df: DataFrame, vec_col: str, group_col: str
 ) -> DataFrame:

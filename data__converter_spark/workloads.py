@@ -1087,6 +1087,26 @@ def q_sparse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact BM25 ranking (llmops/similarity.py:bm25_retrieval)
+    over the same held-out split as sparse_retrieval (doc_id % 97):
+    idf rare-term weighting, k1=1.2 tf saturation and b=0.75 length
+    normalization, all in int64 milli-units (the float-free idf
+    surrogate keeps the per-term df ordering; see the op docstring).
+    Same inverted-index plan as the TF dot product — the three corpus
+    statistics (tf, df, doc length) come off ONE exploded token pass,
+    (N, avgdl) is a broadcast-hinted 1-row scalar, and per-query top-5
+    is a row_number window, never a global sort."""
+    from .llmops.similarity import bm25_retrieval
+
+    docs = _load(spark, sf_dir, "documents")
+    return bm25_retrieval(
+        docs.filter(F.col("doc_id") % 97 == 0),
+        docs.filter(F.col("doc_id") % 97 != 0),
+        top_k=5,
+    )
+
+
 def q_dedup_cc_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dedup with exact transitive closure: one survivor (min id)
     per connected component. Differs from dedup_near_keep exactly on
@@ -4640,6 +4660,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "entity_canonicalize": q_entity_canonicalize,
     "pmi_collocations": q_pmi_collocations,
     "sparse_retrieval": q_sparse_retrieval,
+    "bm25_retrieval": q_bm25_retrieval,
     "bpe_train": q_bpe_train,
     "tokenize_bpe": q_tokenize_bpe,
     "multimodal_png_decode": q_multimodal_png_decode,
@@ -6789,6 +6810,49 @@ JOIN uni ru ON ru.tok = b.right_tok
 CROSS JOIN tot t
 ORDER BY score_milli DESC, left_tok ASC, right_tok ASC
 LIMIT 100
+""",
+    "bm25_retrieval": _WORDS_SQL
+    + """
+, tf AS (
+    SELECT doc_id, lower(tok) AS term, CAST(count(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(words) AS tok FROM words_cte)
+    GROUP BY doc_id, lower(tok)
+),
+q AS (SELECT * FROM tf WHERE doc_id % 97 = 0),
+c AS (SELECT * FROM tf WHERE doc_id % 97 <> 0),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM c GROUP BY doc_id),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(dl) // count(*) AS BIGINT) AS avgdl
+    FROM dl
+),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM c GROUP BY term),
+post AS (
+    SELECT c.term, c.doc_id AS match_id,
+           1000 * (n_docs - df + 1) // (df + 1) AS idf_milli,
+           (c.tf * (1200 + 1000) * 1000000)
+               // (c.tf * 1000000
+                   + 1200 * (1000 - 750 + (750 * dl.dl) // avgdl))
+               AS tf_part_milli
+    FROM c
+    JOIN dft ON c.term = dft.term
+    JOIN dl ON c.doc_id = dl.doc_id
+    CROSS JOIN tot
+),
+scored AS (
+    SELECT q.doc_id AS query_id, post.match_id,
+           CAST(sum(q.tf * ((idf_milli * tf_part_milli) // 1000))
+                AS BIGINT) AS score_milli
+    FROM q JOIN post ON q.term = post.term
+    GROUP BY q.doc_id, post.match_id
+)
+SELECT query_id, match_id, score_milli, CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score_milli DESC, match_id ASC)
+              AS rn
+    FROM scored
+) WHERE rn <= 5
 """,
     "sparse_retrieval": _WORDS_SQL
     + """

@@ -657,6 +657,43 @@ def test_sparse_retrieval_scores_and_max_df(spark):
     assert got2 == {2: 2, 4: 1}
 
 
+def test_bm25_rare_terms_saturation_and_length_norm(spark):
+    """The three BM25 properties, each isolated: (1) idf — matching a
+    RARE term outranks matching a stop term at equal tf; (2) tf
+    saturation — doubling tf must raise the score by LESS than 2x;
+    (3) length norm — at equal tf the shorter document wins.  Plus the
+    integer contract: every score is an exact bigint, reproducible
+    across runs."""
+    from data__converter_spark.llmops.similarity import bm25_retrieval
+
+    # 'the' in every corpus doc (stop term), 'zebra' in one (rare)
+    q = spark.createDataFrame(
+        [(100, "zebra the")], "doc_id long, text string"
+    )
+    c = spark.createDataFrame(
+        [
+            (1, "the zebra runs"),         # rare + stop
+            (2, "the the the"),            # stop only, tf 3
+            (3, "the cat sat"),            # stop only, tf 1
+            (4, "the dog sat on a mat"),   # stop only, longer doc
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_retrieval(q, c, top_k=4).collect()
+    got = {r["match_id"]: (r["score_milli"], r["rank"]) for r in rows}
+    # (1) idf: doc 1 (rare term) must rank first
+    assert got[1][1] == 1
+    # (2) saturation: tf 3 of 'the' scores < 3x tf 1 of 'the'
+    # (docs 2 and 3 have equal length, so only tf differs)
+    assert got[2][0] < 3 * got[3][0]
+    # (3) length norm: doc 3 (3 tokens) beats doc 4 (6 tokens) at tf 1
+    assert got[3][0] > got[4][0]
+    # integer + deterministic
+    rows2 = bm25_retrieval(q, c, top_k=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+    assert all(isinstance(r["score_milli"], int) for r in rows)
+
+
 def test_minhash_signature_paths_agree(spark, dup_docs):
     """The one-kernel text->signature column (minhash_signature_col)
     and the split pipeline (JVM shingle hashing -> numpy permutation

@@ -93,6 +93,7 @@ SHOWCASE = [
     ("feature_smooth_balance", "2 unrolled hops, each ONE src-keyed features-onto-edges join + ONE dst-keyed aggregate (the pagerank exchange structure); floored integer means, no window, no Python"),
     ("similarity_pq_recall", "both legs reuse their own checked plans (brute truth + PQ ADC); the audit is an equi-join on (probe, neighbor) + per-probe count — no new shuffle shapes"),
     ("zorder_write_prune", "two layouts' zone maps are shard-count-sized aggregates; every scalar (totals, survivors, hit aggregate) arrives via explicit broadcast nested-loop — no CartesianProduct; the z-band key is a pure projection (no exchange below its stats agg)"),
+    ("bm25_retrieval", "tf/df/doc-length are three slim aggregates off one exploded token pass; (N, avgdl) scalar broadcast-hinted; the term-keyed postings join is the inverted index with map-side partial sums; per-query top-k is a bounded window, no global sort"),
 ]
 
 

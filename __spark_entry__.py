@@ -28,25 +28,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotation — freshness first, CHANGED CODE PATHS first of all: no
 # query whose code changed this round may keep a stale driver row.
 # After r8's gate the ledger is 3×r4, 46×r5, 46×r6, 47×r7, 50×r8,
-# plus 2 never-checked round-9 queries (194 total).
+# plus 3 never-checked round-9 queries (195 total).
 # Slot accounting:
-#   1-2   NEW round-9 queries (zorder_write_prune — the z-order write
+#   1-3   NEW round-9 queries (zorder_write_prune — the z-order write
 #         path's month-vs-zband pruning comparison; bm25_retrieval —
-#         integer-exact BM25 over the inverted-index join)
-#   3-5   round-9 BEHAVIOR changes (basket_lift_parts gained the
+#         integer-exact BM25 over the inverted-index join;
+#         skew_key_events — the hot-key salting diagnostic)
+#   4-6   round-9 BEHAVIOR changes (basket_lift_parts gained the
 #         max_basket_size=8 hot-basket cap, oracle updated in
 #         lockstep; bloom_shard_dedup's oracle digests
 #         coalesce(text, '') to match the op; embedding_scatter's
 #         scatter_matrix now excludes NULL groups on both engines)
-#   6-12  round-9 CODE-touched queries, results invariant
+#   7-13  round-9 CODE-touched queries, results invariant
 #         (stream_cms_heavy: windowed_cms_heavy probe key is named,
 #         not positional; pagerank_converged: adaptive cadence never
 #         shrinks below the caller's probe_every; funnel_conversion,
 #         sketch_kmv_shingles, sketch_join_size, sketch_theta_leakage,
 #         zonemap_prune_scan: scalar crossJoins broadcast-hinted)
-#   13-15 the 3 r4-latest queries (oldest debt)
-#   16-50 the first 35 r5-latest queries in registry order; the
-#         remaining 11 r5-latest rows (triangle_suppliers,
+#   14-16 the 3 r4-latest queries (oldest debt)
+#   17-50 the first 34 r5-latest queries in registry order; the
+#         remaining 12 r5-latest rows (similarity_pq_topk,
+#         triangle_suppliers,
 #         stream_outer_range_join,
 #         events_anomalies, pipeline_selection, pq_train_codebook,
 #         similarity_ivf_pq_topk, corpus_split, dedup_keep_best,
@@ -54,7 +56,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #         lead the r10 rotation; arithmetic asserted below.
 _VERIFY_FIRST = [
     # -- NEW in round 9: never driver-checked --
-    "zorder_write_prune", "bm25_retrieval",
+    "zorder_write_prune", "bm25_retrieval", "skew_key_events",
     # -- round-9 behavior/oracle changes --
     "basket_lift_parts", "bloom_shard_dedup", "embedding_scatter",
     # -- round-9 code-touched, results invariant --
@@ -63,7 +65,7 @@ _VERIFY_FIRST = [
     "zonemap_prune_scan",
     # -- latest driver row is r4 (oldest debt) --
     "chunk_text", "salient_terms", "late_shipments",
-    # -- latest driver row is r5, registry order (first 35 of 46) --
+    # -- latest driver row is r5, registry order (first 34 of 46) --
     "similarity_lsh_topk", "similarity_ivf_topk",
     "multimodal_image_features", "multimodal_frame_sample",
     "multimodal_resize", "text_pii_scrub", "sample_stratified",
@@ -76,7 +78,6 @@ _VERIFY_FIRST = [
     "window_active_users", "pagerank_trade", "stream_enrich_counts",
     "common_token_ratio", "token_mix_planner", "window_overlap_pairs",
     "embedding_outliers", "gopher_quality", "dedup_semantic",
-    "similarity_pq_topk",
 ]
 
 

@@ -505,3 +505,56 @@ def write_zordered(
         "file", F.element_at(F.split(F.input_file_name(), "/"), -1)
     )
     return zonemap_stats(back, "file", stat_cols)
+
+
+def key_skew_report(
+    df: DataFrame, key_col: str, top_k: int = 20
+) -> DataFrame:
+    """The "should I salt this key" diagnostic — the measurement this
+    module's remedies (:func:`salted_join` / :func:`salted_agg`, AQE
+    skew-join) assume someone ran first: the ``top_k`` hottest keys
+    with, per key, its row count, its share of ALL rows, and how many
+    times the mean key's load it carries.  Exact integer milli-units
+    (``cnt * 1000 div n_rows``; ``cnt * n_keys * 1000 div n_rows`` is
+    cnt/mean scaled — a value of 1000 = a perfectly average key, 32000
+    = this key alone saturates one of 32 tasks' fair share 32× over),
+    so the report is bit-identical on any engine and thresholdable in
+    config without float drift.  NULL keys group as a real key (NULLs
+    are the classic skew culprit) under the sentinel ``key_s = ''``.
+
+    Plan shape: one map-side-combining count aggregate on the key, a
+    1-row broadcast-hinted totals scalar, and a TakeOrderedAndProject
+    for the top-k — no global sort, nothing row-scale beyond the first
+    aggregate; the output is ``top_k`` rows no matter the input size.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    per = df.groupBy(
+        F.coalesce(F.col(key_col).cast("string"), F.lit("")).alias("key_s")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    tot = per.agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    from pyspark.sql import Window
+
+    # orderBy().limit() lowers to TakeOrderedAndProject (per-partition
+    # heaps + one k-row merge, never a global sort); the rank window
+    # then runs over the ALREADY-LIMITED k rows, so its single
+    # partition holds top_k rows no matter the input size.
+    top_rows = per.orderBy(F.desc("cnt"), F.asc("key_s")).limit(int(top_k))
+    w = Window.orderBy(F.desc("cnt"), F.asc("key_s"))
+    top = top_rows.select(
+        "key_s", "cnt", F.row_number().over(w).cast("int").alias("rank")
+    )
+    return top.crossJoin(F.broadcast(tot)).select(
+        "rank",
+        "key_s",
+        "cnt",
+        "n_rows",
+        "n_keys",
+        F.expr("cnt * 1000 div n_rows").cast("bigint").alias("share_milli"),
+        F.expr("cnt * n_keys * 1000 div n_rows")
+        .cast("bigint")
+        .alias("x_mean_milli"),
+    )

@@ -1500,6 +1500,22 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (scale.py:key_skew_report) on the
+    event firehose's user_id — the measurement that decides between a
+    plain shuffle, AQE skew-join, and explicit salting
+    (scale.py:salted_join/salted_agg): the 20 hottest keys with exact
+    integer milli share-of-rows and times-the-mean-key load.  One
+    map-side-combining count aggregate, a broadcast-hinted 1-row
+    totals scalar, TakeOrderedAndProject for the top-k (the rank
+    window runs over the already-limited 20 rows) — the report is
+    20 rows at any input size."""
+    from .scale import key_skew_report
+    from .session import load_events
+
+    return key_skew_report(load_events(spark, sf_dir), "user_id", top_k=20)
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level sessionization: 1-based session number per user with a
     5-minute inactivity gap (gaps-and-islands; one shuffle)."""
@@ -4548,6 +4564,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "priority_revenue": q_priority_revenue,
     "asof_join": q_asof_join,
     "funnel_conversion": q_funnel_conversion,
+    "skew_key_events": q_skew_key_events,
     "retention_cohorts": q_retention_cohorts,
     "sessionize_events": q_sessionize,
     "range_join_attribution": q_range_join_attribution,
@@ -8925,4 +8942,28 @@ SELECT pr.probe_id,
        CAST(coalesce(m.n_matched, 0) * 100 AS BIGINT) AS recall_milli
 FROM pr LEFT JOIN m ON pr.probe_id = m.probe_id
 ORDER BY pr.probe_id
+"""
+
+
+ORACLES["skew_key_events"] = """
+WITH per AS (
+    SELECT coalesce(CAST(user_id AS VARCHAR), '') AS key_s,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1
+),
+tot AS (
+    SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys
+    FROM per
+),
+top AS (
+    SELECT key_s, cnt,
+           row_number() OVER (ORDER BY cnt DESC, key_s ASC) AS rn
+    FROM per
+)
+SELECT CAST(rn AS INT) AS rank, key_s, cnt, n_rows, n_keys,
+       cnt * 1000 // n_rows AS share_milli,
+       cnt * n_keys * 1000 // n_rows AS x_mean_milli
+FROM top CROSS JOIN tot
+WHERE rn <= 20
 """

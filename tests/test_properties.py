@@ -457,6 +457,53 @@ def test_assoc_pairs_bounds(spark, rows):
 
 
 @settings(**SPARK_SETTINGS)
+@given(basket_rows, st.integers(2, 4))
+def test_assoc_pairs_cap_is_whole_basket_exclusion(spark, rows, cap):
+    """max_basket_size semantics: the capped run equals the uncapped
+    run over the PRE-FILTERED basket universe (drop baskets with more
+    than `cap` distinct items, recompute everything) — co-counts,
+    marginals, confidences and lift all consistent; and a cap at least
+    as large as the biggest basket is the identity."""
+    from data__converter_spark.stats import assoc_pairs
+
+    df = spark.createDataFrame(rows, "bk int, it int")
+    capped = {
+        (r["item_a"], r["item_b"]): tuple(r)
+        for r in assoc_pairs(
+            df, "bk", "it", min_pair_count=1, max_basket_size=cap
+        ).collect()
+    }
+    sizes: dict[int, set] = {}
+    for bk, it in rows:
+        sizes.setdefault(bk, set()).add(it)
+    keep = {bk for bk, items in sizes.items() if len(items) <= cap}
+    pre = [(bk, it) for bk, it in rows if bk in keep]
+    if pre:
+        manual = {
+            (r["item_a"], r["item_b"]): tuple(r)
+            for r in assoc_pairs(
+                spark.createDataFrame(pre, "bk int, it int"),
+                "bk", "it", min_pair_count=1,
+            ).collect()
+        }
+    else:
+        manual = {}
+    assert capped == manual
+    big = max(len(v) for v in sizes.values())
+    ident = {
+        (r["item_a"], r["item_b"]): tuple(r)
+        for r in assoc_pairs(
+            df, "bk", "it", min_pair_count=1, max_basket_size=max(big, 2)
+        ).collect()
+    }
+    uncapped = {
+        (r["item_a"], r["item_b"]): tuple(r)
+        for r in assoc_pairs(df, "bk", "it", min_pair_count=1).collect()
+    }
+    assert ident == uncapped
+
+
+@settings(**SPARK_SETTINGS)
 @given(
     st.lists(st.integers(-50, 250), min_size=1, max_size=20),
     st.integers(1, 3),

@@ -345,3 +345,29 @@ def test_zshard_is_deterministic_projection(spark, orders):
     b = scale.zshard(src, ["k", "p"], mins, maxs, 4, 16)
     assert a.groupBy("zshard").count().orderBy("zshard").collect() == \
         b.groupBy("zshard").count().orderBy("zshard").collect()
+
+
+def test_key_skew_report_exact_milli_and_null_sentinel(spark):
+    """Hot key shares and times-mean are exact integer milli; NULL
+    keys group under the '' sentinel; ranks are deterministic under
+    count ties (key_s asc)."""
+    rows = [(1,)] * 6 + [(2,)] * 2 + [(3,)] * 1 + [(None,)] * 1
+    df = spark.createDataFrame(rows, "k int")
+    got = {r["key_s"]: r for r in scale.key_skew_report(df, "k", 10).collect()}
+    assert set(got) == {"1", "2", "3", ""}
+    assert got["1"]["rank"] == 1 and got["1"]["cnt"] == 6
+    # 10 rows, 4 keys: share 600‰, mean load = 2.5 -> 6/2.5 = 2.4x
+    assert got["1"]["share_milli"] == 600
+    assert got["1"]["x_mean_milli"] == 2400
+    # tie between '3' (1 row) and '' (1 row): '' sorts first
+    assert got[""]["rank"] < got["3"]["rank"]
+    assert all(r["n_rows"] == 10 and r["n_keys"] == 4 for r in got.values())
+
+
+def test_key_skew_report_topk_is_take_ordered(spark, orders):
+    p = scale.key_skew_report(orders, "o_custkey", 20)
+    jvm = p.sparkSession._jvm
+    plan = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        p._jdf.queryExecution(), "simple"
+    )
+    assert "TakeOrderedAndProject" in plan

@@ -692,6 +692,13 @@ def test_bm25_rare_terms_saturation_and_length_norm(spark):
     rows2 = bm25_retrieval(q, c, top_k=4).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
     assert all(isinstance(r["score_milli"], int) for r in rows)
+    # max_df stop-term cap: 'the' (df=4) pruned from the postings, so
+    # only doc 1 still shares a term with the query
+    capped = bm25_retrieval(q, c, top_k=4, max_df=3).collect()
+    assert {r["match_id"] for r in capped} == {1}
+    # persist_stats caches the tf frame (hot-loop mode): same rows
+    hot = bm25_retrieval(q, c, top_k=4, persist_stats=True).collect()
+    assert sorted(map(tuple, hot)) == sorted(map(tuple, rows))
 
 
 def test_minhash_signature_paths_agree(spark, dup_docs):

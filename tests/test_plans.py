@@ -752,3 +752,21 @@ def test_assoc_pairs_caps_baskets_before_self_join(spark):
     # assert structurally instead: no unconditional row explosion —
     # the filter node references the count column
     assert "<= 8" in p or "(bk_n" in p
+
+
+def test_bm25_statistics_off_one_token_pass_no_global_sort(spark):
+    """bm25_retrieval: the corpus tf/df/doc-length statistics reuse one
+    exploded token aggregate (no second corpus scan for lengths), the
+    (N, avgdl) scalar arrives via broadcast nested-loop, and the
+    per-query top-k is a WindowGroupLimit — never a global sort."""
+    from data__converter_spark.workloads import QUERIES
+
+    p = plan_of(QUERIES["bm25_retrieval"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p
+    # no cached-relation scan by default: the lazy 3-branch recompute
+    # measured FASTER than persisting the tf frame at sf0.1 (see the
+    # op docstring); persist_stats=True flips this and is exercised in
+    # test_llmops
+    assert "InMemoryTableScan" not in p

@@ -28,26 +28,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotation — freshness first, CHANGED CODE PATHS first of all: no
 # query whose code changed this round may keep a stale driver row.
 # After r8's gate the ledger is 3×r4, 46×r5, 46×r6, 47×r7, 50×r8,
-# plus 3 never-checked round-9 queries (195 total).
+# plus 4 never-checked round-9 queries (196 total).
 # Slot accounting:
-#   1-3   NEW round-9 queries (zorder_write_prune — the z-order write
+#   1-4   NEW round-9 queries (zorder_write_prune — the z-order write
 #         path's month-vs-zband pruning comparison; bm25_retrieval —
 #         integer-exact BM25 over the inverted-index join;
-#         skew_key_events — the hot-key salting diagnostic)
-#   4-6   round-9 BEHAVIOR changes (basket_lift_parts gained the
+#         skew_key_events — the hot-key salting diagnostic;
+#         scd2_apply_events — incremental CDC-into-SCD2 merge whose
+#         oracle is the full rebuild)
+#   5-7   round-9 BEHAVIOR changes (basket_lift_parts gained the
 #         max_basket_size=8 hot-basket cap, oracle updated in
 #         lockstep; bloom_shard_dedup's oracle digests
 #         coalesce(text, '') to match the op; embedding_scatter's
 #         scatter_matrix now excludes NULL groups on both engines)
-#   7-13  round-9 CODE-touched queries, results invariant
+#   8-14  round-9 CODE-touched queries, results invariant
 #         (stream_cms_heavy: windowed_cms_heavy probe key is named,
 #         not positional; pagerank_converged: adaptive cadence never
 #         shrinks below the caller's probe_every; funnel_conversion,
 #         sketch_kmv_shingles, sketch_join_size, sketch_theta_leakage,
 #         zonemap_prune_scan: scalar crossJoins broadcast-hinted)
-#   14-16 the 3 r4-latest queries (oldest debt)
-#   17-50 the first 34 r5-latest queries in registry order; the
-#         remaining 12 r5-latest rows (similarity_pq_topk,
+#   15-17 the 3 r4-latest queries (oldest debt)
+#   18-50 the first 33 r5-latest queries in registry order; the
+#         remaining 13 r5-latest rows (dedup_semantic,
+#         similarity_pq_topk,
 #         triangle_suppliers,
 #         stream_outer_range_join,
 #         events_anomalies, pipeline_selection, pq_train_codebook,
@@ -57,6 +60,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _VERIFY_FIRST = [
     # -- NEW in round 9: never driver-checked --
     "zorder_write_prune", "bm25_retrieval", "skew_key_events",
+    "scd2_apply_events",
     # -- round-9 behavior/oracle changes --
     "basket_lift_parts", "bloom_shard_dedup", "embedding_scatter",
     # -- round-9 code-touched, results invariant --
@@ -65,7 +69,7 @@ _VERIFY_FIRST = [
     "zonemap_prune_scan",
     # -- latest driver row is r4 (oldest debt) --
     "chunk_text", "salient_terms", "late_shipments",
-    # -- latest driver row is r5, registry order (first 34 of 46) --
+    # -- latest driver row is r5, registry order (first 33 of 46) --
     "similarity_lsh_topk", "similarity_ivf_topk",
     "multimodal_image_features", "multimodal_frame_sample",
     "multimodal_resize", "text_pii_scrub", "sample_stratified",
@@ -77,7 +81,7 @@ _VERIFY_FIRST = [
     "dedup_against_ref", "dedup_substring_keep", "centroid_separation",
     "window_active_users", "pagerank_trade", "stream_enrich_counts",
     "common_token_ratio", "token_mix_planner", "window_overlap_pairs",
-    "embedding_outliers", "gopher_quality", "dedup_semantic",
+    "embedding_outliers", "gopher_quality",
 ]
 
 

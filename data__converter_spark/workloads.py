@@ -3834,6 +3834,49 @@ def q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_apply_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDC-into-SCD2 merge (temporal.py:scd2_apply): the
+    event stream splits at 2024-01-21; the prefix builds the dimension
+    (temporal.py:scd2) and the suffix applies as the nightly change
+    batch — closed history immutable, only touched keys' current rows
+    re-window, no-op updates collapse.  The ORACLE is the full rebuild
+    over the ENTIRE stream: the query hash-pins the operator's core
+    contract, incremental apply == full rebuild, boundary for
+    boundary (a single mis-closed or duplicated version shifts
+    closed_micros or n_versions for that user).  Plan: the rebuild
+    windows see only (touched-current ∪ batch) — batch-sized — while
+    untouched keys and closed history pass through join-free of any
+    window."""
+    from .temporal import scd2, scd2_apply
+
+    ev = _load(spark, sf_dir, "events")
+    split = F.lit("2024-01-21").cast("timestamp")
+    ts = F.col("ts").cast("timestamp")
+    dim = scd2(ev.filter(ts < split), "user_id", ["event_type"], "ts", "event_id")
+    applied = scd2_apply(
+        dim, ev.filter(ts >= split), "user_id", ["event_type"],
+        "ts", "event_id",
+    )
+    closed = F.unix_micros(
+        F.col("valid_to").cast("timestamp")
+    ) - F.unix_micros(F.col("valid_from").cast("timestamp"))
+    return (
+        applied.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.coalesce(F.sum(closed), F.lit(0))
+            .cast("long")
+            .alias("closed_micros"),
+            F.min(F.unix_micros(F.col("valid_from").cast("timestamp")))
+            .alias("first_from_micros"),
+            F.max(F.when(F.col("is_current"), F.col("event_type"))).alias(
+                "current_type"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands interval merge (temporal.py:merge_intervals):
     each lineitem spans [o_orderdate, l_shipdate] for its supplier;
@@ -4701,6 +4744,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile_sketch_prices": q_quantile_sketch_prices,
     "bloom_shard_dedup": q_bloom_shard_dedup,
     "scd2_user_status": q_scd2_user_status,
+    "scd2_apply_events": q_scd2_apply_events,
     "interval_coverage": q_interval_coverage,
     "weighted_sample_customers": q_weighted_sample_customers,
     "incremental_agg_orders": q_incremental_agg_orders,
@@ -8966,4 +9010,40 @@ SELECT CAST(rn AS INT) AS rank, key_s, cnt, n_rows, n_keys,
        cnt * n_keys * 1000 // n_rows AS x_mean_milli
 FROM top CROSS JOIN tot
 WHERE rn <= 20
+"""
+
+
+# The oracle is the FULL REBUILD over the entire stream — identical
+# interval semantics to scd2_user_status — because scd2_apply's
+# contract is exactly "incremental == full rebuild at any timestamp
+# split"; hashing the incremental result against the full-rebuild SQL
+# IS the check.
+ORACLES["scd2_apply_events"] = """
+WITH s AS (
+    SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev
+    FROM events
+),
+st AS (
+    SELECT user_id, event_type, ts AS valid_from, event_id
+    FROM s WHERE prev IS DISTINCT FROM event_type
+),
+v AS (
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from, event_id
+           ) AS valid_to
+    FROM st
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_versions,
+       CAST(coalesce(sum(epoch_us(valid_to) - epoch_us(valid_from)), 0)
+            AS BIGINT) AS closed_micros,
+       CAST(min(epoch_us(valid_from)) AS BIGINT) AS first_from_micros,
+       max(CASE WHEN valid_to IS NULL THEN event_type END) AS current_type
+FROM v
+GROUP BY user_id
+ORDER BY user_id
 """

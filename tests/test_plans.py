@@ -770,3 +770,17 @@ def test_bm25_statistics_off_one_token_pass_no_global_sort(spark):
     # op docstring); persist_stats=True flips this and is exercised in
     # test_llmops
     assert "InMemoryTableScan" not in p
+
+
+def test_scd2_apply_history_bypasses_windows(spark):
+    """scd2_apply: untouched keys and closed history reach the output
+    through anti/semi joins only — the rebuild windows must consume
+    the batch-sized (touched-current ∪ changes) union, and nothing in
+    the plan drops to Python."""
+    from data__converter_spark.workloads import QUERIES
+
+    p = plan_of(QUERIES["scd2_apply_events"](spark, SF_DIR))
+    assert "LeftAnti" in p
+    assert "LeftSemi" in p
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p

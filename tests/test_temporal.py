@@ -172,3 +172,63 @@ def test_snapshot_at_picks_containing_version(spark):
     # before any version of key 2
     snap3 = {r["k"]: r["state"] for r in snapshot_at(dim, "2024-01-03 00:00:00").collect()}
     assert 2 not in snap3 and snap3[1] == "a"
+
+
+def test_scd2_apply_incremental_equals_full_rebuild(spark):
+    """The operator's contract at every possible split point of a
+    change stream: apply(scd2(prefix), suffix) == scd2(full)."""
+    import datetime as _dt
+
+    from data__converter_spark.temporal import scd2, scd2_apply
+
+    rows = [
+        (1, "a", _dt.datetime(2024, 1, 1), 1),
+        (1, "a", _dt.datetime(2024, 1, 3), 2),   # no-op run
+        (1, "b", _dt.datetime(2024, 1, 5), 3),
+        (2, "x", _dt.datetime(2024, 1, 2), 4),
+        (2, "y", _dt.datetime(2024, 1, 6), 5),
+        (3, "q", _dt.datetime(2024, 1, 7), 6),   # key born in suffix
+        (1, "b", _dt.datetime(2024, 1, 8), 7),   # no-op vs current
+        (1, "c", _dt.datetime(2024, 1, 9), 8),
+    ]
+    df = spark.createDataFrame(rows, "k int, state string, ts timestamp, eid int")
+    full = scd2(df, "k", ["state"], "ts", "eid")
+    want = sorted(map(tuple, full.collect()))
+    for split_day in (2, 4, 6, 7, 8, 9):
+        cut = _dt.datetime(2024, 1, split_day)
+        dim = scd2(df.filter(df.ts < cut), "k", ["state"], "ts", "eid")
+        got = scd2_apply(
+            dim, df.filter(df.ts >= cut), "k", ["state"], "ts", "eid"
+        )
+        assert sorted(map(tuple, got.collect())) == want, split_day
+
+
+def test_scd2_apply_drops_late_and_collapses_noop(spark):
+    """Late changes (at or before the current version's valid_from)
+    never rewrite history; a change equal to the current state adds no
+    version; untouched keys pass through untouched."""
+    import datetime as _dt
+
+    from data__converter_spark.temporal import scd2, scd2_apply
+
+    base = spark.createDataFrame(
+        [
+            (1, "a", _dt.datetime(2024, 1, 1), 1),
+            (1, "b", _dt.datetime(2024, 1, 5), 2),
+            (9, "z", _dt.datetime(2024, 1, 1), 3),  # untouched key
+        ],
+        "k int, state string, ts timestamp, eid int",
+    )
+    dim = scd2(base, "k", ["state"], "ts", "eid")
+    changes = spark.createDataFrame(
+        [
+            (1, "LATE", _dt.datetime(2024, 1, 4), 10),  # before current from
+            (1, "LATE", _dt.datetime(2024, 1, 5), 11),  # AT current from
+            (1, "b", _dt.datetime(2024, 1, 7), 12),     # no-op vs current
+        ],
+        "k int, state string, ts timestamp, eid int",
+    )
+    got = scd2_apply(dim, changes, "k", ["state"], "ts", "eid")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, dim.collect())
+    )

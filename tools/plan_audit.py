@@ -95,6 +95,7 @@ SHOWCASE = [
     ("zorder_write_prune", "two layouts' zone maps are shard-count-sized aggregates; every scalar (totals, survivors, hit aggregate) arrives via explicit broadcast nested-loop — no CartesianProduct; the z-band key is a pure projection (no exchange below its stats agg)"),
     ("bm25_retrieval", "tf/df/doc-length are three slim aggregates off one exploded token pass; (N, avgdl) scalar broadcast-hinted; the term-keyed postings join is the inverted index with map-side partial sums; per-query top-k is a bounded window, no global sort"),
     ("skew_key_events", "one map-side-combining count aggregate on the key; TakeOrderedAndProject for the top-20 (never a global sort — the rank window runs over the already-limited rows); totals scalar broadcast-hinted"),
+    ("scd2_apply_events", "closed history and untouched keys pass through semi/anti joins WITHOUT entering any window; only (touched current rows ∪ change batch) — batch-sized — flows through the two shared-exchange scd2 windows"),
 ]
 
 

@@ -371,3 +371,38 @@ def test_key_skew_report_topk_is_take_ordered(spark, orders):
         p._jdf.queryExecution(), "simple"
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_write_zordered_stats_drive_file_pruning(spark, orders, tmp_path):
+    """End-to-end: the zone maps returned by write_zordered feed
+    zonemap_prune against the read-back layout keyed on the actual
+    file name — pruning must skip files AND return exactly the rows a
+    direct filter returns (conservative contract on real parquet)."""
+    src = orders.select(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("oday"),
+        F.col("o_totalprice").cast("long").alias("price"),
+        "o_orderkey",
+    )
+    path = str(tmp_path / "zo")
+    stats = scale.write_zordered(
+        src, path, ["oday", "price"], bits_per_dim=4, n_files=8
+    )
+    back = spark.read.parquet(path).withColumn(
+        "file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    lo, hi = 9500, 9800
+    pruned, survivors = scale.zonemap_prune(
+        back, stats, "file", {"oday": (lo, hi), "price": (400_000, None)}
+    )
+    n_files = stats.count()
+    n_surv = survivors.count()
+    assert n_surv < n_files, "2-D predicate should skip some z-run files"
+    direct = src.filter(
+        (F.col("oday") >= lo) & (F.col("oday") <= hi)
+        & (F.col("price") >= 400_000)
+    )
+    got = sorted(r["o_orderkey"] for r in pruned.collect())
+    want = sorted(r["o_orderkey"] for r in direct.collect())
+    assert got == want

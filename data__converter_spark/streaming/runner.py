@@ -86,6 +86,94 @@ def run_to_parquet(
     q.awaitTermination(timeout_s)
 
 
+def _crash_safe_merge(table_path: str, combine):
+    """foreachBatch body factory: read the parquet table (None when it
+    does not exist yet), compute ``combine(base, batch)``, and swap the
+    result in crash-safely.  The swap is safe at every interruption
+    point: the old table is renamed aside (never deleted) only AFTER
+    the staging write fully commits (``_SUCCESS``), and the body first
+    recovers any half-finished swap — a complete staging dir with no
+    live table is the committed merge of the epoch being replayed, so
+    it is promoted before the base read rather than discarded (which
+    would silently drop every previously merged key).  Exactly-once =
+    this idempotent body × the checkpoint WAL: a replayed epoch
+    re-merges and must be a no-op for the caller's ``combine``.
+    """
+    import os
+    import shutil
+
+    tmp = f"{table_path}.__staging__"
+    bak = f"{table_path}.__bak__"
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # -- crash recovery: finish or discard a half-done swap --------
+        if not os.path.isdir(table_path) and os.path.exists(
+            os.path.join(tmp, "_SUCCESS")
+        ):
+            os.replace(tmp, table_path)
+        if os.path.isdir(bak):
+            shutil.rmtree(bak)  # completed swap whose cleanup didn't run
+        # -- merge ----------------------------------------------------
+        base = (
+            spark.read.parquet(table_path)
+            if os.path.isdir(table_path)
+            else None
+        )
+        merged = combine(base, batch_df)
+        merged.write.mode("overwrite").parquet(tmp)
+        # staging is durable (_SUCCESS) before the old table moves; the
+        # no-live-table window is covered by the recovery above.
+        if os.path.isdir(table_path):
+            os.replace(table_path, bak)
+        os.replace(tmp, table_path)
+        if os.path.isdir(bak):
+            shutil.rmtree(bak)
+
+    return merge
+
+
+def run_scd2_apply(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    key: str,
+    state_cols: list[str],
+    ts_col: str,
+    tiebreak: str,
+    timeout_s: int = 120,
+) -> None:
+    """Stream -> SCD2 dimension maintenance via ``foreachBatch``: the
+    first micro-batch builds the dimension
+    (:func:`data__converter_spark.temporal.scd2`), every later batch
+    applies incrementally (:func:`~data__converter_spark.temporal.
+    scd2_apply`) — closed history immutable, batch-sized re-window.
+
+    Idempotent by the operators' own semantics, which is what makes
+    the checkpoint replay exactly-once: re-applying an already-applied
+    batch drops every row as either late (ts at or before the current
+    version's start) or a no-op against the current state, so a
+    replayed epoch leaves the dimension bit-identical.  In-order
+    arrival per key is the same contract as the batch form (late rows
+    drop); a deployment swaps the parquet swap for ``MERGE INTO`` on a
+    lakehouse table — the stream-side call shape is identical.
+    """
+    from ..temporal import scd2, scd2_apply
+
+    def combine(base: DataFrame | None, batch_df: DataFrame) -> DataFrame:
+        if base is None:
+            return scd2(batch_df, key, state_cols, ts_col, tiebreak)
+        return scd2_apply(base, batch_df, key, state_cols, ts_col, tiebreak)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_crash_safe_merge(table_path, combine))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
 def run_cdc_upsert(
     stream_df: DataFrame,
     table_path: str,
@@ -120,42 +208,17 @@ def run_cdc_upsert(
     before the base read rather than discarded (which would silently
     drop every previously merged key).
     """
-    import os
-    import shutil
-
     from ..compare import dedup_last_wins, upsert
 
     keys = [key] if isinstance(key, str) else key
-    tmp = f"{table_path}.__staging__"
-    bak = f"{table_path}.__bak__"
 
-    def merge(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        # -- crash recovery: finish or discard a half-done swap --------
-        if not os.path.isdir(table_path) and os.path.exists(
-            os.path.join(tmp, "_SUCCESS")
-        ):
-            # died between renaming the old table aside and promoting
-            # staging: staging IS the committed merge — promote it, and
-            # the replayed batch below re-merges idempotently.
-            os.replace(tmp, table_path)
-        if os.path.isdir(bak):
-            shutil.rmtree(bak)  # completed swap whose cleanup didn't run
-        # -- merge ----------------------------------------------------
+    def combine(base: DataFrame | None, batch_df: DataFrame) -> DataFrame:
         batch = dedup_last_wins(batch_df, keys, order_col=order_col)
-        if os.path.isdir(table_path):
-            base = spark.read.parquet(table_path)
-            merged = upsert(base, batch.select(*base.columns), keys)
-        else:
-            merged = batch
-        merged.write.mode("overwrite").parquet(tmp)
-        # staging is durable (_SUCCESS) before the old table moves; the
-        # no-live-table window is covered by the recovery above.
-        if os.path.isdir(table_path):
-            os.replace(table_path, bak)
-        os.replace(tmp, table_path)
-        if os.path.isdir(bak):
-            shutil.rmtree(bak)
+        if base is None:
+            return batch
+        return upsert(base, batch.select(*base.columns), keys)
+
+    merge = _crash_safe_merge(table_path, combine)
 
     q = (
         stream_df.writeStream.foreachBatch(merge)

@@ -859,3 +859,83 @@ def test_stream_drift_guard_equals_batch_on_closed_windows(spark, events):
     assert len(emitted) > 0
     for row in emitted:
         assert batch[(row[0], row[2])] == row
+
+
+def test_scd2_stream_maintenance_equals_batch_build(spark, tmp_path):
+    """Streaming SCD2 dimension maintenance (runner.run_scd2_apply):
+    the event stream arrives as three time-ordered micro-batches
+    (maxFilesPerTrigger=1); the first builds the dimension, the later
+    ones apply incrementally — and the final table is row-for-row the
+    batch scd2 over the full stream.  A replay over the same
+    checkpoint is a no-op (offsets), and a replay with a FRESH
+    checkpoint is ALSO a no-op because scd2_apply itself is
+    idempotent: every replayed row is late or a no-op against the
+    current state."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data__converter_spark.session import load_events
+    from data__converter_spark.temporal import scd2
+    from data__converter_spark.streaming.runner import run_scd2_apply
+
+    ev = load_events(spark, SF).select("user_id", "event_type", "ts", "event_id")
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    cuts = [None, "2024-01-11", "2024-01-21", None]
+    for i in range(3):
+        lo, hi = cuts[i], cuts[i + 1]
+        part = ev
+        if lo:
+            part = part.filter(F.col("ts").cast("timestamp") >= F.lit(lo).cast("timestamp"))
+        if hi:
+            part = part.filter(F.col("ts").cast("timestamp") < F.lit(hi).cast("timestamp"))
+        stage = str(tmp_path / f"stage{i}")
+        part.coalesce(1).write.parquet(stage)
+        (one,) = glob.glob(f"{stage}/part-*.parquet")
+        # sequential copies give strictly increasing mtimes, which is
+        # the file source's processing order under maxFilesPerTrigger=1
+        shutil.copy(one, str(src_dir / f"t{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir))
+    )
+    table = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    run_scd2_apply(
+        stream, table, ckpt, "user_id", ["event_type"], "ts", "event_id"
+    )
+
+    want = sorted(
+        map(tuple, scd2(ev, "user_id", ["event_type"], "ts", "event_id").collect())
+    )
+    cols = ["user_id", "event_type", "valid_from", "valid_to", "is_current"]
+    got = sorted(map(tuple, spark.read.parquet(table).select(*cols).collect()))
+    assert got == want
+
+    # same checkpoint: no new offsets -> untouched
+    stream2 = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir))
+    )
+    run_scd2_apply(
+        stream2, table, ckpt, "user_id", ["event_type"], "ts", "event_id"
+    )
+    assert sorted(map(tuple, spark.read.parquet(table).select(*cols).collect())) == want
+
+    # FRESH checkpoint: every batch replays; operator idempotence must
+    # leave the dimension bit-identical
+    stream3 = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir))
+    )
+    run_scd2_apply(
+        stream3, table, str(tmp_path / "ckpt2"),
+        "user_id", ["event_type"], "ts", "event_id",
+    )
+    assert sorted(map(tuple, spark.read.parquet(table).select(*cols).collect())) == want

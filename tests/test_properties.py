@@ -565,3 +565,41 @@ def test_rfm_tiles_balanced(spark, n_custs):
     for col in ("r_score", "f_score", "m_score"):
         sizes = Counter(r[col] for r in out)
         assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+scd2_stream = st.lists(
+    st.tuples(
+        st.integers(1, 3),                 # key
+        st.sampled_from(["a", "b", "c"]),  # state
+        st.integers(0, 20),                # day offset (duplicate ts ok)
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(**SPARK_SETTINGS)
+@given(scd2_stream, st.integers(0, 21))
+def test_scd2_apply_equals_full_rebuild_any_split(spark, rows, split_day):
+    """The scd2_apply contract under hypothesis: for ARBITRARY change
+    streams (duplicate timestamps, no-op runs, keys born late) and an
+    arbitrary timestamp split, apply(scd2(prefix), suffix) ==
+    scd2(full). The tiebreak is the row index, so duplicate-ts runs
+    exercise the total-order path."""
+    import datetime as _dt
+
+    from data__converter_spark.temporal import scd2, scd2_apply
+
+    base = _dt.datetime(2024, 1, 1)
+    data = [
+        (k, s, base + _dt.timedelta(days=d), i)
+        for i, (k, s, d) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "k int, state string, ts timestamp, eid int")
+    full = sorted(map(tuple, scd2(df, "k", ["state"], "ts", "eid").collect()))
+    cut = base + _dt.timedelta(days=split_day)
+    dim = scd2(df.filter(df.ts < cut), "k", ["state"], "ts", "eid")
+    got = scd2_apply(
+        dim, df.filter(df.ts >= cut), "k", ["state"], "ts", "eid"
+    )
+    assert sorted(map(tuple, got.collect())) == full

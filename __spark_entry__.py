@@ -28,28 +28,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotation — freshness first, CHANGED CODE PATHS first of all: no
 # query whose code changed this round may keep a stale driver row.
 # After r8's gate the ledger is 3×r4, 46×r5, 46×r6, 47×r7, 50×r8,
-# plus 4 never-checked round-9 queries (196 total).
+# plus 5 never-checked round-9 queries (197 total).
 # Slot accounting:
-#   1-4   NEW round-9 queries (zorder_write_prune — the z-order write
+#   1-5   NEW round-9 queries (zorder_write_prune — the z-order write
 #         path's month-vs-zband pruning comparison; bm25_retrieval —
 #         integer-exact BM25 over the inverted-index join;
 #         skew_key_events — the hot-key salting diagnostic;
 #         scd2_apply_events — incremental CDC-into-SCD2 merge whose
-#         oracle is the full rebuild)
-#   5-7   round-9 BEHAVIOR changes (basket_lift_parts gained the
+#         oracle is the full rebuild; resample_user_daily — per-key
+#         daily spine + forward fill)
+#   6-8   round-9 BEHAVIOR changes (basket_lift_parts gained the
 #         max_basket_size=8 hot-basket cap, oracle updated in
 #         lockstep; bloom_shard_dedup's oracle digests
 #         coalesce(text, '') to match the op; embedding_scatter's
 #         scatter_matrix now excludes NULL groups on both engines)
-#   8-14  round-9 CODE-touched queries, results invariant
+#   9-15  round-9 CODE-touched queries, results invariant
 #         (stream_cms_heavy: windowed_cms_heavy probe key is named,
 #         not positional; pagerank_converged: adaptive cadence never
 #         shrinks below the caller's probe_every; funnel_conversion,
 #         sketch_kmv_shingles, sketch_join_size, sketch_theta_leakage,
 #         zonemap_prune_scan: scalar crossJoins broadcast-hinted)
-#   15-17 the 3 r4-latest queries (oldest debt)
-#   18-50 the first 33 r5-latest queries in registry order; the
-#         remaining 13 r5-latest rows (dedup_semantic,
+#   16-18 the 3 r4-latest queries (oldest debt)
+#   19-50 the first 32 r5-latest queries in registry order; the
+#         remaining 14 r5-latest rows (gopher_quality, dedup_semantic,
 #         similarity_pq_topk,
 #         triangle_suppliers,
 #         stream_outer_range_join,
@@ -60,7 +61,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _VERIFY_FIRST = [
     # -- NEW in round 9: never driver-checked --
     "zorder_write_prune", "bm25_retrieval", "skew_key_events",
-    "scd2_apply_events",
+    "scd2_apply_events", "resample_user_daily",
     # -- round-9 behavior/oracle changes --
     "basket_lift_parts", "bloom_shard_dedup", "embedding_scatter",
     # -- round-9 code-touched, results invariant --
@@ -69,7 +70,7 @@ _VERIFY_FIRST = [
     "zonemap_prune_scan",
     # -- latest driver row is r4 (oldest debt) --
     "chunk_text", "salient_terms", "late_shipments",
-    # -- latest driver row is r5, registry order (first 33 of 46) --
+    # -- latest driver row is r5, registry order (first 32 of 46) --
     "similarity_lsh_topk", "similarity_ivf_topk",
     "multimodal_image_features", "multimodal_frame_sample",
     "multimodal_resize", "text_pii_scrub", "sample_stratified",
@@ -81,7 +82,7 @@ _VERIFY_FIRST = [
     "dedup_against_ref", "dedup_substring_keep", "centroid_separation",
     "window_active_users", "pagerank_trade", "stream_enrich_counts",
     "common_token_ratio", "token_mix_planner", "window_overlap_pairs",
-    "embedding_outliers", "gopher_quality",
+    "embedding_outliers",
 ]
 
 

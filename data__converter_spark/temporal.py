@@ -200,3 +200,75 @@ def scd2_apply(
         .unionByName(closed.select(*out_cols))
         .unionByName(rebuilt.select(*out_cols))
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    state_cols: list[str],
+    tiebreak: str,
+) -> DataFrame:
+    """Per-key daily resample with forward fill — the gap-filling
+    every dashboard/feature pipeline needs between sparse state
+    changes and a dense calendar: for each key, one row per DAY from
+    that key's first to last observation, carrying the
+    latest-observed ``state_cols`` forward across gap days.
+
+    Day semantics: an observation day's row reports the day's LAST
+    state (``ts`` then ``tiebreak`` ordering — the same total order
+    as :func:`scd2`); gap days repeat the previous state with
+    ``is_observed = false``.  The spine is each key's own [min, max]
+    day span, not a global calendar — keys never grow rows outside
+    their lifetime, so output size is Σ per-key spans.
+
+    Plan shape: one keyed aggregate builds (key, first_day, last_day),
+    ``sequence()`` + ``explode`` generates the spine WITHOUT a join
+    against a calendar table or a driver loop, the per-(key, day)
+    last-state reduce is a max_by hash aggregate (no window), and one
+    keyed window does the carry-forward — two exchanges on the key
+    total at any scale.
+    """
+    day = F.to_date(F.col(ts_col).cast("timestamp"))
+    obs_day = (
+        df.select(
+            F.col(key),
+            day.alias("day"),
+            F.struct(
+                F.col(ts_col).cast("timestamp").alias("__ts__"),
+                F.col(tiebreak).alias("__tb__"),
+            ).alias("__ord__"),
+            F.struct(*[F.col(c) for c in state_cols]).alias("__st__"),
+        )
+        .groupBy(key, "day")
+        .agg(F.expr("max_by(__st__, __ord__)").alias("__st__"))
+    )
+    span = obs_day.groupBy(key).agg(
+        F.min("day").alias("__d0__"), F.max("day").alias("__d1__")
+    )
+    spine = span.select(
+        key,
+        F.explode(
+            F.sequence(
+                F.col("__d0__"), F.col("__d1__"), F.expr("interval 1 day")
+            )
+        ).alias("day"),
+    )
+    joined = spine.join(obs_day, [key, "day"], "left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = joined.select(
+        key,
+        "day",
+        F.col("__st__").isNotNull().alias("is_observed"),
+        F.last("__st__", ignorenulls=True).over(w).alias("__f__"),
+    )
+    return filled.select(
+        key,
+        "day",
+        *[F.col(f"__f__.{c}").alias(c) for c in state_cols],
+        "is_observed",
+    )

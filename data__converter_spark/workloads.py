@@ -3877,6 +3877,41 @@ def q_scd2_apply_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key daily resample + forward fill (temporal.py:
+    resample_ffill): each user's sparse event stream becomes one row
+    per day of their own lifetime, carrying the day's LAST event_type
+    (ts, event_id total order) across gap days — the dense state
+    calendar behind dashboards and daily feature snapshots.  Summary
+    output pins every fill decision: per user, lifetime days, observed
+    days, and an order-weighted digest of the filled states (sum over
+    days of day_index * state_rank, exact integers — a single
+    mis-filled gap day shifts it)."""
+    from .temporal import resample_ffill
+
+    ev = _load(spark, sf_dir, "events")
+    dense = resample_ffill(ev, "user_id", "ts", ["event_type"], "event_id")
+    # rank states deterministically: click=1, purchase=2, view=3 (abc)
+    state_rank = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "purchase", 2)
+        .when(F.col("event_type") == "view", 3)
+        .otherwise(4)
+    )
+    day_index = F.datediff(F.col("day"), F.lit("1970-01-01"))
+    return (
+        dense.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum(F.col("is_observed").cast("bigint"))
+            .cast("bigint")
+            .alias("n_observed"),
+            F.sum(day_index * state_rank).cast("bigint").alias("fill_digest"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands interval merge (temporal.py:merge_intervals):
     each lineitem spans [o_orderdate, l_shipdate] for its supplier;
@@ -4745,6 +4780,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_shard_dedup": q_bloom_shard_dedup,
     "scd2_user_status": q_scd2_user_status,
     "scd2_apply_events": q_scd2_apply_events,
+    "resample_user_daily": q_resample_user_daily,
     "interval_coverage": q_interval_coverage,
     "weighted_sample_customers": q_weighted_sample_customers,
     "incremental_agg_orders": q_incremental_agg_orders,
@@ -9044,6 +9080,49 @@ SELECT user_id,
        CAST(min(epoch_us(valid_from)) AS BIGINT) AS first_from_micros,
        max(CASE WHEN valid_to IS NULL THEN event_type END) AS current_type
 FROM v
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+ORACLES["resample_user_daily"] = """
+WITH od AS (
+    SELECT user_id, day, state FROM (
+        SELECT user_id, CAST(ts AS DATE) AS day, event_type AS state,
+               row_number() OVER (
+                   PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+),
+span AS (
+    SELECT user_id, min(day) AS d0, max(day) AS d1 FROM od GROUP BY 1
+),
+spine AS (
+    SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+               AS DATE) AS day
+    FROM span
+),
+filled AS (
+    SELECT s.user_id, s.day,
+           od.state IS NOT NULL AS is_observed,
+           last_value(od.state IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS state
+    FROM spine s LEFT JOIN od ON s.user_id = od.user_id AND s.day = od.day
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(CASE WHEN is_observed THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_observed,
+       CAST(sum(
+           (day - DATE '1970-01-01')
+           * CASE state WHEN 'click' THEN 1 WHEN 'purchase' THEN 2
+                        WHEN 'view' THEN 3 ELSE 4 END
+       ) AS BIGINT) AS fill_digest
+FROM filled
 GROUP BY user_id
 ORDER BY user_id
 """

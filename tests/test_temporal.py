@@ -232,3 +232,47 @@ def test_scd2_apply_drops_late_and_collapses_noop(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, dim.collect())
     )
+
+
+def test_resample_ffill_gap_days_and_day_last(spark):
+    """Gap days repeat the previous state with is_observed=false; an
+    observation day reports the day's LAST state under the (ts,
+    tiebreak) total order; spines are per-key lifetimes."""
+    import datetime as _dt
+
+    from data__converter_spark.temporal import resample_ffill
+
+    rows = [
+        (1, "a", _dt.datetime(2024, 1, 1, 9), 1),
+        (1, "b", _dt.datetime(2024, 1, 1, 18), 2),   # same-day later wins
+        (1, "c", _dt.datetime(2024, 1, 4, 0), 3),    # 2 gap days before
+        (2, "x", _dt.datetime(2024, 2, 1), 4),       # 1-day lifetime
+    ]
+    df = spark.createDataFrame(rows, "k int, state string, ts timestamp, eid int")
+    got = {
+        (r["k"], str(r["day"])): (r["state"], r["is_observed"])
+        for r in resample_ffill(df, "k", "ts", ["state"], "eid").collect()
+    }
+    assert got == {
+        (1, "2024-01-01"): ("b", True),
+        (1, "2024-01-02"): ("b", False),
+        (1, "2024-01-03"): ("b", False),
+        (1, "2024-01-04"): ("c", True),
+        (2, "2024-02-01"): ("x", True),
+    }
+
+
+def test_resample_ffill_tiebreak_within_timestamp(spark):
+    """Duplicate timestamps on the last day resolve by the tiebreak —
+    the same total order as scd2."""
+    import datetime as _dt
+
+    from data__converter_spark.temporal import resample_ffill
+
+    t = _dt.datetime(2024, 1, 1, 12)
+    df = spark.createDataFrame(
+        [(1, "lo", t, 5), (1, "hi", t, 9)],
+        "k int, state string, ts timestamp, eid int",
+    )
+    (row,) = resample_ffill(df, "k", "ts", ["state"], "eid").collect()
+    assert row["state"] == "hi" and row["is_observed"]

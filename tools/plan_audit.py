@@ -96,6 +96,7 @@ SHOWCASE = [
     ("bm25_retrieval", "tf/df/doc-length are three slim aggregates off one exploded token pass; (N, avgdl) scalar broadcast-hinted; the term-keyed postings join is the inverted index with map-side partial sums; per-query top-k is a bounded window, no global sort"),
     ("skew_key_events", "one map-side-combining count aggregate on the key; TakeOrderedAndProject for the top-20 (never a global sort — the rank window runs over the already-limited rows); totals scalar broadcast-hinted"),
     ("scd2_apply_events", "closed history and untouched keys pass through semi/anti joins WITHOUT entering any window; only (touched current rows ∪ change batch) — batch-sized — flows through the two shared-exchange scd2 windows"),
+    ("resample_user_daily", "sequence()+explode generates each key's own day spine — no calendar table, no driver loop; day-last is a max_by hash aggregate (no window); ONE keyed window does the carry-forward"),
 ]
 
 

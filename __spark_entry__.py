@@ -28,40 +28,52 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotation — freshness first, CHANGED CODE PATHS first of all: no
 # query whose code changed this round may keep a stale driver row.
 # After r8's gate the ledger is 3×r4, 46×r5, 46×r6, 47×r7, 50×r8,
-# plus 5 never-checked round-9 queries (197 total).
+# plus 13 never-checked round-9 queries (205 total).
 # Slot accounting:
-#   1-5   NEW round-9 queries (zorder_write_prune — the z-order write
+#   1-13  NEW round-9 queries (zorder_write_prune — the z-order write
 #         path's month-vs-zband pruning comparison; bm25_retrieval —
 #         integer-exact BM25 over the inverted-index join;
 #         skew_key_events — the hot-key salting diagnostic;
 #         scd2_apply_events — incremental CDC-into-SCD2 merge whose
 #         oracle is the full rebuild; resample_user_daily — per-key
-#         daily spine + forward fill)
-#   6-8   round-9 BEHAVIOR changes (basket_lift_parts gained the
+#         daily spine + forward fill; k_anonymity_audit — per-class
+#         k-anonymity/l-diversity; ewma_nation_daily — exact dyadic
+#         decayed revenue; benford_prices — first-digit screen;
+#         compaction_bins — running-sum file binning;
+#         checksum_orders_monthly — order-independent table digest;
+#         event_transitions — Markov transition grid;
+#         contingency_segments — categorical independence screen;
+#         fk_orphan_audit — referential-integrity anti-join audit)
+#   14-16 round-9 BEHAVIOR changes (basket_lift_parts gained the
 #         max_basket_size=8 hot-basket cap, oracle updated in
 #         lockstep; bloom_shard_dedup's oracle digests
 #         coalesce(text, '') to match the op; embedding_scatter's
 #         scatter_matrix now excludes NULL groups on both engines)
-#   9-15  round-9 CODE-touched queries, results invariant
+#   17-23 round-9 CODE-touched queries, results invariant
 #         (stream_cms_heavy: windowed_cms_heavy probe key is named,
 #         not positional; pagerank_converged: adaptive cadence never
 #         shrinks below the caller's probe_every; funnel_conversion,
 #         sketch_kmv_shingles, sketch_join_size, sketch_theta_leakage,
 #         zonemap_prune_scan: scalar crossJoins broadcast-hinted)
-#   16-18 the 3 r4-latest queries (oldest debt)
-#   19-50 the first 32 r5-latest queries in registry order; the
-#         remaining 14 r5-latest rows (gopher_quality, dedup_semantic,
-#         similarity_pq_topk,
-#         triangle_suppliers,
-#         stream_outer_range_join,
-#         events_anomalies, pipeline_selection, pq_train_codebook,
+#   24-26 the 3 r4-latest queries (oldest debt)
+#   27-50 the first 24 r5-latest queries in registry order; the
+#         remaining 22 r5-latest rows (centroid_separation,
+#         window_active_users, pagerank_trade, stream_enrich_counts,
+#         common_token_ratio, token_mix_planner, window_overlap_pairs,
+#         embedding_outliers, gopher_quality, dedup_semantic,
+#         similarity_pq_topk, triangle_suppliers,
+#         stream_outer_range_join, events_anomalies,
+#         pipeline_selection, pq_train_codebook,
 #         similarity_ivf_pq_topk, corpus_split, dedup_keep_best,
 #         entity_canonicalize, pmi_collocations, sparse_retrieval)
 #         lead the r10 rotation; arithmetic asserted below.
 _VERIFY_FIRST = [
     # -- NEW in round 9: never driver-checked --
     "zorder_write_prune", "bm25_retrieval", "skew_key_events",
-    "scd2_apply_events", "resample_user_daily",
+    "scd2_apply_events", "resample_user_daily", "k_anonymity_audit",
+    "ewma_nation_daily", "benford_prices", "compaction_bins",
+    "checksum_orders_monthly", "event_transitions",
+    "contingency_segments", "fk_orphan_audit",
     # -- round-9 behavior/oracle changes --
     "basket_lift_parts", "bloom_shard_dedup", "embedding_scatter",
     # -- round-9 code-touched, results invariant --
@@ -70,7 +82,7 @@ _VERIFY_FIRST = [
     "zonemap_prune_scan",
     # -- latest driver row is r4 (oldest debt) --
     "chunk_text", "salient_terms", "late_shipments",
-    # -- latest driver row is r5, registry order (first 32 of 46) --
+    # -- latest driver row is r5, registry order (first 24 of 46) --
     "similarity_lsh_topk", "similarity_ivf_topk",
     "multimodal_image_features", "multimodal_frame_sample",
     "multimodal_resize", "text_pii_scrub", "sample_stratified",
@@ -79,10 +91,7 @@ _VERIFY_FIRST = [
     "product_type_profit", "important_parts", "top_supplier",
     "supplier_part_counts", "small_qty_revenue", "bracket_revenue",
     "excess_stock_suppliers", "waiting_suppliers", "balanced_shards",
-    "dedup_against_ref", "dedup_substring_keep", "centroid_separation",
-    "window_active_users", "pagerank_trade", "stream_enrich_counts",
-    "common_token_ratio", "token_mix_planner", "window_overlap_pairs",
-    "embedding_outliers",
+    "dedup_against_ref", "dedup_substring_keep",
 ]
 
 

@@ -340,3 +340,51 @@ def session_paths(
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(top_n)
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    state_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix of a per-key event stream.
+
+    For every key's sequence (ordered by ``order_col``, ties broken by
+    ``tiebreak`` so the chain is deterministic under duplicate
+    timestamps), count each adjacent (from_state -> to_state) step and
+    row-normalize to exact milli probabilities: ``prob_milli =
+    1000 * n div from_total``. The 'what usually happens next?'
+    question behind next-action prediction features, UX funnels, and
+    anomalous-sequence flagging.
+
+    Scale: one keyed window (lag) to form the steps, one hash
+    aggregate to the state-pair grid — the output is |states|² rows
+    regardless of input size, and the from-state totals join back at
+    grid size (broadcast). The window partitions by ``key``, so no
+    global sort exists anywhere.
+    """
+    order = [F.col(order_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    steps = (
+        df.select(key, *([order_col] + ([tiebreak] if tiebreak else [])), state_col)
+        .withColumn("__from__", F.lag(state_col).over(w))
+        .filter(F.col("__from__").isNotNull())
+        .select(
+            F.col("__from__").alias("from_state"),
+            F.col(state_col).alias("to_state"),
+        )
+    )
+    grid = steps.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    totals = grid.groupBy("from_state").agg(
+        F.sum("n").cast("bigint").alias("from_total")
+    )
+    return (
+        grid.join(F.broadcast(totals), "from_state")
+        .withColumn(
+            "prob_milli", F.expr("n * 1000 div from_total").cast("bigint")
+        )
+    )

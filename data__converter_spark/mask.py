@@ -239,3 +239,38 @@ def mask_table(
         "ANON_ROW_ID", *[F.col(c).cast("string").alias(c) for c in active]
     )
     return masked, key_table
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+    sensitive: str | Column | None = None,
+) -> DataFrame:
+    """Per-equivalence-class k-anonymity (and l-diversity) audit.
+
+    The flip side of the masking tool (random/page.tsx:183-263): before
+    deciding WHICH columns need a ``FieldRule``, measure how
+    re-identifiable the table already is. Rows sharing the same values
+    of ``quasi_cols`` (the quasi-identifiers an attacker can link on)
+    form an equivalence class; a class smaller than ``k`` fails
+    k-anonymity. With ``sensitive`` set, the class's distinct count of
+    that attribute is its l-diversity — a 100-row class whose salary is
+    the single same value still leaks it.
+
+    Output: one row per class with ``class_size`` (bigint), ``at_risk``
+    (class_size < k) and, when ``sensitive`` is given, ``l_distinct``.
+
+    Scale: one hash aggregate keyed on the quasi-identifiers — classes
+    number at most the quasi-space cardinality, far below row count, so
+    partial (map-side) aggregation absorbs the bulk before the
+    exchange. ``count_distinct`` on the sensitive column keeps it a
+    single shuffle (Spark plans the two-phase distinct within the same
+    key exchange). No windows, no joins, no Python.
+    """
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("class_size")]
+    if sensitive is not None:
+        s = F.col(sensitive) if isinstance(sensitive, str) else sensitive
+        aggs.append(F.count_distinct(s).cast("bigint").alias("l_distinct"))
+    out = df.groupBy(*quasi_cols).agg(*aggs)
+    return out.withColumn("at_risk", F.col("class_size") < F.lit(int(k)))

@@ -558,3 +558,47 @@ def key_skew_report(
         .cast("bigint")
         .alias("x_mean_milli"),
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    size_col: str,
+    target_bytes: int,
+    order_col: str,
+) -> DataFrame:
+    """Assign small files to compaction bins by running-sum binning.
+
+    The planning half of OPTIMIZE/compaction (``compact_parquet`` above
+    is the blunt whole-table rewrite; this plans SELECTIVE rewrites):
+    walk the file inventory in ``order_col`` order (name order keeps
+    sort-adjacent files together so compaction preserves clustering)
+    and open a new bin every time the running byte total crosses a
+    ``target_bytes`` boundary — ``bin_id = (cumsum - size) div
+    target``. Each bin starts below ``target_bytes`` and overflows it
+    by at most one file, the same first-fit-in-order contract Delta/
+    Iceberg OPTIMIZE uses, and the assignment is a pure function of the
+    inventory (re-running the planner on the same listing re-plans the
+    same bins — safe under retries).
+
+    Output: one row per file with ``bin_id`` added.
+
+    Scale note: this runs over FILE METADATA, not data — ~10⁶ rows for
+    100 TB of 100 MB files — so the single global running-sum window
+    (one-partition sort) is bounded by inventory size, never data
+    size. The data movement it plans stays fully distributed.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(size_col).cast("bigint")).over(w)
+    return (
+        files.withColumn("__before__", cum - F.col(size_col).cast("bigint"))
+        .withColumn(
+            "bin_id",
+            F.expr(f"__before__ div {int(target_bytes)}").cast("bigint"),
+        )
+        .drop("__before__")
+    )

@@ -577,3 +577,175 @@ def histogram_drift(
             .alias("diff_milli"),
         )
     )
+
+
+# Benford's-law expected first-digit shares, in exact milli units:
+# round(1000 * log10(1 + 1/d)) for d = 1..9. Pinned as integer
+# constants so both engines compare against the identical expectation
+# (no cross-engine log10 ulp drift).
+BENFORD_MILLI = [301, 176, 125, 97, 79, 67, 58, 51, 46]
+
+
+def benford_profile(df: DataFrame, col: str | Column) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law.
+
+    The classic fraud/corruption screen for 'organic' numeric columns
+    (amounts, populations, file sizes): naturally-grown magnitudes
+    follow P(d) = log10(1 + 1/d); fabricated or truncated data doesn't.
+    ``col`` must be a positive integer column (exact cents, counts —
+    the first significant digit is scale-invariant under powers of 10,
+    so cents and dollars profile identically).
+
+    Output: 9 rows (digit 1-9) with ``n``, ``obs_milli`` (exact
+    ``n*1000 // total``), the pinned ``exp_milli`` expectation, and
+    ``dev_milli = |obs - exp|``; ``sum(dev_milli)`` over the output is
+    the profile's total-variation-style deviation score.
+
+    Scale: one hash aggregate to 9 rows (map-side combine does ~all the
+    work), then a 1-row broadcast total — no sort, no window, no
+    Python. The 9-row aggregate is persisted so the total branch reads
+    the cache instead of re-scanning the data. The digit comes from
+    the decimal rendering of the integer (substring of the cast),
+    which whole-stage codegen keeps JVM-side.
+    """
+    from .scale import persisted
+
+    c = F.col(col) if isinstance(col, str) else col
+    digit = F.substring(c.cast("bigint").cast("string"), 1, 1).cast("int")
+    per = persisted(
+        df.filter(c > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    total = per.agg(F.sum("n").cast("bigint").alias("__total__"))
+    exp = F.element_at(
+        F.array(*[F.lit(v) for v in BENFORD_MILLI]), F.col("digit")
+    ).cast("bigint")
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.expr("n * 1000 div __total__").cast("bigint").alias("obs_milli"),
+            exp.alias("exp_milli"),
+        )
+        .withColumn(
+            "dev_milli", F.abs(F.col("obs_milli") - F.col("exp_milli")).cast("bigint")
+        )
+    )
+
+
+def contingency_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Observed-vs-expected contingency screen for two categoricals.
+
+    The independence question ("does order priority depend on market
+    segment?") asked cell by cell in exact integer milli units:
+    observed cell share ``obs_milli = n*1000 div total`` against the
+    independence expectation ``exp_milli = row_total*col_total*1000
+    div total²`` (cross-multiplied on BIGINTs — no floating chi²
+    term crosses engines), plus ``dev_milli = |obs - exp|``;
+    ``sum(dev_milli) div 2`` over the output is the total-variation
+    distance between the joint and the product of marginals — 0 iff
+    independent at milli resolution.
+
+    Scale: one hash aggregate to the |A|x|B| cell grid — persisted,
+    because marginals and the total re-aggregate FROM THE GRID (cells,
+    not rows) across three plan branches; without the cache each
+    branch would re-scan the data. Overflow-safe
+    while row_total*col_total*1000 < 2^63 — i.e. up to ~10^8 rows per
+    marginal pair; past that, pre-scale both marginals by 1000.
+    """
+    from .scale import persisted
+
+    cells = persisted(
+        df.groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+    )
+    row_m = cells.groupBy("a").agg(F.sum("n").cast("bigint").alias("row_total"))
+    col_m = cells.groupBy("b").agg(F.sum("n").cast("bigint").alias("col_total"))
+    tot = cells.agg(F.sum("n").cast("bigint").alias("total"))
+    return (
+        cells.join(F.broadcast(row_m), "a")
+        .join(F.broadcast(col_m), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "n",
+            F.expr("n * 1000 div total").cast("bigint").alias("obs_milli"),
+            F.expr("row_total * col_total * 1000 div (total * total)")
+            .cast("bigint")
+            .alias("exp_milli"),
+        )
+        .withColumn(
+            "dev_milli",
+            F.abs(F.col("obs_milli") - F.col("exp_milli")).cast("bigint"),
+        )
+    )
+
+
+def fk_orphans(
+    fact: DataFrame,
+    fk_cols: dict[str, tuple[DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit: orphan foreign keys per relation.
+
+    For each ``fact_col -> (dim_df, dim_key)`` pair, count fact rows
+    whose key has no match in the dimension (NULL keys counted
+    separately — a NULL FK is a different defect than a dangling one).
+    The first gate a lakehouse quality suite runs after ingest,
+    answered with LEFT ANTI joins — no row ever ships wider than its
+    key column.
+
+    Output: one row per checked relation with ``n_rows``, ``n_null``,
+    ``n_orphan``, and ``orphan_milli`` (exact ``n_orphan*1000 div
+    n_rows``).
+
+    Scale: each relation is ONE pass — key projection, LEFT join
+    against the dimension's distinct-key projection carrying a hit
+    marker, and one conditional aggregate folding all three counts
+    (total / NULL / dangling) — never three branches re-scanning the
+    fact. The dimension side broadcasts when small (the usual dim
+    case) and shuffles otherwise. Relations are independent branches
+    of one union and parallelize as separate stages of the same job.
+    """
+    reports = []
+    for fk, (dim, dim_key) in fk_cols.items():
+        keys = fact.select(F.col(fk).alias("__k__"))
+        dim_keys = (
+            dim.select(F.col(dim_key).alias("__k__"))
+            .distinct()
+            .withColumn("__hit__", F.lit(1))
+        )
+        joined = keys.join(dim_keys, "__k__", "left")
+        counts = joined.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("__k__").isNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_null"),
+            F.sum(
+                (F.col("__k__").isNotNull() & F.col("__hit__").isNull()).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("n_orphan"),
+        )
+        reports.append(
+            counts.select(
+                F.lit(fk).alias("relation"),
+                "n_rows",
+                "n_null",
+                "n_orphan",
+                F.expr("n_orphan * 1000 div n_rows")
+                .cast("bigint")
+                .alias("orphan_milli"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

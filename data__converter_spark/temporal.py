@@ -272,3 +272,68 @@ def resample_ffill(
         *[F.col(f"__f__.{c}").alias(c) for c in state_cols],
         "is_observed",
     )
+
+
+def decayed_sum(
+    df: DataFrame,
+    key: str,
+    day_col: str,
+    val_col: str,
+    window_days: int = 8,
+) -> DataFrame:
+    """Exponentially-decayed daily sum with EXACT dyadic weights.
+
+    ``decayed_x{2^(W-1)}(t) = Σ_{d=0..W-1} x(t-d) · 2^(W-1-d)`` — the
+    half-life-one-day EWMA truncated at ``window_days``, scaled by
+    ``2^(W-1)`` so every weight is an integer and the result is
+    bit-identical across engines (floats never cross; divide at the
+    edge if a unit value is wanted).
+
+    Shape chosen for scale: instead of a per-key ORDER BY window with
+    ``W`` lag columns (exchange + SORT per key), each observation
+    SCATTERS its weighted contribution forward — ``explode(sequence(0,
+    W-1))`` fans each daily point into the ``W`` target days it decays
+    into, and one hash aggregate on (key, day) folds them. Sort-free:
+    a W× map-side fan-out traded for no per-key sort, and the fan-out
+    compresses right back in the partial aggregate. Days with no
+    observation inside the window simply don't appear (their decayed
+    sum is 0); target days past the key's last observed day are
+    dropped so the output ends where the series does.
+
+    Input may have multiple rows per (key, day) — they are pre-summed
+    first, so the fan-out is over the DAILY series, not raw rows; the
+    daily frame is persisted because both the scatter and the per-key
+    last-day bound consume it (without the cache each branch would
+    recompute the upstream plan, including any joins the caller fed
+    in).
+    """
+    from .scale import persisted
+
+    w_hi = int(window_days)
+    daily = persisted(
+        df.groupBy(key, day_col).agg(
+            F.sum(F.col(val_col)).cast("bigint").alias("__v__")
+        )
+    )
+    span = daily.groupBy(key).agg(F.max(day_col).alias("__last__"))
+    fan = daily.select(
+        key,
+        F.col(day_col).alias("__d0__"),
+        "__v__",
+        F.explode(F.sequence(F.lit(0), F.lit(w_hi - 1))).alias("__off__"),
+    )
+    scattered = fan.select(
+        key,
+        F.date_add(F.col("__d0__"), F.col("__off__")).alias("day"),
+        # shiftleft(1L, W-1-off) with a COLUMN shift amount needs the SQL
+        # form (the Python F.shiftleft binding takes only a literal int).
+        F.expr(f"__v__ * shiftleft(cast(1 as bigint), {w_hi - 1} - __off__)").alias(
+            "__wv__"
+        ),
+    )
+    out = scattered.groupBy(key, "day").agg(
+        F.sum("__wv__").cast("bigint").alias("decayed_scaled")
+    )
+    return out.join(span, key).filter(F.col("day") <= F.col("__last__")).drop(
+        "__last__"
+    )

@@ -9126,3 +9126,466 @@ FROM filled
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-9 wave B: privacy audit, decayed series, data-quality screens,
+# compaction planning, migration checksums.
+# ---------------------------------------------------------------------------
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (mask.py:k_anonymity): before
+    masking (random/page.tsx:183-263 decides HOW to mask), measure
+    what the quasi-identifiers (market segment x nation) already leak.
+    Each equivalence class reports its size, the l-diversity of the
+    sensitive attribute (account balance in exact $1000 bands), and a
+    k=10 at-risk flag; ``risk_milli`` is the table-wide share of rows
+    in failing classes. One hash aggregate to class granularity —
+    persisted, so the 1-row broadcast risk total re-reads the 125-row
+    class cache, never a second scan of customer."""
+    from .mask import k_anonymity
+    from .scale import persisted
+
+    cust = _load(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_nationkey",
+        cents("c_acctbal").cast("long").alias("p_cents"),
+    )
+    cust = cust.withColumn("bal_band", F.expr("p_cents div 100000"))
+    cls = persisted(
+        k_anonymity(
+            cust, ["c_mktsegment", "c_nationkey"], k=10, sensitive="bal_band"
+        )
+    )
+    tot = cls.agg(
+        F.expr(
+            "sum(CASE WHEN at_risk THEN class_size ELSE 0 END) * 1000"
+            " div sum(class_size)"
+        )
+        .cast("bigint")
+        .alias("risk_milli")
+    )
+    return (
+        cls.crossJoin(F.broadcast(tot))
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "class_size",
+            "l_distinct",
+            "at_risk",
+            "risk_milli",
+        )
+        .orderBy("c_mktsegment", "c_nationkey")
+    )
+
+
+def q_ewma_nation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dyadic EWMA of daily revenue per nation (temporal.py:
+    decayed_sum): half-life-one-day decay over an 8-day window,
+    weights 2^(7-d) so the 'momentum' series is integer-exact (scaled
+    by 128, floats never cross engines). The operator SCATTERS each
+    daily point forward through explode(sequence) + one hash aggregate
+    — sort-free, unlike the lag-window formulation — so it survives
+    any number of keys at any scale. Output is the final 14 calendar
+    days, pinned by a 1-row broadcast of the global max day."""
+    from .temporal import decayed_sum
+
+    o = _load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("day"),
+        cents("o_totalprice").cast("long").alias("p_cents"),
+    )
+    c = _load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    daily_src = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_nationkey", "day", "p_cents"
+    )
+    dec = decayed_sum(daily_src, "c_nationkey", "day", "p_cents", window_days=8)
+    gmax = o.agg(F.max("day").alias("__mx__"))
+    return (
+        dec.crossJoin(F.broadcast(gmax))
+        .filter(F.col("day") >= F.date_sub(F.col("__mx__"), 13))
+        .select(
+            "c_nationkey",
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("day_idx"),
+            "decayed_scaled",
+        )
+        .orderBy("c_nationkey", "day_idx")
+    )
+
+
+def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen (stats.py:benford_profile) on
+    lineitem extended prices in exact cents: observed vs expected
+    milli-shares per leading digit, |deviation| per digit —
+    sum(dev_milli) is the fabrication/truncation alarm a data-quality
+    gate raises before a new feed enters the lake. One 9-row hash
+    aggregate plus a broadcast total; the digit is substring of the
+    integer's decimal rendering, whole-stage-codegen'd JVM-side.
+    (TPC-H prices are formulaic, not organic, so the profile SHOULD
+    deviate — the query pins the measurement, not conformance.)"""
+    from .stats import benford_profile
+
+    li = _load(spark, sf_dir, "lineitem").select(
+        cents("l_extendedprice").cast("long").alias("p_cents")
+    )
+    return benford_profile(li, "p_cents").orderBy("digit")
+
+
+def q_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (scale.py:compaction_plan): a
+    pseudo file inventory (311 uneven 'files' hashed from orderkeys,
+    byte size = the file's total row bytes) binned by running-sum into
+    ~10 GB compaction jobs — ``bin_id = bytes_before div target``, the
+    first-fit-in-name-order contract OPTIMIZE implementations use, so
+    adjacent files stay adjacent and every bin overflows the target by
+    at most one file. The window runs over file METADATA (inventory
+    rows, ~10^6 at 100 TB), never data rows; the planned moves are the
+    distributed part. Output: per-bin file count, bytes, id range."""
+    from .scale import compaction_plan
+
+    files = (
+        _load(spark, sf_dir, "lineitem")
+        .groupBy((F.col("l_orderkey") % F.lit(311)).cast("bigint").alias("file_id"))
+        .agg(F.sum(cents("l_extendedprice").cast("long")).alias("size_bytes"))
+    )
+    plan = compaction_plan(files, "size_bytes", 10_000_000_000, "file_id")
+    return (
+        plan.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("size_bytes").cast("bigint").alias("bin_bytes"),
+            F.min("file_id").cast("bigint").alias("first_file"),
+            F.max("file_id").cast("bigint").alias("last_file"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+def q_checksum_orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent monthly table checksum (compare.py:
+    table_fingerprint): the 'did the migration change anything, and in
+    which month?' question answered with ONE keyed aggregate — no
+    full-outer join, no sort, no row shipping. Each row renders a
+    canonical '|'-joined string, md5 splits into two independent
+    32-bit lanes, per-row residues (mod 1e6+3, overflow-safe to 10^12
+    rows/group) sum commutatively so partitioning and row order can't
+    touch the digest. Equal months fingerprint equal; a changed month
+    is then drilled with the row-level diff."""
+    from .compare import table_fingerprint
+
+    o = _load(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        "o_orderstatus",
+        "o_orderpriority",
+        cents("o_totalprice").cast("long").alias("p_cents"),
+    )
+    fp = table_fingerprint(
+        o,
+        ["k", "o_orderstatus", "o_orderpriority", "p_cents"],
+        "month",
+        group_name="month",
+    )
+    return fp.orderBy("month")
+
+
+QUERIES["k_anonymity_audit"] = q_k_anonymity_audit
+QUERIES["ewma_nation_daily"] = q_ewma_nation_daily
+QUERIES["benford_prices"] = q_benford_prices
+QUERIES["compaction_bins"] = q_compaction_bins
+QUERIES["checksum_orders_monthly"] = q_checksum_orders_monthly
+
+
+ORACLES["k_anonymity_audit"] = """
+WITH cls AS (
+    SELECT c_mktsegment, c_nationkey,
+           CAST(count(*) AS BIGINT) AS class_size,
+           CAST(count(DISTINCT
+                CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) // 100000)
+                AS BIGINT) AS l_distinct
+    FROM customer
+    GROUP BY 1, 2
+),
+tot AS (
+    SELECT CAST(sum(CASE WHEN class_size < 10 THEN class_size ELSE 0 END)
+                * 1000 // sum(class_size) AS BIGINT) AS risk_milli
+    FROM cls
+)
+SELECT c_mktsegment, c_nationkey, class_size, l_distinct,
+       class_size < 10 AS at_risk, risk_milli
+FROM cls CROSS JOIN tot
+ORDER BY c_mktsegment, c_nationkey
+"""
+
+
+ORACLES["ewma_nation_daily"] = """
+WITH daily AS (
+    SELECT c_nationkey, CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS v
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2
+),
+span AS (SELECT c_nationkey, max(day) AS last_day FROM daily GROUP BY 1),
+offs AS (SELECT CAST(range AS INTEGER) AS off FROM range(0, 8)),
+fan AS (
+    SELECT d.c_nationkey, d.day + off AS day,
+           d.v * (1 << (7 - off)) AS wv
+    FROM daily d CROSS JOIN offs
+),
+dec AS (
+    SELECT c_nationkey, day, CAST(sum(wv) AS BIGINT) AS decayed_scaled
+    FROM fan GROUP BY 1, 2
+),
+gmax AS (SELECT max(CAST(o_orderdate AS DATE)) AS mx FROM orders)
+SELECT dec.c_nationkey,
+       CAST(dec.day - DATE '1970-01-01' AS BIGINT) AS day_idx,
+       decayed_scaled
+FROM dec
+JOIN span USING (c_nationkey)
+CROSS JOIN gmax
+WHERE dec.day <= span.last_day AND dec.day >= mx - 13
+ORDER BY 1, 2
+"""
+
+
+ORACLES["benford_prices"] = """
+WITH c AS (
+    SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+    FROM lineitem
+),
+per AS (
+    SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+           CAST(count(*) AS BIGINT) AS n
+    FROM c WHERE v > 0 GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM per),
+e(digit, exp_milli) AS (
+    VALUES (1, 301), (2, 176), (3, 125), (4, 97), (5, 79),
+           (6, 67), (7, 58), (8, 51), (9, 46)
+)
+SELECT per.digit, n,
+       CAST(n * 1000 // t AS BIGINT) AS obs_milli,
+       CAST(exp_milli AS BIGINT) AS exp_milli,
+       CAST(abs(n * 1000 // t - exp_milli) AS BIGINT) AS dev_milli
+FROM per JOIN e USING (digit) CROSS JOIN tot
+ORDER BY digit
+"""
+
+
+ORACLES["compaction_bins"] = """
+WITH f AS (
+    SELECT CAST(l_orderkey % 311 AS BIGINT) AS file_id,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS size_bytes
+    FROM lineitem GROUP BY 1
+),
+r AS (
+    SELECT file_id, size_bytes,
+           sum(size_bytes) OVER (
+               ORDER BY file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - size_bytes AS before_b
+    FROM f
+),
+b AS (SELECT *, before_b // 10000000000 AS bin_id FROM r)
+SELECT CAST(bin_id AS BIGINT) AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(size_bytes) AS BIGINT) AS bin_bytes,
+       CAST(min(file_id) AS BIGINT) AS first_file,
+       CAST(max(file_id) AS BIGINT) AS last_file
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLES["checksum_orders_monthly"] = """
+WITH c AS (
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           concat_ws('|',
+               CAST(CAST(o_orderkey AS BIGINT) AS VARCHAR),
+               o_orderstatus, o_orderpriority,
+               CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                    AS VARCHAR)) AS canon
+    FROM orders
+),
+h AS (
+    SELECT month,
+           CAST(('0x' || substr(md5(canon), 1, 8)) AS BIGINT)
+               % 1000003 AS l1,
+           CAST(('0x' || substr(md5(canon), 9, 8)) AS BIGINT)
+               % 1000003 AS l2
+    FROM c
+)
+SELECT month,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(l1) AS BIGINT) AS sum_lane1,
+       CAST(sum(l2) AS BIGINT) AS sum_lane2
+FROM h GROUP BY month ORDER BY month
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix (joins.py:
+    event_transitions): each user's event stream (ts, event_id total
+    order — deterministic under duplicate timestamps) yields adjacent
+    from->to steps; the |states|² grid carries exact counts and
+    row-normalized milli probabilities. One keyed lag window + one
+    hash aggregate; the from-state totals re-aggregate FROM THE GRID
+    and join back broadcast — the event stream is scanned once."""
+    from .joins import event_transitions
+
+    ev = _load(spark, sf_dir, "events")
+    return event_transitions(
+        ev, "user_id", "ts", "event_type", tiebreak="event_id"
+    ).orderBy("from_state", "to_state")
+
+
+def q_contingency_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical independence screen (stats.py:
+    contingency_independence): does order priority depend on market
+    segment? Observed vs independence-expected cell shares in exact
+    milli units (cross-multiplied BIGINTs — no floating chi² crosses
+    engines); sum(dev_milli) div 2 is the joint-vs-product TVD. One
+    data scan to the 5x5 cell grid; marginals re-aggregate from the
+    GRID and join back broadcast."""
+    from .stats import contingency_independence
+
+    o = _load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = _load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    return (
+        contingency_independence(j, "c_mktsegment", "o_orderpriority")
+        .select(
+            F.col("a").alias("segment"),
+            F.col("b").alias("priority"),
+            "n",
+            "obs_milli",
+            "exp_milli",
+            "dev_milli",
+        )
+        .orderBy("segment", "priority")
+    )
+
+
+def q_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (stats.py:fk_orphans): lineitem's
+    three foreign keys, each checked in ONE pass — key projection,
+    LEFT join against the dimension's distinct keys with a hit
+    marker, one conditional aggregate folding total/NULL/dangling
+    counts. Supplier and part are deliberately perturbed (every 7th /
+    13th key dropped) so the orphan counts are non-trivial and
+    deterministic; each relation is an independent branch of one
+    union. NULL FKs count separately from dangling ones (different
+    defect, different fix)."""
+    from .stats import fk_orphans
+
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    supp = _load(spark, sf_dir, "supplier").filter(
+        F.col("s_suppkey") % 7 != 0
+    )
+    part = _load(spark, sf_dir, "part").filter(F.col("p_partkey") % 13 != 0)
+    return fk_orphans(
+        li,
+        {
+            "l_orderkey": (orders, "o_orderkey"),
+            "l_partkey": (part, "p_partkey"),
+            "l_suppkey": (supp, "s_suppkey"),
+        },
+    ).orderBy("relation")
+
+
+QUERIES["event_transitions"] = q_event_transitions
+QUERIES["contingency_segments"] = q_contingency_segments
+QUERIES["fk_orphan_audit"] = q_fk_orphan_audit
+
+
+ORACLES["event_transitions"] = """
+WITH s AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS f
+    FROM events
+),
+grid AS (
+    SELECT f AS from_state, event_type AS to_state,
+           CAST(count(*) AS BIGINT) AS n
+    FROM s WHERE f IS NOT NULL GROUP BY 1, 2
+),
+tot AS (
+    SELECT from_state, CAST(sum(n) AS BIGINT) AS from_total
+    FROM grid GROUP BY 1
+)
+SELECT from_state, to_state, n, from_total,
+       CAST(n * 1000 // from_total AS BIGINT) AS prob_milli
+FROM grid JOIN tot USING (from_state)
+ORDER BY from_state, to_state
+"""
+
+
+ORACLES["contingency_segments"] = """
+WITH cells AS (
+    SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2
+),
+rm AS (SELECT segment, CAST(sum(n) AS BIGINT) AS row_total FROM cells GROUP BY 1),
+cm AS (SELECT priority, CAST(sum(n) AS BIGINT) AS col_total FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells)
+SELECT segment, priority, n,
+       CAST(n * 1000 // total AS BIGINT) AS obs_milli,
+       CAST(row_total * col_total * 1000 // (total * total) AS BIGINT)
+           AS exp_milli,
+       CAST(abs(n * 1000 // total
+                - row_total * col_total * 1000 // (total * total))
+            AS BIGINT) AS dev_milli
+FROM cells JOIN rm USING (segment) JOIN cm USING (priority) CROSS JOIN tot
+ORDER BY segment, priority
+"""
+
+
+ORACLES["fk_orphan_audit"] = """
+WITH r1 AS (
+    SELECT 'l_orderkey' AS relation,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null,
+           CAST(sum(CASE WHEN l.l_orderkey IS NOT NULL
+                          AND o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphan
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+r2 AS (
+    SELECT 'l_partkey' AS relation,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN l.l_partkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null,
+           CAST(sum(CASE WHEN l.l_partkey IS NOT NULL
+                          AND p.p_partkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphan
+    FROM lineitem l LEFT JOIN (
+        SELECT p_partkey FROM part WHERE p_partkey % 13 <> 0
+    ) p ON l.l_partkey = p.p_partkey
+),
+r3 AS (
+    SELECT 'l_suppkey' AS relation,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN l.l_suppkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null,
+           CAST(sum(CASE WHEN l.l_suppkey IS NOT NULL
+                          AND s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphan
+    FROM lineitem l LEFT JOIN (
+        SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 <> 0
+    ) s ON l.l_suppkey = s.s_suppkey
+),
+u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3)
+SELECT relation, n_rows, n_null, n_orphan,
+       CAST(n_orphan * 1000 // n_rows AS BIGINT) AS orphan_milli
+FROM u ORDER BY relation
+"""

@@ -163,3 +163,35 @@ def test_schema_diff_classifies_drift(spark):
     # removed direction
     back = {r.column: r.status for r in schema_diff(b, a).collect()}
     assert back["flag"] == "removed"
+
+
+def test_table_fingerprint_order_and_partition_invariant(spark):
+    from data__converter_spark.compare import table_fingerprint
+
+    rows = [("2024-01", 1, "x"), ("2024-01", 2, "y"), ("2024-02", 3, "z")]
+    a = spark.createDataFrame(rows, "m string, k long, v string")
+    b = spark.createDataFrame(list(reversed(rows)), "m string, k long, v string").repartition(7)
+    fa = {tuple(r) for r in table_fingerprint(a, ["k", "v"], "m", "m").collect()}
+    fb = {tuple(r) for r in table_fingerprint(b, ["k", "v"], "m", "m").collect()}
+    assert fa == fb and len(fa) == 2
+
+
+def test_table_fingerprint_detects_single_changed_row(spark):
+    from data__converter_spark.compare import table_fingerprint
+
+    a = spark.createDataFrame([("g", 1, "x"), ("g", 2, "y")], "m string, k long, v string")
+    b = spark.createDataFrame([("g", 1, "x"), ("g", 2, "Y")], "m string, k long, v string")
+    ra = table_fingerprint(a, ["k", "v"], "m", "m").collect()[0]
+    rb = table_fingerprint(b, ["k", "v"], "m", "m").collect()[0]
+    assert ra["n_rows"] == rb["n_rows"] == 2
+    assert (ra["sum_lane1"], ra["sum_lane2"]) != (rb["sum_lane1"], rb["sum_lane2"])
+
+
+def test_table_fingerprint_null_never_collides_with_empty(spark):
+    from data__converter_spark.compare import table_fingerprint
+
+    a = spark.createDataFrame([("g", None)], "m string, v string")
+    b = spark.createDataFrame([("g", "")], "m string, v string")
+    ra = table_fingerprint(a, ["v"], "m", "m").collect()[0]
+    rb = table_fingerprint(b, ["v"], "m", "m").collect()[0]
+    assert (ra["sum_lane1"], ra["sum_lane2"]) != (rb["sum_lane1"], rb["sum_lane2"])

@@ -262,3 +262,42 @@ def test_entity_canonicalize_maps_every_record(spark):
         assert canon[c] == c, f"canonical {c} of {k} is not a fixed point"
         assert rows[c]["is_canonical"]
         assert c <= k or rows[k]["is_canonical"] is False or c == k
+
+
+def test_event_transitions_counts_and_milli_probs(spark):
+    from data__converter_spark.joins import event_transitions
+
+    rows = [
+        # user 1: A -> B -> A -> B  (steps: A>B, B>A, A>B)
+        (1, 1, "A"), (2, 1, "B"), (3, 1, "A"), (4, 1, "B"),
+        # user 2: B -> B
+        (5, 2, "B"), (6, 2, "B"),
+    ]
+    df = spark.createDataFrame(rows, "eid long, uid long, st string").withColumn(
+        "ts", F.col("eid").cast("timestamp")
+    )
+    got = {
+        tuple(r)
+        for r in event_transitions(df, "uid", "ts", "st", tiebreak="eid")
+        .select("from_state", "to_state", "n", "from_total", "prob_milli")
+        .collect()
+    }
+    assert got == {
+        ("A", "B", 2, 2, 1000),
+        ("B", "A", 1, 2, 500),
+        ("B", "B", 1, 2, 500),
+    }
+
+
+def test_event_transitions_duplicate_ts_resolved_by_tiebreak(spark):
+    from data__converter_spark.joins import event_transitions
+
+    rows = [(1, 1, "X"), (2, 1, "Y")]  # same ts; eid orders X before Y
+    df = spark.createDataFrame(rows, "eid long, uid long, st string").withColumn(
+        "ts", F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    got = [
+        (r["from_state"], r["to_state"])
+        for r in event_transitions(df, "uid", "ts", "st", tiebreak="eid").collect()
+    ]
+    assert got == [("X", "Y")]

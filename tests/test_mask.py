@@ -166,3 +166,36 @@ def test_mask_is_single_projection(spark, pii):
     plan = masked._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_k_anonymity_classes_and_l_diversity(spark):
+    from data__converter_spark.mask import k_anonymity
+
+    rows = [
+        # class (a, 1): 3 rows, sensitive {10, 10, 20} -> l=2
+        ("a", 1, 10), ("a", 1, 10), ("a", 1, 20),
+        # class (a, 2): 2 rows, same sensitive -> l=1, at risk for k=3
+        ("a", 2, 5), ("a", 2, 5),
+        # class (b, 1): exactly k rows -> NOT at risk (strict <)
+        ("b", 1, 1), ("b", 1, 2), ("b", 1, 3),
+    ]
+    df = spark.createDataFrame(rows, "q1 string, q2 long, s long")
+    got = {
+        (r["q1"], r["q2"], r["class_size"], r["l_distinct"], r["at_risk"])
+        for r in k_anonymity(df, ["q1", "q2"], k=3, sensitive="s").collect()
+    }
+    assert got == {
+        ("a", 1, 3, 2, False),
+        ("a", 2, 2, 1, True),
+        ("b", 1, 3, 3, False),
+    }
+
+
+def test_k_anonymity_without_sensitive_column(spark):
+    from data__converter_spark.mask import k_anonymity
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "q string")
+    out = k_anonymity(df, ["q"], k=2)
+    assert "l_distinct" not in out.columns
+    got = {(r["q"], r["class_size"], r["at_risk"]) for r in out.collect()}
+    assert got == {("a", 2, False), ("b", 1, True)}

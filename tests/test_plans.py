@@ -784,3 +784,59 @@ def test_scd2_apply_history_bypasses_windows(spark):
     assert "LeftSemi" in p
     assert "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_checksum_fingerprint_one_aggregate_no_join_no_sort(spark):
+    """checksum_orders_monthly: the whole digest is one keyed hash
+    aggregate fused over the scan — no join, no sort, no exchange
+    beyond the single group-by, no Python."""
+    from data__converter_spark.workloads import QUERIES
+
+    p = plan_of(QUERIES["checksum_orders_monthly"](spark, SF_DIR))
+    assert "Join" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # exactly one data exchange (the group-by); the only other
+    # exchange is the presentation orderBy's rangepartitioning over
+    # ~80 month rows
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_ewma_decayed_sum_is_sort_free(spark):
+    """ewma_nation_daily: the decayed series comes from explode +
+    hash aggregates — no per-key ORDER BY window (no WindowExec, no
+    sort below an aggregate) anywhere in the plan."""
+    from data__converter_spark.workloads import QUERIES
+
+    p = plan_of(QUERIES["ewma_nation_daily"](spark, SF_DIR))
+    assert "Window" not in p
+    assert "Generate explode" in p
+    assert "CartesianProduct" not in p
+
+
+def test_compaction_window_runs_over_file_metadata_only(spark):
+    """compaction_bins: the single-partition running-sum window sits
+    ABOVE the per-file aggregate — the window's child plan contains
+    the (already tiny) file-id hash aggregate, so data rows never
+    enter the window."""
+    from data__converter_spark.workloads import QUERIES
+
+    p = plan_of(QUERIES["compaction_bins"](spark, SF_DIR))
+    w = p.find("Window")
+    assert w != -1
+    # the aggregate producing the inventory appears below the window
+    assert "HashAggregate" in p[w:]
+
+
+def test_k_anonymity_risk_total_broadcasts_over_class_table(spark):
+    """k_anonymity_audit: the risk share is a broadcast nested-loop of
+    a 1-row total over the PERSISTED class aggregate — both consumers
+    read InMemoryTableScan, so customer is scanned once however many
+    branches hang off the class table. (The plan text prints the
+    cached relation's defining FileScan inside each InMemoryRelation
+    block, so 'Scan parquet' appears per reference — the cache reads
+    are what pin the single real scan.)"""
+    from data__converter_spark.workloads import QUERIES
+
+    p = plan_of(QUERIES["k_anonymity_audit"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p
+    assert p.count("InMemoryTableScan") == 2

@@ -406,3 +406,32 @@ def test_write_zordered_stats_drive_file_pruning(spark, orders, tmp_path):
     got = sorted(r["o_orderkey"] for r in pruned.collect())
     want = sorted(r["o_orderkey"] for r in direct.collect())
     assert got == want
+
+
+def test_compaction_plan_running_sum_bins(spark):
+    files = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 5), (4, 5)], "file_id long, size_bytes long"
+    )
+    got = {
+        (r["file_id"], r["bin_id"])
+        for r in scale.compaction_plan(
+            files, "size_bytes", 10, "file_id"
+        ).collect()
+    }
+    # bytes-before: 0, 5, 10, 15 -> bins 0, 0, 1, 1
+    assert got == {(1, 0), (2, 0), (3, 1), (4, 1)}
+
+
+def test_compaction_plan_overflows_by_at_most_one_file(spark):
+    files = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 7)], "file_id long, size_bytes long"
+    )
+    got = dict(
+        (r["file_id"], r["bin_id"])
+        for r in scale.compaction_plan(
+            files, "size_bytes", 10, "file_id"
+        ).collect()
+    )
+    # file 2 still lands in bin 0 (bytes-before 7 < 10); the bin closes
+    # at 14 bytes -- overflow bounded by one file, never two
+    assert got == {1: 0, 2: 0, 3: 1}

@@ -226,3 +226,63 @@ def test_histogram_drift_bands_and_tvd(spark):
     assert out[3]["n_a"] == 0 and out[3]["milli_b"] == 750
     tvd = sum(r["diff_milli"] for r in out.values()) // 2
     assert tvd == (0 + 500 + 250 + 750) // 2
+
+
+def test_benford_profile_counts_and_milli_shares(spark):
+    from data__converter_spark.stats import benford_profile
+
+    # digits: 1 -> {1, 19}, 2 -> {2}, 3 -> {300}, 9 -> {9};
+    # 0 and negatives are excluded (no significant digit)
+    df = spark.createDataFrame(
+        [(1,), (19,), (2,), (300,), (9,), (0,), (-5,)], "v long"
+    )
+    got = {
+        (r["digit"], r["n"], r["obs_milli"], r["exp_milli"], r["dev_milli"])
+        for r in benford_profile(df, "v").collect()
+    }
+    assert got == {
+        (1, 2, 400, 301, 99),
+        (2, 1, 200, 176, 24),
+        (3, 1, 200, 125, 75),
+        (9, 1, 200, 46, 154),
+    }
+
+
+def test_contingency_independence_zero_dev_when_independent(spark):
+    from data__converter_spark.stats import contingency_independence
+
+    rows = [(a, b) for a in ("x", "y") for b in ("p", "q") for _ in range(2)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = contingency_independence(df, "a", "b").collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["obs_milli"] == 250 and r["exp_milli"] == 250
+        assert r["dev_milli"] == 0
+
+
+def test_contingency_independence_flags_concentration(spark):
+    from data__converter_spark.stats import contingency_independence
+
+    # everything in one cell of a 2x2 support -> maximal deviation
+    rows = [("x", "p")] * 3 + [("y", "q")] * 1
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = {
+        (r["a"], r["b"]): (r["obs_milli"], r["exp_milli"], r["dev_milli"])
+        for r in contingency_independence(df, "a", "b").collect()
+    }
+    assert got[("x", "p")] == (750, 562, 188)
+    assert got[("y", "q")] == (250, 62, 188)
+
+
+def test_fk_orphans_counts_nulls_separately(spark):
+    from data__converter_spark.stats import fk_orphans
+
+    fact = spark.createDataFrame([(1,), (2,), (3,), (None,)], "fk long")
+    dim = spark.createDataFrame([(1,), (2,)], "k long")
+    out = fk_orphans(fact, {"fk": (dim, "k")}).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["relation"], r["n_rows"], r["n_null"], r["n_orphan"]) == (
+        "fk", 4, 1, 1,
+    )
+    assert r["orphan_milli"] == 250

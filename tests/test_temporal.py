@@ -276,3 +276,31 @@ def test_resample_ffill_tiebreak_within_timestamp(spark):
     )
     (row,) = resample_ffill(df, "k", "ts", ["state"], "eid").collect()
     assert row["state"] == "hi" and row["is_observed"]
+
+
+def test_decayed_sum_exact_dyadic_weights(spark):
+    from data__converter_spark.temporal import decayed_sum
+
+    rows = [
+        # key 1: observations on day 0 (v=1, split across two rows)
+        # and day 2 (v=100); window W=3 -> weights 4, 2, 1
+        (1, "2024-01-01", 1),
+        (1, "2024-01-01", 0),
+        (1, "2024-01-03", 100),
+        # key 2: single observation, independent of key 1
+        (2, "2024-01-01", 7),
+    ]
+    df = spark.createDataFrame(rows, "k long, day string, v long").withColumn(
+        "day", F.col("day").cast("date")
+    )
+    got = {
+        (r["k"], str(r["day"]), r["decayed_scaled"])
+        for r in decayed_sum(df, "k", "day", "v", window_days=3).collect()
+    }
+    assert got == {
+        (1, "2024-01-01", 4),        # 1*4
+        (1, "2024-01-02", 2),        # 1*2
+        (1, "2024-01-03", 401),      # 1*1 + 100*4
+        # 2024-01-04/05 dropped: past key 1's last observed day
+        (2, "2024-01-01", 28),       # 7*4 only; key 2 ends day 1
+    }

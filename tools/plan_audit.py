@@ -97,6 +97,14 @@ SHOWCASE = [
     ("skew_key_events", "one map-side-combining count aggregate on the key; TakeOrderedAndProject for the top-20 (never a global sort — the rank window runs over the already-limited rows); totals scalar broadcast-hinted"),
     ("scd2_apply_events", "closed history and untouched keys pass through semi/anti joins WITHOUT entering any window; only (touched current rows ∪ change batch) — batch-sized — flows through the two shared-exchange scd2 windows"),
     ("resample_user_daily", "sequence()+explode generates each key's own day spine — no calendar table, no driver loop; day-last is a max_by hash aggregate (no window); ONE keyed window does the carry-forward"),
+    ("k_anonymity_audit", "one hash aggregate to class granularity (count + two-phase distinct inside the same key exchange), persisted; the risk total is a 1-row broadcast over the cached CLASS table — exactly one customer scan in the plan"),
+    ("ewma_nation_daily", "sort-free EWMA: explode(sequence) scatters each daily point into its 8 decay targets, one (key, day) hash aggregate folds them — no per-key ORDER BY window anywhere; the daily frame is persisted for its two consumers (scatter + last-day bound)"),
+    ("benford_prices", "scan -> 9-row partial+final count aggregate -> 1-row broadcast total; the leading digit is substring of the integer rendering, whole-stage codegen, zero Python"),
+    ("compaction_bins", "the single-partition running-sum window runs over the 311-row FILE INVENTORY (metadata scale), downstream of the distributed per-file size aggregate — data rows never see the window"),
+    ("checksum_orders_monthly", "one keyed aggregate, no join, no sort: md5 lanes and mod-residues fuse into the scan projection; commutative sums make the digest partitioning- and order-invariant"),
+    ("event_transitions", "one keyed lag window forms the steps, one hash aggregate folds to the |states|-squared grid; from-state totals re-aggregate FROM THE GRID and broadcast back — the event stream is scanned once"),
+    ("contingency_segments", "one scan to the persisted 5x5 cell grid; marginals and the total re-aggregate from the CACHED cells (grid-sized) and join back broadcast; every share is cross-multiplied BIGINT"),
+    ("fk_orphan_audit", "three independent one-pass branches in one union: key projection -> LEFT join on the dimension's distinct keys (hit marker, broadcast when dim-sized) -> ONE conditional aggregate — the fact is never re-scanned per count"),
 ]
 
 

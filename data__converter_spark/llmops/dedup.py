@@ -1682,3 +1682,77 @@ def setsim_join_prefix(
             ((F.lit(1000) * inter) / uni).cast("long").alias("jac_milli"),
         )
     )
+
+
+def deletion_neighborhood_pairs(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    max_variant_freq: int = 50,
+) -> DataFrame:
+    """Edit-distance-1 string pairs via the FastSS deletion index.
+
+    The scale-correct answer to typo-level matching (Bocek et al.,
+    "Fast Similarity Search in Large Dictionaries", 2007): two strings
+    are within one edit (substitution, insertion, or deletion) ONLY IF
+    they share a member of each other's deletion neighborhood — the
+    string itself plus every single-character deletion. So instead of
+    all-pairs levenshtein (the O(n²) trap a blocked join only hides),
+    each string explodes into |s|+1 variants, candidates come from an
+    equi-join on the variant, and the built-in JVM ``levenshtein``
+    verifies only those candidates (deletions taken at different
+    positions can pair distance-2 strings — e.g. 'abcd'/'bcde' share
+    'bcd' — so verification is NOT optional).
+
+    ``max_variant_freq`` is the hot-variant guard, same role as
+    ``max_item_freq`` in the PPJoin path above: a variant shared by f
+    strings contributes f² candidates, so degenerate keys (empty-ish
+    strings, boilerplate prefixes) are dropped from the index rather
+    than joined. Dropped variants can only LOSE candidate pairs whose
+    every shared variant is hot; the cap is reported by the caller's
+    choice, not silently defaulted at scale.
+
+    Output: one row per matched pair — (id_a, id_b, val_a, val_b,
+    dist) with ``id_a < id_b``, distance in {0, 1}.
+    """
+    s = df.select(
+        F.col(id_col).alias("id"), F.col(col).cast("string").alias("v")
+    ).filter(F.col("v").isNotNull())
+    variants = s.select(
+        "id",
+        "v",
+        F.explode(
+            F.array_union(
+                F.array(F.col("v")),
+                F.expr(
+                    "transform(sequence(1, length(v)), "
+                    "i -> concat(substring(v, 1, i - 1), substring(v, i + 1)))"
+                ),
+            )
+        ).alias("var"),
+    )
+    # ONE exchange on the variant generates candidates: pairs form
+    # INSIDE each posting list (sorted by id, so id_a < id_b by
+    # construction), instead of a freq-count join plus a variant
+    # self-join — group size is the frequency ((id, var) is unique, the
+    # variant set per id is deduped above), so the <= cap filter IS the
+    # hot-variant guard, and per-group state is at most cap structs.
+    grouped = (
+        variants.groupBy("var")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "v"))).alias("g"))
+        .filter(
+            (F.size("g") >= 2) & (F.size("g") <= F.lit(int(max_variant_freq)))
+        )
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(g, (x, i) -> "
+            "transform(slice(g, i + 2, size(g) - i - 1), "
+            "y -> struct(x.id AS id_a, x.v AS val_a, "
+            "y.id AS id_b, y.v AS val_b))))"
+        )
+    ).alias("p")
+    cand = grouped.select(pair).select("p.*").distinct()
+    return cand.withColumn(
+        "dist", F.levenshtein("val_a", "val_b").cast("bigint")
+    ).filter(F.col("dist") <= 1)

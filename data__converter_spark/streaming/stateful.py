@@ -217,3 +217,106 @@ def band_candidates(
         outputMode="append",
         timeoutConf=timeout_conf,
     )
+
+
+STEPS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("from_state", T.StringType()),
+        T.StructField("to_state", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+    ]
+)
+
+_LAST_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_micro", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+
+def transition_steps(events: DataFrame) -> DataFrame:
+    """Per-user adjacent (from_state -> to_state) steps, stitched
+    ACROSS micro-batches.
+
+    The streaming half of ``joins.event_transitions``: the batch form
+    is one keyed lag window; the streaming form keeps each user's last
+    event — (ts, event_id, event_type), the same total order as the
+    batch window — in GroupState, so the first event of a new batch
+    pairs with the last event of the previous one instead of being
+    silently dropped at the batch boundary. Within a batch, rows sort
+    by (ts, event_id) before pairing — identical tiebreak to the
+    window. Feed the emitted steps to a downstream count (or collect
+    and fold) to maintain the transition grid incrementally.
+
+    Contract: per-key IN-ORDER ingestion across batches (a CDC-style
+    assumption — a batch must not contain events older than an already
+    consumed one for the same key). State is ONE row per user — the
+    scaling invariant — and never grows with history.
+
+    Output: (user_id, from_state, to_state, event_id) per step, where
+    ``event_id`` is the id of the *to* event (a deterministic step
+    identity used by tests and downstream dedup).
+    """
+    if not events.isStreaming:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            events.withColumn("__from__", F.lag("event_type").over(w))
+            .filter(F.col("__from__").isNotNull())
+            .select(
+                "user_id",
+                F.col("__from__").alias("from_state"),
+                F.col("event_type").alias("to_state"),
+                "event_id",
+            )
+        )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        last = state.get if state.exists else None
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        out_from: list = []
+        out_to: list = []
+        out_eid: list = []
+        if frames:
+            batch = pd.concat(frames).sort_values(["ts", "event_id"])
+            prev_type = last[2] if last is not None else None
+            for ts, eid, etype in zip(
+                batch["ts"], batch["event_id"], batch["event_type"]
+            ):
+                if prev_type is not None:
+                    out_from.append(prev_type)
+                    out_to.append(etype)
+                    out_eid.append(int(eid))
+                prev_type = etype
+            tail = batch.iloc[-1]
+            state.update(
+                (
+                    int(tail["ts"].value // 1000),
+                    int(tail["event_id"]),
+                    str(tail["event_type"]),
+                )
+            )
+        if out_eid:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out_eid),
+                    "from_state": out_from,
+                    "to_state": out_to,
+                    "event_id": out_eid,
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=STEPS_SCHEMA,
+        stateStructType=_LAST_EVENT_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

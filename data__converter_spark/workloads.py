@@ -9589,3 +9589,78 @@ SELECT relation, n_rows, n_null, n_orphan,
        CAST(n_orphan * 1000 // n_rows AS BIGINT) AS orphan_milli
 FROM u ORDER BY relation
 """
+
+
+def q_typo_pairs_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 matching at scale (llmops/dedup.py:
+    deletion_neighborhood_pairs): the FastSS deletion index over ALL
+    customer names — each name explodes into its |s|+1 deletion
+    variants, candidates come from the variant equi-join (never
+    all-pairs levenshtein; the hot-variant cap bounds the f² blowup,
+    replicated exactly in the oracle), and the built-in JVM
+    ``levenshtein`` verifies candidates. Upgrades fuzzy_name_pairs'
+    bounded-block demo to the real index. Output pins the full pair
+    multiset per distance through count, an id-weighted digest, and
+    id extremes."""
+    from .llmops.dedup import deletion_neighborhood_pairs
+
+    cust = _load(spark, sf_dir, "customer")
+    pairs = deletion_neighborhood_pairs(
+        cust, "c_name", "c_custkey", max_variant_freq=50
+    )
+    return (
+        pairs.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                F.col("id_a").cast("bigint") * F.lit(100003)
+                + F.col("id_b").cast("bigint")
+            )
+            .cast("bigint")
+            .alias("pair_digest"),
+            F.min("id_a").cast("bigint").alias("min_id_a"),
+            F.max("id_b").cast("bigint").alias("max_id_b"),
+        )
+        .orderBy("dist")
+    )
+
+
+QUERIES["typo_pairs_names"] = q_typo_pairs_names
+
+
+ORACLES["typo_pairs_names"] = """
+WITH s AS (
+    SELECT c_custkey AS id, c_name AS v FROM customer
+    WHERE c_name IS NOT NULL
+),
+vars AS (
+    SELECT id, v,
+           unnest(list_distinct(list_append(
+               list_transform(range(1, length(v) + 1),
+                   i -> substr(v, 1, i - 1) || substr(v, i + 1)),
+               v))) AS var
+    FROM s
+),
+freq AS (SELECT var, count(*) AS f FROM vars GROUP BY 1),
+cold AS (
+    SELECT vars.id, vars.v, vars.var
+    FROM vars JOIN freq USING (var) WHERE f <= 50
+),
+cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.v AS val_a, b.v AS val_b
+    FROM cold a JOIN cold b USING (var)
+    WHERE a.id < b.id
+),
+pairs AS (
+    SELECT id_a, id_b, CAST(levenshtein(val_a, val_b) AS BIGINT) AS dist
+    FROM cand WHERE levenshtein(val_a, val_b) <= 1
+)
+SELECT dist,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(id_a * 100003 + id_b) AS BIGINT) AS pair_digest,
+       CAST(min(id_a) AS BIGINT) AS min_id_a,
+       CAST(max(id_b) AS BIGINT) AS max_id_b
+FROM pairs
+GROUP BY dist
+ORDER BY dist
+"""

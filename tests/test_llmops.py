@@ -1786,3 +1786,53 @@ def test_label_noise_scan_flags_mislabels(spark):
     # strictly less than to the other centroid
     assert out[0]["d_own"] == out[0]["d_best"]
     assert out[5]["d_best"] < out[5]["d_own"]
+
+
+def test_deletion_neighborhood_pairs_finds_all_edit1_kinds(spark):
+    from data__converter_spark.llmops.dedup import deletion_neighborhood_pairs
+
+    rows = [
+        (1, "abc"),   # substitution partner of 2
+        (2, "abd"),
+        (3, "ab"),    # deletion partner of 1 and 2
+        (4, "xyz"),   # no partner
+        (5, "abc"),   # exact duplicate of 1 -> dist 0
+    ]
+    df = spark.createDataFrame(rows, "id long, v string")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in deletion_neighborhood_pairs(df, "v", "id").collect()
+    }
+    assert got == {
+        (1, 2, 1),  # abc ~ abd (substitution)
+        (1, 3, 1),  # abc ~ ab  (deletion)
+        (2, 3, 1),  # abd ~ ab
+        (1, 5, 0),  # exact dup
+        (2, 5, 1),
+        (3, 5, 1),
+    }
+
+
+def test_deletion_neighborhood_verification_kills_distance2(spark):
+    from data__converter_spark.llmops.dedup import deletion_neighborhood_pairs
+
+    # 'abcd' (del a -> bcd) and 'bcde' (del e -> bcd) share a variant
+    # but are distance 2 — the candidate must be verified away
+    df = spark.createDataFrame([(1, "abcd"), (2, "bcde")], "id long, v string")
+    assert deletion_neighborhood_pairs(df, "v", "id").count() == 0
+
+
+def test_deletion_neighborhood_hot_variant_cap(spark):
+    from data__converter_spark.llmops.dedup import deletion_neighborhood_pairs
+
+    # 60 identical strings: every variant is hot at cap 50 -> no pairs
+    df = spark.createDataFrame([(i, "same") for i in range(60)], "id long, v string")
+    assert (
+        deletion_neighborhood_pairs(df, "v", "id", max_variant_freq=50).count()
+        == 0
+    )
+    # raising the cap admits them again
+    assert (
+        deletion_neighborhood_pairs(df, "v", "id", max_variant_freq=100).count()
+        == 60 * 59 // 2
+    )

@@ -939,3 +939,94 @@ def test_scd2_stream_maintenance_equals_batch_build(spark, tmp_path):
         "user_id", ["event_type"], "ts", "event_id",
     )
     assert sorted(map(tuple, spark.read.parquet(table).select(*cols).collect())) == want
+
+
+def test_stream_transition_steps_stitch_across_batches(spark, tmp_path):
+    """transition_steps: the first event of batch 2 must pair with the
+    last event of batch 1 held in GroupState — the boundary step is
+    exactly what a per-batch lag window would silently drop."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from data__converter_spark.streaming.runner import run_once
+    from data__converter_spark.streaming.stateful import transition_steps
+
+    rows1 = [
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (2, "2024-01-01 00:01:00", 1, "click"),
+        (3, "2024-01-01 00:00:30", 2, "view"),
+    ]
+    rows2 = [
+        (4, "2024-01-01 00:02:00", 1, "purchase"),  # boundary: click->purchase
+        (5, "2024-01-01 00:03:00", 2, "click"),     # boundary: view->click
+        (6, "2024-01-01 00:04:00", 2, "view"),
+    ]
+    schema = "event_id long, ts string, user_id long, event_type string"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+
+    d = str(tmp_path / "ev_stream")
+    os.makedirs(d)
+    mk(rows1).coalesce(1).write.parquet(f"{d}/c1")
+    mk(rows2).coalesce(1).write.parquet(f"{d}/c2")
+    stream = (
+        spark.readStream.schema(mk(rows1).schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    got = {
+        (r["user_id"], r["from_state"], r["to_state"], r["event_id"])
+        for r in run_once(transition_steps(stream), output_mode="append").collect()
+    }
+    want = {
+        (r["user_id"], r["from_state"], r["to_state"], r["event_id"])
+        for r in transition_steps(
+            mk(rows1).unionByName(mk(rows2))
+        ).collect()
+    }
+    assert want == {
+        (1, "view", "click", 2),
+        (1, "click", "purchase", 4),
+        (2, "view", "click", 5),
+        (2, "click", "view", 6),
+    }
+    assert got == want
+
+
+def test_stream_transition_steps_sorts_within_batch(spark, tmp_path):
+    """Within one micro-batch, steps follow (ts, event_id) order, not
+    arrival order — identical tiebreak to the batch lag window."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from data__converter_spark.streaming.runner import run_once
+    from data__converter_spark.streaming.stateful import transition_steps
+
+    rows = [  # deliberately out of order in the file
+        (2, "2024-01-01 00:01:00", 1, "click"),
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (3, "2024-01-01 00:01:00", 1, "purchase"),  # ts tie: eid 2 < 3
+    ]
+    schema = "event_id long, ts string, user_id long, event_type string"
+    df = spark.createDataFrame(rows, schema).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    d = str(tmp_path / "oo_stream")
+    os.makedirs(d)
+    df.coalesce(1).write.parquet(f"{d}/c1")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    got = {
+        (r["from_state"], r["to_state"], r["event_id"])
+        for r in run_once(transition_steps(stream), output_mode="append").collect()
+    }
+    assert got == {("view", "click", 2), ("click", "purchase", 3)}

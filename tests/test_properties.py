@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from data__converter_spark import compare
 from data__converter_spark.io import pdf, readers, writers, xlsx_lite
@@ -603,3 +604,124 @@ def test_scd2_apply_equals_full_rebuild_any_split(spark, rows, split_day):
         dim, df.filter(df.ts >= cut), "k", ["state"], "ts", "eid"
     )
     assert sorted(map(tuple, got.collect())) == full
+
+
+decayed_obs = st.lists(
+    st.tuples(
+        st.integers(1, 2),        # key
+        st.integers(0, 14),       # day offset from epoch
+        st.integers(-1000, 1000), # value
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(**SPARK_SETTINGS)
+@given(decayed_obs, st.integers(2, 5))
+def test_decayed_sum_matches_python_reference(spark, obs, w):
+    """decayed_sum == the brute-force definition: for every emitted
+    (key, day), Σ over the key's observations within the window of
+    v·2^(W-1-d); emitted days are exactly [first obs, last obs] ∩
+    {days with a contributor}; nothing past the key's last day."""
+    import collections
+    import datetime
+
+    from data__converter_spark.temporal import decayed_sum
+
+    epoch = datetime.date(2024, 1, 1)
+    rows = [
+        (k, (epoch + datetime.timedelta(days=d)).isoformat(), v)
+        for k, d, v in obs
+    ]
+    df = spark.createDataFrame(rows, "k long, day string, v long").withColumn(
+        "day", F.col("day").cast("date")
+    )
+    got = {
+        (r["k"], str(r["day"])): r["decayed_scaled"]
+        for r in decayed_sum(df, "k", "day", "v", window_days=w).collect()
+    }
+    # python reference
+    daily: dict = collections.defaultdict(int)
+    for k, d, v in obs:
+        daily[(k, d)] += v
+    last = collections.defaultdict(int)
+    for (k, d) in daily:
+        last[k] = max(last[k], d)
+    want: dict = collections.defaultdict(int)
+    for (k, d), v in daily.items():
+        for off in range(w):
+            t = d + off
+            if t <= last[k]:
+                want[(k, t)] += v * (1 << (w - 1 - off))
+    want_m = {
+        (k, (epoch + datetime.timedelta(days=t)).isoformat()): s
+        for (k, t), s in want.items()
+    }
+    assert got == want_m
+
+
+transition_rows = st.lists(
+    st.tuples(
+        st.integers(1, 3),                    # user
+        st.integers(0, 5),                    # ts bucket (ties likely)
+        st.sampled_from(["a", "b", "c"]),     # state
+    ),
+    min_size=2,
+    max_size=25,
+)
+
+
+@settings(**SPARK_SETTINGS)
+@given(transition_rows)
+def test_event_transitions_grid_invariants(spark, obs):
+    """Row-normalization invariants: Σn per from_state == from_total
+    everywhere; Σ from_total == total steps == Σ(per-user events - 1);
+    prob_milli == n*1000 // from_total exactly."""
+    import collections
+
+    from data__converter_spark.joins import event_transitions
+
+    rows = [(i + 1, u, float(t), s) for i, (u, t, s) in enumerate(obs)]
+    df = spark.createDataFrame(
+        rows, "eid long, uid long, tsec double, st string"
+    ).withColumn("ts", F.col("tsec").cast("timestamp"))
+    out = event_transitions(df, "uid", "ts", "st", tiebreak="eid").collect()
+    per_from: dict = collections.defaultdict(int)
+    for r in out:
+        per_from[r["from_state"]] += r["n"]
+        assert r["prob_milli"] == r["n"] * 1000 // r["from_total"]
+    for r in out:
+        assert per_from[r["from_state"]] == r["from_total"]
+    n_users = collections.Counter(u for u, _, _ in obs)
+    assert sum(r["n"] for r in out) == sum(c - 1 for c in n_users.values())
+
+
+file_sizes = st.lists(st.integers(1, 100), min_size=1, max_size=30)
+
+
+@settings(**SPARK_SETTINGS)
+@given(file_sizes, st.integers(10, 200))
+def test_compaction_plan_bin_bounds(spark, sizes, target):
+    """bin_id == bytes-before div target exactly (so every bin STARTS
+    below the target — overflow bounded by its one final file); ids
+    start at 0 and are non-decreasing in file order. Ids may legally
+    SKIP when one file spans multiple targets — the planner never
+    splits a file."""
+    from data__converter_spark import scale
+
+    files = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sizes)], "fid long, sz long"
+    )
+    out = sorted(
+        (r["fid"], r["sz"], r["bin_id"])
+        for r in scale.compaction_plan(files, "sz", target, "fid").collect()
+    )
+    before = 0
+    prev_bin = 0
+    for fid, sz, b in out:
+        assert b == before // target
+        assert b >= prev_bin
+        prev_bin = b
+        before += sz
+    assert out[0][2] == 0

@@ -28,9 +28,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotation — freshness first, CHANGED CODE PATHS first of all: no
 # query whose code changed this round may keep a stale driver row.
 # After r8's gate the ledger is 3×r4, 46×r5, 46×r6, 47×r7, 50×r8,
-# plus 14 never-checked round-9 queries (206 total).
+# plus 15 never-checked round-9 queries (207 total).
 # Slot accounting:
-#   1-14  NEW round-9 queries (zorder_write_prune — the z-order write
+#   1-15  NEW round-9 queries (zorder_write_prune — the z-order write
 #         path's month-vs-zband pruning comparison; bm25_retrieval —
 #         integer-exact BM25 over the inverted-index join;
 #         skew_key_events — the hot-key salting diagnostic;
@@ -44,22 +44,23 @@ def entry(spark: SparkSession) -> DataFrame:
 #         event_transitions — Markov transition grid;
 #         contingency_segments — categorical independence screen;
 #         fk_orphan_audit — referential-integrity one-pass audit;
-#         typo_pairs_names — FastSS deletion-index edit-1 join)
-#   15-17 round-9 BEHAVIOR changes (basket_lift_parts gained the
+#         typo_pairs_names — FastSS deletion-index edit-1 join;
+#         ivm_join_nation — delta-join view maintenance)
+#   16-18 round-9 BEHAVIOR changes (basket_lift_parts gained the
 #         max_basket_size=8 hot-basket cap, oracle updated in
 #         lockstep; bloom_shard_dedup's oracle digests
 #         coalesce(text, '') to match the op; embedding_scatter's
 #         scatter_matrix now excludes NULL groups on both engines)
-#   18-24 round-9 CODE-touched queries, results invariant
+#   19-25 round-9 CODE-touched queries, results invariant
 #         (stream_cms_heavy: windowed_cms_heavy probe key is named,
 #         not positional; pagerank_converged: adaptive cadence never
 #         shrinks below the caller's probe_every; funnel_conversion,
 #         sketch_kmv_shingles, sketch_join_size, sketch_theta_leakage,
 #         zonemap_prune_scan: scalar crossJoins broadcast-hinted)
-#   25-27 the 3 r4-latest queries (oldest debt)
-#   28-50 the first 23 r5-latest queries in registry order; the
-#         remaining 23 r5-latest rows (dedup_substring_keep,
-#         centroid_separation,
+#   26-28 the 3 r4-latest queries (oldest debt)
+#   29-50 the first 22 r5-latest queries in registry order; the
+#         remaining 24 r5-latest rows (dedup_against_ref,
+#         dedup_substring_keep, centroid_separation,
 #         window_active_users, pagerank_trade, stream_enrich_counts,
 #         common_token_ratio, token_mix_planner, window_overlap_pairs,
 #         embedding_outliers, gopher_quality, dedup_semantic,
@@ -76,6 +77,7 @@ _VERIFY_FIRST = [
     "ewma_nation_daily", "benford_prices", "compaction_bins",
     "checksum_orders_monthly", "event_transitions",
     "contingency_segments", "fk_orphan_audit", "typo_pairs_names",
+    "ivm_join_nation",
     # -- round-9 behavior/oracle changes --
     "basket_lift_parts", "bloom_shard_dedup", "embedding_scatter",
     # -- round-9 code-touched, results invariant --
@@ -84,7 +86,7 @@ _VERIFY_FIRST = [
     "zonemap_prune_scan",
     # -- latest driver row is r4 (oldest debt) --
     "chunk_text", "salient_terms", "late_shipments",
-    # -- latest driver row is r5, registry order (first 23 of 46) --
+    # -- latest driver row is r5, registry order (first 22 of 46) --
     "similarity_lsh_topk", "similarity_ivf_topk",
     "multimodal_image_features", "multimodal_frame_sample",
     "multimodal_resize", "text_pii_scrub", "sample_stratified",
@@ -93,7 +95,6 @@ _VERIFY_FIRST = [
     "product_type_profit", "important_parts", "top_supplier",
     "supplier_part_counts", "small_qty_revenue", "bracket_revenue",
     "excess_stock_suppliers", "waiting_suppliers", "balanced_shards",
-    "dedup_against_ref",
 ]
 
 

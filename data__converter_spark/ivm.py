@@ -93,3 +93,82 @@ def refresh_incremental(
     return merge_states(
         [state, aggregate_state(delta_rows, keys, measures)], keys, measures
     )
+
+
+def _combine_aggs(
+    measures: dict[str, tuple[str, Column | str | None]],
+) -> list[Column]:
+    aggs = []
+    for name, (fn, _col) in measures.items():
+        _build, combine = _MERGEABLE[fn]
+        aggs.append(combine(F.col(name)).alias(name))
+    return aggs
+
+
+def join_view_state(
+    fact_state: DataFrame,
+    dim: DataFrame,
+    join_key: str,
+    view_keys: list[str],
+    measures: dict[str, tuple[str, Column | str | None]],
+) -> DataFrame:
+    """Build the JOIN-VIEW aggregate (e.g. revenue per nation =
+    orders ⋈ customer grouped by nation) FROM THE FACT-SIDE STATE, not
+    the fact table: the per-join-key partial aggregate joins the
+    dimension and re-aggregates with each measure's COMBINE function
+    (count combines as sum).  Both inputs are key-sized; the base fact
+    is not in the plan."""
+    joined = fact_state.join(dim, join_key)
+    return joined.groupBy(*view_keys).agg(*_combine_aggs(measures))
+
+
+def refresh_join_view(
+    view_state: DataFrame,
+    fact_state: DataFrame,
+    dim: DataFrame,
+    delta_fact: DataFrame,
+    delta_dim: DataFrame,
+    join_key: str,
+    view_keys: list[str],
+    measures: dict[str, tuple[str, Column | str | None]],
+) -> tuple[DataFrame, DataFrame]:
+    """One maintenance step for an aggregated JOIN view under inserts
+    to BOTH sides — the classic delta-join identity
+    ``Δ(F ⋈ D) = ΔF ⋈ (D ∪ ΔD)  ∪  F ⋈ ΔD`` restated over STATES so no
+    term ever touches the base fact table:
+
+    - new fact rows aggregate to a delta state and join the FULL
+      dimension (old ∪ new — this term also covers ΔF ⋈ ΔD);
+    - new dimension rows join the standing FACT-SIDE state — the
+      key-sized partial aggregate stands in for every historical fact
+      row, which is exactly why the fact state is maintained at all
+      (a fact row whose dimension key arrives LATE is invisible in the
+      view until this term picks it up — inner-join semantics
+      preserved under out-of-order arrival);
+    - both contributions merge into the view with COMBINE functions,
+      and the delta state merges into the fact state for the next
+      step.
+
+    Requires insert-only deltas with ``delta_dim`` keys disjoint from
+    ``dim`` (the CDC-upsert/SCD2 ops above handle mutation; IVM with
+    retractions needs signed states, out of scope).  Every frame in
+    the plan is delta- or key-sized: cost is
+    ``O(|Δ| + |states| + |dim|)`` per step, independent of base-fact
+    size — the property that makes nightly refresh at 100 TB a join
+    of small tables.  Returns ``(new_view_state, new_fact_state)``;
+    equivalence to the full rebuild is pinned by pytest and by the
+    ``ivm_join_nation`` DuckDB full-recompute oracle.
+    """
+    delta_fs = aggregate_state(delta_fact, [join_key], measures)
+    dim_full = dim.unionByName(delta_dim)
+    contrib_a = delta_fs.join(dim_full, join_key)
+    contrib_b = fact_state.join(delta_dim, join_key)
+    delta_view = (
+        contrib_a.select(*view_keys, *measures)
+        .unionByName(contrib_b.select(*view_keys, *measures))
+        .groupBy(*view_keys)
+        .agg(*_combine_aggs(measures))
+    )
+    new_view = merge_states([view_state, delta_view], view_keys, measures)
+    new_fact_state = merge_states([fact_state, delta_fs], [join_key], measures)
+    return new_view, new_fact_state

@@ -9664,3 +9664,71 @@ FROM pairs
 GROUP BY dist
 ORDER BY dist
 """
+
+
+def q_ivm_join_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-join view maintenance (ivm.py:refresh_join_view): the
+    per-nation revenue view over orders ⋈ customer kept current under
+    inserts to BOTH sides — late orders (1997-07+) AND late customers
+    (every 10th key, arriving after orders that reference them). The
+    delta identity runs over STATES: new orders aggregate and join the
+    full dimension; new customers join the standing per-custkey fact
+    state, which stands in for every historical order — so the orphan
+    orders become visible exactly when their dimension row lands, and
+    the base fact is never rescanned. The result must equal the
+    DuckDB full-rebuild oracle over the whole tables."""
+    from .ivm import aggregate_state, join_view_state, refresh_join_view
+
+    measures = {
+        "n_orders": ("count", None),
+        "revenue_cents": ("sum", cents("o_totalprice").cast("long")),
+        "max_order_cents": ("max", cents("o_totalprice").cast("long")),
+    }
+    orders = _load(spark, sf_dir, "orders")
+    cust = _load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o_split = F.lit("1997-07-01").cast("date")
+    base_fact = orders.filter(F.col("o_orderdate") < o_split)
+    delta_fact = orders.filter(F.col("o_orderdate") >= o_split)
+    base_dim = cust.filter(F.col("c_custkey") % 10 != 0)
+    delta_dim = cust.filter(F.col("c_custkey") % 10 == 0)
+
+    fact_state = aggregate_state(
+        base_fact.withColumnRenamed("o_custkey", "c_custkey"),
+        ["c_custkey"],
+        measures,
+    )
+    view = join_view_state(
+        fact_state, base_dim, "c_custkey", ["c_nationkey"], measures
+    )
+    new_view, _new_fs = refresh_join_view(
+        view,
+        fact_state,
+        base_dim,
+        delta_fact.withColumnRenamed("o_custkey", "c_custkey"),
+        delta_dim,
+        "c_custkey",
+        ["c_nationkey"],
+        measures,
+    )
+    return new_view.select(
+        "c_nationkey",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("revenue_cents").cast("bigint").alias("revenue_cents"),
+        F.col("max_order_cents").cast("bigint").alias("max_order_cents"),
+    ).orderBy("c_nationkey")
+
+
+QUERIES["ivm_join_nation"] = q_ivm_join_nation
+
+
+ORACLES["ivm_join_nation"] = """
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_cents,
+       CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS max_order_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""

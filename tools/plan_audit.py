@@ -106,6 +106,7 @@ SHOWCASE = [
     ("contingency_segments", "one scan to the persisted 5x5 cell grid; marginals and the total re-aggregate from the CACHED cells (grid-sized) and join back broadcast; every share is cross-multiplied BIGINT"),
     ("fk_orphan_audit", "three independent one-pass branches in one union: key projection -> LEFT join on the dimension's distinct keys (hit marker, broadcast when dim-sized) -> ONE conditional aggregate — the fact is never re-scanned per count"),
     ("typo_pairs_names", "FastSS deletion index: ONE exchange on the variant; candidate pairs form INSIDE each <=cap posting list (sorted structs, id_a < id_b by construction) — no freq-count join, no variant self-join; JVM levenshtein verifies candidates only"),
+    ("ivm_join_nation", "delta-join IVM over states: new-fact aggregate joins the full dimension, new dims join the standing per-key fact state (late-arriving dimension rows surface here), both merge with COMBINE fns — the base fact appears once (building the initial state), never in the maintenance terms"),
 ]
 
 

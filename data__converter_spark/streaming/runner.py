@@ -99,11 +99,16 @@ def _crash_safe_merge(table_path: str, combine):
     this idempotent body × the checkpoint WAL: a replayed epoch
     re-merges and must be a no-op for the caller's ``combine``.
     """
+    import inspect
     import os
     import shutil
 
     tmp = f"{table_path}.__staging__"
     bak = f"{table_path}.__bak__"
+    # a 3-parameter combine also receives the epoch id — the hook an
+    # aggregate merge needs to make replay a no-op (SCD2/upsert bodies
+    # are idempotent by semantics and keep the 2-parameter form)
+    wants_epoch = len(inspect.signature(combine).parameters) >= 3
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -120,7 +125,11 @@ def _crash_safe_merge(table_path: str, combine):
             if os.path.isdir(table_path)
             else None
         )
-        merged = combine(base, batch_df)
+        merged = (
+            combine(base, batch_df, batch_id)
+            if wants_epoch
+            else combine(base, batch_df)
+        )
         merged.write.mode("overwrite").parquet(tmp)
         # staging is durable (_SUCCESS) before the old table moves; the
         # no-live-table window is covered by the recovery above.
@@ -222,6 +231,61 @@ def run_cdc_upsert(
 
     q = (
         stream_df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
+def run_agg_state(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    keys: list[str],
+    measures: dict,
+    timeout_s: int = 120,
+) -> None:
+    """Stream -> incrementally-maintained aggregate state table (the
+    streaming half of the IVM family): every micro-batch aggregates
+    to a keyed delta (:func:`~data__converter_spark.ivm.
+    aggregate_state`) and merges into the standing state
+    (:func:`~data__converter_spark.ivm.merge_states`) through the same
+    crash-safe swap as the CDC/SCD2 sinks.
+
+    Unlike those sinks, an aggregate MERGE is NOT idempotent by
+    semantics — re-merging a replayed epoch double-counts — so
+    exactly-once here is explicit: the state table carries an
+    ``__epoch__`` column (the last applied batch_id, constant across
+    rows) and the merge body SKIPS any batch at or below it. A crash
+    between the checkpoint WAL commit and the table swap replays the
+    epoch; the guard makes the replay a byte-level no-op
+    (pytest-pinned by re-feeding every batch under a fresh
+    checkpoint). Downstream join views derive from this state via
+    :func:`~data__converter_spark.ivm.join_view_state` — key-sized
+    work, never a base rescan; the view inherits the state's
+    exactly-once.
+    """
+    from pyspark.sql import functions as F
+
+    from ..ivm import aggregate_state, merge_states
+
+    def combine(
+        base: DataFrame | None, batch_df: DataFrame, batch_id: int
+    ) -> DataFrame:
+        delta = aggregate_state(batch_df, keys, measures)
+        if base is None:
+            return delta.withColumn("__epoch__", F.lit(batch_id))
+        applied = base.agg(F.max("__epoch__")).collect()[0][0]
+        if applied is not None and applied >= batch_id:
+            return base  # replayed epoch — rewrite the same table
+        merged = merge_states(
+            [base.drop("__epoch__"), delta], keys, measures
+        )
+        return merged.withColumn("__epoch__", F.lit(batch_id))
+
+    q = (
+        stream_df.writeStream.foreachBatch(_crash_safe_merge(table_path, combine))
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -1030,3 +1030,74 @@ def test_stream_transition_steps_sorts_within_batch(spark, tmp_path):
         for r in run_once(transition_steps(stream), output_mode="append").collect()
     }
     assert got == {("view", "click", 2), ("click", "purchase", 3)}
+
+
+def test_stream_agg_state_equals_batch_and_replay_is_noop(spark, tmp_path):
+    """Streaming IVM (runner.run_agg_state): the per-user aggregate
+    state built across two micro-batches equals the one-shot batch
+    aggregate; the derived join view (ivm.join_view_state) inherits
+    it. Aggregate merge is NOT idempotent by semantics, so the table's
+    __epoch__ guard is what makes replay exactly-once: a FRESH
+    checkpoint re-feeds both batches and the state must come out
+    bit-identical (each replayed epoch skipped)."""
+    import glob
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from data__converter_spark.ivm import aggregate_state, join_view_state
+    from data__converter_spark.streaming.runner import run_agg_state
+
+    rows1 = [(1, 1, 10), (2, 1, 5), (3, 2, 7)]
+    rows2 = [(4, 1, 2), (5, 3, 9)]
+    schema = "event_id long, user_id long, v long"
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate((rows1, rows2)):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(stage)
+        (one,) = glob.glob(f"{stage}/part-*.parquet")
+        shutil.copy(one, str(src / f"t{i}.parquet"))
+
+    measures = {"n": ("count", None), "s": ("sum", "v"), "mx": ("max", "v")}
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+
+    table = str(tmp_path / "state")
+    run_agg_state(stream(), table, str(tmp_path / "ckpt1"), ["user_id"], measures)
+
+    full = spark.createDataFrame(rows1 + rows2, schema)
+    want = sorted(
+        map(tuple, aggregate_state(full, ["user_id"], measures).collect())
+    )
+    state = spark.read.parquet(table)
+    got = sorted(map(tuple, state.drop("__epoch__").collect()))
+    assert got == want
+    assert state.agg(F.max("__epoch__")).collect()[0][0] == 1  # two epochs
+
+    # derived join view == full-rebuild view
+    dim = spark.createDataFrame([(1, "g1"), (2, "g2"), (3, "g1")], "user_id long, g string")
+    view = join_view_state(
+        spark.read.parquet(table).drop("__epoch__"), dim, "user_id", ["g"], measures
+    )
+    full_view = (
+        full.join(dim, "user_id")
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"), F.max("v").alias("mx"))
+    )
+    assert sorted(map(tuple, view.collect())) == sorted(
+        map(tuple, full_view.collect())
+    )
+
+    # FRESH checkpoint: both epochs replay; the __epoch__ guard must
+    # skip them — double-counting would show as doubled n/s
+    run_agg_state(stream(), table, str(tmp_path / "ckpt2"), ["user_id"], measures)
+    again = sorted(
+        map(tuple, spark.read.parquet(table).drop("__epoch__").collect())
+    )
+    assert again == want

@@ -150,8 +150,9 @@ def refresh_join_view(
       step.
 
     Requires insert-only deltas with ``delta_dim`` keys disjoint from
-    ``dim`` (the CDC-upsert/SCD2 ops above handle mutation; IVM with
-    retractions needs signed states, out of scope).  Every frame in
+    ``dim`` (the CDC-upsert/SCD2 ops above handle mutation; fact-side
+    deletes are :func:`refresh_with_retractions` below — signed
+    states, sum/count only).  Every frame in
     the plan is delta- or key-sized: cost is
     ``O(|Δ| + |states| + |dim|)`` per step, independent of base-fact
     size — the property that makes nightly refresh at 100 TB a join
@@ -172,3 +173,61 @@ def refresh_join_view(
     new_view = merge_states([view_state, delta_view], view_keys, measures)
     new_fact_state = merge_states([fact_state, delta_fs], [join_key], measures)
     return new_view, new_fact_state
+
+
+def signed_state(
+    df: DataFrame,
+    keys: list[str],
+    measures: dict[str, tuple[str, Column | str | None]],
+    sign_col: str | Column,
+) -> DataFrame:
+    """Build a SIGNED aggregate state from a delta batch that mixes
+    inserts (+1) and retractions (-1).
+
+    Only the abelian-group measures survive retraction: ``sum``
+    contributes ``sign * value`` and ``count`` contributes ``sign`` —
+    subtracting is just adding the inverse. ``min``/``max`` are
+    rejected: they are semilattice-only (no inverse — retracting the
+    current max needs the full group re-scanned; keep those in the
+    insert-only path or a sketch).
+    """
+    s = F.col(sign_col) if isinstance(sign_col, str) else sign_col
+    aggs = []
+    for name, (fn, col) in measures.items():
+        if fn == "sum":
+            c = F.col(col) if isinstance(col, str) else col
+            aggs.append(F.sum(s * c).alias(name))
+        elif fn == "count":
+            aggs.append(F.sum(s).alias(name))
+        else:
+            raise ValueError(
+                f"measure {name!r} ({fn}) is not retractable — min/max "
+                "have no inverse; use the insert-only path"
+            )
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def refresh_with_retractions(
+    state: DataFrame,
+    delta_rows: DataFrame,
+    keys: list[str],
+    measures: dict[str, tuple[str, Column | str | None]],
+    sign_col: str | Column,
+    count_measure: str,
+) -> DataFrame:
+    """One maintenance step under inserts AND deletes: merge the
+    signed delta state into the standing state, then DROP keys whose
+    ``count_measure`` reaches zero — a fully-retracted key must leave
+    the view entirely (count 0 is 'absent', not 'present with zeros';
+    the full-recompute oracle has no such row, and neither may we).
+    A negative count means the caller retracted rows never inserted —
+    surfaced, not silently clamped.
+
+    Same cost shape as :func:`refresh_incremental`: one union + one
+    hash exchange over key-sized frames; the base is never rescanned.
+    Equivalence to the full rebuild over (base rows minus retracted
+    rows) is pinned by pytest and the ``ivm_retract_orders`` oracle.
+    """
+    delta = signed_state(delta_rows, keys, measures, sign_col)
+    merged = merge_states([state, delta], keys, measures)
+    return merged.filter(F.col(count_measure) > 0)

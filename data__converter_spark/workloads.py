@@ -9732,3 +9732,50 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_nationkey
 ORDER BY c_nationkey
 """
+
+
+def q_ivm_retract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM under deletes (ivm.py:refresh_with_retractions): the
+    standing per-customer aggregate built over ALL orders absorbs a
+    retraction batch (every 1998-06+ order withdrawn, sign -1) and
+    must equal the full recompute over the surviving rows — including
+    ABSENCE: a customer whose every order was retracted must vanish
+    from the state, not linger with zeros. Signed states make deletes
+    additive (sum carries sign*value, count carries sign); min/max are
+    rejected as non-retractable. One union + one key exchange over
+    key-sized frames; the base is never rescanned."""
+    from .ivm import aggregate_state, refresh_with_retractions
+
+    measures = {
+        "n_orders": ("count", None),
+        "revenue_cents": ("sum", cents("o_totalprice").cast("long")),
+    }
+    orders = _load(spark, sf_dir, "orders")
+    split = F.lit("1998-06-01").cast("date")
+    state = aggregate_state(orders, ["o_custkey"], measures)
+    retract = orders.filter(F.col("o_orderdate") >= split).withColumn(
+        "__sign__", F.lit(-1).cast("bigint")
+    )
+    out = refresh_with_retractions(
+        state, retract, ["o_custkey"], measures, "__sign__", "n_orders"
+    )
+    return out.select(
+        "o_custkey",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("revenue_cents").cast("bigint").alias("revenue_cents"),
+    ).orderBy("o_custkey")
+
+
+QUERIES["ivm_retract_orders"] = q_ivm_retract_orders
+
+
+ORACLES["ivm_retract_orders"] = """
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM orders
+WHERE o_orderdate < TIMESTAMP '1998-06-01'
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""

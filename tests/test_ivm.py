@@ -99,7 +99,7 @@ def test_join_view_refresh_equals_full_rebuild(spark):
     fact_rows = [  # (k, v)
         ("a", 10), ("a", 5), ("b", 7), ("c", 100),  # base; c's dim is LATE
     ]
-    dfact_rows = [("a", 1), ("d", 3)]               # delta; d's dim is late too? no: d in delta_dim
+    dfact_rows = [("a", 1), ("d", 3)]               # d's dim arrives in the same delta
     dim_rows = [("a", "g1"), ("b", "g2")]
     ddim_rows = [("c", "g1"), ("d", "g2")]
 
@@ -171,3 +171,52 @@ def test_join_view_refresh_never_rescans_base_fact(spark):
         assert (
             plan.count("LocalRelation") + plan.count("LogicalRDD") <= n_rel
         )
+
+
+def test_retractions_equal_rebuild_and_drop_empty_keys(spark):
+    from data__converter_spark.ivm import refresh_with_retractions
+
+    measures = {"n": ("count", None), "s": ("sum", "v")}
+    base = spark.createDataFrame(
+        [("a", 10), ("a", 5), ("b", 7), ("c", 3)], "k string, v long"
+    )
+    state = aggregate_state(base, ["k"], measures)
+    # retract one of a's rows and ALL of c's
+    retract = spark.createDataFrame(
+        [("a", 5, -1), ("c", 3, -1)], "k string, v long, sign long"
+    )
+    out = {
+        (r["k"], r["n"], r["s"])
+        for r in refresh_with_retractions(
+            state, retract, ["k"], measures, "sign", "n"
+        ).collect()
+    }
+    # c is ABSENT, not present-with-zeros
+    assert out == {("a", 1, 10), ("b", 1, 7)}
+
+
+def test_mixed_insert_and_retract_in_one_batch(spark):
+    from data__converter_spark.ivm import refresh_with_retractions
+
+    measures = {"n": ("count", None), "s": ("sum", "v")}
+    state = aggregate_state(
+        spark.createDataFrame([("a", 10)], "k string, v long"), ["k"], measures
+    )
+    delta = spark.createDataFrame(
+        [("a", 10, -1), ("a", 4, 1), ("d", 6, 1)], "k string, v long, sign long"
+    )
+    out = {
+        (r["k"], r["n"], r["s"])
+        for r in refresh_with_retractions(
+            state, delta, ["k"], measures, "sign", "n"
+        ).collect()
+    }
+    assert out == {("a", 1, 4), ("d", 1, 6)}
+
+
+def test_min_max_rejected_as_non_retractable(spark):
+    from data__converter_spark.ivm import signed_state
+
+    df = spark.createDataFrame([("a", 1, 1)], "k string, v long, sign long")
+    with pytest.raises(ValueError, match="not retractable"):
+        signed_state(df, ["k"], {"mx": ("max", "v")}, "sign")

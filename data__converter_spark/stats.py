@@ -749,3 +749,44 @@ def fk_orphans(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def group_diversity(
+    df: DataFrame, group: str, label: str
+) -> DataFrame:
+    """Per-group categorical diversity: exact integer Gini impurity
+    and inverse-Simpson 'effective number of classes'.
+
+    ``gini_micro = 1e6 - Σ n_i²·1e6 div N²`` (0 = one class, →1e6 =
+    uniform over many) and ``inv_simpson_milli = N²·1000 div Σ n_i²``
+    (1000 = one class; k·1000 = k perfectly balanced classes). Both
+    are rational in the counts, so cross-multiplied BIGINTs keep them
+    bit-identical across engines — the reason these two replace
+    Shannon entropy here (log has no exact integer form).
+
+    The class-balance question a training pipeline asks per slice
+    ("is this nation's segment mix degenerate?") and monitoring asks
+    over time. Scale: one hash aggregate to (group, label) cells, one
+    re-aggregate from cells to groups — data scanned once, both
+    aggregates map-side combining. Overflow-safe while N²·1e6 < 2⁶³
+    (N ≤ ~3·10⁶ rows per group); pre-scale counts past that.
+    """
+    cells = df.groupBy(
+        F.col(group).alias("grp"), F.col(label).alias("lbl")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    per = cells.groupBy("grp").agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sum_sq"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+    )
+    return per.select(
+        "grp",
+        "n_rows",
+        "n_classes",
+        F.expr("1000000 - sum_sq * 1000000 div (n_rows * n_rows)")
+        .cast("bigint")
+        .alias("gini_micro"),
+        F.expr("n_rows * n_rows * 1000 div sum_sq")
+        .cast("bigint")
+        .alias("inv_simpson_milli"),
+    )

@@ -9779,3 +9779,47 @@ WHERE o_orderdate < TIMESTAMP '1998-06-01'
 GROUP BY o_custkey
 ORDER BY o_custkey
 """
+
+
+def q_segment_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance screen (stats.py:group_diversity): per-nation
+    market-segment mix as exact integer Gini impurity and
+    inverse-Simpson effective class count — the degenerate-slice
+    detector a training pipeline runs per source/language, here over
+    the customer dimension. Both metrics are rational in the counts
+    (cross-multiplied BIGINTs), chosen over Shannon entropy precisely
+    because log has no exact cross-engine form. One scan to (nation,
+    segment) cells, one grid-sized re-aggregate."""
+    from .stats import group_diversity
+
+    cust = _load(spark, sf_dir, "customer")
+    return (
+        group_diversity(cust, "c_nationkey", "c_mktsegment")
+        .withColumnRenamed("grp", "c_nationkey")
+        .orderBy("c_nationkey")
+    )
+
+
+QUERIES["segment_diversity"] = q_segment_diversity
+
+
+ORACLES["segment_diversity"] = """
+WITH cells AS (
+    SELECT c_nationkey AS grp, c_mktsegment AS lbl,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer GROUP BY 1, 2
+),
+per AS (
+    SELECT grp,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(sum(n * n) AS BIGINT) AS sum_sq,
+           CAST(count(*) AS BIGINT) AS n_classes
+    FROM cells GROUP BY grp
+)
+SELECT grp AS c_nationkey, n_rows, n_classes,
+       CAST(1000000 - sum_sq * 1000000 // (n_rows * n_rows) AS BIGINT)
+           AS gini_micro,
+       CAST(n_rows * n_rows * 1000 // sum_sq AS BIGINT)
+           AS inv_simpson_milli
+FROM per ORDER BY c_nationkey
+"""

@@ -286,3 +286,22 @@ def test_fk_orphans_counts_nulls_separately(spark):
         "fk", 4, 1, 1,
     )
     assert r["orphan_milli"] == 250
+
+
+def test_group_diversity_extremes_and_balance(spark):
+    from data__converter_spark.stats import group_diversity
+
+    rows = (
+        [("one", "x")] * 4                      # single class
+        + [("two", "x"), ("two", "y")] * 2      # two balanced classes
+        + [("skew", "x")] * 9 + [("skew", "y")] # 9:1 skew
+    )
+    df = spark.createDataFrame(rows, "g string, l string")
+    got = {
+        r["grp"]: (r["n_rows"], r["n_classes"], r["gini_micro"], r["inv_simpson_milli"])
+        for r in group_diversity(df, "g", "l").collect()
+    }
+    assert got["one"] == (4, 1, 0, 1000)          # pure: gini 0, 1 class
+    assert got["two"] == (4, 2, 500000, 2000)     # balanced 2: gini .5
+    # 9:1 -> sum_sq 82, N^2 100: gini 180000, inv-simpson 1219
+    assert got["skew"] == (10, 2, 180000, 1219)

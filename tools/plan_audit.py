@@ -108,6 +108,7 @@ SHOWCASE = [
     ("typo_pairs_names", "FastSS deletion index: ONE exchange on the variant; candidate pairs form INSIDE each <=cap posting list (sorted structs, id_a < id_b by construction) — no freq-count join, no variant self-join; JVM levenshtein verifies candidates only"),
     ("ivm_join_nation", "delta-join IVM over states: new-fact aggregate joins the full dimension, new dims join the standing per-key fact state (late-arriving dimension rows surface here), both merge with COMBINE fns — the base fact appears once (building the initial state), never in the maintenance terms"),
     ("ivm_retract_orders", "signed-state IVM: the retraction batch aggregates with sign-weighted sum/count, merges as a plain state union (deletes are additive), and a count>0 filter drops fully-retracted keys — one union + one key exchange, base never rescanned"),
+    ("segment_diversity", "one scan to (group, label) cells, one grid-sized re-aggregate; Gini and inverse-Simpson are rational in the counts, so both are cross-multiplied BIGINTs — no log, no float"),
 ]
 
 

@@ -714,3 +714,140 @@ def decode_audio(media: DataFrame, assume_wav: bool = False) -> DataFrame:
         ]
     )
     return auds.mapInPandas(kernel, schema)
+
+
+def image_dhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Perceptual difference-hash (dHash) per image: nearest-neighbor
+    resize to a 9x8 grayscale grid, then one bit per horizontally
+    adjacent pixel pair (right > left) — 64 bits stored as two 32-bit
+    halves ``dh_hi`` (rows 0-3) / ``dh_lo`` (rows 4-7) so no signed
+    bigint ever needs bit 63. Near-duplicate images differ in a few
+    bits; resizing first makes the hash robust to scale.
+
+    Images are the corpus's deterministic synthetic grid (pixel i =
+    ascii of ``md5(id)`` hex char i mod 32, the exact model
+    ``png_roundtrip_features`` pins end-to-end through the real PNG
+    codec), so the DuckDB oracle reproduces every bit arithmetically.
+    For real data the kernel's first step swaps to the BMP/PIL decode
+    used by ``image_features`` — the hash pipeline after the pixel
+    grid is identical.
+
+    One Arrow-batched mapInPandas pass over the id projection; hashes
+    are 2 longs per image regardless of resolution.
+    """
+    import pyspark.sql.types as T
+
+    from ..scale import fan_out
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("dh_hi", T.LongType()),
+            T.StructField("dh_lo", T.LongType()),
+        ]
+    )
+
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 8 + mid % 5, 6 + mid % 4
+                hx = hashlib.md5(str(mid).encode()).hexdigest()
+                flat = np.frombuffer(
+                    (hx * (w * h // 32 + 1)).encode()[: w * h], np.uint8
+                )
+                grid = flat.reshape(h, w)
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(9) * w) // 9
+                g9 = grid[np.ix_(ys, xs)].astype(np.int64)
+                bits = (g9[:, 1:] > g9[:, :-1]).astype(np.int64)  # 8x8
+                row_bytes = (bits << np.arange(8)).sum(axis=1)
+                hi = int(sum(int(row_bytes[y]) << (8 * y) for y in range(4)))
+                lo = int(
+                    sum(int(row_bytes[y + 4]) << (8 * y) for y in range(4))
+                )
+                ids.append(mid)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {"media_id": ids, "dh_hi": his, "dh_lo": los}
+            )
+
+    return fan_out(docs.select(F.col(id_col).cast("long"))).mapInPandas(
+        kernel, schema
+    )
+
+
+def dhash_candidates(
+    hashes: DataFrame, max_bucket: int = 50
+) -> DataFrame:
+    """Near-duplicate image candidates from dHashes via 16-bit
+    banding — the simhash/LSH recipe applied to the perceptual hash:
+    two images within Hamming distance 3 of each other agree on at
+    least one of the four 16-bit bands (pigeonhole), so candidates
+    come from band-bucket posting lists (ONE exchange, pairs form
+    inside each <= ``max_bucket`` list — the same hot-bucket f² guard
+    as the text LSH family), and the exact Hamming distance
+    (``bit_count(xor)`` on each half, JVM-side) verifies every
+    candidate. All-pairs comparison is never in the plan.
+
+    Output: (id_a, id_b, hamming) with id_a < id_b, one row per
+    candidate pair regardless of how many bands it collided in.
+    """
+    bands = hashes.select(
+        "media_id",
+        "dh_hi",
+        "dh_lo",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("b"),
+                    F.expr("dh_hi div 65536").alias("v"),
+                ),
+                F.struct(
+                    F.lit(1).alias("b"), F.expr("dh_hi % 65536").alias("v")
+                ),
+                F.struct(
+                    F.lit(2).alias("b"),
+                    F.expr("dh_lo div 65536").alias("v"),
+                ),
+                F.struct(
+                    F.lit(3).alias("b"), F.expr("dh_lo % 65536").alias("v")
+                ),
+            )
+        ).alias("bv"),
+    ).select("media_id", "dh_hi", "dh_lo", "bv.b", "bv.v")
+    grouped = (
+        bands.groupBy("b", "v")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("media_id", "dh_hi", "dh_lo"))
+            ).alias("g")
+        )
+        .filter((F.size("g") >= 2) & (F.size("g") <= F.lit(int(max_bucket))))
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(g, (x, i) -> "
+            "transform(slice(g, i + 2, size(g) - i - 1), y -> struct("
+            "x.media_id AS id_a, x.dh_hi AS hi_a, x.dh_lo AS lo_a, "
+            "y.media_id AS id_b, y.dh_hi AS hi_b, y.dh_lo AS lo_b))))"
+        )
+    ).alias("p")
+    cand = grouped.select(pair).select("p.*").distinct()
+    return cand.select(
+        "id_a",
+        "id_b",
+        (
+            F.bit_count(F.expr("hi_a ^ hi_b"))
+            + F.bit_count(F.expr("lo_a ^ lo_b"))
+        )
+        .cast("bigint")
+        .alias("hamming"),
+    )

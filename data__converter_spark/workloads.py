@@ -9823,3 +9823,83 @@ SELECT grp AS c_nationkey, n_rows, n_classes,
            AS inv_simpson_milli
 FROM per ORDER BY c_nationkey
 """
+
+
+def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup candidates (llmops/multimodal.py:image_dhash +
+    dhash_candidates): perceptual difference-hash per image (9x8
+    nearest resize, one bit per adjacent-pixel comparison, two 32-bit
+    halves), 16-bit banding for candidate generation (posting-list
+    pairs, one exchange, hot-bucket cap — never all-pairs), exact
+    Hamming verification JVM-side. The synthetic image model is the
+    same one png_roundtrip_features pins through the real PNG codec,
+    so the oracle reproduces every hash bit arithmetically — a value
+    match proves resize, bit assembly, banding, and Hamming all at
+    once."""
+    from .llmops.multimodal import dhash_candidates, image_dhash
+
+    docs = _load(spark, sf_dir, "documents")
+    hashes = image_dhash(docs)
+    return dhash_candidates(hashes, max_bucket=50).orderBy("id_a", "id_b")
+
+
+QUERIES["image_dhash_pairs"] = q_image_dhash_pairs
+
+
+ORACLES["image_dhash_pairs"] = """
+WITH g AS (
+    SELECT doc_id,
+           CAST(8 + doc_id % 5 AS INT) AS w,
+           CAST(6 + doc_id % 4 AS INT) AS h,
+           md5(CAST(doc_id AS VARCHAR)) AS hx
+    FROM documents
+),
+grid9 AS (
+    SELECT doc_id, CAST(y.i AS INT) AS y, CAST(x.i AS INT) AS x,
+           ascii(substr(hx,
+               CAST((((CAST(y.i AS INT) * h) // 8) * w
+                     + ((CAST(x.i AS INT) * w) // 9)) % 32 AS INT) + 1,
+               1)) AS px
+    FROM g, unnest(range(0, 8)) y(i), unnest(range(0, 9)) x(i)
+),
+bits AS (
+    SELECT a.doc_id, a.y, a.x,
+           CASE WHEN b.px > a.px THEN 1 ELSE 0 END AS bit
+    FROM grid9 a JOIN grid9 b
+      ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+    WHERE a.x < 8
+),
+hashes AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN y < 4
+                THEN bit * (1::BIGINT << CAST(y * 8 + x AS INT))
+                ELSE 0 END) AS BIGINT) AS dh_hi,
+           CAST(sum(CASE WHEN y >= 4
+                THEN bit * (1::BIGINT << CAST((y - 4) * 8 + x AS INT))
+                ELSE 0 END) AS BIGINT) AS dh_lo
+    FROM bits GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id, dh_hi, dh_lo, b, v FROM (
+        SELECT *, dh_hi // 65536 AS v, 0 AS b FROM hashes
+        UNION ALL SELECT *, dh_hi % 65536, 1 FROM hashes
+        UNION ALL SELECT *, dh_lo // 65536, 2 FROM hashes
+        UNION ALL SELECT *, dh_lo % 65536, 3 FROM hashes
+    )
+),
+freq AS (SELECT b, v, count(*) AS f FROM bands GROUP BY 1, 2),
+cold AS (
+    SELECT bands.* FROM bands JOIN freq USING (b, v) WHERE f <= 50
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, a.dh_hi AS hi_a, a.dh_lo AS lo_a,
+                    bb.doc_id AS id_b, bb.dh_hi AS hi_b, bb.dh_lo AS lo_b
+    FROM cold a JOIN cold bb ON a.b = bb.b AND a.v = bb.v
+    WHERE a.doc_id < bb.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+            AS BIGINT) AS hamming
+FROM cand
+ORDER BY id_a, id_b
+"""

@@ -448,3 +448,35 @@ def test_image_features_decodes_real_png_payload(spark):
     # Rec.601 luma of constant gray 100, normalized: 100/255 — the
     # hash stub could never land on this exact value for these bytes
     assert abs(r["mean_luma"] - 100.0 / 255.0) < 1e-9
+
+
+def test_image_dhash_halves_are_32bit_and_deterministic(spark):
+    from data__converter_spark.llmops.multimodal import image_dhash
+
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    a = {r["media_id"]: (r["dh_hi"], r["dh_lo"]) for r in image_dhash(docs).collect()}
+    b = {r["media_id"]: (r["dh_hi"], r["dh_lo"]) for r in image_dhash(docs).collect()}
+    assert a == b and len(a) == 20
+    for hi, lo in a.values():
+        assert 0 <= hi < 1 << 32 and 0 <= lo < 1 << 32
+
+
+def test_dhash_candidates_band_collision_and_hamming(spark):
+    from data__converter_spark.llmops.multimodal import dhash_candidates
+
+    rows = [
+        (1, 0x12345678, 0x9ABCDE00),
+        (2, 0x12345678, 0x9ABCDE00),  # identical to 1 -> hamming 0
+        (3, 0x12340000, 0x9ABCDE00),  # shares hi high-band with 1/2
+        (4, 0x00000000, 0x00000000),  # shares only 3's zeroed hi low-band
+    ]
+    df = spark.createDataFrame(rows, "media_id long, dh_hi long, dh_lo long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in dhash_candidates(df).collect()}
+    # 1-2: identical, collide everywhere, ONE row, hamming 0
+    assert got[(1, 2)] == 0
+    # 1-3 and 2-3: hi high-band (0x1234) shared; hamming = bits of 0x5678
+    assert got[(1, 3)] == bin(0x5678).count("1")
+    # 3-4: share hi low-band (0x0000); hamming = popcount(0x12340000)+popcount(0x9ABCDE00)
+    assert got[(3, 4)] == bin(0x12340000).count("1") + bin(0x9ABCDE00).count("1")
+    # no pair is ever duplicated
+    assert len(got) == len(set(got))

@@ -109,6 +109,7 @@ SHOWCASE = [
     ("ivm_join_nation", "delta-join IVM over states: new-fact aggregate joins the full dimension, new dims join the standing per-key fact state (late-arriving dimension rows surface here), both merge with COMBINE fns — the base fact appears once (building the initial state), never in the maintenance terms"),
     ("ivm_retract_orders", "signed-state IVM: the retraction batch aggregates with sign-weighted sum/count, merges as a plain state union (deletes are additive), and a count>0 filter drops fully-retracted keys — one union + one key exchange, base never rescanned"),
     ("segment_diversity", "one scan to (group, label) cells, one grid-sized re-aggregate; Gini and inverse-Simpson are rational in the counts, so both are cross-multiplied BIGINTs — no log, no float"),
+    ("image_dhash_pairs", "one Arrow mapInPandas pass emits 2 longs per image; 16-bit band posting lists generate pairs in ONE exchange (hot-bucket cap); Hamming verification is JVM bit_count(xor) — all-pairs never in the plan"),
 ]
 
 

@@ -272,22 +272,38 @@ def table_fingerprint(
     query in the book. The fingerprint answers the cheaper question
     asked first — "did anything change, and in which partition?" — with
     one aggregate and NO join, sort, or shuffle beyond a keyed agg:
-    each row renders a canonical string (values joined on ``|``, NULL
-    as ``chr(1)`` so NULL never collides with ``'NULL'``), md5 maps it
-    to two independent 32-bit lanes, and per group we emit row count
-    plus both lane sums (mod 1e6+3 per row). Addition is commutative,
-    so the digest ignores row order and partitioning — equal groups
+    each row renders a canonical string, md5 maps it to two
+    independent 32-bit lanes, and per group we emit row count plus
+    both lane sums (mod 1e6+3 per row). Addition is commutative, so
+    the digest ignores row order and partitioning — equal groups
     fingerprint equal; a single changed row flips both lanes with
     probability ~1-1e-12.
+
+    The canonical form is LENGTH-PREFIXED per field (``len:value|``,
+    NULL as ``-|``), not a plain join on a delimiter: with a bare
+    ``|`` join, the rows ``('a|b', 'c')`` and ``('a', 'b|c')`` render
+    identically and a real migration difference fingerprints clean —
+    delimiter injection defeats the checker exactly where free-text
+    columns live. Length prefixes make field boundaries unambiguous
+    for every value, including ones containing ``|`` or ``:``.
 
     Residues are taken PER ROW (mod 1000003) before summing so the
     group sums stay far from bigint overflow: 10¹² rows × 10⁶ max
     residue = 10¹⁸ < 2⁶³. Drill into unequal groups with ``diff``.
     """
     g = F.col(group_by) if isinstance(group_by, str) else group_by
-    canon = F.concat_ws(
-        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x01")) for c in cols]
-    )
+    tokens = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        tokens.append(
+            F.coalesce(
+                F.concat(
+                    F.length(s).cast("string"), F.lit(":"), s, F.lit("|")
+                ),
+                F.lit("-|"),
+            )
+        )
+    canon = F.concat(*tokens)
     h = F.md5(canon)
     lane1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % F.lit(1000003)
     lane2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint") % F.lit(1000003)

@@ -217,11 +217,18 @@ def refresh_with_retractions(
 ) -> DataFrame:
     """One maintenance step under inserts AND deletes: merge the
     signed delta state into the standing state, then DROP keys whose
-    ``count_measure`` reaches zero — a fully-retracted key must leave
-    the view entirely (count 0 is 'absent', not 'present with zeros';
-    the full-recompute oracle has no such row, and neither may we).
-    A negative count means the caller retracted rows never inserted —
-    surfaced, not silently clamped.
+    ``count_measure`` reaches exactly zero — a fully-retracted key
+    must leave the view entirely (count 0 is 'absent', not 'present
+    with zeros'; the full-recompute oracle has no such row, and
+    neither may we).
+
+    A NEGATIVE count (the caller retracted rows never inserted) stays
+    IN the state — surfaced, not silently dropped: filtering it out
+    would both hide the defect and break rebuild equivalence on the
+    next step (the late matching insert must net the key back to
+    exactly zero, which needs the -1 row still standing). Readers
+    that must not see debt rows filter ``count_measure > 0``
+    explicitly at the edge.
 
     Same cost shape as :func:`refresh_incremental`: one union + one
     hash exchange over key-sized frames; the base is never rescanned.
@@ -230,4 +237,4 @@ def refresh_with_retractions(
     """
     delta = signed_state(delta_rows, keys, measures, sign_col)
     merged = merge_states([state, delta], keys, measures)
-    return merged.filter(F.col(count_measure) > 0)
+    return merged.filter(F.col(count_measure) != 0)

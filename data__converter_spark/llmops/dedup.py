@@ -1737,22 +1737,20 @@ def deletion_neighborhood_pairs(
     # self-join — group size is the frequency ((id, var) is unique, the
     # variant set per id is deduped above), so the <= cap filter IS the
     # hot-variant guard, and per-group state is at most cap structs.
-    grouped = (
-        variants.groupBy("var")
-        .agg(F.sort_array(F.collect_list(F.struct("id", "v"))).alias("g"))
-        .filter(
-            (F.size("g") >= 2) & (F.size("g") <= F.lit(int(max_variant_freq)))
+    # The posting-list pair kernel is shared with the other LSH-family
+    # ops (scale.bucket_pairs).
+    from ..scale import bucket_pairs
+
+    cand = (
+        bucket_pairs(variants, ["var"], ["id", "v"], max_variant_freq)
+        .select(
+            F.col("a_id").alias("id_a"),
+            F.col("b_id").alias("id_b"),
+            F.col("a_v").alias("val_a"),
+            F.col("b_v").alias("val_b"),
         )
+        .distinct()
     )
-    pair = F.explode(
-        F.expr(
-            "flatten(transform(g, (x, i) -> "
-            "transform(slice(g, i + 2, size(g) - i - 1), "
-            "y -> struct(x.id AS id_a, x.v AS val_a, "
-            "y.id AS id_b, y.v AS val_b))))"
-        )
-    ).alias("p")
-    cand = grouped.select(pair).select("p.*").distinct()
     return cand.withColumn(
         "dist", F.levenshtein("val_a", "val_b").cast("bigint")
     ).filter(F.col("dist") <= 1)

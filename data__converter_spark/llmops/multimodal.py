@@ -823,24 +823,24 @@ def dhash_candidates(
             )
         ).alias("bv"),
     ).select("media_id", "dh_hi", "dh_lo", "bv.b", "bv.v")
-    grouped = (
-        bands.groupBy("b", "v")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("media_id", "dh_hi", "dh_lo"))
-            ).alias("g")
+    # shared posting-list pair kernel (scale.bucket_pairs) — same
+    # one-exchange, in-group generation as the FastSS/text-LSH ops
+    from ..scale import bucket_pairs
+
+    cand = (
+        bucket_pairs(
+            bands, ["b", "v"], ["media_id", "dh_hi", "dh_lo"], max_bucket
         )
-        .filter((F.size("g") >= 2) & (F.size("g") <= F.lit(int(max_bucket))))
+        .select(
+            F.col("a_media_id").alias("id_a"),
+            F.col("a_dh_hi").alias("hi_a"),
+            F.col("a_dh_lo").alias("lo_a"),
+            F.col("b_media_id").alias("id_b"),
+            F.col("b_dh_hi").alias("hi_b"),
+            F.col("b_dh_lo").alias("lo_b"),
+        )
+        .distinct()
     )
-    pair = F.explode(
-        F.expr(
-            "flatten(transform(g, (x, i) -> "
-            "transform(slice(g, i + 2, size(g) - i - 1), y -> struct("
-            "x.media_id AS id_a, x.dh_hi AS hi_a, x.dh_lo AS lo_a, "
-            "y.media_id AS id_b, y.dh_hi AS hi_b, y.dh_lo AS lo_b))))"
-        )
-    ).alias("p")
-    cand = grouped.select(pair).select("p.*").distinct()
     return cand.select(
         "id_a",
         "id_b",

@@ -602,3 +602,50 @@ def compaction_plan(
         )
         .drop("__before__")
     )
+
+
+def bucket_pairs(
+    df: DataFrame,
+    bucket_cols: list[str],
+    payload_cols: list[str],
+    max_bucket: int,
+) -> DataFrame:
+    """Candidate-pair generation inside bounded posting lists — the
+    shared kernel of the LSH-family ops (FastSS deletion index, dHash
+    banding, and any future bucket-then-verify join).
+
+    ONE exchange on the bucket key; each bucket's members collect into
+    a sorted list (first payload column is the id — sorting the struct
+    puts pairs in ``a < b`` order by construction), buckets outside
+    [2, ``max_bucket``] drop (the oversize filter IS the hot-bucket f²
+    guard — group size equals bucket frequency when (id, bucket) is
+    unique, which callers guarantee by deduping their bucket sets),
+    and pairs explode from each list without a self-join. Output: one
+    row per (bucket, pair) with ``a_<col>`` / ``b_<col>`` for every
+    payload column — callers ``.distinct()`` over the payload if the
+    same pair may collide in several buckets, then verify exactly.
+    """
+    grouped = (
+        df.groupBy(*bucket_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(*payload_cols))
+            ).alias("__g__")
+        )
+        .filter(
+            (F.size("__g__") >= 2)
+            & (F.size("__g__") <= F.lit(int(max_bucket)))
+        )
+    )
+    inner = ", ".join(
+        [f"x.{c} AS a_{c}" for c in payload_cols]
+        + [f"y.{c} AS b_{c}" for c in payload_cols]
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(__g__, (x, i) -> "
+            "transform(slice(__g__, i + 2, size(__g__) - i - 1), "
+            f"y -> struct({inner}))))"
+        )
+    ).alias("__p__")
+    return grouped.select(*bucket_cols, pair).select(*bucket_cols, "__p__.*")

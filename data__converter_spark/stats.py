@@ -712,6 +712,10 @@ def fk_orphans(
     case) and shuffles otherwise. Relations are independent branches
     of one union and parallelize as separate stages of the same job.
     """
+    if not fk_cols:
+        raise ValueError(
+            "fk_orphans needs at least one fk -> (dim, key) relation"
+        )
     reports = []
     for fk, (dim, dim_key) in fk_cols.items():
         keys = fact.select(F.col(fk).alias("__k__"))

@@ -86,7 +86,7 @@ def run_to_parquet(
     q.awaitTermination(timeout_s)
 
 
-def _crash_safe_merge(table_path: str, combine):
+def _crash_safe_merge(table_path: str, combine, epoch_aware: bool | None = None):
     """foreachBatch body factory: read the parquet table (None when it
     does not exist yet), compute ``combine(base, batch)``, and swap the
     result in crash-safely.  The swap is safe at every interruption
@@ -98,6 +98,16 @@ def _crash_safe_merge(table_path: str, combine):
     would silently drop every previously merged key).  Exactly-once =
     this idempotent body × the checkpoint WAL: a replayed epoch
     re-merges and must be a no-op for the caller's ``combine``.
+
+    ``epoch_aware=True`` calls ``combine(base, batch, batch_id)`` —
+    the hook an aggregate merge needs to detect replays (SCD2/upsert
+    bodies are idempotent by semantics and keep the 2-parameter
+    form).  Left as None it is inferred from the signature; pass it
+    explicitly when wrapping ``combine`` in a partial/``*args``
+    callable, where inspection would silently guess wrong.  An
+    epoch-aware combine may return None to mean "replayed epoch,
+    nothing to write" — the body then skips the staging write and
+    table swap entirely, so a duplicate delivery costs no I/O.
     """
     import inspect
     import os
@@ -105,10 +115,17 @@ def _crash_safe_merge(table_path: str, combine):
 
     tmp = f"{table_path}.__staging__"
     bak = f"{table_path}.__bak__"
-    # a 3-parameter combine also receives the epoch id — the hook an
-    # aggregate merge needs to make replay a no-op (SCD2/upsert bodies
-    # are idempotent by semantics and keep the 2-parameter form)
-    wants_epoch = len(inspect.signature(combine).parameters) >= 3
+    if epoch_aware is None:
+        params = inspect.signature(combine).parameters.values()
+        if any(p.kind == inspect.Parameter.VAR_POSITIONAL for p in params):
+            raise ValueError(
+                "combine has *args — pass epoch_aware explicitly; "
+                "signature inspection cannot tell whether it expects "
+                "the epoch id"
+            )
+        wants_epoch = len(params) >= 3
+    else:
+        wants_epoch = bool(epoch_aware)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -130,6 +147,8 @@ def _crash_safe_merge(table_path: str, combine):
             if wants_epoch
             else combine(base, batch_df)
         )
+        if merged is None:
+            return  # epoch-aware combine declared a replay: free no-op
         merged.write.mode("overwrite").parquet(tmp)
         # staging is durable (_SUCCESS) before the old table moves; the
         # no-live-table window is covered by the recovery above.
@@ -257,37 +276,70 @@ def run_agg_state(
     semantics — re-merging a replayed epoch double-counts — so
     exactly-once here is explicit: the state table carries an
     ``__epoch__`` column (the last applied batch_id, constant across
-    rows) and the merge body SKIPS any batch at or below it. A crash
-    between the checkpoint WAL commit and the table swap replays the
-    epoch; the guard makes the replay a byte-level no-op
-    (pytest-pinned by re-feeding every batch under a fresh
-    checkpoint). Downstream join views derive from this state via
+    rows) and the merge body skips the one legitimate replay — the
+    SAME epoch re-delivered after a crash between the checkpoint WAL
+    commit and the table swap (batch_id == stored epoch; the skip
+    returns None, so the duplicate delivery costs no staging write or
+    table swap).
+
+    batch_id is monotonic only WITHIN one checkpoint, so a batch_id
+    BELOW the stored epoch means the state table is being driven by a
+    different checkpoint than built it — silently skipping there
+    would drop genuinely new data (a fresh checkpoint re-packs old
+    and new files into low-numbered batches) and silently merging
+    would double-count the old rows, so the body RAISES and the
+    operator chooses: resume with the original checkpoint, or point
+    the fresh checkpoint at an empty state path (pytest-pinned).
+    Downstream join views derive from this state via
     :func:`~data__converter_spark.ivm.join_view_state` — key-sized
     work, never a base rescan; the view inherits the state's
     exactly-once.
     """
+    q = (
+        stream_df.writeStream.foreachBatch(
+            _crash_safe_merge(
+                table_path,
+                _agg_state_combine(keys, measures),
+                epoch_aware=True,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
+def _agg_state_combine(keys: list[str], measures: dict):
+    """The epoch-guarded merge body behind :func:`run_agg_state`,
+    factored out so the replay/skip/raise contract is unit-testable
+    without driving a stream: returns ``combine(base, batch,
+    batch_id)`` implementing merge on advance, None (free no-op) on
+    same-epoch replay, and ValueError on an epoch regression."""
     from pyspark.sql import functions as F
 
     from ..ivm import aggregate_state, merge_states
 
     def combine(
         base: DataFrame | None, batch_df: DataFrame, batch_id: int
-    ) -> DataFrame:
+    ) -> DataFrame | None:
         delta = aggregate_state(batch_df, keys, measures)
         if base is None:
             return delta.withColumn("__epoch__", F.lit(batch_id))
         applied = base.agg(F.max("__epoch__")).collect()[0][0]
-        if applied is not None and applied >= batch_id:
-            return base  # replayed epoch — rewrite the same table
+        if applied is not None and applied == batch_id:
+            return None  # crash-replay of the uncommitted epoch
+        if applied is not None and applied > batch_id:
+            raise ValueError(
+                f"state table at epoch {applied} received batch "
+                f"{batch_id}: it was built under a different "
+                "checkpoint. Resume with the original checkpoint, or "
+                "start the fresh checkpoint against an empty state "
+                "path."
+            )
         merged = merge_states(
             [base.drop("__epoch__"), delta], keys, measures
         )
         return merged.withColumn("__epoch__", F.lit(batch_id))
 
-    q = (
-        stream_df.writeStream.foreachBatch(_crash_safe_merge(table_path, combine))
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
+    return combine

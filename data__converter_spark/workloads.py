@@ -9402,14 +9402,24 @@ FROM b GROUP BY 1 ORDER BY 1
 
 
 ORACLES["checksum_orders_monthly"] = """
-WITH c AS (
+WITH s AS (
     SELECT strftime(o_orderdate, '%Y-%m') AS month,
-           concat_ws('|',
-               CAST(CAST(o_orderkey AS BIGINT) AS VARCHAR),
-               o_orderstatus, o_orderpriority,
-               CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-                    AS VARCHAR)) AS canon
+           CAST(CAST(o_orderkey AS BIGINT) AS VARCHAR) AS c1,
+           o_orderstatus AS c2, o_orderpriority AS c3,
+           CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                AS VARCHAR) AS c4
     FROM orders
+),
+c AS (
+    -- length-prefixed fields (len:value|, NULL as -|) — the same
+    -- injection-proof canonical form as the Spark side
+    SELECT month,
+           coalesce(CAST(length(c1) AS VARCHAR) || ':' || c1 || '|', '-|')
+        || coalesce(CAST(length(c2) AS VARCHAR) || ':' || c2 || '|', '-|')
+        || coalesce(CAST(length(c3) AS VARCHAR) || ':' || c3 || '|', '-|')
+        || coalesce(CAST(length(c4) AS VARCHAR) || ':' || c4 || '|', '-|')
+           AS canon
+    FROM s
 ),
 h AS (
     SELECT month,

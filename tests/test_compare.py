@@ -195,3 +195,16 @@ def test_table_fingerprint_null_never_collides_with_empty(spark):
     ra = table_fingerprint(a, ["v"], "m", "m").collect()[0]
     rb = table_fingerprint(b, ["v"], "m", "m").collect()[0]
     assert (ra["sum_lane1"], ra["sum_lane2"]) != (rb["sum_lane1"], rb["sum_lane2"])
+
+
+def test_table_fingerprint_resists_delimiter_injection(spark):
+    """('a|b','c') and ('a','b|c') must fingerprint DIFFERENT — the
+    length-prefixed canonical form keeps field boundaries unambiguous
+    for values containing the delimiter."""
+    from data__converter_spark.compare import table_fingerprint
+
+    a = spark.createDataFrame([("g", "a|b", "c")], "m string, x string, y string")
+    b = spark.createDataFrame([("g", "a", "b|c")], "m string, x string, y string")
+    ra = table_fingerprint(a, ["x", "y"], "m", "m").collect()[0]
+    rb = table_fingerprint(b, ["x", "y"], "m", "m").collect()[0]
+    assert (ra["sum_lane1"], ra["sum_lane2"]) != (rb["sum_lane1"], rb["sum_lane2"])

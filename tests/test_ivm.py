@@ -220,3 +220,36 @@ def test_min_max_rejected_as_non_retractable(spark):
     df = spark.createDataFrame([("a", 1, 1)], "k string, v long, sign long")
     with pytest.raises(ValueError, match="not retractable"):
         signed_state(df, ["k"], {"mx": ("max", "v")}, "sign")
+
+
+def test_over_retraction_stays_surfaced_and_nets_out(spark):
+    """A retraction for a never-inserted key must NOT vanish: the -1
+    row stays in the state (visible debt), and the late matching
+    insert nets it back to exactly zero — at which point the key
+    correctly disappears. Silently dropping the negative row would
+    make the late insert resurrect the key at count 1, diverging from
+    the full rebuild."""
+    from data__converter_spark.ivm import refresh_with_retractions
+
+    measures = {"n": ("count", None), "s": ("sum", "v")}
+    state = aggregate_state(
+        spark.createDataFrame([("a", 1)], "k string, v long"), ["k"], measures
+    )
+    # retract x before its insert ever arrived
+    early_retract = spark.createDataFrame(
+        [("x", 5, -1)], "k string, v long, sign long"
+    )
+    s1 = refresh_with_retractions(
+        state, early_retract, ["k"], measures, "sign", "n"
+    )
+    got1 = {(r["k"], r["n"], r["s"]) for r in s1.collect()}
+    assert ("x", -1, -5) in got1  # surfaced, not dropped
+    # the late insert arrives: x nets to zero and leaves the state
+    late_insert = spark.createDataFrame(
+        [("x", 5, 1)], "k string, v long, sign long"
+    )
+    s2 = refresh_with_retractions(
+        s1, late_insert, ["k"], measures, "sign", "n"
+    )
+    got2 = {(r["k"], r["n"], r["s"]) for r in s2.collect()}
+    assert got2 == {("a", 1, 1)}

@@ -435,3 +435,22 @@ def test_compaction_plan_overflows_by_at_most_one_file(spark):
     # file 2 still lands in bin 0 (bytes-before 7 < 10); the bin closes
     # at 14 bytes -- overflow bounded by one file, never two
     assert got == {1: 0, 2: 0, 3: 1}
+
+
+def test_bucket_pairs_in_group_generation_and_cap(spark):
+    rows = [
+        ("u", 1, "x"), ("u", 2, "y"), ("u", 3, "z"),  # 3 members -> 3 pairs
+        ("v", 4, "q"),                                  # singleton -> none
+    ]
+    df = spark.createDataFrame(rows, "bkt string, id long, payload string")
+    out = {
+        (r["bkt"], r["a_id"], r["b_id"], r["a_payload"], r["b_payload"])
+        for r in scale.bucket_pairs(df, ["bkt"], ["id", "payload"], 10).collect()
+    }
+    assert out == {
+        ("u", 1, 2, "x", "y"),
+        ("u", 1, 3, "x", "z"),
+        ("u", 2, 3, "y", "z"),
+    }
+    # cap drops the whole oversize bucket
+    assert scale.bucket_pairs(df, ["bkt"], ["id", "payload"], 2).count() == 0

@@ -1037,9 +1037,11 @@ def test_stream_agg_state_equals_batch_and_replay_is_noop(spark, tmp_path):
     state built across two micro-batches equals the one-shot batch
     aggregate; the derived join view (ivm.join_view_state) inherits
     it. Aggregate merge is NOT idempotent by semantics, so the table's
-    __epoch__ guard is what makes replay exactly-once: a FRESH
-    checkpoint re-feeds both batches and the state must come out
-    bit-identical (each replayed epoch skipped)."""
+    __epoch__ guard supplies exactly-once: same-epoch crash replay is
+    a free no-op, and an epoch REGRESSION (a fresh checkpoint driving
+    an already-built state — batch ids restart at 0, so skipping
+    would drop new data and merging would double-count) must RAISE,
+    leaving the state untouched."""
     import glob
     import shutil
 
@@ -1094,10 +1096,37 @@ def test_stream_agg_state_equals_batch_and_replay_is_noop(spark, tmp_path):
         map(tuple, full_view.collect())
     )
 
-    # FRESH checkpoint: both epochs replay; the __epoch__ guard must
-    # skip them — double-counting would show as doubled n/s
-    run_agg_state(stream(), table, str(tmp_path / "ckpt2"), ["user_id"], measures)
+    # FRESH checkpoint against the built state: batch ids restart at
+    # 0 < stored epoch 1 — the guard must raise (not skip: a fresh
+    # checkpoint may pack NEW files into those low ids; not merge:
+    # the old rows would double-count) and leave the table untouched
+    with pytest.raises(Exception, match="different\\s+checkpoint"):
+        run_agg_state(
+            stream(), table, str(tmp_path / "ckpt2"), ["user_id"], measures
+        )
     again = sorted(
         map(tuple, spark.read.parquet(table).drop("__epoch__").collect())
     )
     assert again == want
+
+
+def test_agg_state_combine_epoch_contract(spark):
+    """The epoch-guarded merge body, unit-level: advance merges,
+    same-epoch replay returns None (free no-op), regression raises."""
+    from data__converter_spark.ivm import aggregate_state
+    from data__converter_spark.streaming.runner import _agg_state_combine
+
+    measures = {"n": ("count", None), "s": ("sum", "v")}
+    combine = _agg_state_combine(["k"], measures)
+    b0 = spark.createDataFrame([("a", 1), ("a", 2)], "k string, v long")
+    b1 = spark.createDataFrame([("a", 4)], "k string, v long")
+
+    state0 = combine(None, b0, 0)
+    assert {(r["k"], r["n"], r["s"]) for r in state0.collect()} == {("a", 2, 3)}
+    state1 = combine(state0, b1, 1)
+    assert {(r["k"], r["n"], r["s"]) for r in state1.collect()} == {("a", 3, 7)}
+    # same-epoch crash replay: nothing to write
+    assert combine(state1, b1, 1) is None
+    # epoch regression: fresh checkpoint against a built state
+    with pytest.raises(ValueError, match="different checkpoint"):
+        combine(state1, b0, 0)

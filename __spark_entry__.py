@@ -28,9 +28,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotation — freshness first, CHANGED CODE PATHS first of all: no
 # query whose code changed this round may keep a stale driver row.
 # After r8's gate the ledger is 3×r4, 46×r5, 46×r6, 47×r7, 50×r8,
-# plus 18 never-checked round-9 queries (210 total).
+# plus 20 never-checked round-9 queries (212 total).
 # Slot accounting:
-#   1-18  NEW round-9 queries (zorder_write_prune — the z-order write
+#   1-20  NEW round-9 queries (zorder_write_prune — the z-order write
 #         path's month-vs-zband pruning comparison; bm25_retrieval —
 #         integer-exact BM25 over the inverted-index join;
 #         skew_key_events — the hot-key salting diagnostic;
@@ -48,22 +48,24 @@ def entry(spark: SparkSession) -> DataFrame:
 #         ivm_join_nation — delta-join view maintenance;
 #         ivm_retract_orders — signed-state IVM under deletes;
 #         segment_diversity — exact Gini / inverse-Simpson mix;
-#         image_dhash_pairs — perceptual-hash image near-dup)
-#   19-21 round-9 BEHAVIOR changes (basket_lift_parts gained the
+#         image_dhash_pairs — perceptual-hash image near-dup;
+#         auc_dsir_en / calibration_dsir_en — exact integer ROC-AUC
+#         and reliability diagram of the DSIR selector)
+#   21-23 round-9 BEHAVIOR changes (basket_lift_parts gained the
 #         max_basket_size=8 hot-basket cap, oracle updated in
 #         lockstep; bloom_shard_dedup's oracle digests
 #         coalesce(text, '') to match the op; embedding_scatter's
 #         scatter_matrix now excludes NULL groups on both engines)
-#   22-28 round-9 CODE-touched queries, results invariant
+#   24-30 round-9 CODE-touched queries, results invariant
 #         (stream_cms_heavy: windowed_cms_heavy probe key is named,
 #         not positional; pagerank_converged: adaptive cadence never
 #         shrinks below the caller's probe_every; funnel_conversion,
 #         sketch_kmv_shingles, sketch_join_size, sketch_theta_leakage,
 #         zonemap_prune_scan: scalar crossJoins broadcast-hinted)
-#   29-31 the 3 r4-latest queries (oldest debt)
-#   32-50 the first 19 r5-latest queries in registry order; the
-#         remaining 27 r5-latest rows (excess_stock_suppliers,
-#         waiting_suppliers,
+#   31-33 the 3 r4-latest queries (oldest debt)
+#   34-50 the first 17 r5-latest queries in registry order; the
+#         remaining 29 r5-latest rows (small_qty_revenue,
+#         bracket_revenue, excess_stock_suppliers, waiting_suppliers,
 #         balanced_shards, dedup_against_ref,
 #         dedup_substring_keep, centroid_separation,
 #         window_active_users, pagerank_trade, stream_enrich_counts,
@@ -83,7 +85,7 @@ _VERIFY_FIRST = [
     "checksum_orders_monthly", "event_transitions",
     "contingency_segments", "fk_orphan_audit", "typo_pairs_names",
     "ivm_join_nation", "ivm_retract_orders", "segment_diversity",
-    "image_dhash_pairs",
+    "image_dhash_pairs", "auc_dsir_en", "calibration_dsir_en",
     # -- round-9 behavior/oracle changes --
     "basket_lift_parts", "bloom_shard_dedup", "embedding_scatter",
     # -- round-9 code-touched, results invariant --
@@ -92,14 +94,14 @@ _VERIFY_FIRST = [
     "zonemap_prune_scan",
     # -- latest driver row is r4 (oldest debt) --
     "chunk_text", "salient_terms", "late_shipments",
-    # -- latest driver row is r5, registry order (first 19 of 46) --
+    # -- latest driver row is r5, registry order (first 17 of 46) --
     "similarity_lsh_topk", "similarity_ivf_topk",
     "multimodal_image_features", "multimodal_frame_sample",
     "multimodal_resize", "text_pii_scrub", "sample_stratified",
     "events_json_props", "window_running_revenue", "stream_cdc_upsert",
     "kmeans_train2", "salient_terms_tfidf", "min_cost_supplier",
     "product_type_profit", "important_parts", "top_supplier",
-    "supplier_part_counts", "small_qty_revenue", "bracket_revenue",
+    "supplier_part_counts",
 ]
 
 

@@ -794,3 +794,86 @@ def group_diversity(
         .cast("bigint")
         .alias("inv_simpson_milli"),
     )
+
+
+def binary_auc(
+    df: DataFrame, score_col: str, label_col: str | Column
+) -> DataFrame:
+    """Exact ROC-AUC of an integer score against a binary label —
+    the Mann-Whitney U statistic in pure BIGINT arithmetic.
+
+    AUC = P(score_pos > score_neg) + ½·P(tie). Computed WITHOUT a
+    per-row rank: rows collapse to (score, n_pos, n_neg) cells first,
+    then over the score-ordered CELL table ``2U = Σ_s n_pos(s) ·
+    (2·cum_neg_below(s) + n_neg(s))`` and ``auc_micro = 1e6·2U div
+    (2·P·N)`` — ties handled exactly by the ``+ n_neg(s)`` term, no
+    0.5 ever materializing. The ordered scan runs over DISTINCT SCORE
+    cells (milli-scale scores → thousands of rows at any data size),
+    the same metadata-scale single-partition window as the compaction
+    planner — data rows never enter it.
+
+    Output: one row (n_pos, n_neg, auc_micro). 500000 = random,
+    1000000 = perfect separation. Exact while 2·P·N·1e6 < 2⁶³
+    (P·N ≲ 4.6·10¹²); past that, compute per stratum and average, or
+    subsample — the eval question rarely needs more.
+    """
+    from pyspark.sql import Window
+
+    lbl = F.col(label_col) if isinstance(label_col, str) else label_col
+    pos = lbl.cast("bigint")
+    cells = df.groupBy(F.col(score_col).alias("s")).agg(
+        F.sum(pos).cast("bigint").alias("n_pos"),
+        F.sum(F.lit(1) - pos).cast("bigint").alias("n_neg"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = cells.withColumn(
+        "__cum_neg__", F.coalesce(F.sum("n_neg").over(w), F.lit(0))
+    )
+    return ranked.agg(
+        F.sum("n_pos").cast("bigint").alias("n_pos"),
+        F.sum("n_neg").cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("n_pos") * (F.lit(2) * F.col("__cum_neg__") + F.col("n_neg"))
+        )
+        .cast("bigint")
+        .alias("__two_u__"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        F.expr("__two_u__ * 1000000 div (2 * n_pos * n_neg)")
+        .cast("bigint")
+        .alias("auc_micro"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str | Column,
+    band_width: int,
+) -> DataFrame:
+    """Reliability diagram in exact integers: fixed-width score bands
+    (``band = score div band_width`` — fixed, not quantile, so the
+    binning is engine-identical), each reporting its row count,
+    positive share (milli) and mean score (floor div) — 'when the
+    model says 0.8, is it right 80% of the time?'. One map-side-
+    combining hash aggregate; pair with :func:`binary_auc` for the
+    ranking view of the same score."""
+    lbl = F.col(label_col) if isinstance(label_col, str) else label_col
+    pos = lbl.cast("bigint")
+    band = F.expr(f"{score_col} div {int(band_width)}")
+    return (
+        df.groupBy(band.cast("bigint").alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(pos).cast("bigint").alias("n_pos"),
+            F.sum(F.col(score_col)).cast("bigint").alias("__ssum__"),
+        )
+        .select(
+            "band",
+            "n",
+            "n_pos",
+            F.expr("n_pos * 1000 div n").cast("bigint").alias("pos_milli"),
+            F.expr("__ssum__ div n").cast("bigint").alias("mean_score"),
+        )
+    )

@@ -9917,3 +9917,85 @@ SELECT id_a, id_b,
 FROM cand
 ORDER BY id_a, id_b
 """
+
+
+def q_auc_dsir_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation (stats.py:binary_auc): exact ROC-AUC
+    of the DSIR importance score against its own target definition
+    (lang == 'en') — the does-the-selector-actually-rank-target-docs-
+    higher sanity check, in pure BIGINT Mann-Whitney arithmetic (ties
+    exact, no per-row rank: the ordered scan runs over distinct-score
+    CELLS, metadata-scale). One row: n_pos, n_neg, auc_micro."""
+    from .llmops.textstats import dsir_scores
+    from .stats import binary_auc
+
+    docs = _load(spark, sf_dir, "documents")
+    scored = dsir_scores(docs, target=F.col("lang") == F.lit("en"), buckets=64)
+    lab = scored.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "score_milli", (F.col("lang") == F.lit("en")).alias("is_en")
+    )
+    return binary_auc(lab, "score_milli", "is_en")
+
+
+def q_calibration_dsir_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (stats.py:calibration_bins): the DSIR score
+    in fixed 10-milli bands (the hashed-unigram ratio concentrates
+    near 1000 milli, so narrow bands resolve the diagram), each with
+    its row count, target share (milli) and mean score — 'when the selector scores a band higher,
+    is the band actually richer in target docs?'. Fixed-width bands
+    (not quantiles) keep the binning engine-identical; one hash
+    aggregate."""
+    from .llmops.textstats import dsir_scores
+    from .stats import calibration_bins
+
+    docs = _load(spark, sf_dir, "documents")
+    scored = dsir_scores(docs, target=F.col("lang") == F.lit("en"), buckets=64)
+    lab = scored.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "score_milli", (F.col("lang") == F.lit("en")).alias("is_en")
+    )
+    return calibration_bins(lab, "score_milli", "is_en", 10).orderBy("band")
+
+
+QUERIES["auc_dsir_en"] = q_auc_dsir_en
+QUERIES["calibration_dsir_en"] = q_calibration_dsir_en
+
+
+ORACLES["auc_dsir_en"] = _DSIR_CTE + """
+, lab AS (
+    SELECT f.score_milli AS s,
+           CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+    FROM f JOIN documents d ON f.doc_id = d.doc_id
+),
+cells AS (
+    SELECT s, CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(1 - pos) AS BIGINT) AS n_neg
+    FROM lab GROUP BY s
+),
+r AS (
+    SELECT *, coalesce(sum(n_neg) OVER (
+        ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS cum_neg
+    FROM cells
+)
+SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+       CAST(sum(n_neg) AS BIGINT) AS n_neg,
+       CAST(sum(n_pos * (2 * cum_neg + n_neg)) * 1000000
+            // (2 * sum(n_pos) * sum(n_neg)) AS BIGINT) AS auc_micro
+FROM r
+"""
+
+
+ORACLES["calibration_dsir_en"] = _DSIR_CTE + """
+, lab AS (
+    SELECT f.score_milli AS s,
+           CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+    FROM f JOIN documents d ON f.doc_id = d.doc_id
+)
+SELECT CAST(s // 10 AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(pos) * 1000 // count(*) AS BIGINT) AS pos_milli,
+       CAST(sum(s) // count(*) AS BIGINT) AS mean_score
+FROM lab
+GROUP BY 1 ORDER BY 1
+"""

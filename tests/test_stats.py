@@ -305,3 +305,38 @@ def test_group_diversity_extremes_and_balance(spark):
     assert got["two"] == (4, 2, 500000, 2000)     # balanced 2: gini .5
     # 9:1 -> sum_sq 82, N^2 100: gini 180000, inv-simpson 1219
     assert got["skew"] == (10, 2, 180000, 1219)
+
+
+def test_binary_auc_known_cases(spark):
+    from data__converter_spark.stats import binary_auc
+
+    def auc(rows):
+        df = spark.createDataFrame(rows, "s long, y boolean")
+        r = binary_auc(df, "s", "y").collect()[0]
+        return (r["n_pos"], r["n_neg"], r["auc_micro"])
+
+    # perfect separation
+    assert auc([(1, False), (2, False), (3, True), (4, True)]) == (2, 2, 1000000)
+    # perfectly inverted
+    assert auc([(3, False), (4, False), (1, True), (2, True)]) == (2, 2, 0)
+    # all scores tied -> 0.5 exactly
+    assert auc([(7, True), (7, False), (7, True), (7, False)]) == (2, 2, 500000)
+    # mixed case, hand-computed: pos scores {2, 3}, neg {1, 3}
+    # pairs: (2>1)=1, (2 vs 3)=0, (3>1)=1, (3==3)=0.5 -> U=2.5/4
+    assert auc([(1, False), (3, False), (2, True), (3, True)]) == (2, 2, 625000)
+
+
+def test_calibration_bins_exact_shares(spark):
+    from data__converter_spark.stats import calibration_bins
+
+    rows = [(5, True), (7, False), (14, True), (16, True), (25, False)]
+    df = spark.createDataFrame(rows, "s long, y boolean")
+    got = {
+        r["band"]: (r["n"], r["n_pos"], r["pos_milli"], r["mean_score"])
+        for r in calibration_bins(df, "s", "y", 10).collect()
+    }
+    assert got == {
+        0: (2, 1, 500, 6),    # scores 5, 7
+        1: (2, 2, 1000, 15),  # scores 14, 16
+        2: (1, 0, 0, 25),
+    }

@@ -725,3 +725,65 @@ def test_compaction_plan_bin_bounds(spark, sizes, target):
         prev_bin = b
         before += sz
     assert out[0][2] == 0
+
+
+auc_rows = st.lists(
+    st.tuples(st.integers(0, 8), st.booleans()),  # small score range -> ties
+    min_size=2,
+    max_size=30,
+).filter(lambda rs: any(y for _, y in rs) and any(not y for _, y in rs))
+
+
+@settings(**SPARK_SETTINGS)
+@given(auc_rows)
+def test_binary_auc_matches_pairwise_reference(spark, rows):
+    """binary_auc == the O(P*N) definition: mean over all (pos, neg)
+    pairs of [score_pos > score_neg] + 0.5*[tie], floored to micro."""
+    from data__converter_spark.stats import binary_auc
+
+    df = spark.createDataFrame(rows, "s long, y boolean")
+    r = binary_auc(df, "s", "y").collect()[0]
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    two_u = sum(2 if p > n else (1 if p == n else 0) for p in pos for n in neg)
+    assert (r["n_pos"], r["n_neg"]) == (len(pos), len(neg))
+    assert r["auc_micro"] == two_u * 1_000_000 // (2 * len(pos) * len(neg))
+
+
+dhash_rows = st.lists(
+    st.tuples(st.integers(0, 2**32 - 1), st.integers(0, 2**32 - 1)),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(**SPARK_SETTINGS)
+@given(dhash_rows)
+def test_dhash_candidates_sound_and_pigeonhole_complete(spark, hs):
+    """Soundness: every emitted pair shares >= 1 of the four 16-bit
+    bands and reports the exact Hamming distance. Completeness
+    (pigeonhole): every pair within Hamming distance 3 IS emitted —
+    4 bands can't all differ on <= 3 flipped bits."""
+    from data__converter_spark.llmops.multimodal import dhash_candidates
+
+    rows = [(i, hi, lo) for i, (hi, lo) in enumerate(hs)]
+    df = spark.createDataFrame(rows, "media_id long, dh_hi long, dh_lo long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dhash_candidates(df, max_bucket=100).collect()
+    }
+
+    def bands(hi, lo):
+        return (hi >> 16, hi & 0xFFFF, lo >> 16, lo & 0xFFFF)
+
+    def ham(a, b):
+        return bin((a[0] ^ b[0]) | ((a[1] ^ b[1]) << 32)).count("1")
+
+    for (ia, ib), d in got.items():
+        a, b = hs[ia], hs[ib]
+        assert d == ham(a, b)
+        assert any(x == y for x, y in zip(bands(*a), bands(*b)))
+    for ia in range(len(hs)):
+        for ib in range(ia + 1, len(hs)):
+            if ham(hs[ia], hs[ib]) <= 3:
+                assert (ia, ib) in got, f"missed near-pair {ia},{ib}"

@@ -1731,14 +1731,15 @@ def deletion_neighborhood_pairs(
             )
         ).alias("var"),
     )
-    # ONE exchange on the variant generates candidates: pairs form
-    # INSIDE each posting list (sorted by id, so id_a < id_b by
-    # construction), instead of a freq-count join plus a variant
-    # self-join — group size is the frequency ((id, var) is unique, the
-    # variant set per id is deduped above), so the <= cap filter IS the
-    # hot-variant guard, and per-group state is at most cap structs.
-    # The posting-list pair kernel is shared with the other LSH-family
-    # ops (scale.bucket_pairs).
+    # Candidates form INSIDE each posting list (sorted by id, so
+    # id_a < id_b by construction) instead of a variant self-join —
+    # group size is the frequency ((id, var) is unique, the variant
+    # set per id is deduped above).  The kernel pre-counts variants
+    # and semi-joins the [2, cap] survivors BEFORE any list collects,
+    # so per-group aggregation state really is at most cap structs
+    # even under a degenerate hot variant.  The posting-list pair
+    # kernel is shared with the other LSH-family ops
+    # (scale.bucket_pairs).
     from ..scale import bucket_pairs
 
     cand = (

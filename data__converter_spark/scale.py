@@ -492,6 +492,13 @@ def write_zordered(
     ).collect()[0]
     mins = {c: env[f"lo_{c}"] for c in cols}
     maxs = {c: env[f"hi_{c}"] for c in cols}
+    missing = [c for c in cols if mins[c] is None or maxs[c] is None]
+    if missing:
+        raise ValueError(
+            "write_zordered: min/max envelope is NULL for "
+            f"{missing} — the input is empty (or the column is "
+            "all-NULL); nothing to lay out"
+        )
     keyed = zorder_key(df, cols, mins, maxs, bits_per_dim)
     (
         keyed.drop(*[f"bin_{c}" for c in cols])
@@ -520,7 +527,11 @@ def key_skew_report(
     = this key alone saturates one of 32 tasks' fair share 32× over),
     so the report is bit-identical on any engine and thresholdable in
     config without float drift.  NULL keys group as a real key (NULLs
-    are the classic skew culprit) under the sentinel ``key_s = ''``.
+    are the classic skew culprit), displayed under the sentinel
+    ``key_s = ''`` but kept DISTINCT from a genuine empty-string key
+    by the ``is_null`` flag column — the grouping is on the raw
+    (nullable) key, so a corpus containing both NULLs and ``''``
+    reports two rows, never one merged count.
 
     Plan shape: one map-side-combining count aggregate on the key, a
     1-row broadcast-hinted totals scalar, and a TakeOrderedAndProject
@@ -529,9 +540,15 @@ def key_skew_report(
     """
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
-    per = df.groupBy(
-        F.coalesce(F.col(key_col).cast("string"), F.lit("")).alias("key_s")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    per = (
+        df.groupBy(F.col(key_col).cast("string").alias("__k__"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            F.coalesce(F.col("__k__"), F.lit("")).alias("key_s"),
+            F.col("__k__").isNull().alias("is_null"),
+            "cnt",
+        )
+    )
     tot = per.agg(
         F.sum("cnt").cast("bigint").alias("n_rows"),
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
@@ -542,14 +559,20 @@ def key_skew_report(
     # heaps + one k-row merge, never a global sort); the rank window
     # then runs over the ALREADY-LIMITED k rows, so its single
     # partition holds top_k rows no matter the input size.
-    top_rows = per.orderBy(F.desc("cnt"), F.asc("key_s")).limit(int(top_k))
-    w = Window.orderBy(F.desc("cnt"), F.asc("key_s"))
+    top_rows = per.orderBy(
+        F.desc("cnt"), F.asc("key_s"), F.asc("is_null")
+    ).limit(int(top_k))
+    w = Window.orderBy(F.desc("cnt"), F.asc("key_s"), F.asc("is_null"))
     top = top_rows.select(
-        "key_s", "cnt", F.row_number().over(w).cast("int").alias("rank")
+        "key_s",
+        "is_null",
+        "cnt",
+        F.row_number().over(w).cast("int").alias("rank"),
     )
     return top.crossJoin(F.broadcast(tot)).select(
         "rank",
         "key_s",
+        "is_null",
         "cnt",
         "n_rows",
         "n_keys",
@@ -614,27 +637,42 @@ def bucket_pairs(
     shared kernel of the LSH-family ops (FastSS deletion index, dHash
     banding, and any future bucket-then-verify join).
 
-    ONE exchange on the bucket key; each bucket's members collect into
-    a sorted list (first payload column is the id — sorting the struct
-    puts pairs in ``a < b`` order by construction), buckets outside
-    [2, ``max_bucket``] drop (the oversize filter IS the hot-bucket f²
-    guard — group size equals bucket frequency when (id, bucket) is
-    unique, which callers guarantee by deduping their bucket sets),
-    and pairs explode from each list without a self-join. Output: one
-    row per (bucket, pair) with ``a_<col>`` / ``b_<col>`` for every
-    payload column — callers ``.distinct()`` over the payload if the
-    same pair may collide in several buckets, then verify exactly.
+    Hot buckets are dropped BEFORE any list materializes: a count
+    aggregate (O(1) state per bucket) finds buckets outside
+    [2, ``max_bucket``], and a semi-join keeps only surviving rows —
+    so collect_list's per-group aggregation buffer is bounded by the
+    CAP, not by the hottest bucket's frequency (group size equals
+    bucket frequency when (id, bucket) is unique, which callers
+    guarantee by deduping their bucket sets).  A degenerate bucket
+    with millions of members therefore costs one counter, never one
+    executor's memory.  The count and the join share the same bucket
+    key, so the join's exchange co-partitions both sides and the
+    collect_list groupBy reuses that partitioning — still ONE data
+    exchange on the bucket key plus a slim count branch.  Each
+    surviving bucket's members collect into a sorted list (first
+    payload column is the id — sorting the struct puts pairs in
+    ``a < b`` order by construction) and pairs explode from each list
+    without a self-join. Output: one row per (bucket, pair) with
+    ``a_<col>`` / ``b_<col>`` for every payload column — callers
+    ``.distinct()`` over the payload if the same pair may collide in
+    several buckets, then verify exactly.
     """
-    grouped = (
+    keep = (
         df.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .filter(
+            (F.col("__n__") >= 2)
+            & (F.col("__n__") <= F.lit(int(max_bucket)))
+        )
+        .select(*bucket_cols)
+    )
+    grouped = (
+        df.join(keep, bucket_cols, "left_semi")
+        .groupBy(*bucket_cols)
         .agg(
             F.sort_array(
                 F.collect_list(F.struct(*payload_cols))
             ).alias("__g__")
-        )
-        .filter(
-            (F.size("__g__") >= 2)
-            & (F.size("__g__") <= F.lit(int(max_bucket)))
         )
     )
     inner = ", ".join(

@@ -702,7 +702,10 @@ def fk_orphans(
 
     Output: one row per checked relation with ``n_rows``, ``n_null``,
     ``n_orphan``, and ``orphan_milli`` (exact ``n_orphan*1000 div
-    n_rows``).
+    n_rows``).  Degenerate-input contract: an EMPTY fact table reports
+    ``orphan_milli = 0`` (vacuously no orphans — the guard below, so
+    audit consumers thresholding the column never see NULL), never a
+    NULL from the 0-row division.
 
     Scale: each relation is ONE pass — key projection, LEFT join
     against the dimension's distinct-key projection carrying a hit
@@ -725,15 +728,22 @@ def fk_orphans(
             .withColumn("__hit__", F.lit(1))
         )
         joined = keys.join(dim_keys, "__k__", "left")
+        # coalesce(sum, 0): SUM over zero rows is NULL — an empty fact
+        # must report hard zeros, per the degenerate-input contract.
         counts = joined.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.sum(F.col("__k__").isNull().cast("bigint"))
+            F.coalesce(
+                F.sum(F.col("__k__").isNull().cast("bigint")), F.lit(0)
+            )
             .cast("bigint")
             .alias("n_null"),
-            F.sum(
-                (F.col("__k__").isNotNull() & F.col("__hit__").isNull()).cast(
-                    "bigint"
-                )
+            F.coalesce(
+                F.sum(
+                    (
+                        F.col("__k__").isNotNull() & F.col("__hit__").isNull()
+                    ).cast("bigint")
+                ),
+                F.lit(0),
             )
             .cast("bigint")
             .alias("n_orphan"),
@@ -744,7 +754,10 @@ def fk_orphans(
                 "n_rows",
                 "n_null",
                 "n_orphan",
-                F.expr("n_orphan * 1000 div n_rows")
+                F.expr(
+                    "CASE WHEN n_rows = 0 THEN 0"
+                    " ELSE n_orphan * 1000 div n_rows END"
+                )
                 .cast("bigint")
                 .alias("orphan_milli"),
             )
@@ -816,6 +829,14 @@ def binary_auc(
     1000000 = perfect separation. Exact while 2·P·N·1e6 < 2⁶³
     (P·N ≲ 4.6·10¹²); past that, compute per stratum and average, or
     subsample — the eval question rarely needs more.
+
+    Degenerate-input contract: when the labels are single-class
+    (``n_pos·n_neg = 0``) ROC-AUC is mathematically undefined, and
+    the result row carries ``auc_micro = NULL`` DELIBERATELY — the
+    returned n_pos/n_neg make the cause inspectable, and a NULL
+    propagates through downstream threshold comparisons as "no
+    verdict" rather than masquerading as 0 or 500000.  Callers who
+    need a hard failure should assert ``n_pos > 0 AND n_neg > 0``.
     """
     from pyspark.sql import Window
 
@@ -840,7 +861,13 @@ def binary_auc(
     ).select(
         "n_pos",
         "n_neg",
-        F.expr("__two_u__ * 1000000 div (2 * n_pos * n_neg)")
+        # explicit CASE, not a bare division: under ANSI mode a
+        # single-class input (P·N = 0) would RAISE on divide-by-zero
+        # instead of honoring the documented-NULL contract.
+        F.expr(
+            "CASE WHEN n_pos * n_neg = 0 THEN CAST(NULL AS BIGINT)"
+            " ELSE __two_u__ * 1000000 div (2 * n_pos * n_neg) END"
+        )
         .cast("bigint")
         .alias("auc_micro"),
     )

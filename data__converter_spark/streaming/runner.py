@@ -116,14 +116,34 @@ def _crash_safe_merge(table_path: str, combine, epoch_aware: bool | None = None)
     tmp = f"{table_path}.__staging__"
     bak = f"{table_path}.__bak__"
     if epoch_aware is None:
-        params = inspect.signature(combine).parameters.values()
+        params = list(inspect.signature(combine).parameters.values())
         if any(p.kind == inspect.Parameter.VAR_POSITIONAL for p in params):
             raise ValueError(
                 "combine has *args — pass epoch_aware explicitly; "
                 "signature inspection cannot tell whether it expects "
                 "the epoch id"
             )
-        wants_epoch = len(params) >= 3
+        # Only REQUIRED positional parameters count: a defaulted
+        # extra (def combine(base, batch, opts=None)) is a 2-arg
+        # combine with an option, NOT an epoch hook — guessing it
+        # epoch-aware would silently pass batch_id as the option.
+        required = [
+            p
+            for p in params
+            if p.default is inspect.Parameter.empty
+            and p.kind
+            in (
+                inspect.Parameter.POSITIONAL_ONLY,
+                inspect.Parameter.POSITIONAL_OR_KEYWORD,
+            )
+        ]
+        if len(required) == 3 and len(params) > 3:
+            raise ValueError(
+                "combine takes 3 required args plus defaulted "
+                "extras — pass epoch_aware explicitly so the "
+                "third-argument contract is unambiguous"
+            )
+        wants_epoch = len(required) >= 3
     else:
         wants_epoch = bool(epoch_aware)
 

@@ -9032,8 +9032,9 @@ ORDER BY pr.probe_id
 ORACLES["skew_key_events"] = """
 WITH per AS (
     SELECT coalesce(CAST(user_id AS VARCHAR), '') AS key_s,
+           CAST(user_id AS VARCHAR) IS NULL AS is_null,
            CAST(count(*) AS BIGINT) AS cnt
-    FROM events GROUP BY 1
+    FROM events GROUP BY 1, 2
 ),
 tot AS (
     SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
@@ -9041,11 +9042,13 @@ tot AS (
     FROM per
 ),
 top AS (
-    SELECT key_s, cnt,
-           row_number() OVER (ORDER BY cnt DESC, key_s ASC) AS rn
+    SELECT key_s, is_null, cnt,
+           row_number() OVER (
+               ORDER BY cnt DESC, key_s ASC, is_null ASC
+           ) AS rn
     FROM per
 )
-SELECT CAST(rn AS INT) AS rank, key_s, cnt, n_rows, n_keys,
+SELECT CAST(rn AS INT) AS rank, key_s, is_null, cnt, n_rows, n_keys,
        cnt * 1000 // n_rows AS share_milli,
        cnt * n_keys * 1000 // n_rows AS x_mean_milli
 FROM top CROSS JOIN tot

@@ -349,8 +349,8 @@ def test_zshard_is_deterministic_projection(spark, orders):
 
 def test_key_skew_report_exact_milli_and_null_sentinel(spark):
     """Hot key shares and times-mean are exact integer milli; NULL
-    keys group under the '' sentinel; ranks are deterministic under
-    count ties (key_s asc)."""
+    keys group under the '' sentinel with is_null=True; ranks are
+    deterministic under count ties (key_s asc)."""
     rows = [(1,)] * 6 + [(2,)] * 2 + [(3,)] * 1 + [(None,)] * 1
     df = spark.createDataFrame(rows, "k int")
     got = {r["key_s"]: r for r in scale.key_skew_report(df, "k", 10).collect()}
@@ -361,7 +361,23 @@ def test_key_skew_report_exact_milli_and_null_sentinel(spark):
     assert got["1"]["x_mean_milli"] == 2400
     # tie between '3' (1 row) and '' (1 row): '' sorts first
     assert got[""]["rank"] < got["3"]["rank"]
+    assert got[""]["is_null"] is True and got["3"]["is_null"] is False
     assert all(r["n_rows"] == 10 and r["n_keys"] == 4 for r in got.values())
+
+
+def test_key_skew_report_null_vs_empty_string_distinct(spark):
+    """A genuine empty-string key and NULL keys are SEPARATE report
+    rows (same '' display sentinel, distinguished by is_null) — the
+    collision the coalesce-before-group formulation used to have."""
+    rows = [("",)] * 3 + [(None,)] * 2 + [("x",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    out = scale.key_skew_report(df, "k", 10).collect()
+    assert len(out) == 3
+    by = {(r["key_s"], r["is_null"]): r["cnt"] for r in out}
+    assert by[("", False)] == 3 and by[("", True)] == 2 and by[("x", False)] == 1
+    # deterministic order on a (cnt, key_s) tie: is_null asc breaks it
+    ranks = {(r["key_s"], r["is_null"]): r["rank"] for r in out}
+    assert ranks[("", False)] == 1 and ranks[("", True)] == 2
 
 
 def test_key_skew_report_topk_is_take_ordered(spark, orders):
@@ -454,3 +470,32 @@ def test_bucket_pairs_in_group_generation_and_cap(spark):
     }
     # cap drops the whole oversize bucket
     assert scale.bucket_pairs(df, ["bkt"], ["id", "payload"], 2).count() == 0
+
+
+def test_bucket_pairs_prefilters_hot_buckets_before_collect(spark):
+    """The hot-bucket guard runs BEFORE any posting list materializes:
+    the plan carries a LeftSemi join from a count aggregate into the
+    collect_list groupBy, so a degenerate million-member bucket costs
+    one counter, never one executor's aggregation buffer.  (The old
+    shape filtered on size(collect_list(...)) AFTER buffering.)"""
+    df = spark.createDataFrame(
+        [("u", i, "p") for i in range(50)], "bkt string, id long, payload string"
+    )
+    p = scale.bucket_pairs(df, ["bkt"], ["id", "payload"], 10)
+    jvm = spark._jvm
+    plan = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        p._jdf.queryExecution(), "simple"
+    )
+    assert "LeftSemi" in plan
+    # and the semantics: the 50-member bucket is out entirely
+    assert p.count() == 0
+
+
+def test_write_zordered_empty_input_raises(spark, tmp_path):
+    """Empty input (NULL envelope) fails fast with a descriptive
+    error, not a TypeError deep inside zorder_key."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame([], "a long, b long")
+    with _pytest.raises(ValueError, match="envelope is NULL"):
+        scale.write_zordered(df, str(tmp_path / "z"), ["a", "b"])

@@ -288,6 +288,30 @@ def test_fk_orphans_counts_nulls_separately(spark):
     assert r["orphan_milli"] == 250
 
 
+def test_fk_orphans_empty_fact_reports_zero_not_null(spark):
+    """Degenerate-input contract: an empty fact table yields
+    orphan_milli = 0 (vacuously clean), never a NULL from the
+    0-row division — audit thresholds stay well-defined."""
+    from data__converter_spark.stats import fk_orphans
+
+    fact = spark.createDataFrame([], "fk long")
+    dim = spark.createDataFrame([(1,)], "k long")
+    r = fk_orphans(fact, {"fk": (dim, "k")}).collect()[0]
+    assert (r["n_rows"], r["n_null"], r["n_orphan"]) == (0, 0, 0)
+    assert r["orphan_milli"] == 0
+
+
+def test_binary_auc_single_class_is_documented_null(spark):
+    """Single-class labels make ROC-AUC undefined: auc_micro is NULL
+    by contract while n_pos/n_neg expose the cause."""
+    from data__converter_spark.stats import binary_auc
+
+    df = spark.createDataFrame([(1, True), (2, True)], "s long, y boolean")
+    r = binary_auc(df, "s", "y").collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (2, 0)
+    assert r["auc_micro"] is None
+
+
 def test_group_diversity_extremes_and_balance(spark):
     from data__converter_spark.stats import group_diversity
 

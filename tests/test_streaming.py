@@ -1130,3 +1130,41 @@ def test_agg_state_combine_epoch_contract(spark):
     # epoch regression: fresh checkpoint against a built state
     with pytest.raises(ValueError, match="different checkpoint"):
         combine(state1, b0, 0)
+
+
+def test_crash_safe_merge_epoch_inference(spark, tmp_path):
+    """Epoch-awareness inference counts only REQUIRED parameters: a
+    defaulted extra (opts=None) is a 2-arg combine — batch_id must
+    NOT be passed as the option; *args and 3-required-plus-defaults
+    signatures demand an explicit epoch_aware."""
+    from data__converter_spark.streaming.runner import _crash_safe_merge
+
+    seen = {}
+
+    def combine_with_opts(base, batch, opts=None):
+        seen["opts"] = opts
+        return batch
+
+    merge = _crash_safe_merge(str(tmp_path / "t1"), combine_with_opts)
+    merge(spark.createDataFrame([(1,)], "v long"), batch_id=7)
+    assert seen["opts"] is None  # batch_id was NOT smuggled in
+
+    def combine_epoch(base, batch, batch_id):
+        seen["epoch"] = batch_id
+        return batch
+
+    merge2 = _crash_safe_merge(str(tmp_path / "t2"), combine_epoch)
+    merge2(spark.createDataFrame([(1,)], "v long"), batch_id=9)
+    assert seen["epoch"] == 9  # 3 required params -> epoch-aware
+
+    def combine_ambiguous(base, batch, batch_id, opts=None):
+        return batch
+
+    with pytest.raises(ValueError, match="explicit"):
+        _crash_safe_merge(str(tmp_path / "t3"), combine_ambiguous)
+
+    def combine_varargs(*args):
+        return args[1]
+
+    with pytest.raises(ValueError, match="explicit"):
+        _crash_safe_merge(str(tmp_path / "t4"), combine_varargs)

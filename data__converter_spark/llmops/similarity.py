@@ -1045,6 +1045,180 @@ def ivf_pq_topk(
     ).filter(F.col("rank") <= k)
 
 
+def _tf_of(df: DataFrame, col: str, id_col: str, out_id: str) -> DataFrame:
+    """(id, term, tf) count aggregate off one exploded token pass —
+    the shared front of every sparse-retrieval shape."""
+    from .textstats import tokens_col
+
+    return (
+        df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(tokens_col(col)).alias("__t__"),
+        )
+        .select(out_id, F.lower(F.col("__t__")).alias("term"))
+        .groupBy(out_id, "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+
+
+def build_text_index(
+    corpus_df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    path: str | None = None,
+    persist_tf: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize the inverted-index ARTIFACT a search engine builds
+    once at corpus time: a postings table ``(term, match_id, tf, df,
+    dl)`` — every per-(term, doc) statistic BM25/TF ranking needs —
+    plus a 1-row corpus-stats table ``(n_docs, total_tok, avgdl)``.
+
+    This is the missing half of :func:`sparse_retrieval` /
+    :func:`bm25_retrieval`'s inline shape: those re-tokenize the
+    corpus on every call (measured FASTER for a single ranking at
+    sf0.1 — the tokenize is a cheap JVM split/explode), which is the
+    wrong shape for the hot loop of many query batches against one
+    corpus.  At 100 TB the corpus statistics are computed once here,
+    written as parquet (``path`` given → ``{path}/postings`` +
+    ``{path}/stats``, read back so the caller consumes the on-disk
+    artifact exactly as later sessions will), and every subsequent
+    ranking is ONE equi-join against the postings — no corpus scan,
+    no tokenizer, df/dl/avgdl already joined in.
+
+    Plan shape: tf/df/dl are three slim aggregates off one exploded
+    token pass (``persist_tf=True`` caches the tf frame so the build
+    scans the corpus once instead of once per branch — worth it when
+    the corpus is remote/expensive, measured not-worth-it for local
+    parquet at sf0.1); the df and dl joins are term-/doc-keyed
+    equi-joins of aggregate-sized frames.  The postings table is the
+    natural bucketing candidate: written bucketed by ``term``, every
+    query-time join is co-located.
+    """
+    c_tf = _tf_of(corpus_df, col, id_col, "match_id")
+    if persist_tf:
+        from ..scale import persisted
+
+        c_tf = persisted(c_tf)
+    dl = c_tf.groupBy("match_id").agg(
+        F.sum("tf").cast("bigint").alias("dl")
+    )
+    df_t = c_tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_tok"),
+    ).select(
+        "n_docs",
+        "total_tok",
+        F.expr("total_tok div n_docs").cast("bigint").alias("avgdl"),
+    )
+    postings = c_tf.join(df_t, "term").join(dl, "match_id").select(
+        "term", "match_id", "tf", "df", "dl"
+    )
+    if path is not None:
+        spark = corpus_df.sparkSession
+        postings.write.mode("overwrite").parquet(f"{path}/postings")
+        stats.write.mode("overwrite").parquet(f"{path}/stats")
+        return (
+            spark.read.parquet(f"{path}/postings"),
+            spark.read.parquet(f"{path}/stats"),
+        )
+    return postings, stats
+
+
+def sparse_from_index(
+    queries_df: DataFrame,
+    postings: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """:func:`sparse_retrieval`'s ranking against a prebuilt
+    :func:`build_text_index` artifact: score(q, d) = Σ_t tf_q·tf_d,
+    identical arithmetic and identical output, but the corpus side is
+    ONE postings scan — the df column is already there, so the
+    ``max_df`` stop-term cap is a pushed-down filter instead of a
+    df-aggregate + semi-join.  Only the (small) query batch tokenizes
+    at call time."""
+    c = postings
+    if max_df is not None:
+        c = c.filter(F.col("df") <= int(max_df))
+    q_tf = _tf_of(queries_df, col, id_col, "query_id")
+    scored = (
+        q_tf.withColumnRenamed("tf", "q_tf")
+        .join(c.select("term", "match_id", F.col("tf").alias("c_tf")), "term")
+        .groupBy("query_id", "match_id")
+        .agg(F.sum(F.col("q_tf") * F.col("c_tf")).cast("bigint").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("match_id")
+    )
+    return scored.select(
+        "query_id",
+        "match_id",
+        "score",
+        F.row_number().over(w).cast("int").alias("rank"),
+    ).filter(F.col("rank") <= int(top_k))
+
+
+def bm25_from_index(
+    queries_df: DataFrame,
+    postings: DataFrame,
+    stats: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+    max_df: int | None = None,
+) -> DataFrame:
+    """:func:`bm25_retrieval`'s ranking against a prebuilt
+    :func:`build_text_index` artifact — identical int64 milli
+    arithmetic (idf / tf-saturation / length normalization, see
+    bm25_retrieval's docstring for the exact forms), but df/dl ride
+    the postings row and (n_docs, avgdl) is the broadcast 1-row stats
+    table, so a query batch costs one postings equi-join + one
+    aggregate + a per-query top-k window.  ``max_df`` is a postings
+    filter (pushed to the scan when the artifact is on parquet)."""
+    k1 = int(k1_milli)
+    b = int(b_milli)
+    c = postings
+    if max_df is not None:
+        c = c.filter(F.col("df") <= int(max_df))
+    post = c.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "match_id",
+        F.expr("1000 * (n_docs - df + 1) div (df + 1)").alias("idf_milli"),
+        F.expr(
+            f"(tf * ({k1} + 1000) * 1000000) div "
+            f"(tf * 1000000 + {k1} * (1000 - {b} + ({b} * dl) div avgdl))"
+        ).alias("tf_part_milli"),
+    )
+    q_tf = _tf_of(queries_df, col, id_col, "query_id")
+    scored = (
+        q_tf.join(post, "term")
+        .groupBy("query_id", "match_id")
+        .agg(
+            F.sum(
+                F.expr("tf * (idf_milli * tf_part_milli div 1000)")
+            )
+            .cast("bigint")
+            .alias("score_milli")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_milli"), F.asc("match_id")
+    )
+    return scored.select(
+        "query_id",
+        "match_id",
+        "score_milli",
+        F.row_number().over(w).cast("int").alias("rank"),
+    ).filter(F.col("rank") <= int(top_k))
+
+
 def sparse_retrieval(
     queries_df: DataFrame,
     corpus_df: DataFrame,
@@ -1161,87 +1335,35 @@ def bm25_retrieval(
     own idf already ranks stop terms near zero, so the cap costs
     relevance nothing — production always sets it.
     """
-    from .textstats import tokens_col
-
-    def tf_of(df: DataFrame, out_id: str) -> DataFrame:
-        return (
-            df.select(
-                F.col(id_col).alias(out_id),
-                F.explode(tokens_col(col)).alias("__t__"),
-            )
-            .select(out_id, F.lower(F.col("__t__")).alias("term"))
-            .groupBy(out_id, "term")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        )
-
-    k1 = int(k1_milli)
-    b = int(b_milli)
-    c_tf = tf_of(corpus_df, "match_id")
-    if persist_stats:
-        from ..scale import persisted
-
-        c_tf = persisted(c_tf)
-    # The tf frame feeds THREE consumers (doc lengths, document
-    # frequencies, the postings) whose downstream aggregates differ,
-    # so exchange reuse cannot dedupe them: lazily, the corpus is
-    # re-scanned and re-tokenized once per branch.  MEASURED at sf0.1
+    # Composed from the index primitives, LAZILY — no artifact
+    # materializes, so Catalyst sees exactly the inline plan: the tf
+    # frame feeds three consumers (dl, df, postings) whose downstream
+    # aggregates differ, and exchange reuse cannot dedupe them, so the
+    # corpus re-scans+re-tokenizes once per branch.  MEASURED at sf0.1
     # that is the FASTER shape (1.7 s lazy vs 3.6 s persisted — the
     # tokenize is a cheap JVM split/explode, while caching the
     # million-row tf frame pays serialization + a materialization
     # barrier), hence persist_stats defaults False.  The real 100 TB
-    # answer is neither: df/dl/avgdl are INDEX artifacts — compute
-    # them once at corpus-build time and join them in, exactly as a
-    # search engine does; persist_stats=True is the middle ground for
-    # a hot loop of many query batches against one corpus in a single
-    # session.  dl counts tokens, not distinct terms.
-    dl = c_tf.groupBy("match_id").agg(F.sum("tf").alias("dl"))
-    tot = dl.agg(
-        F.sum("dl").alias("total_tok"),
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-    ).select(
-        "n_docs",
-        F.expr("total_tok div n_docs").alias("avgdl"),
+    # answer is neither: df/dl/avgdl are INDEX artifacts — call
+    # :func:`build_text_index` with a path once at corpus-build time
+    # and rank every later query batch with :func:`bm25_from_index`
+    # against the written postings, exactly as a search engine does.
+    # The max_df cap applied post-join here pushes down onto the df
+    # aggregate, keeping the old pre-join prune shape.
+    postings, stats = build_text_index(
+        corpus_df, col, id_col, persist_tf=persist_stats
     )
-    df_t = c_tf.groupBy("term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df")
+    return bm25_from_index(
+        queries_df,
+        postings,
+        stats,
+        col,
+        id_col,
+        top_k,
+        k1_milli,
+        b_milli,
+        max_df,
     )
-    if max_df is not None:
-        df_t = df_t.filter(F.col("df") <= int(max_df))
-    post = (
-        c_tf.join(df_t, "term")
-        .join(dl, "match_id")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "term",
-            "match_id",
-            F.expr("1000 * (n_docs - df + 1) div (df + 1)").alias("idf_milli"),
-            F.expr(
-                f"(tf * ({k1} + 1000) * 1000000) div "
-                f"(tf * 1000000 + {k1} * (1000 - {b} + ({b} * dl) div avgdl))"
-            ).alias("tf_part_milli"),
-        )
-    )
-    q_tf = tf_of(queries_df, "query_id")
-    scored = (
-        q_tf.join(post, "term")
-        .groupBy("query_id", "match_id")
-        .agg(
-            F.sum(
-                F.expr("tf * (idf_milli * tf_part_milli div 1000)")
-            )
-            .cast("bigint")
-            .alias("score_milli")
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score_milli"), F.asc("match_id")
-    )
-    return scored.select(
-        "query_id",
-        "match_id",
-        "score_milli",
-        F.row_number().over(w).cast("int").alias("rank"),
-    ).filter(F.col("rank") <= int(top_k))
 
 
 def scatter_matrix(

@@ -1107,6 +1107,50 @@ def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 against the MATERIALIZED text index (llmops/similarity.py:
+    build_text_index + bm25_from_index): the postings artifact (term,
+    match_id, tf, df, dl) and 1-row corpus stats are WRITTEN as
+    parquet and read back, then the same held-out split as
+    bm25_retrieval ranks against the on-disk artifact — one postings
+    equi-join per query batch, no corpus re-tokenization.  The oracle
+    is bm25_retrieval's SQL verbatim: index-fed ranking == inline
+    ranking, which IS the artifact's correctness contract (the 100 TB
+    shape the inline op's own docstring prescribes)."""
+    import tempfile
+
+    from .llmops.similarity import bm25_from_index, build_text_index
+
+    docs = _load(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="textidx_")
+    postings, stats = build_text_index(
+        docs.filter(F.col("doc_id") % 97 != 0), path=path
+    )
+    return bm25_from_index(
+        docs.filter(F.col("doc_id") % 97 == 0), postings, stats, top_k=5
+    )
+
+
+def q_sparse_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF dot-product retrieval against the same written text-index
+    artifact (llmops/similarity.py:sparse_from_index): the max_df
+    stop-term cap becomes a pushed-down filter on the postings scan
+    instead of a df-aggregate + semi-join.  Oracle is
+    sparse_retrieval's SQL verbatim — index-fed == inline."""
+    import tempfile
+
+    from .llmops.similarity import build_text_index, sparse_from_index
+
+    docs = _load(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="textidx_")
+    postings, _stats = build_text_index(
+        docs.filter(F.col("doc_id") % 97 != 0), path=path
+    )
+    return sparse_from_index(
+        docs.filter(F.col("doc_id") % 97 == 0), postings, top_k=5
+    )
+
+
 def q_dedup_cc_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dedup with exact transitive closure: one survivor (min id)
     per connected component. Differs from dedup_near_keep exactly on
@@ -4760,6 +4804,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_collocations": q_pmi_collocations,
     "sparse_retrieval": q_sparse_retrieval,
     "bm25_retrieval": q_bm25_retrieval,
+    "bm25_indexed": q_bm25_indexed,
+    "sparse_indexed": q_sparse_indexed,
     "bpe_train": q_bpe_train,
     "tokenize_bpe": q_tokenize_bpe,
     "multimodal_png_decode": q_multimodal_png_decode,
@@ -10002,3 +10048,10 @@ SELECT CAST(s // 10 AS BIGINT) AS band,
 FROM lab
 GROUP BY 1 ORDER BY 1
 """
+
+
+# Index-fed retrieval: the correctness contract IS "ranking against
+# the written build_text_index artifact == inline ranking", so the
+# oracles are the inline queries' SQL verbatim.
+ORACLES["bm25_indexed"] = ORACLES["bm25_retrieval"]
+ORACLES["sparse_indexed"] = ORACLES["sparse_retrieval"]

@@ -727,10 +727,16 @@ def image_dhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     Images are the corpus's deterministic synthetic grid (pixel i =
     ascii of ``md5(id)`` hex char i mod 32, the exact model
     ``png_roundtrip_features`` pins end-to-end through the real PNG
-    codec), so the DuckDB oracle reproduces every bit arithmetically.
-    For real data the kernel's first step swaps to the BMP/PIL decode
-    used by ``image_features`` — the hash pipeline after the pixel
-    grid is identical.
+    codec) — but the kernel does NOT hash the model directly: each
+    grid is ENCODED to real PNG bytes (scanline filter ``id % 5``)
+    and DECODED back through the stdlib codec, and the dHash is
+    computed from the DECODED pixels.  So the oracle-checked path
+    exercises the full decode→hash composition ("perceptual hash of
+    an image", not of a hash-derived array), while the DuckDB oracle
+    still reproduces every bit arithmetically because the codec
+    round-trip is bit-exact.  For externally-supplied payloads use
+    :func:`image_dhash_bytes`, which decodes arbitrary PNG/BMP bytes
+    with the same downstream hash.
 
     One Arrow-batched mapInPandas pass over the id projection; hashes
     are 2 longs per image regardless of resolution.
@@ -762,16 +768,12 @@ def image_dhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 flat = np.frombuffer(
                     (hx * (w * h // 32 + 1)).encode()[: w * h], np.uint8
                 )
-                grid = flat.reshape(h, w)
-                ys = (np.arange(8) * h) // 8
-                xs = (np.arange(9) * w) // 9
-                g9 = grid[np.ix_(ys, xs)].astype(np.int64)
-                bits = (g9[:, 1:] > g9[:, :-1]).astype(np.int64)  # 8x8
-                row_bytes = (bits << np.arange(8)).sum(axis=1)
-                hi = int(sum(int(row_bytes[y]) << (8 * y) for y in range(4)))
-                lo = int(
-                    sum(int(row_bytes[y + 4]) << (8 * y) for y in range(4))
+                # real decode in the hot path: grid -> PNG bytes ->
+                # stdlib inflate/unfilter -> pixels -> hash
+                px = _try_decode_png(
+                    encode_png(flat.reshape(h, w), filter_type=mid % 5)
                 )
+                hi, lo = _dhash_of_gray(px[:, :, 0])
                 ids.append(mid)
                 his.append(hi)
                 los.append(lo)
@@ -782,6 +784,82 @@ def image_dhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return fan_out(docs.select(F.col(id_col).cast("long"))).mapInPandas(
         kernel, schema
     )
+
+
+def _dhash_of_gray(gray) -> tuple[int, int]:
+    """(h, w) grayscale array -> 64-bit dHash as (hi, lo) 32-bit
+    halves: nearest-neighbor sample to a 9x8 grid, one bit per
+    horizontally adjacent pair (right > left)."""
+    import numpy as np
+
+    g = np.asarray(gray)
+    h, w = g.shape
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(9) * w) // 9
+    g9 = g[np.ix_(ys, xs)].astype(np.int64)
+    bits = (g9[:, 1:] > g9[:, :-1]).astype(np.int64)  # 8x8
+    row_bytes = (bits << np.arange(8)).sum(axis=1)
+    hi = int(sum(int(row_bytes[y]) << (8 * y) for y in range(4)))
+    lo = int(sum(int(row_bytes[y + 4]) << (8 * y) for y in range(4)))
+    return hi, lo
+
+
+def image_dhash_bytes(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual dHash of REAL image payload bytes: each row's
+    ``payload_col`` is decoded as PNG (stdlib inflate + unfilter) or
+    24-bit BMP, converted to grayscale with exact integer Rec.601
+    luma ``(299·R + 587·G + 114·B) div 1000``, and hashed with the
+    same 9x8 difference grid as :func:`image_dhash` — so hashes from
+    the corpus model and from decoded files are directly comparable
+    and feed the same :func:`dhash_candidates` banding.  Rows whose
+    payload decodes as neither format drop (callers audit the count
+    delta; a quality pipeline quarantines them upstream).
+
+    One Arrow-batched mapInPandas pass; payload bytes live and die
+    inside the kernel batch, output is 2 longs per image.
+    """
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("dh_hi", T.LongType()),
+            T.StructField("dh_lo", T.LongType()),
+        ]
+    )
+    src = media.select(
+        F.col(id_col).cast("long").alias("media_id"), F.col(payload_col)
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                px = _try_decode_png(payload)
+                if px is None:
+                    px = _try_decode_bmp(payload)
+                if px is None:
+                    continue
+                rgb = px.astype(np.int64)
+                gray = (
+                    299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]
+                ) // 1000
+                hi, lo = _dhash_of_gray(gray)
+                ids.append(int(mid))
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {"media_id": ids, "dh_hi": his, "dh_lo": los}
+            )
+
+    return src.mapInPandas(kernel, schema)
 
 
 def dhash_candidates(

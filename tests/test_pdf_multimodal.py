@@ -461,6 +461,89 @@ def test_image_dhash_halves_are_32bit_and_deterministic(spark):
         assert 0 <= hi < 1 << 32 and 0 <= lo < 1 << 32
 
 
+def test_image_dhash_decode_path_matches_synthetic_model(spark):
+    """End-to-end decode→hash: image_dhash now encodes each synthetic
+    grid to REAL PNG bytes and hashes the stdlib-DECODED pixels; that
+    must equal the direct hash of the model grid (codec round-trip is
+    bit-exact), and image_dhash_bytes over the same grids shipped as
+    PNG payloads must produce identical hashes — so 'perceptual hash
+    of an image' is verified on actual image bytes, not a
+    hash-derived array."""
+    import hashlib
+
+    import numpy as np
+
+    from data__converter_spark.llmops.multimodal import (
+        _dhash_of_gray,
+        encode_png,
+        image_dhash,
+        image_dhash_bytes,
+    )
+
+    ids = list(range(40))
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    via_decode = {
+        r["media_id"]: (r["dh_hi"], r["dh_lo"])
+        for r in image_dhash(docs).collect()
+    }
+
+    def model_grid(mid):
+        w, h = 8 + mid % 5, 6 + mid % 4
+        hx = hashlib.md5(str(mid).encode()).hexdigest()
+        return np.frombuffer(
+            (hx * (w * h // 32 + 1)).encode()[: w * h], np.uint8
+        ).reshape(h, w)
+
+    direct = {mid: _dhash_of_gray(model_grid(mid)) for mid in ids}
+    assert via_decode == direct
+
+    payload_rows = [
+        (mid, bytearray(encode_png(model_grid(mid), filter_type=mid % 5)))
+        for mid in ids
+    ]
+    media = spark.createDataFrame(
+        payload_rows, "media_id long, payload binary"
+    )
+    via_bytes = {
+        r["media_id"]: (r["dh_hi"], r["dh_lo"])
+        for r in image_dhash_bytes(media).collect()
+    }
+    assert via_bytes == direct
+
+
+def test_image_dhash_bytes_bmp_and_undecodable(spark):
+    """image_dhash_bytes handles 24-bit BMP via integer Rec.601 luma,
+    and silently drops undecodable payloads."""
+    import numpy as np
+
+    from data__converter_spark.llmops.multimodal import (
+        _dhash_of_gray,
+        encode_bmp,
+        image_dhash_bytes,
+    )
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(12, 10, 3), dtype=np.uint8)
+    gray = (
+        299 * rgb[:, :, 0].astype(np.int64)
+        + 587 * rgb[:, :, 1].astype(np.int64)
+        + 114 * rgb[:, :, 2].astype(np.int64)
+    ) // 1000
+    want = _dhash_of_gray(gray)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_bmp(rgb))),
+            (2, bytearray(b"not an image at all")),
+        ],
+        "media_id long, payload binary",
+    )
+    got = {
+        r["media_id"]: (r["dh_hi"], r["dh_lo"])
+        for r in image_dhash_bytes(media).collect()
+    }
+    assert got == {1: want}
+
+
 def test_dhash_candidates_band_collision_and_hamming(spark):
     from data__converter_spark.llmops.multimodal import dhash_candidates
 

@@ -5050,13 +5050,23 @@ GROUP BY 1 HAVING count(*) > 1
            list_distinct(list_transform(range(1, len(words) - 1),
                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
     FROM words_cte WHERE len(words) >= 3
+),
+sizes AS (SELECT doc_id, len(sh) AS sz FROM ss),
+post AS (SELECT doc_id, unnest(sh) AS s FROM ss),
+common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS common
+    FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
-FROM ss a JOIN ss b ON a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
+SELECT c.id_a, c.id_b,
+       CAST(c.common AS DOUBLE)
+         / CAST(sa.sz + sb.sz - c.common AS DOUBLE) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE CAST(c.common AS DOUBLE)
+        / CAST(sa.sz + sb.sz - c.common AS DOUBLE) >= 0.5
 """,
     "text_quality_features": _WORDS_SQL
     + """

@@ -3,8 +3,11 @@ ledger behind BASELINE.md's 2× bar.
 
 Runs every ORACLES entry against DuckDB (32 threads) at the given
 sf dir and prints one JSON object {query: seconds}. Queries named in
---skip are recorded as null (known-quadratic ones measured once in
-round 1 — dedup_ngram_jaccard alone is ~17 min at sf0.1).
+--skip are recorded as null. (Historical: dedup_ngram_jaccard's
+oracle was the quadratic doc-pair self-join until round 10 — ~17 min
+at sf0.1, carried as a round-1 constant; it is now the same Σdf²
+inverted-postings form the engine uses, ~2 s, so nothing is skipped
+by default.)
 
 Usage: python tools/duckdb_bench.py [sf_dir] [--skip q1,q2]
 """

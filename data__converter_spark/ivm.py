@@ -202,7 +202,9 @@ def signed_state(
         else:
             raise ValueError(
                 f"measure {name!r} ({fn}) is not retractable — min/max "
-                "have no inverse; use the insert-only path"
+                "have no inverse; use the insert-only path or the "
+                "bounded top-k state (topk_state / "
+                "refresh_topk_with_retractions)"
             )
     return df.groupBy(*keys).agg(*aggs)
 
@@ -238,3 +240,235 @@ def refresh_with_retractions(
     delta = signed_state(delta_rows, keys, measures, sign_col)
     merged = merge_states([state, delta], keys, measures)
     return merged.filter(F.col(count_measure) != 0)
+
+
+# ---------------------------------------------------------------------------
+# Retractable extrema: bounded per-key top-k state
+# ---------------------------------------------------------------------------
+#
+# min/max are semilattice-only (no inverse), so refresh_with_retractions
+# correctly REJECTS them.  The documented alternative lives here: keep
+# the k largest values per key as explicit state.  A retraction of a
+# stored value removes it from the window; the window "absorbs" up to
+# k-1 retractions of the current extrema before the key needs a base
+# rescan — and when it does, the rescan is scoped to exactly the
+# flagged keys (a semi-join, never a full base scan).  min is max over
+# the negated column.
+#
+# Exactness invariant (pytest-pinned, oracle-checked by
+# ivm_minmax_orders): for every UNFLAGGED key,
+#     topk == the min(k, n_rows) largest surviving values, descending
+# so element 1 is the exact max and deeper elements are exact to the
+# window's depth.  The flag is maintained with a two-phase check: the
+# batch's retractions apply FIRST, and the key flags if the
+# retraction-only intermediate window holds fewer than
+# min(k, surviving-row-count) values — catching the subtle case where
+# same-batch inserts refill an under-full window with values SMALLER
+# than a forgotten (evicted) survivor, which a size check after the
+# merged batch would miss.  Inserts alone can never invalidate.
+
+
+def _topk_arr(k: int) -> Column:
+    """Collect (v, take) cells — at most k of them per key by the
+    cumulative filter upstream — into one descending value array with
+    multiplicity."""
+    return F.flatten(
+        F.transform(
+            F.reverse(F.sort_array(F.collect_list(F.struct("v", "take")))),
+            lambda s: F.array_repeat(s["v"], s["take"].cast("int")),
+        )
+    )
+
+
+def _cells_to_topk(cells: DataFrame, keys: list[str], k: int) -> DataFrame:
+    """(keys..., v, m) multiplicity cells -> (keys..., topk) with the
+    k largest values (ties by multiplicity) per key.  The per-key
+    window runs over DISTINCT-VALUE cells, not rows, and everything
+    past the first k cells is filtered before any array builds."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.desc("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    kept = (
+        cells.filter(F.col("m") > 0)
+        .withColumn("__before__", F.coalesce(F.sum("m").over(w), F.lit(0)))
+        .filter(F.col("__before__") < k)
+        .withColumn(
+            "take", F.least(F.col("m"), F.lit(k) - F.col("__before__"))
+        )
+    )
+    return kept.groupBy(*keys).agg(_topk_arr(k).alias("topk"))
+
+
+def topk_state(
+    rows: DataFrame,
+    keys: list[str],
+    value_col: str | Column,
+    k: int,
+) -> DataFrame:
+    """Build the bounded top-k state from raw rows: one row per key
+    with ``topk`` (the k largest values, descending, with
+    multiplicity), ``n_rows`` (retractable count), and
+    ``needs_rescan = false``.
+
+    Values cast to BIGINT (the integer-exact discipline — pass cents,
+    not dollars).  Build shape: one hash aggregate to (key, value)
+    multiplicity cells, a per-key cumulative window over CELLS
+    (distinct values per key, not rows), and a collect bounded to k
+    structs per key by the cumulative filter — no unbounded
+    collect_list anywhere."""
+    if k < 1:
+        raise ValueError(f"topk_state: k must be >= 1, got {k}")
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    cells = rows.groupBy(
+        *keys, v.cast("bigint").alias("v")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    meta = cells.groupBy(*keys).agg(
+        F.sum("m").cast("bigint").alias("n_rows")
+    )
+    arrs = _cells_to_topk(cells, keys, k)
+    return meta.join(arrs, keys, "left").select(
+        *keys,
+        F.coalesce(F.col("topk"), F.array().cast("array<bigint>")).alias(
+            "topk"
+        ),
+        "n_rows",
+        F.lit(False).alias("needs_rescan"),
+    )
+
+
+def refresh_topk_with_retractions(
+    state: DataFrame,
+    delta_rows: DataFrame,
+    keys: list[str],
+    value_col: str | Column,
+    sign_col: str | Column,
+    k: int,
+) -> DataFrame:
+    """One top-k maintenance step under inserts (+1) and retractions
+    (-1).
+
+    Only keys PRESENT IN THE DELTA are reprocessed: untouched state
+    rows pass through an anti-join unchanged (the scd2_apply
+    discipline — at scale almost every key is untouched).  For a
+    touched key, the stored window explodes back to multiplicity
+    cells, the batch's NEGATIVE net applies first (clamped at zero —
+    retracting a value the window never stored is a no-op at cell
+    level; the retractable ``n_rows`` still counts it), the key flags
+    ``needs_rescan`` if that retraction-only window is smaller than
+    min(k, surviving rows) — the moment the window can no longer
+    prove it holds the true extrema — and then the POSITIVE net
+    applies and the window rebuilds.  Flags are sticky until
+    :func:`repair_topk` rescans exactly the flagged keys.
+
+    Keys whose ``n_rows`` nets to exactly zero leave the state (absent,
+    not present-with-empty); a NEGATIVE ``n_rows`` (retraction of rows
+    never inserted) stays visible as debt, same contract as
+    :func:`refresh_with_retractions`.
+
+    Cost: one union + key exchanges over KEY-SIZED frames (state rows
+    carry ≤ k values each); the base table is never in the plan.
+    """
+    if k < 1:
+        raise ValueError(f"refresh_topk_with_retractions: k >= 1, got {k}")
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    s = F.col(sign_col) if isinstance(sign_col, str) else sign_col
+    delta_cells = delta_rows.groupBy(
+        *keys, v.cast("bigint").alias("v")
+    ).agg(
+        F.sum(F.when(s < 0, s).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("neg"),
+        F.sum(F.when(s > 0, s).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("pos"),
+    )
+    delta_keys = delta_cells.select(*keys).distinct()
+    untouched = state.join(delta_keys, keys, "left_anti")
+    touched = state.join(delta_keys, keys, "left_semi")
+
+    # stored window back to (key, v, m) cells; empty windows simply
+    # contribute no cells (explode drops them; meta keeps the key)
+    old_cells = (
+        touched.select(*keys, F.explode("topk").alias("v"))
+        .groupBy(*keys, "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    merged = old_cells.join(delta_cells, [*keys, "v"], "full_outer").select(
+        *keys,
+        "v",
+        F.coalesce(F.col("m"), F.lit(0)).alias("m_old"),
+        F.coalesce(F.col("neg"), F.lit(0)).alias("neg"),
+        F.coalesce(F.col("pos"), F.lit(0)).alias("pos"),
+    )
+    inter = merged.withColumn(
+        "m_inter", F.greatest(F.col("m_old") + F.col("neg"), F.lit(0))
+    )
+    per_key = inter.groupBy(*keys).agg(
+        F.sum("m_inter").cast("bigint").alias("inter_size"),
+        F.sum("neg").cast("bigint").alias("d_neg"),
+        F.sum("pos").cast("bigint").alias("d_pos"),
+    )
+    meta = (
+        touched.select(*keys, "n_rows", "needs_rescan")
+        .join(per_key, keys, "full_outer")
+        .select(
+            *keys,
+            (
+                F.coalesce(F.col("n_rows"), F.lit(0))
+                + F.coalesce(F.col("d_neg"), F.lit(0))
+                + F.coalesce(F.col("d_pos"), F.lit(0))
+            ).alias("n_rows"),
+            (
+                F.coalesce(F.col("n_rows"), F.lit(0))
+                + F.coalesce(F.col("d_neg"), F.lit(0))
+            ).alias("__n_mid__"),
+            F.coalesce(F.col("needs_rescan"), F.lit(False)).alias(
+                "__old_flag__"
+            ),
+            F.coalesce(F.col("inter_size"), F.lit(0)).alias("__inter__"),
+        )
+    )
+    final_cells = inter.select(
+        *keys, "v", (F.col("m_inter") + F.col("pos")).alias("m")
+    )
+    arrs = _cells_to_topk(final_cells, keys, k)
+    out = meta.join(arrs, keys, "left").select(
+        *keys,
+        F.coalesce(F.col("topk"), F.array().cast("array<bigint>")).alias(
+            "topk"
+        ),
+        "n_rows",
+        (
+            F.col("__old_flag__")
+            | (
+                F.col("__inter__")
+                < F.least(F.lit(k), F.greatest(F.col("__n_mid__"), F.lit(0)))
+            )
+        ).alias("needs_rescan"),
+    ).filter(F.col("n_rows") != 0)
+    return untouched.unionByName(out)
+
+
+def repair_topk(
+    state: DataFrame,
+    base: DataFrame,
+    keys: list[str],
+    value_col: str | Column,
+    k: int,
+) -> DataFrame:
+    """Rescan EXACTLY the flagged keys from the (current, surviving)
+    base and splice the rebuilt windows back: a semi-join scopes the
+    base scan to flagged keys, unflagged state passes through
+    untouched.  A flagged key absent from the base drops (the base is
+    ground truth).  After repair every key satisfies the exactness
+    invariant again."""
+    flagged = state.filter(F.col("needs_rescan")).select(*keys)
+    clean = state.filter(~F.col("needs_rescan"))
+    rebuilt = topk_state(
+        base.join(flagged, keys, "left_semi"), keys, value_col, k
+    )
+    return clean.unionByName(rebuilt)

@@ -253,3 +253,196 @@ def test_over_retraction_stays_surfaced_and_nets_out(spark):
     )
     got2 = {(r["k"], r["n"], r["s"]) for r in s2.collect()}
     assert got2 == {("a", 1, 1)}
+
+
+# ---------------------------------------------------------------------------
+# retractable top-k extrema state
+# ---------------------------------------------------------------------------
+
+
+def _tk(spark, rows):
+    return spark.createDataFrame(rows, "k string, v long")
+
+
+def _signed(spark, rows):
+    return spark.createDataFrame(rows, "k string, v long, sign long")
+
+
+def _state_map(state):
+    return {
+        r["k"]: (list(r["topk"]), r["n_rows"], r["needs_rescan"])
+        for r in state.collect()
+    }
+
+
+def test_topk_state_build_and_bounds(spark):
+    from data__converter_spark.ivm import topk_state
+
+    rows = [("a", 10), ("a", 9), ("a", 9), ("a", 8), ("a", 1), ("b", 5)]
+    got = _state_map(topk_state(_tk(spark, rows), ["k"], "v", 3))
+    # duplicates kept with multiplicity, descending, capped at k
+    assert got["a"] == ([10, 9, 9], 5, False)
+    assert got["b"] == ([5], 1, False)
+
+
+def test_topk_retraction_exact_within_window(spark):
+    from data__converter_spark.ivm import (
+        refresh_topk_with_retractions,
+        topk_state,
+    )
+
+    st = topk_state(_tk(spark, [("a", 10), ("a", 9), ("a", 8)]), ["k"], "v", 3)
+    # window holds ALL rows -> retracting the max stays exact, no flag
+    out = refresh_topk_with_retractions(
+        st, _signed(spark, [("a", 10, -1)]), ["k"], "v", "sign", 3
+    )
+    assert _state_map(out)["a"] == ([9, 8], 2, False)
+
+
+def test_topk_flags_when_window_underfull_vs_survivors(spark):
+    from data__converter_spark.ivm import (
+        refresh_topk_with_retractions,
+        repair_topk,
+        topk_state,
+    )
+
+    base = _tk(spark, [("a", 10), ("a", 9), ("a", 8)])  # k=2: 8 forgotten
+    st = topk_state(base, ["k"], "v", 2)
+    assert _state_map(st)["a"] == ([10, 9], 3, False)
+    out = refresh_topk_with_retractions(
+        st, _signed(spark, [("a", 9, -1)]), ["k"], "v", "sign", 2
+    )
+    # window [10], but 2 rows survive and k=2 -> the forgotten 8 is
+    # unknowable from state: flagged
+    topk, n, flag = _state_map(out)["a"]
+    assert (topk, n, flag) == ([10], 2, True)
+    # repair rescans ONLY flagged keys from the surviving base
+    surviving = _tk(spark, [("a", 10), ("a", 8)])
+    fixed = _state_map(repair_topk(out, surviving, ["k"], "v", 2))
+    assert fixed["a"] == ([10, 8], 2, False)
+
+
+def test_topk_same_batch_refill_is_flagged_not_trusted(spark):
+    """The adversarial case the two-phase check exists for: one batch
+    retracts a stored value AND inserts a smaller one.  The merged
+    window [10, 6] looks full (size == min(k, n_rows) == 2) but the
+    true second-max is the forgotten 8 — the retraction-only
+    intermediate ([10], vs 2 survivors) must flag."""
+    from data__converter_spark.ivm import (
+        refresh_topk_with_retractions,
+        repair_topk,
+        topk_state,
+    )
+
+    st = topk_state(_tk(spark, [("a", 10), ("a", 9), ("a", 8)]), ["k"], "v", 2)
+    out = refresh_topk_with_retractions(
+        st,
+        _signed(spark, [("a", 9, -1), ("a", 6, 1)]),
+        ["k"],
+        "v",
+        "sign",
+        2,
+    )
+    topk, n, flag = _state_map(out)["a"]
+    assert n == 3 and flag is True
+    surviving = _tk(spark, [("a", 10), ("a", 8), ("a", 6)])
+    assert _state_map(repair_topk(out, surviving, ["k"], "v", 2))["a"] == (
+        [10, 8],
+        3,
+        False,
+    )
+
+
+def test_topk_insert_only_never_flags_and_untouched_pass_through(spark):
+    from data__converter_spark.ivm import (
+        refresh_topk_with_retractions,
+        topk_state,
+    )
+
+    st = topk_state(
+        _tk(spark, [("a", 5), ("a", 4), ("b", 7)]), ["k"], "v", 2
+    )
+    out = refresh_topk_with_retractions(
+        st,
+        _signed(spark, [("a", 6, 1), ("c", 1, 1)]),
+        ["k"],
+        "v",
+        "sign",
+        2,
+    )
+    got = _state_map(out)
+    assert got["a"] == ([6, 5], 3, False)  # eviction of 4, no flag
+    assert got["b"] == ([7], 1, False)     # untouched: byte-identical row
+    assert got["c"] == ([1], 1, False)     # brand-new key from delta
+
+
+def test_topk_full_retraction_drops_key_and_debt_stays(spark):
+    from data__converter_spark.ivm import (
+        refresh_topk_with_retractions,
+        topk_state,
+    )
+
+    st = topk_state(_tk(spark, [("a", 3), ("b", 4)]), ["k"], "v", 2)
+    out = refresh_topk_with_retractions(
+        st,
+        _signed(spark, [("a", 3, -1), ("z", 9, -1)]),
+        ["k"],
+        "v",
+        "sign",
+        2,
+    )
+    got = _state_map(out)
+    assert "a" not in got                      # netted to zero: absent
+    assert got["z"] == ([], -1, False)         # over-retraction debt row
+    assert got["b"] == ([4], 1, False)
+
+
+def test_topk_unflagged_matches_bruteforce_over_random_steps(spark):
+    """Property-style sequence: after several mixed batches, every
+    UNFLAGGED key's window equals the true top-min(k, n) of the
+    surviving multiset, and every key whose window diverges is
+    flagged."""
+    import random
+
+    from data__converter_spark.ivm import (
+        refresh_topk_with_retractions,
+        topk_state,
+    )
+
+    rnd = random.Random(42)
+    k = 3
+    live = {"a": [], "b": [], "c": []}
+    base_rows = []
+    for key in live:
+        for _ in range(rnd.randint(3, 8)):
+            v = rnd.randint(0, 20)
+            live[key].append(v)
+            base_rows.append((key, v))
+    st = topk_state(_tk(spark, base_rows), ["k"], "v", k)
+    for _step in range(3):
+        batch = []
+        for key in live:
+            for _ in range(rnd.randint(0, 3)):
+                if live[key] and rnd.random() < 0.5:
+                    v = rnd.choice(live[key])
+                    live[key].remove(v)
+                    batch.append((key, v, -1))
+                else:
+                    v = rnd.randint(0, 20)
+                    live[key].append(v)
+                    batch.append((key, v, 1))
+        if not batch:
+            continue
+        st = refresh_topk_with_retractions(
+            st, _signed(spark, batch), ["k"], "v", "sign", k
+        )
+    got = _state_map(st)
+    for key, vals in live.items():
+        if not vals:
+            assert key not in got
+            continue
+        want = sorted(vals, reverse=True)[: min(k, len(vals))]
+        topk, n, flag = got[key]
+        assert n == len(vals)
+        if not flag:
+            assert topk == want, f"unflagged key {key} diverged"

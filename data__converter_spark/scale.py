@@ -687,3 +687,122 @@ def bucket_pairs(
         )
     ).alias("__p__")
     return grouped.select(*bucket_cols, pair).select(*bucket_cols, "__p__.*")
+
+
+def optimize_incremental(
+    spark,
+    table_path: str,
+    cols: list[str],
+    target_rows: int,
+    bits_per_dim: int = 4,
+) -> DataFrame:
+    """Incremental OPTIMIZE — the composition of :func:`compaction_plan`
+    and the z-order write, in place: plan bins over the table's FILE
+    INVENTORY (row counts from parquet footers, name order — the
+    metadata-scale input compaction_plan was built for), rewrite ONLY
+    the multi-file bins into z-clustered files, and leave every
+    already-compacted (singleton-bin) file physically untouched — the
+    Delta/Iceberg incremental-OPTIMIZE shape, where repeated runs cost
+    proportional to NEW small files, not to the table.
+
+    Per rewritten bin: its members read as one DataFrame, get the
+    Morton key over ``cols`` (envelope from one slim aggregate over
+    just those members), and write as ONE z-sorted file.  The swap
+    order is crash-safe for data (stage the new file fully, move it
+    in, THEN delete the members — an interruption can leave a
+    duplicate bin visible, never a missing one; a real lakehouse
+    makes the swap atomic in the table log, which is out of scope for
+    a directory of bare parquet).
+
+    Driver-side work touches METADATA only: the file listing, footer
+    row counts, and the collected bin plan (one row per file — ~10⁶
+    rows for 100 TB of 100 MB files).  Each bin's rewrite is its own
+    distributed job, exactly how Delta schedules OPTIMIZE bins.
+
+    Returns the action report, one row per ORIGINAL file:
+    ``(file, rows, bin_id, n_files_in_bin, action)`` with action in
+    {'rewritten', 'kept'}.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    if target_rows < 1:
+        raise ValueError(f"target_rows must be >= 1, got {target_rows}")
+    names = sorted(
+        n
+        for n in os.listdir(table_path)
+        if n.endswith(".parquet") and not n.startswith((".", "_"))
+    )
+    if not names:
+        raise ValueError(f"optimize_incremental: no parquet files in {table_path}")
+    inv_rows = [
+        (n, int(pq.ParquetFile(os.path.join(table_path, n)).metadata.num_rows))
+        for n in names
+    ]
+    inv = spark.createDataFrame(inv_rows, "file string, rows bigint")
+    plan = compaction_plan(inv, "rows", int(target_rows), "file")
+    planned = sorted(
+        ((r["file"], int(r["rows"]), int(r["bin_id"])) for r in plan.collect())
+    )
+    by_bin: dict[int, list[str]] = {}
+    for fname, _rows, b in planned:
+        by_bin.setdefault(b, []).append(fname)
+
+    for b, members in sorted(by_bin.items()):
+        if len(members) < 2:
+            continue  # already compacted: physically untouched
+        paths = [os.path.join(table_path, m) for m in members]
+        df = spark.read.parquet(*paths)
+        env = df.agg(
+            *[F.min(c).cast("long").alias(f"lo_{c}") for c in cols],
+            *[F.max(c).cast("long").alias(f"hi_{c}") for c in cols],
+        ).collect()[0]
+        mins = {c: env[f"lo_{c}"] for c in cols}
+        maxs = {c: env[f"hi_{c}"] for c in cols}
+        missing = [c for c in cols if mins[c] is None or maxs[c] is None]
+        if missing:
+            raise ValueError(
+                f"optimize_incremental: NULL envelope for {missing} in bin {b}"
+            )
+        staging = os.path.join(table_path, f"_staging_bin_{b}")
+        (
+            zorder_key(df, cols, mins, maxs, bits_per_dim)
+            .drop(*[f"bin_{c}" for c in cols])
+            .coalesce(1)
+            .sortWithinPartitions("zorder")
+            .drop("zorder")
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        part = [
+            p
+            for p in os.listdir(staging)
+            if p.endswith(".parquet") and not p.startswith((".", "_"))
+        ]
+        assert len(part) == 1, f"expected one staged file, got {part}"
+        os.replace(
+            os.path.join(staging, part[0]),
+            os.path.join(table_path, f"optimized-{b:05d}.parquet"),
+        )
+        for p in paths:  # new file is live before any member dies
+            os.remove(p)
+        import shutil
+
+        shutil.rmtree(staging)
+
+    report = [
+        (
+            fname,
+            rows,
+            b,
+            len(by_bin[b]),
+            "rewritten" if len(by_bin[b]) >= 2 else "kept",
+        )
+        for fname, rows, b in planned
+    ]
+    return spark.createDataFrame(
+        report,
+        "file string, rows bigint, bin_id bigint, n_files_in_bin int,"
+        " action string",
+    )

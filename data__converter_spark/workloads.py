@@ -10155,3 +10155,96 @@ SELECT o_custkey,
            AS second_max_cents
 FROM surv GROUP BY o_custkey ORDER BY o_custkey
 """
+
+
+def q_optimize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental OPTIMIZE (scale.py:optimize_incremental — the
+    composition of compaction_plan and the z-order write, in place):
+    documents materialize as one parquet file per lang (deterministic
+    names, so the inventory and therefore the bin plan are
+    engine-reproducible), the planner bins the inventory at
+    target = total_rows div 3, and ONLY multi-file bins rewrite into
+    z-clustered files — the singleton bin's file is left physically
+    untouched (byte-identical path, the incremental contract: repeat
+    runs cost proportional to new small files, not to the table).
+    Output: the per-file action report joined with a layout-invariance
+    check — the order-independent table fingerprint of the optimized
+    directory must equal the original table's (fp_match), so a
+    row lost or duplicated by the rewrite breaks the oracle hash.
+    The oracle reproduces the binning arithmetically from per-lang
+    counts and asserts fp_match TRUE."""
+    import os
+    import shutil
+    import tempfile
+
+    from .compare import table_fingerprint
+    from .scale import optimize_incremental
+
+    docs = _load(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    table = tempfile.mkdtemp(prefix="optinc_")
+    langs = [
+        r["lang"]
+        for r in docs.select("lang").distinct().orderBy("lang").collect()
+    ]
+    for lang in langs:
+        staging = os.path.join(table, "_st")
+        (
+            docs.filter(F.col("lang") == lang)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        part = [
+            p
+            for p in os.listdir(staging)
+            if p.endswith(".parquet") and not p.startswith((".", "_"))
+        ]
+        os.replace(
+            os.path.join(staging, part[0]),
+            os.path.join(table, f"{lang}.parquet"),
+        )
+        shutil.rmtree(staging)
+    total = docs.count()
+    report = optimize_incremental(spark, table, ["doc_id"], total // 3)
+    fp_before = table_fingerprint(
+        docs, cols, F.lit(1), "g"
+    ).collect()[0]
+    fp_after = table_fingerprint(
+        spark.read.parquet(table).select(*cols), cols, F.lit(1), "g"
+    ).collect()[0]
+    match = tuple(fp_before) == tuple(fp_after)
+    return report.select(
+        "file",
+        F.col("rows").alias("n_rows"),
+        "bin_id",
+        "n_files_in_bin",
+        "action",
+        F.lit(bool(match)).alias("fp_match"),
+    ).orderBy("file")
+
+
+QUERIES["optimize_incremental"] = q_optimize_incremental
+
+
+ORACLES["optimize_incremental"] = """
+WITH counts AS (
+    SELECT lang || '.parquet' AS file, CAST(count(*) AS BIGINT) AS n_rows
+    FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(count(*) // 3 AS BIGINT) AS target FROM documents),
+planned AS (
+    SELECT file, n_rows,
+           CAST((sum(n_rows) OVER (
+                    ORDER BY file
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) - n_rows) // target AS BIGINT) AS bin_id
+    FROM counts CROSS JOIN tot
+),
+bins AS (SELECT bin_id, count(*) AS nf FROM planned GROUP BY bin_id)
+SELECT p.file, p.n_rows, p.bin_id, CAST(b.nf AS INT) AS n_files_in_bin,
+       CASE WHEN b.nf >= 2 THEN 'rewritten' ELSE 'kept' END AS action,
+       TRUE AS fp_match
+FROM planned p JOIN bins b USING (bin_id)
+ORDER BY p.file
+"""

@@ -23,85 +23,63 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's per-round correctness gate samples the FIRST 50 entries of
-# ``queries()`` in insertion order (verified: CORRECTNESS_r0{1..8}.json
-# keys equal the first 50 QUERIES names of each round).  Round 9
+# ``queries()`` in insertion order (verified: CORRECTNESS_r0{1..9}.json
+# keys equal the first 50 QUERIES names of each round).  Round 10
 # rotation — freshness first, CHANGED CODE PATHS first of all: no
 # query whose code changed this round may keep a stale driver row.
-# After r8's gate the ledger is 3×r4, 46×r5, 46×r6, 47×r7, 50×r8,
-# plus 20 never-checked round-9 queries (212 total).
+# After r9's gate the ledger is 29×r5, 45×r6, 46×r7, 42×r8, 50×r9,
+# plus 4 never-checked round-10 queries (216 total).
 # Slot accounting:
-#   1-20  NEW round-9 queries (zorder_write_prune — the z-order write
-#         path's month-vs-zband pruning comparison; bm25_retrieval —
-#         integer-exact BM25 over the inverted-index join;
-#         skew_key_events — the hot-key salting diagnostic;
-#         scd2_apply_events — incremental CDC-into-SCD2 merge whose
-#         oracle is the full rebuild; resample_user_daily — per-key
-#         daily spine + forward fill; k_anonymity_audit — per-class
-#         k-anonymity/l-diversity; ewma_nation_daily — exact dyadic
-#         decayed revenue; benford_prices — first-digit screen;
-#         compaction_bins — running-sum file binning;
-#         checksum_orders_monthly — order-independent table digest;
-#         event_transitions — Markov transition grid;
-#         contingency_segments — categorical independence screen;
-#         fk_orphan_audit — referential-integrity one-pass audit;
-#         typo_pairs_names — FastSS deletion-index edit-1 join;
-#         ivm_join_nation — delta-join view maintenance;
-#         ivm_retract_orders — signed-state IVM under deletes;
-#         segment_diversity — exact Gini / inverse-Simpson mix;
-#         image_dhash_pairs — perceptual-hash image near-dup;
-#         auc_dsir_en / calibration_dsir_en — exact integer ROC-AUC
-#         and reliability diagram of the DSIR selector)
-#   21-23 round-9 BEHAVIOR changes (basket_lift_parts gained the
-#         max_basket_size=8 hot-basket cap, oracle updated in
-#         lockstep; bloom_shard_dedup's oracle digests
-#         coalesce(text, '') to match the op; embedding_scatter's
-#         scatter_matrix now excludes NULL groups on both engines)
-#   24-30 round-9 CODE-touched queries, results invariant
-#         (stream_cms_heavy: windowed_cms_heavy probe key is named,
-#         not positional; pagerank_converged: adaptive cadence never
-#         shrinks below the caller's probe_every; funnel_conversion,
-#         sketch_kmv_shingles, sketch_join_size, sketch_theta_leakage,
-#         zonemap_prune_scan: scalar crossJoins broadcast-hinted)
-#   31-33 the 3 r4-latest queries (oldest debt)
-#   34-50 the first 17 r5-latest queries in registry order; the
-#         remaining 29 r5-latest rows (small_qty_revenue,
-#         bracket_revenue, excess_stock_suppliers, waiting_suppliers,
-#         balanced_shards, dedup_against_ref,
-#         dedup_substring_keep, centroid_separation,
-#         window_active_users, pagerank_trade, stream_enrich_counts,
-#         common_token_ratio, token_mix_planner, window_overlap_pairs,
-#         embedding_outliers, gopher_quality, dedup_semantic,
-#         similarity_pq_topk, triangle_suppliers,
-#         stream_outer_range_join, events_anomalies,
-#         pipeline_selection, pq_train_codebook,
-#         similarity_ivf_pq_topk, corpus_split, dedup_keep_best,
-#         entity_canonicalize, pmi_collocations, sparse_retrieval)
-#         lead the r10 rotation; arithmetic asserted below.
+#   1-4   NEW round-10 queries (bm25_indexed / sparse_indexed — the
+#         materialized text-index artifact consumed by ranking, oracle
+#         = the inline queries' SQL verbatim; ivm_minmax_orders — the
+#         retractable-extrema bounded top-k state with scoped repair;
+#         optimize_incremental — compaction_plan composed with the
+#         z-order write, singleton bins byte-untouched, fingerprint-
+#         pinned layout invariance)
+#   5-6   round-10 BEHAVIOR/ORACLE changes (skew_key_events: the
+#         report now carries is_null so genuine ''-keys no longer
+#         merge with NULL keys, oracle updated in lockstep;
+#         dedup_ngram_jaccard: oracle ported from the quadratic
+#         doc-pair self-join to the engine's Σdf² postings form —
+#         identical output, honest DuckDB cost)
+#   7-12  round-10 CODE-touched, results invariant (bm25_retrieval
+#         now composes through build_text_index/bm25_from_index
+#         lazily; typo_pairs_names + image_dhash_pairs ride the
+#         bucket_pairs kernel that now pre-filters hot buckets before
+#         collect_list, and image_dhash hashes stdlib-DECODED PNG
+#         pixels; zorder_write_prune gained the empty-envelope guard;
+#         fk_orphan_audit gained coalesced zero counts; auc_dsir_en
+#         gained the single-class NULL CASE)
+#   13-41 ALL 29 remaining r5-latest rows, registry order — retiring
+#         the r5 freshness debt entirely
+#   42-50 the first 9 r6-latest rows in registry order (r6 debt
+#         45 -> 36); arithmetic asserted below.
 _VERIFY_FIRST = [
-    # -- NEW in round 9: never driver-checked --
-    "zorder_write_prune", "bm25_retrieval", "skew_key_events",
-    "scd2_apply_events", "resample_user_daily", "k_anonymity_audit",
-    "ewma_nation_daily", "benford_prices", "compaction_bins",
-    "checksum_orders_monthly", "event_transitions",
-    "contingency_segments", "fk_orphan_audit", "typo_pairs_names",
-    "ivm_join_nation", "ivm_retract_orders", "segment_diversity",
-    "image_dhash_pairs", "auc_dsir_en", "calibration_dsir_en",
-    # -- round-9 behavior/oracle changes --
-    "basket_lift_parts", "bloom_shard_dedup", "embedding_scatter",
-    # -- round-9 code-touched, results invariant --
-    "stream_cms_heavy", "pagerank_converged", "funnel_conversion",
-    "sketch_kmv_shingles", "sketch_join_size", "sketch_theta_leakage",
-    "zonemap_prune_scan",
-    # -- latest driver row is r4 (oldest debt) --
-    "chunk_text", "salient_terms", "late_shipments",
-    # -- latest driver row is r5, registry order (first 17 of 46) --
-    "similarity_lsh_topk", "similarity_ivf_topk",
-    "multimodal_image_features", "multimodal_frame_sample",
-    "multimodal_resize", "text_pii_scrub", "sample_stratified",
-    "events_json_props", "window_running_revenue", "stream_cdc_upsert",
-    "kmeans_train2", "salient_terms_tfidf", "min_cost_supplier",
-    "product_type_profit", "important_parts", "top_supplier",
-    "supplier_part_counts",
+    # -- NEW in round 10: never driver-checked --
+    "bm25_indexed", "sparse_indexed", "ivm_minmax_orders",
+    "optimize_incremental",
+    # -- round-10 behavior/oracle changes --
+    "skew_key_events", "dedup_ngram_jaccard",
+    # -- round-10 code-touched, results invariant --
+    "bm25_retrieval", "typo_pairs_names", "image_dhash_pairs",
+    "zorder_write_prune", "fk_orphan_audit", "auc_dsir_en",
+    # -- latest driver row is r5, registry order (all 29) --
+    "small_qty_revenue", "bracket_revenue", "excess_stock_suppliers",
+    "waiting_suppliers", "balanced_shards", "dedup_against_ref",
+    "dedup_substring_keep", "centroid_separation",
+    "window_active_users", "pagerank_trade", "stream_enrich_counts",
+    "common_token_ratio", "token_mix_planner", "window_overlap_pairs",
+    "embedding_outliers", "gopher_quality", "dedup_semantic",
+    "similarity_pq_topk", "triangle_suppliers",
+    "stream_outer_range_join", "events_anomalies",
+    "pipeline_selection", "pq_train_codebook",
+    "similarity_ivf_pq_topk", "corpus_split", "dedup_keep_best",
+    "entity_canonicalize", "pmi_collocations", "sparse_retrieval",
+    # -- latest driver row is r6, registry order (first 9 of 45) --
+    "compare_diff", "compare_diff_summary", "compare_field_mismatches",
+    "compare_added_keys", "compare_deleted_keys", "convert_split_lines",
+    "convert_key_union", "convert_xml_escape", "date_remaining_days",
 ]
 
 

@@ -1105,18 +1105,35 @@ def build_text_index(
     df_t = c_tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
+    # explicit CASE, not a bare division: an empty/all-blank corpus has
+    # n_docs = 0 and a bare `div` would RAISE under ANSI mode mid-write
+    # instead of reaching the guard below
     stats = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("total_tok"),
     ).select(
         "n_docs",
         "total_tok",
-        F.expr("total_tok div n_docs").cast("bigint").alias("avgdl"),
+        F.expr(
+            "CASE WHEN n_docs = 0 THEN CAST(NULL AS BIGINT)"
+            " ELSE total_tok div n_docs END"
+        )
+        .cast("bigint")
+        .alias("avgdl"),
     )
     postings = c_tf.join(df_t, "term").join(dl, "match_id").select(
         "term", "match_id", "tf", "df", "dl"
     )
     if path is not None:
+        # a durable index artifact must fail fast on a degenerate
+        # corpus — a (0, NULL, NULL) stats parquet read back by a later
+        # session would be a silent time bomb
+        n_docs = int(stats.collect()[0]["n_docs"])
+        if n_docs == 0:
+            raise ValueError(
+                "build_text_index: corpus has no tokenizable documents"
+                " — refusing to write an empty index artifact"
+            )
         spark = corpus_df.sparkSession
         postings.write.mode("overwrite").parquet(f"{path}/postings")
         stats.write.mode("overwrite").parquet(f"{path}/stats")
@@ -1248,22 +1265,17 @@ def sparse_retrieval(
     the join (standard stop-term pruning; also what relevance wants).
     Production sets it; the default None keeps the operator exact for
     oracle comparison on small vocabularies.
+
+    Deliberately NOT composed through :func:`build_text_index`: the TF
+    dot product needs neither df (except under the cap, where a
+    semi-join on the slim df aggregate is cheaper than carrying a df
+    column on every posting) nor dl/avgdl, so consuming the full index
+    postings would add two joins of pure overhead.  Query batches
+    against a PREBUILT artifact use :func:`sparse_from_index`, which
+    shares the scoring tail; the tokenize front is the shared
+    :func:`_tf_of`.
     """
-
-    def tf_of(df: DataFrame, out_id: str) -> DataFrame:
-        from .textstats import tokens_col
-
-        return (
-            df.select(
-                F.col(id_col).alias(out_id),
-                F.explode(tokens_col(col)).alias("__t__"),
-            )
-            .select(out_id, F.lower(F.col("__t__")).alias("term"))
-            .groupBy(out_id, "term")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        )
-
-    c_tf = tf_of(corpus_df, "match_id")
+    c_tf = _tf_of(corpus_df, col, id_col, "match_id")
     if max_df is not None:
         kept = (
             c_tf.groupBy("term")
@@ -1272,7 +1284,7 @@ def sparse_retrieval(
             .select("term")
         )
         c_tf = c_tf.join(kept, "term")
-    q_tf = tf_of(queries_df, "query_id")
+    q_tf = _tf_of(queries_df, col, id_col, "query_id")
     scored = (
         q_tf.withColumnRenamed("tf", "q_tf")
         .join(c_tf.withColumnRenamed("tf", "c_tf"), "term")

@@ -714,6 +714,15 @@ def optimize_incremental(
     makes the swap atomic in the table log, which is out of scope for
     a directory of bare parquet).
 
+    Output names carry a GENERATION counter
+    (``optimized-g{gen:03d}-{bin:05d}.parquet``, gen = 1 + the highest
+    generation already present) so a repeat run over a directory that
+    already contains optimized files can NEVER collide with — and
+    thereby clobber or delete — a live file from an earlier run: new
+    names are unique by construction, previous-generation files
+    participate as ordinary inventory members, and name order stays
+    deterministic.
+
     Driver-side work touches METADATA only: the file listing, footer
     row counts, and the collected bin plan (one row per file — ~10⁶
     rows for 100 TB of 100 MB files).  Each bin's rewrite is its own
@@ -736,6 +745,15 @@ def optimize_incremental(
     )
     if not names:
         raise ValueError(f"optimize_incremental: no parquet files in {table_path}")
+    import re as _re
+
+    gens = [
+        int(m.group(1))
+        for n in names
+        for m in [_re.match(r"optimized-g(\d+)-\d+\.parquet$", n)]
+        if m
+    ]
+    gen = (max(gens) if gens else 0) + 1
     inv_rows = [
         (n, int(pq.ParquetFile(os.path.join(table_path, n)).metadata.num_rows))
         for n in names
@@ -783,7 +801,7 @@ def optimize_incremental(
         assert len(part) == 1, f"expected one staged file, got {part}"
         os.replace(
             os.path.join(staging, part[0]),
-            os.path.join(table_path, f"optimized-{b:05d}.parquet"),
+            os.path.join(table_path, f"optimized-g{gen:03d}-{b:05d}.parquet"),
         )
         for p in paths:  # new file is live before any member dies
             os.remove(p)

@@ -1117,12 +1117,16 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bm25_retrieval's SQL verbatim: index-fed ranking == inline
     ranking, which IS the artifact's correctness contract (the 100 TB
     shape the inline op's own docstring prescribes)."""
+    import os
     import tempfile
 
     from .llmops.similarity import bm25_from_index, build_text_index
 
     docs = _load(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="textidx_")
+    # fixed scratch path, fully overwritten per call — repeated gate/
+    # bench runs reuse one directory instead of leaking a mkdtemp copy
+    # of the postings per invocation (code-review finding)
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_idx_bm25")
     postings, stats = build_text_index(
         docs.filter(F.col("doc_id") % 97 != 0), path=path
     )
@@ -1137,12 +1141,13 @@ def q_sparse_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop-term cap becomes a pushed-down filter on the postings scan
     instead of a df-aggregate + semi-join.  Oracle is
     sparse_retrieval's SQL verbatim — index-fed == inline."""
+    import os
     import tempfile
 
     from .llmops.similarity import build_text_index, sparse_from_index
 
     docs = _load(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="textidx_")
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_idx_sparse")
     postings, _stats = build_text_index(
         docs.filter(F.col("doc_id") % 97 != 0), path=path
     )
@@ -10182,7 +10187,14 @@ def q_optimize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load(spark, sf_dir, "documents")
     cols = ["doc_id", "text", "lang", "source", "n_chars"]
-    table = tempfile.mkdtemp(prefix="optinc_")
+    # fixed scratch table, rebuilt from zero each call (the optimizer
+    # mutates it in place, so stale generations must not survive into
+    # the next invocation's inventory) — bounded disk across repeated
+    # gate/bench runs (code-review finding)
+    table = os.path.join(tempfile.gettempdir(), "spark_graft_optinc")
+    if os.path.isdir(table):
+        shutil.rmtree(table)
+    os.makedirs(table)
     langs = [
         r["lang"]
         for r in docs.select("lang").distinct().orderBy("lang").collect()

@@ -762,6 +762,12 @@ def test_text_index_artifact_matches_inline_ranking(spark, tmp_path):
     assert sorted(
         map(tuple, bm25_from_index(q, lp, ls, top_k=4).collect())
     ) == sorted(map(tuple, bm25_retrieval(q, c, top_k=4).collect()))
+    # a durable artifact refuses a degenerate corpus (ANSI-safe guard)
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="no tokenizable documents"):
+        build_text_index(empty, path=str(tmp_path / "idx_empty"))
 
 
 def test_minhash_signature_paths_agree(spark, dup_docs):

@@ -540,7 +540,7 @@ def test_optimize_incremental_rewrites_only_planned_bins(spark, tmp_path):
     names = sorted(
         n for n in os.listdir(str(table)) if n.endswith(".parquet")
     )
-    assert names == ["a_big.parquet", "optimized-00001.parquet"]
+    assert names == ["a_big.parquet", "optimized-g001-00001.parquet"]
     # physically untouched, not just equal-content
     assert (table / "a_big.parquet").read_bytes() == untouched_bytes
     # rows conserved exactly
@@ -552,7 +552,7 @@ def test_optimize_incremental_rewrites_only_planned_bins(spark, tmp_path):
     # with the bin's own envelope and assert non-decreasing file order)
     import pyarrow.parquet as pq
 
-    merged = pq.read_table(str(table / "optimized-00001.parquet"))
+    merged = pq.read_table(str(table / "optimized-g001-00001.parquet"))
     a_vals = merged.column("a").to_pylist()
     b_vals = merged.column("b").to_pylist()
     mins = {"a": min(a_vals), "b": min(b_vals)}
@@ -592,3 +592,51 @@ def test_optimize_incremental_is_idempotent_and_validates(spark, tmp_path):
     # same (now compacted) inventory and rewrites nothing
     r2 = scale.optimize_incremental(spark, str(table), ["a"], 100).collect()
     assert [x["action"] for x in r2] == ["kept"]
+
+
+def test_optimize_incremental_repeat_run_never_clobbers_prior_output(spark, tmp_path):
+    """Regression (code-review finding): a second run over a directory
+    already holding optimized-* files must not collide with them —
+    output names carry a generation counter, so run 2's rewrite of
+    NEW small files can never os.replace() onto (or delete) a live
+    file from run 1.  Exact failure scenario: run 1 merges b+c into
+    one 80-row file; new files d+e arrive; run 2 bins d+e together
+    while run 1's output is a singleton 'kept' bin — the 80 rows must
+    survive byte-identical."""
+    import os
+
+    table = tmp_path / "t3"
+    table.mkdir()
+
+    def write_file(name, lo, hi):
+        df = spark.range(lo, hi).select(F.col("id").alias("a"))
+        staging = str(tmp_path / "_st3")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = [p for p in os.listdir(staging) if p.endswith(".parquet")][0]
+        os.replace(os.path.join(staging, part), str(table / name))
+
+    write_file("b.parquet", 0, 40)
+    write_file("c.parquet", 40, 80)
+    r1 = {
+        r["file"]: r["action"]
+        for r in scale.optimize_incremental(spark, str(table), ["a"], 60).collect()
+    }
+    assert r1 == {"b.parquet": "rewritten", "c.parquet": "rewritten"}
+    gen1 = [n for n in os.listdir(str(table)) if n.startswith("optimized-")]
+    assert gen1 == ["optimized-g001-00000.parquet"]
+    gen1_bytes = (table / gen1[0]).read_bytes()
+
+    write_file("d.parquet", 80, 120)
+    write_file("e.parquet", 120, 160)
+    r2 = {
+        r["file"]: r["action"]
+        for r in scale.optimize_incremental(spark, str(table), ["a"], 60).collect()
+    }
+    # inventory order: d, e, optimized-g001 -> d+e share bin 0,
+    # run 1's output is its own singleton bin, physically untouched
+    assert r2["d.parquet"] == "rewritten" and r2["e.parquet"] == "rewritten"
+    assert r2["optimized-g001-00000.parquet"] == "kept"
+    assert (table / "optimized-g001-00000.parquet").read_bytes() == gen1_bytes
+    back = spark.read.parquet(str(table))
+    assert back.count() == 160
+    assert back.agg(F.sum("a")).collect()[0][0] == sum(range(160))

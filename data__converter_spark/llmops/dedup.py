@@ -1735,10 +1735,10 @@ def deletion_neighborhood_pairs(
     # id_a < id_b by construction) instead of a variant self-join —
     # group size is the frequency ((id, var) is unique, the variant
     # set per id is deduped above).  The kernel pre-counts variants
-    # and semi-joins the [2, cap] survivors BEFORE any list collects,
-    # so per-group aggregation state really is at most cap structs
-    # even under a degenerate hot variant.  The posting-list pair
-    # kernel is shared with the other LSH-family ops
+    # and anti-joins away the above-cap hot set BEFORE any list
+    # collects, so per-group aggregation state really is at most cap
+    # structs even under a degenerate hot variant.  The posting-list
+    # pair kernel is shared with the other LSH-family ops
     # (scale.bucket_pairs).
     from ..scale import bucket_pairs
 

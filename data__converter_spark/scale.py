@@ -638,42 +638,45 @@ def bucket_pairs(
     banding, and any future bucket-then-verify join).
 
     Hot buckets are dropped BEFORE any list materializes: a count
-    aggregate (O(1) state per bucket) finds buckets outside
-    [2, ``max_bucket``], and a semi-join keeps only surviving rows —
-    so collect_list's per-group aggregation buffer is bounded by the
-    CAP, not by the hottest bucket's frequency (group size equals
-    bucket frequency when (id, bucket) is unique, which callers
-    guarantee by deduping their bucket sets).  A degenerate bucket
-    with millions of members therefore costs one counter, never one
-    executor's memory.  The count and the join share the same bucket
-    key, so the join's exchange co-partitions both sides and the
-    collect_list groupBy reuses that partitioning — still ONE data
-    exchange on the bucket key plus a slim count branch.  Each
+    aggregate (O(1) state per bucket) finds buckets ABOVE
+    ``max_bucket`` — at most n_rows/cap of them can exist, so the hot
+    set is small by construction — and a LEFT ANTI join removes their
+    rows, so collect_list's per-group aggregation buffer is bounded
+    by the CAP, not by the hottest bucket's frequency (group size
+    equals bucket frequency when (id, bucket) is unique, which
+    callers guarantee by deduping their bucket sets).  A degenerate
+    bucket with millions of members therefore costs one counter,
+    never one executor's memory.  Anti-join against the SMALL hot
+    side (not a semi-join against the large [2, cap] keep set)
+    matters: AQE broadcasts the hot set at runtime, so the data still
+    crosses ONE exchange — the collect_list groupBy's — plus a slim
+    count branch; the semi-join form was MEASURED 2.1× slower at
+    sf0.1 (typo_pairs_names 5.3 s vs 2.5 s, vs 2.4 s with no guard at
+    all) because it re-shuffled the full input a second time.  Each
     surviving bucket's members collect into a sorted list (first
     payload column is the id — sorting the struct puts pairs in
-    ``a < b`` order by construction) and pairs explode from each list
-    without a self-join. Output: one row per (bucket, pair) with
-    ``a_<col>`` / ``b_<col>`` for every payload column — callers
-    ``.distinct()`` over the payload if the same pair may collide in
-    several buckets, then verify exactly.
+    ``a < b`` order by construction), singletons drop AFTER the (now
+    cap-bounded) collect, and pairs explode from each list without a
+    self-join. Output: one row per (bucket, pair) with ``a_<col>`` /
+    ``b_<col>`` for every payload column — callers ``.distinct()``
+    over the payload if the same pair may collide in several buckets,
+    then verify exactly.
     """
-    keep = (
+    hot = (
         df.groupBy(*bucket_cols)
         .agg(F.count(F.lit(1)).alias("__n__"))
-        .filter(
-            (F.col("__n__") >= 2)
-            & (F.col("__n__") <= F.lit(int(max_bucket)))
-        )
+        .filter(F.col("__n__") > F.lit(int(max_bucket)))
         .select(*bucket_cols)
     )
     grouped = (
-        df.join(keep, bucket_cols, "left_semi")
+        df.join(hot, bucket_cols, "left_anti")
         .groupBy(*bucket_cols)
         .agg(
             F.sort_array(
                 F.collect_list(F.struct(*payload_cols))
             ).alias("__g__")
         )
+        .filter(F.size("__g__") >= 2)
     )
     inner = ", ".join(
         [f"x.{c} AS a_{c}" for c in payload_cols]

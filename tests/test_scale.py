@@ -474,7 +474,8 @@ def test_bucket_pairs_in_group_generation_and_cap(spark):
 
 def test_bucket_pairs_prefilters_hot_buckets_before_collect(spark):
     """The hot-bucket guard runs BEFORE any posting list materializes:
-    the plan carries a LeftSemi join from a count aggregate into the
+    the plan carries a LeftAnti join (vs the tiny above-cap hot set,
+    which AQE broadcasts) from a count aggregate into the
     collect_list groupBy, so a degenerate million-member bucket costs
     one counter, never one executor's aggregation buffer.  (The old
     shape filtered on size(collect_list(...)) AFTER buffering.)"""
@@ -486,7 +487,7 @@ def test_bucket_pairs_prefilters_hot_buckets_before_collect(spark):
     plan = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
         p._jdf.queryExecution(), "simple"
     )
-    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
     # and the semantics: the 50-member bucket is out entirely
     assert p.count() == 0
 

@@ -1067,6 +1067,8 @@ def build_text_index(
     id_col: str = "doc_id",
     path: str | None = None,
     persist_tf: bool = False,
+    bucket_table: str | None = None,
+    n_buckets: int = 32,
 ) -> tuple[DataFrame, DataFrame]:
     """Materialize the inverted-index ARTIFACT a search engine builds
     once at corpus time: a postings table ``(term, match_id, tf, df,
@@ -1091,14 +1093,79 @@ def build_text_index(
     the corpus is remote/expensive, measured not-worth-it for local
     parquet at sf0.1); the df and dl joins are term-/doc-keyed
     equi-joins of aggregate-sized frames.  The postings table is the
-    natural bucketing candidate: written bucketed by ``term``, every
-    query-time join is co-located.
+    natural bucketing candidate, and ``bucket_table`` does exactly
+    that: the postings save as a catalog table bucketed (and sorted)
+    by ``term`` into ``n_buckets`` buckets, so a query batch's
+    term-keyed join reads co-located buckets and plans WITHOUT an
+    Exchange (or Sort) on the postings side — at 100 TB that deletes
+    the per-query shuffle of the entire postings table, leaving only
+    the (small) query side to move.  The plan property is pinned in
+    tests.  ``bucket_table`` and ``path`` are mutually exclusive
+    (bucketing metadata lives in the catalog, not in bare parquet).
     """
+    if bucket_table is not None and path is not None:
+        raise ValueError(
+            "build_text_index: pass either path (bare parquet) or "
+            "bucket_table (bucketed catalog table), not both"
+        )
     c_tf = _tf_of(corpus_df, col, id_col, "match_id")
     if persist_tf:
         from ..scale import persisted
 
         c_tf = persisted(c_tf)
+    postings, stats = index_from_tf(c_tf)
+    if path is not None or bucket_table is not None:
+        # a durable index artifact must fail fast on a degenerate
+        # corpus — a (0, NULL, NULL) stats parquet read back by a later
+        # session would be a silent time bomb
+        n_docs = int(stats.collect()[0]["n_docs"])
+        if n_docs == 0:
+            raise ValueError(
+                "build_text_index: corpus has no tokenizable documents"
+                " — refusing to write an empty index artifact"
+            )
+        spark = corpus_df.sparkSession
+        if bucket_table is not None:
+            from ..scale import write_bucketed
+
+            write_bucketed(
+                postings,
+                bucket_table,
+                "term",
+                buckets=int(n_buckets),
+                sort_by="term",
+            )
+            stats.write.mode("overwrite").format("parquet").saveAsTable(
+                f"{bucket_table}_stats"
+            )
+            return (
+                spark.table(bucket_table),
+                spark.table(f"{bucket_table}_stats"),
+            )
+        postings.write.mode("overwrite").parquet(f"{path}/postings")
+        stats.write.mode("overwrite").parquet(f"{path}/stats")
+        return (
+            spark.read.parquet(f"{path}/postings"),
+            spark.read.parquet(f"{path}/stats"),
+        )
+    return postings, stats
+
+
+def index_from_tf(c_tf: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Derive the (postings, stats) index pair from a stored
+    ``(match_id, term, tf)`` table — :func:`build_text_index`'s
+    derivation stage with NO tokenizer in the plan: the expensive
+    corpus explode happened exactly once, at ingest.  This is the
+    read side of the STREAMING index shape
+    (:func:`data__converter_spark.streaming.runner.
+    run_text_index_update` appends each micro-batch's tf rows to a
+    crash-safe state table; this function turns that table into the
+    same artifact the batch builder writes) — df, dl and the corpus
+    stats are all additive over new documents, so maintenance is an
+    append plus these two slim aggregates, never a corpus rescan.
+    Extra columns (e.g. the state table's ``__epoch__``) are dropped.
+    """
+    c_tf = c_tf.select("match_id", "term", "tf")
     dl = c_tf.groupBy("match_id").agg(
         F.sum("tf").cast("bigint").alias("dl")
     )
@@ -1107,7 +1174,7 @@ def build_text_index(
     )
     # explicit CASE, not a bare division: an empty/all-blank corpus has
     # n_docs = 0 and a bare `div` would RAISE under ANSI mode mid-write
-    # instead of reaching the guard below
+    # instead of reaching the caller's guard
     stats = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("total_tok"),
@@ -1124,23 +1191,6 @@ def build_text_index(
     postings = c_tf.join(df_t, "term").join(dl, "match_id").select(
         "term", "match_id", "tf", "df", "dl"
     )
-    if path is not None:
-        # a durable index artifact must fail fast on a degenerate
-        # corpus — a (0, NULL, NULL) stats parquet read back by a later
-        # session would be a silent time bomb
-        n_docs = int(stats.collect()[0]["n_docs"])
-        if n_docs == 0:
-            raise ValueError(
-                "build_text_index: corpus has no tokenizable documents"
-                " — refusing to write an empty index artifact"
-            )
-        spark = corpus_df.sparkSession
-        postings.write.mode("overwrite").parquet(f"{path}/postings")
-        stats.write.mode("overwrite").parquet(f"{path}/stats")
-        return (
-            spark.read.parquet(f"{path}/postings"),
-            spark.read.parquet(f"{path}/stats"),
-        )
     return postings, stats
 
 

@@ -363,3 +363,82 @@ def _agg_state_combine(keys: list[str], measures: dict):
         return merged.withColumn("__epoch__", F.lit(batch_id))
 
     return combine
+
+
+def run_text_index_update(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    col: str = "text",
+    id_col: str = "doc_id",
+    timeout_s: int = 120,
+) -> None:
+    """Stream -> incrementally-maintained TEXT INDEX state (the
+    streaming half of :func:`~data__converter_spark.llmops.similarity.
+    build_text_index`): every micro-batch of NEW documents tokenizes
+    ONCE into ``(match_id, term, tf)`` rows that append to the state
+    table through the same crash-safe swap as the other sinks; the
+    servable artifact (postings with df/dl, corpus stats) derives
+    from the state at read time via
+    :func:`~data__converter_spark.llmops.similarity.index_from_tf` —
+    df, dl, n_docs and total_tok are all ADDITIVE over new documents,
+    so the corpus is never re-scanned and the tokenizer never re-runs
+    over old docs.
+
+    An append is NOT idempotent (a replayed epoch would duplicate tf
+    rows and silently inflate tf/df), so exactly-once is explicit via
+    the same ``__epoch__`` guard as :func:`run_agg_state`: same-epoch
+    crash replay is a free no-op, an epoch REGRESSION (a fresh
+    checkpoint driving an existing state table) raises.  Contract:
+    the stream carries NEW documents (append-only corpus); document
+    UPDATES need an upstream dedup/retract step — re-delivering a doc
+    under a new epoch would double its postings.
+    """
+    q = (
+        stream_df.writeStream.foreachBatch(
+            _crash_safe_merge(
+                table_path,
+                _text_index_combine(col, id_col),
+                epoch_aware=True,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
+def _text_index_combine(col: str, id_col: str):
+    """The epoch-guarded append body behind
+    :func:`run_text_index_update`, factored out so the
+    replay/skip/raise contract is unit-testable without driving a
+    stream: tokenize the batch once, append its tf rows on epoch
+    advance, None (free no-op) on same-epoch replay, ValueError on an
+    epoch regression."""
+    from pyspark.sql import functions as F
+
+    from ..llmops.similarity import _tf_of
+
+    def combine(
+        base: DataFrame | None, batch_df: DataFrame, batch_id: int
+    ) -> DataFrame | None:
+        delta = _tf_of(batch_df, col, id_col, "match_id").withColumn(
+            "__epoch__", F.lit(batch_id).cast("bigint")
+        )
+        if base is None:
+            return delta
+        applied = base.agg(F.max("__epoch__")).collect()[0][0]
+        if applied is not None and applied == batch_id:
+            return None  # crash-replay of the uncommitted epoch
+        if applied is not None and applied > batch_id:
+            raise ValueError(
+                f"text-index state at epoch {applied} received batch "
+                f"{batch_id}: it was built under a different "
+                "checkpoint. Resume with the original checkpoint, or "
+                "start the fresh checkpoint against an empty state "
+                "path."
+            )
+        return base.unionByName(delta)
+
+    return combine

@@ -1905,3 +1905,51 @@ def test_deletion_neighborhood_hot_variant_cap(spark):
         deletion_neighborhood_pairs(df, "v", "id", max_variant_freq=100).count()
         == 60 * 59 // 2
     )
+
+
+def test_text_index_bucketed_table_drops_postings_exchange(spark):
+    """build_text_index(bucket_table=...) saves the postings bucketed
+    by term: ranking against it must (a) equal the plain-parquet
+    artifact row-for-row and (b) plan with FEWER exchanges — the
+    postings side reads co-located buckets, so only the small query
+    side shuffles for the term join."""
+    from data__converter_spark.llmops.similarity import (
+        bm25_from_index,
+        build_text_index,
+    )
+
+    q = spark.createDataFrame(
+        [(100, "zebra the"), (101, "cat mat the")], "doc_id long, text string"
+    )
+    c = spark.createDataFrame(
+        [
+            (1, "the zebra runs"),
+            (2, "the the the"),
+            (3, "the cat sat"),
+            (4, "the dog sat on a mat"),
+        ],
+        "doc_id long, text string",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bp, bs = build_text_index(c, bucket_table="tix_post", n_buckets=4)
+        lp, ls = build_text_index(c)
+        bucketed = bm25_from_index(q, bp, bs, top_k=4)
+        lazy = bm25_from_index(q, lp, ls, top_k=4)
+        assert sorted(map(tuple, bucketed.collect())) == sorted(
+            map(tuple, lazy.collect())
+        )
+        def n_exchanges(df):
+            p = df._jdf.queryExecution().executedPlan().toString()
+            return p.count("Exchange")
+        assert n_exchanges(bucketed) < n_exchanges(lazy)
+        # mutually exclusive artifact forms
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="not both"):
+            build_text_index(c, path="/tmp/x", bucket_table="tix_bad")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tix_post")
+        spark.sql("DROP TABLE IF EXISTS tix_post_stats")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

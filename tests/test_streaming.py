@@ -1168,3 +1168,79 @@ def test_crash_safe_merge_epoch_inference(spark, tmp_path):
 
     with pytest.raises(ValueError, match="explicit"):
         _crash_safe_merge(str(tmp_path / "t4"), combine_varargs)
+
+
+def test_streaming_text_index_equals_batch_build(spark, tmp_path):
+    """The streaming index shape: documents arrive in micro-batches,
+    each tokenized ONCE into tf rows appended to the crash-safe state
+    table; index_from_tf over the state must produce EXACTLY the
+    artifact the batch builder produces over the full corpus —
+    ranking-identical BM25, row-identical postings/stats."""
+    from data__converter_spark.llmops.similarity import (
+        bm25_from_index,
+        bm25_retrieval,
+        build_text_index,
+        index_from_tf,
+    )
+    from data__converter_spark.streaming.runner import run_text_index_update
+
+    docs = [
+        (1, "the zebra runs"),
+        (2, "the the the"),
+        (3, "the cat sat"),
+        (4, "the dog sat on a mat"),
+        (5, "zebra cat zebra"),
+        (6, "a mat on a mat"),
+    ]
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    # three files -> three micro-batches under maxFilesPerTrigger=1
+    for i in range(3):
+        spark.createDataFrame(
+            docs[i * 2 : i * 2 + 2], "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}"))
+    schema = "doc_id long, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    table = str(tmp_path / "tf_state")
+    run_text_index_update(
+        stream, table, str(tmp_path / "ckpt"), col="text", id_col="doc_id"
+    )
+    state = spark.read.parquet(table)
+    assert state.select("__epoch__").distinct().count() >= 2  # >1 batch
+    s_post, s_stats = index_from_tf(state)
+    c = spark.createDataFrame(docs, schema)
+    b_post, b_stats = build_text_index(c)
+    assert sorted(map(tuple, s_post.collect())) == sorted(
+        map(tuple, b_post.collect())
+    )
+    assert s_stats.collect() == b_stats.collect()
+    q = spark.createDataFrame([(100, "zebra mat")], schema)
+    got = sorted(
+        map(tuple, bm25_from_index(q, s_post, s_stats, top_k=6).collect())
+    )
+    want = sorted(map(tuple, bm25_retrieval(q, c, top_k=6).collect()))
+    assert got == want
+
+
+def test_text_index_combine_epoch_contract(spark):
+    """Unit-level replay contract of the index append body: advance
+    appends, same-epoch replay returns None, regression raises."""
+    from data__converter_spark.streaming.runner import _text_index_combine
+
+    combine = _text_index_combine("text", "doc_id")
+    b0 = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    b1 = spark.createDataFrame([(2, "b c")], "doc_id long, text string")
+    s0 = combine(None, b0, 0)
+    got0 = {(r["match_id"], r["term"], r["tf"]) for r in s0.collect()}
+    assert got0 == {(1, "a", 2), (1, "b", 1)}
+    s1 = combine(s0, b1, 1)
+    assert s1.count() == 4
+    assert combine(s1, b1, 1) is None          # crash replay: free no-op
+    with pytest.raises(ValueError, match="different checkpoint"):
+        combine(s1, b0, 0)                     # fresh-checkpoint regression

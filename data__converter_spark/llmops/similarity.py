@@ -1091,8 +1091,10 @@ def build_text_index(
     token pass (``persist_tf=True`` caches the tf frame so the build
     scans the corpus once instead of once per branch — worth it when
     the corpus is remote/expensive, measured not-worth-it for local
-    parquet at sf0.1); the df and dl joins are term-/doc-keyed
-    equi-joins of aggregate-sized frames.  The postings table is the
+    parquet at sf0.1 in BOTH forms: 1.7 s vs 3.6 s lazy-vs-persisted
+    for the in-memory pair, 2.6 s vs 3.3 s for the written artifact);
+    the df and dl joins are term-/doc-keyed equi-joins of
+    aggregate-sized frames.  The postings table is the
     natural bucketing candidate, and ``bucket_table`` does exactly
     that: the postings save as a catalog table bucketed (and sorted)
     by ``term`` into ``n_buckets`` buckets, so a query batch's

@@ -787,3 +787,76 @@ def test_dhash_candidates_sound_and_pigeonhole_complete(spark, hs):
         for ib in range(ia + 1, len(hs)):
             if ham(hs[ia], hs[ib]) <= 3:
                 assert (ia, ib) in got, f"missed near-pair {ia},{ib}"
+
+
+# ---------------------------------------------------------------------------
+# retractable top-k: unflagged => exact, under arbitrary mixed batches
+# ---------------------------------------------------------------------------
+
+topk_script = st.lists(  # per batch: list of (key, value, sign-ish)
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(0, 9),          # tiny value domain -> dup-heavy
+            st.booleans(),              # True = try to retract
+        ),
+        min_size=0,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(**SPARK_SETTINGS)
+@given(st.integers(2, 3), topk_script)
+def test_topk_unflagged_is_always_exact(spark, k, script):
+    """Soundness of the two-phase rescan flag against ARBITRARY mixed
+    insert/retract batches (including the same-batch refill shape):
+    for every key, either the flag is raised or the stored window
+    equals the true top-min(k, n) of the surviving multiset.  Only
+    retractions of genuinely live rows are issued, so n_rows is the
+    ground-truth multiset size throughout."""
+    from data__converter_spark.ivm import (
+        refresh_topk_with_retractions,
+        topk_state,
+    )
+
+    base = [("a", 5), ("a", 3), ("b", 7)]
+    live = {"a": [5, 3], "b": [7]}
+    st_df = topk_state(
+        spark.createDataFrame(base, "k string, v long"), ["k"], "v", k
+    )
+    for batch_spec in script:
+        batch = []
+        for key, v, retract in batch_spec:
+            if retract and v in live[key]:
+                live[key].remove(v)
+                batch.append((key, v, -1))
+            else:
+                live[key].append(v)
+                batch.append((key, v, 1))
+        if not batch:
+            continue
+        st_df = refresh_topk_with_retractions(
+            st_df,
+            spark.createDataFrame(batch, "k string, v long, sign long"),
+            ["k"],
+            "v",
+            "sign",
+            k,
+        )
+    got = {
+        r["k"]: (list(r["topk"]), r["n_rows"], r["needs_rescan"])
+        for r in st_df.collect()
+    }
+    for key, vals in live.items():
+        if not vals:
+            assert key not in got
+            continue
+        topk, n, flag = got[key]
+        assert n == len(vals)
+        want = sorted(vals, reverse=True)[: min(k, len(vals))]
+        assert flag or topk == want, (
+            f"key {key}: unflagged window {topk} != true {want}"
+        )

@@ -28,22 +28,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotation — freshness first, CHANGED CODE PATHS first of all: no
 # query whose code changed this round may keep a stale driver row.
 # After r9's gate the ledger is 29×r5, 45×r6, 46×r7, 42×r8, 50×r9,
-# plus 4 never-checked round-10 queries (216 total).
+# plus 5 never-checked round-10 queries (217 total).
 # Slot accounting:
-#   1-4   NEW round-10 queries (bm25_indexed / sparse_indexed — the
+#   1-5   NEW round-10 queries (bm25_indexed / sparse_indexed — the
 #         materialized text-index artifact consumed by ranking, oracle
 #         = the inline queries' SQL verbatim; ivm_minmax_orders — the
 #         retractable-extrema bounded top-k state with scoped repair;
 #         optimize_incremental — compaction_plan composed with the
 #         z-order write, singleton bins byte-untouched, fingerprint-
-#         pinned layout invariance)
-#   5-6   round-10 BEHAVIOR/ORACLE changes (skew_key_events: the
+#         pinned layout invariance; cluster_split — leakage-safe
+#         train/val/test assignment keyed by the near-dup cluster's
+#         canonical id, oracle = the dedup_components CC CTE joined
+#         onto documents with corpus_split's md5 arithmetic)
+#   6-7   round-10 BEHAVIOR/ORACLE changes (skew_key_events: the
 #         report now carries is_null so genuine ''-keys no longer
 #         merge with NULL keys, oracle updated in lockstep;
 #         dedup_ngram_jaccard: oracle ported from the quadratic
 #         doc-pair self-join to the engine's Σdf² postings form —
 #         identical output, honest DuckDB cost)
-#   7-12  round-10 CODE-touched, results invariant (bm25_retrieval
+#   8-13  round-10 CODE-touched, results invariant (bm25_retrieval
 #         now composes through build_text_index/bm25_from_index
 #         lazily; typo_pairs_names + image_dhash_pairs ride the
 #         bucket_pairs kernel that now pre-filters hot buckets before
@@ -51,14 +54,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #         pixels; zorder_write_prune gained the empty-envelope guard;
 #         fk_orphan_audit gained coalesced zero counts; auc_dsir_en
 #         gained the single-class NULL CASE)
-#   13-41 ALL 29 remaining r5-latest rows, registry order — retiring
+#   14-42 ALL 29 remaining r5-latest rows, registry order — retiring
 #         the r5 freshness debt entirely
-#   42-50 the first 9 r6-latest rows in registry order (r6 debt
-#         45 -> 36); arithmetic asserted below.
+#   43-50 the first 8 r6-latest rows in registry order (r6 debt
+#         45 -> 37); arithmetic asserted below.
 _VERIFY_FIRST = [
     # -- NEW in round 10: never driver-checked --
     "bm25_indexed", "sparse_indexed", "ivm_minmax_orders",
-    "optimize_incremental",
+    "optimize_incremental", "cluster_split",
     # -- round-10 behavior/oracle changes --
     "skew_key_events", "dedup_ngram_jaccard",
     # -- round-10 code-touched, results invariant --
@@ -76,10 +79,10 @@ _VERIFY_FIRST = [
     "pipeline_selection", "pq_train_codebook",
     "similarity_ivf_pq_topk", "corpus_split", "dedup_keep_best",
     "entity_canonicalize", "pmi_collocations", "sparse_retrieval",
-    # -- latest driver row is r6, registry order (first 9 of 45) --
+    # -- latest driver row is r6, registry order (first 8 of 45) --
     "compare_diff", "compare_diff_summary", "compare_field_mismatches",
     "compare_added_keys", "compare_deleted_keys", "convert_split_lines",
-    "convert_key_union", "convert_xml_escape", "date_remaining_days",
+    "convert_key_union", "convert_xml_escape",
 ]
 
 

@@ -883,6 +883,67 @@ def near_dedup_exact(
     return df.join(losers, id_col, "left_anti")
 
 
+def cluster_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_permille: int = 800,
+    val_permille: int = 100,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: assignment happens at the
+    NEAR-DUP CLUSTER level, so two near-duplicate documents can NEVER
+    land in different splits — the contamination a per-document hash
+    split silently permits (a paraphrase of a test document sitting in
+    train defeats the held-out evaluation; the standard fix in
+    training-data pipelines is exactly this: split by dedup cluster,
+    not by document).
+
+    Every document's split key is its cluster's canonical id — the
+    min id of its connected component in the verified near-dup pair
+    graph (:func:`connected_components` over ``pairs``), falling back
+    to the document's own id for singletons, which makes this a
+    strict generalization of ``corpus_split``: with no pairs the two
+    produce identical assignments.  The same md5-permille bucketing
+    keeps membership stable under retries and corpus appends — and
+    because the key is the CLUSTER id, a newly-ingested near-dup of
+    an existing doc lands in that doc's split, never the other side.
+
+    Output: (``id_col``, cluster_id, bucket_permille, split).
+
+    Scale: the pair graph holds only documents that HAVE a near dup
+    (tiny next to the corpus), components label it with the hybrid
+    union-find / hash-min propagation, and the corpus touches ONE
+    left join against that label table plus a narrow md5 projection.
+    """
+    if not (0 <= train_permille and 0 <= val_permille
+            and train_permille + val_permille <= 1000):
+        raise ValueError(
+            f"invalid split: train={train_permille} val={val_permille}"
+        )
+    comp = connected_components(pairs, id_a, id_b).select(
+        F.col("id").alias(id_col), "component"
+    )
+    canon = F.coalesce(F.col("component"), F.col(id_col))
+    from .textstats import sample_hash_col
+
+    b = sample_hash_col(canon.cast("string"), buckets=1000)
+    return (
+        df.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            F.col(id_col),
+            canon.cast("bigint").alias("cluster_id"),
+            b.alias("bucket_permille"),
+            F.when(b < train_permille, F.lit("train"))
+            .when(b < train_permille + val_permille, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

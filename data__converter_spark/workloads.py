@@ -10260,3 +10260,54 @@ SELECT p.file, p.n_rows, p.bin_id, CAST(b.nf AS INT) AS n_files_in_bin,
 FROM planned p JOIN bins b USING (bin_id)
 ORDER BY p.file
 """
+
+
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe corpus split (llmops/dedup.py:cluster_split):
+    train/val/test assignment keyed by the NEAR-DUP CLUSTER's
+    canonical id (exact connected components over the same LSH-
+    verified pair graph as dedup_components; singletons key by their
+    own id), so a near-duplicate of a held-out document can never
+    leak into train — the decontamination property a per-document
+    hash split (corpus_split) cannot give.  Same md5-permille
+    bucketing as corpus_split, so the two agree exactly on documents
+    with no near dup.  Oracle: the dedup_components recursive-CTE
+    component table joined onto documents with the identical md5
+    arithmetic."""
+    from .llmops.dedup import cluster_split, minhash_lsh_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, k=3, num_hashes=64, bands=16, threshold=0.5
+    )
+    return cluster_split(docs, pairs, train_permille=800, val_permille=100)
+
+
+QUERIES["cluster_split"] = q_cluster_split
+
+
+# Reuse dedup_components' verified-pair + reachability CTEs verbatim
+# (string prefix split on its final SELECT), so the two oracles can
+# never drift apart on what "the near-dup cluster" means.
+_CC_PREFIX = ORACLES["dedup_components"].rsplit(
+    "SELECT CAST(id AS BIGINT) AS doc_id", 1
+)[0]
+
+ORACLES["cluster_split"] = _CC_PREFIX + """
+, canon AS (
+    SELECT d.doc_id,
+           CAST(coalesce(cc.component, d.doc_id) AS BIGINT) AS cluster_id
+    FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+),
+b AS (
+    SELECT doc_id, cluster_id,
+           CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 1000 AS bucket_permille
+    FROM canon
+)
+SELECT doc_id, cluster_id, bucket_permille,
+       CASE WHEN bucket_permille < 800 THEN 'train'
+            WHEN bucket_permille < 900 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""

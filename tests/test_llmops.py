@@ -1953,3 +1953,52 @@ def test_text_index_bucketed_table_drops_postings_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS tix_post")
         spark.sql("DROP TABLE IF EXISTS tix_post_stats")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_cluster_split_never_straddles_and_matches_corpus_split(spark):
+    """Leakage-safe split: every near-dup cluster lands whole in one
+    split (engineered pairs whose members' OWN-id hashes straddle
+    splits — the exact leak corpus_split permits), and documents with
+    no near dup get corpus_split's identical assignment."""
+    from data__converter_spark.llmops.dedup import cluster_split
+    from data__converter_spark.llmops.textstats import corpus_split
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    base = {
+        r["doc_id"]: r["split"]
+        for r in corpus_split(docs, train_permille=800, val_permille=100)
+        .collect()
+    }
+    # build pairs that join ids from DIFFERENT per-doc splits
+    ids = sorted(base)
+    train_ids = [i for i in ids if base[i] == "train"]
+    test_ids = [i for i in ids if base[i] == "test"]
+    assert train_ids and test_ids  # hash split produces both at n=200
+    pairs = [
+        (min(a, b), max(a, b))
+        for a, b in zip(train_ids[:5], test_ids[:5])
+    ]
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["split"])
+        for r in cluster_split(docs, pdf).collect()
+    }
+    assert len(out) == 200
+    # (1) no cluster straddles: both members share cluster and split
+    for a, b in pairs:
+        assert out[a][0] == out[b][0] == min(a, b)
+        assert out[a][1] == out[b][1]
+        # and the per-doc split WOULD have leaked for at least some
+    assert any(base[a] != base[b] for a, b in pairs)
+    # (2) singletons agree with corpus_split exactly
+    clustered = {x for p in pairs for x in p}
+    for i in ids:
+        if i not in clustered:
+            assert out[i] == (i, base[i]), f"singleton {i} diverged"
+    # (3) invalid permille rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="invalid split"):
+        cluster_split(docs, pdf, train_permille=950, val_permille=100)

@@ -112,6 +112,7 @@ SHOWCASE = [
     ("ivm_retract_orders", "signed-state IVM: the retraction batch aggregates with sign-weighted sum/count, merges as a plain state union (deletes are additive), and a count>0 filter drops fully-retracted keys — one union + one key exchange, base never rescanned"),
     ("ivm_minmax_orders", "retractable extrema: per-key bounded top-4 window state; maintenance splits touched/untouched keys via semi/anti joins, per-key windows run over distinct-value cells filtered to k before any array builds, and repair scopes the base rescan to flagged keys by semi-join — never a full base scan, no unbounded collect"),
     ("optimize_incremental", "incremental OPTIMIZE: bin planning runs over the FILE INVENTORY (footer row counts, metadata-scale), only multi-file bins rewrite (one distributed z-sort job per bin, Delta's own schedule), singleton-bin files stay byte-identical on disk; the report plan is inventory-sized"),
+    ("cluster_split", "leakage-safe split: the near-dup pair graph (LSH-verified, tiny next to the corpus) labels via the hybrid CC path; the corpus touches ONE left join against the label table plus a narrow md5 projection — no corpus self-join, no window"),
     ("segment_diversity", "one scan to (group, label) cells, one grid-sized re-aggregate; Gini and inverse-Simpson are rational in the counts, so both are cross-multiplied BIGINTs — no log, no float"),
     ("image_dhash_pairs", "one Arrow mapInPandas pass emits 2 longs per image; 16-bit band posting lists generate pairs in ONE exchange (hot-bucket cap); Hamming verification is JVM bit_count(xor) — all-pairs never in the plan"),
     ("auc_dsir_en", "Mann-Whitney without a per-row rank: rows collapse to (score, n_pos, n_neg) CELLS first, the ordered scan runs over the cell table (metadata scale), ties exact via the +n_neg term — 2U and the micro division are pure BIGINT"),

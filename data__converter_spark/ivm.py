@@ -259,9 +259,11 @@ def refresh_with_retractions(
 # ivm_minmax_orders): for every UNFLAGGED key,
 #     topk == the min(k, n_rows) largest surviving values, descending
 # so element 1 is the exact max and deeper elements are exact to the
-# window's depth.  The flag is maintained with a two-phase check: the
-# batch's retractions apply FIRST, and the key flags if the
-# retraction-only intermediate window holds fewer than
+# window's depth.  The flag is maintained with a two-phase check over
+# PER-CELL-NETTED deltas (a same-batch insert+retract of one value
+# cancels before either phase): the batch's net retractions apply
+# FIRST, and the key flags if the retraction-only intermediate window
+# holds fewer than
 # min(k, surviving-row-count) values — catching the subtle case where
 # same-batch inserts refill an under-full window with values SMALLER
 # than a forgotten (evicted) survivor, which a size check after the
@@ -353,15 +355,26 @@ def refresh_topk_with_retractions(
 
     Only keys PRESENT IN THE DELTA are reprocessed: untouched state
     rows pass through an anti-join unchanged (the scd2_apply
-    discipline — at scale almost every key is untouched).  For a
+    discipline — at scale almost every key is untouched).  A batch is
+    an UNORDERED multiset of signed rows, so each (key, value) cell's
+    inserts and retractions are NETTED first — a same-batch
+    insert+retract of the same value cancels exactly and never enters
+    the window (netting before the clamp is what makes that true: the
+    clamp otherwise absorbs the retraction against a zero stored
+    multiplicity and the insert leg re-adds a phantom value).  For a
     touched key, the stored window explodes back to multiplicity
-    cells, the batch's NEGATIVE net applies first (clamped at zero —
-    retracting a value the window never stored is a no-op at cell
-    level; the retractable ``n_rows`` still counts it), the key flags
-    ``needs_rescan`` if that retraction-only window is smaller than
-    min(k, surviving rows) — the moment the window can no longer
-    prove it holds the true extrema — and then the POSITIVE net
-    applies and the window rebuilds.  Flags are sticky until
+    cells, the batch's NET-NEGATIVE cells apply first (clamped at
+    zero — net-retracting a value the window never stored is a no-op
+    at cell level; the retractable ``n_rows`` still counts it), the
+    key flags ``needs_rescan`` if that retraction-only window is
+    smaller than min(k, surviving rows) — the moment the window can
+    no longer prove it holds the true extrema — and then the
+    NET-POSITIVE cells apply and the window rebuilds.  The
+    surviving-row midpoint in that flag check also uses the NETTED
+    negative sum: with the raw sum, a batch like retract(5),
+    retract(3), insert(9), retract(9) over base {5,3,2} understates
+    the survivor count to zero and leaves an empty window unflagged
+    with one row still live.  Flags are sticky until
     :func:`repair_topk` rescans exactly the flagged keys.
 
     Keys whose ``n_rows`` nets to exactly zero leave the state (absent,
@@ -376,15 +389,22 @@ def refresh_topk_with_retractions(
         raise ValueError(f"refresh_topk_with_retractions: k >= 1, got {k}")
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     s = F.col(sign_col) if isinstance(sign_col, str) else sign_col
-    delta_cells = delta_rows.groupBy(
-        *keys, v.cast("bigint").alias("v")
-    ).agg(
-        F.sum(F.when(s < 0, s).otherwise(F.lit(0)))
-        .cast("bigint")
-        .alias("neg"),
-        F.sum(F.when(s > 0, s).otherwise(F.lit(0)))
-        .cast("bigint")
-        .alias("pos"),
+    # Net each (key, value) cell FIRST — the batch is an unordered
+    # multiset, so only the net effect per value is real.  Cells that
+    # net to zero are dropped entirely: they neither move the window
+    # nor n_rows, and dropping them keeps an all-cancelling key out of
+    # delta_keys (it stays on the untouched fast path).  neg/pos below
+    # are the net's negative/positive parts, NOT the raw signed sums.
+    delta_cells = (
+        delta_rows.groupBy(*keys, v.cast("bigint").alias("v"))
+        .agg(F.sum(s).cast("bigint").alias("net"))
+        .filter(F.col("net") != 0)
+        .select(
+            *keys,
+            "v",
+            F.least(F.col("net"), F.lit(0)).alias("neg"),
+            F.greatest(F.col("net"), F.lit(0)).alias("pos"),
+        )
     )
     delta_keys = delta_cells.select(*keys).distinct()
     untouched = state.join(delta_keys, keys, "left_anti")

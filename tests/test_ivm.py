@@ -446,3 +446,69 @@ def test_topk_unflagged_matches_bruteforce_over_random_steps(spark):
         assert n == len(vals)
         if not flag:
             assert topk == want, f"unflagged key {key} diverged"
+
+
+def test_topk_same_batch_insert_retract_cancels_exactly(spark):
+    """Round-10 regression (hypothesis-found, VERDICT r10 #1): a batch
+    containing insert(4) AND retract(4) over base {5,3} with k=2 must
+    net to a no-op — the pre-fix cell arithmetic applied the negative
+    leg against the stored multiplicity first (clamped at zero), so
+    the retraction vanished and the insert leg re-added a phantom 4
+    into an UNFLAGGED window ([5,4] where the truth is [5,3])."""
+    from data__converter_spark.ivm import (
+        refresh_topk_with_retractions,
+        topk_state,
+    )
+
+    st = topk_state(_tk(spark, [("a", 5), ("a", 3)]), ["k"], "v", 2)
+    out = refresh_topk_with_retractions(
+        st, _signed(spark, [("a", 4, 1), ("a", 4, -1)]), ["k"], "v", "sign", 2
+    )
+    assert _state_map(out)["a"] == ([5, 3], 2, False)
+
+
+def test_topk_flag_midpoint_uses_netted_negatives(spark):
+    """The flag threshold's surviving-row midpoint must use the
+    per-cell NETTED negative sum: over base {5,3,2} (k=2, window
+    [5,3]) a batch of retract(5), retract(3), insert(9), retract(9)
+    leaves one live row ({2}) outside the window — with the raw
+    (un-netted) negative sum the midpoint reads zero and the empty
+    window sails through unflagged."""
+    from data__converter_spark.ivm import (
+        refresh_topk_with_retractions,
+        topk_state,
+    )
+
+    st = topk_state(_tk(spark, [("a", 5), ("a", 3), ("a", 2)]), ["k"], "v", 2)
+    out = refresh_topk_with_retractions(
+        st,
+        _signed(spark, [("a", 5, -1), ("a", 3, -1), ("a", 9, 1), ("a", 9, -1)]),
+        ["k"],
+        "v",
+        "sign",
+        2,
+    )
+    topk, n, flag = _state_map(out)["a"]
+    assert n == 1
+    assert flag, "under-full window with a live survivor must flag"
+
+
+def test_topk_all_cancelling_batch_leaves_key_untouched(spark):
+    """A batch whose every cell nets to zero must not move the key at
+    all — netted-zero cells are dropped before delta_keys, so the key
+    rides the untouched anti-join fast path."""
+    from data__converter_spark.ivm import (
+        refresh_topk_with_retractions,
+        topk_state,
+    )
+
+    st = topk_state(_tk(spark, [("a", 5), ("a", 3)]), ["k"], "v", 2)
+    out = refresh_topk_with_retractions(
+        st,
+        _signed(spark, [("a", 7, 1), ("a", 7, -1), ("a", 3, 1), ("a", 3, -1)]),
+        ["k"],
+        "v",
+        "sign",
+        2,
+    )
+    assert _state_map(out)["a"] == ([5, 3], 2, False)

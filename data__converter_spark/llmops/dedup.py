@@ -911,6 +911,10 @@ def cluster_split(
     an existing doc lands in that doc's split, never the other side.
 
     Output: (``id_col``, cluster_id, bucket_permille, split).
+    ``cluster_id`` is emitted in the id column's OWN type (ADVICE r10:
+    an unconditional bigint cast silently NULLed the column for
+    string-keyed corpora — the assignment stayed correct because the
+    bucketing hashes the string form, but the output was misleading).
 
     Scale: the pair graph holds only documents that HAVE a near dup
     (tiny next to the corpus), components label it with the hybrid
@@ -934,7 +938,7 @@ def cluster_split(
         .join(comp, id_col, "left")
         .select(
             F.col(id_col),
-            canon.cast("bigint").alias("cluster_id"),
+            canon.cast(df.schema[id_col].dataType).alias("cluster_id"),
             b.alias("bucket_permille"),
             F.when(b < train_permille, F.lit("train"))
             .when(b < train_permille + val_permille, F.lit("val"))

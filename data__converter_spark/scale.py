@@ -668,8 +668,19 @@ def bucket_pairs(
         .filter(F.col("__n__") > F.lit(int(max_bucket)))
         .select(*bucket_cols)
     )
+    # Null-SAFE anti-join: groupBy treats NULL bucket keys as a real
+    # group (they pair among themselves), so the hot-set guard must
+    # see them too — a plain left_anti never matches NULL keys and an
+    # oversize NULL bucket would sail past the cap straight into an
+    # unbounded collect_list.  eqNullSafe keys still hash-join (Spark
+    # plans EqualNullSafe as a hash-join key), so AQE's runtime
+    # broadcast of the small hot side is unchanged.
+    left, right = df.alias("__l__"), hot.alias("__h__")
+    cond = F.lit(True)
+    for c in bucket_cols:
+        cond = cond & F.col(f"__l__.{c}").eqNullSafe(F.col(f"__h__.{c}"))
     grouped = (
-        df.join(hot, bucket_cols, "left_anti")
+        left.join(right, cond, "left_anti")
         .groupBy(*bucket_cols)
         .agg(
             F.sort_array(

@@ -157,6 +157,20 @@ diff AS (
 )
 
 
+def _scratch_dir(spark: SparkSession, name: str) -> str:
+    """Session-scoped scratch path for written artifacts (text index,
+    ANN codebooks).  Keyed by the Spark applicationId so two
+    concurrent gate/bench sessions on one host can never clobber each
+    other's postings mid-read (ADVICE r10), while repeated calls
+    WITHIN a session still reuse one directory instead of leaking a
+    mkdtemp copy per invocation."""
+    import os
+    import tempfile
+
+    app = spark.sparkContext.applicationId
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_{app}", name)
+
+
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # External harnesses build their own SparkSession; timestamp
     # rendering (date_format/strftime parity with DuckDB) assumes UTC,
@@ -1117,16 +1131,10 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bm25_retrieval's SQL verbatim: index-fed ranking == inline
     ranking, which IS the artifact's correctness contract (the 100 TB
     shape the inline op's own docstring prescribes)."""
-    import os
-    import tempfile
-
     from .llmops.similarity import bm25_from_index, build_text_index
 
     docs = _load(spark, sf_dir, "documents")
-    # fixed scratch path, fully overwritten per call — repeated gate/
-    # bench runs reuse one directory instead of leaking a mkdtemp copy
-    # of the postings per invocation (code-review finding)
-    path = os.path.join(tempfile.gettempdir(), "spark_graft_idx_bm25")
+    path = _scratch_dir(spark, "idx_bm25")
     postings, stats = build_text_index(
         docs.filter(F.col("doc_id") % 97 != 0), path=path
     )
@@ -1141,13 +1149,10 @@ def q_sparse_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop-term cap becomes a pushed-down filter on the postings scan
     instead of a df-aggregate + semi-join.  Oracle is
     sparse_retrieval's SQL verbatim — index-fed == inline."""
-    import os
-    import tempfile
-
     from .llmops.similarity import build_text_index, sparse_from_index
 
     docs = _load(spark, sf_dir, "documents")
-    path = os.path.join(tempfile.gettempdir(), "spark_graft_idx_sparse")
+    path = _scratch_dir(spark, "idx_sparse")
     postings, _stats = build_text_index(
         docs.filter(F.col("doc_id") % 97 != 0), path=path
     )

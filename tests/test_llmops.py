@@ -2002,3 +2002,25 @@ def test_cluster_split_never_straddles_and_matches_corpus_split(spark):
 
     with _pytest.raises(ValueError, match="invalid split"):
         cluster_split(docs, pdf, train_permille=950, val_permille=100)
+
+
+def test_cluster_split_string_ids_keep_native_cluster_id(spark):
+    """ADVICE r10 regression: string doc ids must come back with a
+    STRING cluster_id (the canonical member's id), not NULL from an
+    unconditional bigint cast."""
+    from data__converter_spark.llmops.dedup import cluster_split
+
+    docs = spark.createDataFrame(
+        [("doc-a",), ("doc-b",), ("doc-z",)], "doc_id string"
+    )
+    pairs = spark.createDataFrame(
+        [("doc-a", "doc-b")], "id_a string, id_b string"
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["split"])
+        for r in cluster_split(docs, pairs).collect()
+    }
+    assert out["doc-a"][0] == out["doc-b"][0] == "doc-a"
+    assert out["doc-a"][1] == out["doc-b"][1]
+    assert out["doc-z"][0] == "doc-z"
+    assert all(cid is not None for cid, _ in out.values())

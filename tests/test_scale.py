@@ -492,6 +492,28 @@ def test_bucket_pairs_prefilters_hot_buckets_before_collect(spark):
     assert p.count() == 0
 
 
+def test_bucket_pairs_hot_null_bucket_is_capped_null_safely(spark):
+    """ADVICE r10 regression: groupBy groups NULL bucket keys into a
+    real bucket, so the hot-set guard must drop an OVERSIZE NULL
+    bucket too — a null-unsafe left_anti never matches NULL keys and
+    the degenerate bucket would emit all O(n²) pairs.  A small NULL
+    bucket, conversely, still pairs among itself."""
+    # oversize NULL bucket (12 members, cap 10) + one normal pair
+    rows = [(None, i, "p") for i in range(12)] + [("u", 100, "x"), ("u", 101, "y")]
+    df = spark.createDataFrame(rows, "bkt string, id long, payload string")
+    got = {
+        (r["bkt"], r["a_id"], r["b_id"])
+        for r in scale.bucket_pairs(df, ["bkt"], ["id", "payload"], 10).collect()
+    }
+    assert got == {("u", 100, 101)}, "hot NULL bucket must be dropped"
+    # a BELOW-cap NULL bucket keeps pairing (groupBy semantics preserved)
+    small = spark.createDataFrame(
+        [(None, 1, "a"), (None, 2, "b")], "bkt string, id long, payload string"
+    )
+    pairs = scale.bucket_pairs(small, ["bkt"], ["id", "payload"], 10).collect()
+    assert [(r["a_id"], r["b_id"]) for r in pairs] == [(1, 2)]
+
+
 def test_write_zordered_empty_input_raises(spark, tmp_path):
     """Empty input (NULL envelope) fails fast with a descriptive
     error, not a TypeError deep inside zorder_key."""

@@ -999,7 +999,41 @@ def ivf_pq_topk(
         F.col(id_col).alias("vid"), F.col("cluster").alias("cell")
     )
     codes = _pq_encode(corpus, Cs, cids_s, d0, vec_col, id_col)
+    return _ivf_pq_rank(
+        spark, cells, codes, cell_ids, cell_q, code_ids, Cs, probes,
+        k=k, nprobe=nprobe, vec_col=vec_col, id_col=id_col,
+        include_self=include_self,
+    )
 
+
+def _ivf_pq_rank(
+    spark,
+    cells: DataFrame,
+    codes: DataFrame,
+    cell_ids,
+    cell_q,
+    code_ids,
+    Cs: list,
+    probes: DataFrame,
+    k: int,
+    nprobe: int,
+    vec_col: str,
+    id_col: str,
+    include_self: bool,
+) -> DataFrame:
+    """The probe side of IVF-PQ, against ALREADY-materialized cell
+    assignments + PQ codes + codebooks — shared verbatim by
+    :func:`ivf_pq_topk` (in-memory, corpus-derived) and
+    :func:`ivf_pq_from_index` (read from the standing on-disk
+    artifact), so append-then-query vs build-then-query can differ
+    ONLY in how cells/codes/books were produced."""
+    import numpy as np
+
+    from pyspark.sql import Window as W
+
+    m = len(Cs)
+    d0 = Cs[0].shape[1]
+    n_codes = len(code_ids)
     p_rows = _collect_probes(probes, id_col, vec_col)
     if not p_rows:
         return spark.createDataFrame(
@@ -1043,6 +1077,168 @@ def ivf_pq_topk(
         "adc_dist",
         F.row_number().over(w).alias("rank"),
     ).filter(F.col("rank") <= k)
+
+
+def _ann_books_to_rows(ids, q) -> list:
+    """Codebook matrix -> long-form (cid, pos, val_q) rows (1-based
+    pos, exact integer-grid values) for the parquet artifact."""
+    return [
+        (int(cid), p + 1, int(q[i, p]))
+        for i, cid in enumerate(ids)
+        for p in range(q.shape[1])
+    ]
+
+
+def _ann_rows_to_book(rows):
+    """Inverse of :func:`_ann_books_to_rows`: (cid, pos, val_q) rows
+    -> (ids ascending, integer matrix)."""
+    import numpy as np
+
+    by_id: dict = {}
+    for r in rows:
+        by_id.setdefault(r[0], {})[r[1]] = r[2]
+    ids = np.array(sorted(by_id), dtype=np.int64)
+    dim = max(len(v) for v in by_id.values())
+    q = np.array(
+        [[by_id[c][p + 1] for p in range(dim)] for c in ids], dtype=np.int64
+    )
+    return ids, q
+
+
+def ann_index_build(
+    corpus: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    m: int = 4,
+    n_codes: int = 16,
+    seed: int = 42,
+) -> None:
+    """Write the STANDING IVF-PQ artifact — the embedding analog of
+    :func:`build_text_index`: four parquet tables under ``path``:
+
+    - ``cellbook`` (cell, pos, val_q): the IVF coarse centroids on the
+      integer grid — FROZEN at build time;
+    - ``codebook`` (code, pos, val_q): the full-dim PQ codewords
+      (subspace slices derive from ``m`` at read time) — FROZEN;
+    - ``cells`` (vid, cell): per-vector coarse assignment;
+    - ``codes`` (vid, s, code): per-vector PQ codes.
+
+    Codebooks are the md5-sampled draws of :func:`ivf_pq_topk` over
+    THIS build's corpus; later appends assign against them without
+    retraining (:func:`ann_index_append`), exactly how a production
+    FAISS-style index absorbs new vectors between periodic retrains.
+    At 100 TB the cells/codes tables are the index (~100× smaller
+    than the vectors) and a build is two Arrow passes over the corpus
+    — the books are driver-side only at codebook size.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    cell_ids, cell_q = _seed_centroids(corpus, n_cells, vec_col, id_col, seed)
+    dim = cell_q.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d0 = dim // m
+    code_ids, code_q = _seed_centroids(
+        corpus, n_codes, vec_col, id_col, seed + 1
+    )
+    Cs = [code_q[:, s * d0 : (s + 1) * d0].astype(np.float64) for s in range(m)]
+    cids_s = [code_ids for _ in range(m)]
+    book_schema = "cid long, pos int, val_q long"
+    spark.createDataFrame(
+        _ann_books_to_rows(cell_ids, cell_q), book_schema
+    ).write.mode("overwrite").parquet(f"{path}/cellbook")
+    spark.createDataFrame(
+        _ann_books_to_rows(code_ids, code_q), book_schema
+    ).write.mode("overwrite").parquet(f"{path}/codebook")
+    _assign_to_grid(corpus, cell_ids, cell_q, vec_col, id_col).select(
+        F.col(id_col).alias("vid"), F.col("cluster").alias("cell")
+    ).write.mode("overwrite").parquet(f"{path}/cells")
+    _pq_encode(corpus, Cs, cids_s, d0, vec_col, id_col).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
+
+
+def _read_ann_books(spark, path: str, m: int):
+    """Load the frozen codebooks (a bounded, codebook-sized collect)
+    and slice the PQ book per subspace."""
+    import numpy as np
+
+    cell_ids, cell_q = _ann_rows_to_book(
+        [tuple(r) for r in spark.read.parquet(f"{path}/cellbook").collect()]
+    )
+    code_ids, code_q = _ann_rows_to_book(
+        [tuple(r) for r in spark.read.parquet(f"{path}/codebook").collect()]
+    )
+    dim = cell_q.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d0 = dim // m
+    Cs = [code_q[:, s * d0 : (s + 1) * d0].astype(np.float64) for s in range(m)]
+    return cell_ids, cell_q, code_ids, Cs, d0
+
+
+def ann_index_append(
+    delta: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+) -> None:
+    """Absorb NEW embeddings into the standing IVF-PQ artifact against
+    the FROZEN codebooks — cell assignment + PQ codes for the DELTA
+    only (two Arrow passes over just the new vectors, appended to the
+    cells/codes tables); the base corpus is never rescanned and the
+    books never move, so append-then-query == build-from-scratch-with-
+    the-same-books-then-query EXACTLY (pinned by the
+    ``ann_append_query`` oracle and pytest).
+
+    The trade a frozen quantizer makes is staleness, not correctness:
+    ADC distances stay exact against the stored books, but if the new
+    vectors' distribution drifts off the build-time sample the cell
+    balance and recall degrade — audit with the recall machinery
+    (``similarity_pq_recall``) and retrain/rebuild when it slips.
+    Contract: ids in the delta must be NEW (an upstream dedup gate —
+    re-appending an id would double its index rows)."""
+    spark = delta.sparkSession
+    cell_ids, cell_q, code_ids, Cs, d0 = _read_ann_books(spark, path, m)
+    cids_s = [code_ids for _ in range(len(Cs))]
+    _assign_to_grid(delta, cell_ids, cell_q, vec_col, id_col).select(
+        F.col(id_col).alias("vid"), F.col("cluster").alias("cell")
+    ).write.mode("append").parquet(f"{path}/cells")
+    _pq_encode(delta, Cs, cids_s, d0, vec_col, id_col).write.mode(
+        "append"
+    ).parquet(f"{path}/codes")
+
+
+def ivf_pq_from_index(
+    spark,
+    path: str,
+    probes: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    include_self: bool = False,
+) -> DataFrame:
+    """:func:`ivf_pq_topk`'s query side against the standing on-disk
+    artifact: the books load driver-side (codebook-sized), the probe
+    LUT and probe→cell tables broadcast, and the stored cells/codes
+    tables are scanned — cell pruning is a broadcast join, so at scale
+    a query touches ``nprobe/n_cells`` of an already-100×-compressed
+    table.  Identical ranking arithmetic to the in-memory op by
+    construction (shared :func:`_ivf_pq_rank`)."""
+    cell_ids, cell_q, code_ids, Cs, _d0 = _read_ann_books(spark, path, m)
+    cells = spark.read.parquet(f"{path}/cells")
+    codes = spark.read.parquet(f"{path}/codes")
+    return _ivf_pq_rank(
+        spark, cells, codes, cell_ids, cell_q, code_ids, Cs, probes,
+        k=k, nprobe=nprobe, vec_col=vec_col, id_col=id_col,
+        include_self=include_self,
+    )
 
 
 def _tf_of(df: DataFrame, col: str, id_col: str, out_id: str) -> DataFrame:
@@ -1194,6 +1390,62 @@ def index_from_tf(c_tf: DataFrame) -> tuple[DataFrame, DataFrame]:
         "term", "match_id", "tf", "df", "dl"
     )
     return postings, stats
+
+
+def retract_docs_tf(
+    tf_state: DataFrame,
+    doc_ids: DataFrame,
+    id_col: str = "match_id",
+) -> DataFrame:
+    """Signed retraction rows for a document TAKEDOWN: look up the
+    doomed documents' live netted tf rows in the (possibly already
+    signed) ``(match_id, term, tf)`` state and negate them.  Appending
+    the result to the state makes the docs net to zero everywhere —
+    df, dl, n_docs and total_tok all follow through
+    :func:`index_from_signed_tf`'s net-then-aggregate, no rebuild.
+
+    This is the text-index analog of
+    :func:`~data__converter_spark.ivm.refresh_with_retractions`: at
+    100 TB you cannot rebuild the index to delete one document
+    (right-to-be-forgotten, contaminated-source takedown), but you CAN
+    append its negated postings — one semi-scoped aggregate over the
+    deleted docs' rows, driven by the doc ids alone (no original text
+    needed, so it works even if the tokenizer has since changed).
+
+    ``doc_ids``: one-column frame of ids to delete (any column name —
+    it is renamed to ``id_col``).  Ids absent from the state are
+    no-ops.  Deleting an already-deleted doc is also a no-op (the net
+    is already zero, so no retraction rows emit)."""
+    ids = doc_ids.toDF(id_col).distinct()
+    return (
+        tf_state.select(id_col, "term", "tf")
+        .join(F.broadcast(ids), id_col)
+        .groupBy(id_col, "term")
+        .agg(F.sum("tf").cast("bigint").alias("__net__"))
+        .filter(F.col("__net__") > 0)
+        .select(id_col, "term", (-F.col("__net__")).alias("tf"))
+    )
+
+
+def index_from_signed_tf(tf_state: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """:func:`index_from_tf` over a SIGNED tf state — the delete-aware
+    read side: net each (match_id, term) cell first (sum of signed
+    tf), drop cells that net to <= 0, then derive the identical
+    (postings, stats) artifact.  A document whose rows all net to zero
+    vanishes from dl, so n_docs/total_tok/avgdl shrink with it —
+    index-after-deletes == rebuild-from-surviving-docs, pinned by the
+    ``bm25_after_delete`` oracle and pytest.
+
+    Cost vs the unsigned read: ONE extra hash aggregate keyed exactly
+    like the state (map-side combinable), still never a corpus rescan
+    or tokenizer run."""
+    net = (
+        tf_state.select("match_id", "term", "tf")
+        .groupBy("match_id", "term")
+        .agg(F.sum("tf").cast("bigint").alias("tf"))
+        .filter(F.col("tf") > 0)
+    )
+    return index_from_tf(net)
 
 
 def sparse_from_index(

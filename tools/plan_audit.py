@@ -116,6 +116,8 @@ SHOWCASE = [
     ("segment_diversity", "one scan to (group, label) cells, one grid-sized re-aggregate; Gini and inverse-Simpson are rational in the counts, so both are cross-multiplied BIGINTs — no log, no float"),
     ("image_dhash_pairs", "one Arrow mapInPandas pass emits 2 longs per image; 16-bit band posting lists generate pairs in ONE exchange (hot-bucket cap); Hamming verification is JVM bit_count(xor) — all-pairs never in the plan"),
     ("auc_dsir_en", "Mann-Whitney without a per-row rank: rows collapse to (score, n_pos, n_neg) CELLS first, the ordered scan runs over the cell table (metadata scale), ties exact via the +n_neg term — 2U and the micro division are pure BIGINT"),
+    ("bm25_after_delete", "document takedown without rebuild: the persisted tf state is read by BOTH the retraction lookup (semi-scoped to the doomed ids, negated) and the final index; the signed union nets per (doc, term) in ONE map-side-combinable aggregate before the df/dl aggregates — no second tokenizer pass, no corpus rescan, ranking identical to bm25_retrieval's shape"),
+    ("ann_append_query", "incremental IVF-PQ: the delta's cell assignment + PQ encode are two Arrow passes with the FROZEN books riding the task closure (base never rescanned); the query side scans the stored cells/codes tables, prunes by a broadcast probe→cell join, and the ADC lookup broadcasts — vectors never shuffle anywhere"),
 ]
 
 

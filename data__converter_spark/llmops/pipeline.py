@@ -115,3 +115,90 @@ def selection_pipeline(
     ).filter(F.col("sampled"))
     chosen = kept.join(sampled.select(id_col), id_col, "left_semi")
     return balanced_shards(chosen, n_shards=n_shards, col=col, id_col=id_col)
+
+
+def ingest_pipeline(
+    batch: DataFrame,
+    corpus: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    train_permille: int = 800,
+    val_permille: int = 100,
+) -> DataFrame:
+    """The production INGEST loop for one arriving document batch
+    against a standing corpus, composed end-to-end as one plan —
+    every stage is an already-oracle-checked operator:
+
+    1. **Decontaminate** (:func:`~.dedup.bloom_prescreen_dedup`):
+       exact dedup against the standing corpus behind the Bloom
+       prescreen — only digests the corpus's membership sketch could
+       not rule out reach the confirmation join; ``confirmed``
+       duplicates drop.
+    2. **Incremental index update**
+       (:func:`~.similarity._tf_of` — the exact delta
+       ``run_text_index_update`` appends): the survivors tokenize
+       ONCE into tf rows; df/dl/stats follow additively, never a
+       corpus rescan.  The per-survivor document length (``dl``)
+       surfaces in the output as the audit of what entered the index.
+    3. **Leakage-safe split assignment**
+       (:func:`~.dedup.cluster_split` over corpus ∪ survivors): a
+       survivor that is a NEAR-dup of a standing document inherits
+       that document's cluster — and therefore its split — so
+       ingestion can never leak a paraphrase of a held-out doc into
+       train.
+
+    Output: one row per SURVIVOR — (``id_col``, cluster_id, split,
+    dl).  Scale shape: the survivors frame is persisted (it feeds the
+    union, the tf delta, and the final semi-join); the corpus-scale
+    work is the LSH pair generation the split already requires — the
+    decontamination and index stages move digests and tf rows only.
+    """
+    from ..scale import persisted
+    from .dedup import bloom_prescreen_dedup, cluster_split, minhash_lsh_pairs
+    from .similarity import _tf_of
+
+    verdict = bloom_prescreen_dedup(
+        batch, corpus, col, id_col, m_bits=m_bits, k_hashes=k_hashes
+    )
+    survivors = persisted(
+        batch.join(
+            verdict.filter(~F.col("confirmed")).select(id_col),
+            id_col,
+            "left_semi",
+        )
+    )
+    live = corpus.select(id_col, col).unionByName(
+        survivors.select(id_col, col)
+    )
+    pairs = minhash_lsh_pairs(
+        live, k=k, num_hashes=num_hashes, bands=bands, threshold=threshold
+    )
+    assign = cluster_split(
+        live,
+        pairs,
+        id_col=id_col,
+        train_permille=train_permille,
+        val_permille=val_permille,
+    )
+    dl = (
+        _tf_of(survivors, col, id_col, id_col)
+        .groupBy(id_col)
+        .agg(F.sum("tf").cast("bigint").alias("dl"))
+    )
+    return (
+        survivors.select(id_col)
+        .join(assign, id_col)
+        .join(dl, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            "split",
+            F.coalesce("dl", F.lit(0)).cast("bigint").alias("dl"),
+        )
+    )

@@ -10389,6 +10389,33 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["cluster_split"] = q_cluster_split
 
 
+def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production INGEST loop (llmops/pipeline.py:
+    ingest_pipeline): the md5-permille tail 20% of documents arrives
+    as a batch against the standing 80% corpus → Bloom-prescreened
+    exact decontamination (confirmed dups drop) → the survivors'
+    one-pass tf delta (the exact rows run_text_index_update appends;
+    dl surfaces per survivor) → leakage-safe cluster_split assignment
+    over corpus ∪ survivors (a near-dup of a standing doc inherits
+    its split).  The oracle is the hand-staged equivalent: the bloom
+    verdict's no-false-negative guarantee makes survivors exactly
+    'digest not in corpus', the CC/split CTEs are cluster_split's
+    verbatim over the live doc set, and dl is the token count."""
+    from .llmops.pipeline import ingest_pipeline
+
+    docs = _load(spark, sf_dir, "documents")
+    split_b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % F.lit(1000)
+    )
+    corpus = docs.filter(split_b < 800)
+    batch = docs.filter(split_b >= 800)
+    return ingest_pipeline(batch, corpus)
+
+
+QUERIES["ingest_pipeline"] = q_ingest_pipeline
+
+
 # Reuse dedup_components' verified-pair + reachability CTEs verbatim
 # (string prefix split on its final SELECT), so the two oracles can
 # never drift apart on what "the near-dup cluster" means.
@@ -10413,4 +10440,58 @@ SELECT doc_id, cluster_id, bucket_permille,
             WHEN bucket_permille < 900 THEN 'val'
             ELSE 'test' END AS split
 FROM b
+"""
+
+# The composed ingest loop's oracle: the hand-staged equivalent.
+# Surgery on _cc_sql(): the near-dup pair graph / CC must run over the
+# LIVE doc set (standing corpus ∪ decontamination survivors) — an
+# exact-dup batch doc must not participate in clustering (its corpus
+# twin carries identical edges, but a smaller-id dup would shift the
+# cluster's canonical id).  The bloom prescreen has no false
+# negatives, so "NOT confirmed" is exactly "digest not in corpus".
+_CC = _cc_sql()
+assert _CC.count("FROM documents") == 1
+# order matters: point words_cte at `live` FIRST, then prepend the
+# d0/live CTEs (which legitimately read `documents`) — the reverse
+# order would rewrite d0's own scan and make `live` circular.
+_CC_LIVE = _CC.replace("FROM documents\n)", "FROM live\n)", 1).replace(
+    "WITH RECURSIVE words_cte AS (",
+    """WITH RECURSIVE d0 AS (
+    SELECT doc_id, text, sha256(coalesce(text, '')) AS dg,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 1000 AS b
+    FROM documents
+),
+live AS (
+    SELECT doc_id, text, b FROM d0
+    WHERE b < 800
+       OR dg NOT IN (SELECT dg FROM d0 WHERE b < 800)
+),
+words_cte AS (""",
+    1,
+)
+assert _CC_LIVE.count("FROM live\n)") == 1
+
+ORACLES["ingest_pipeline"] = _CC_LIVE + """
+, canon AS (
+    SELECT l.doc_id, l.b,
+           CAST(coalesce(cc.component, l.doc_id) AS BIGINT) AS cluster_id
+    FROM live l LEFT JOIN cc ON l.doc_id = cc.id
+),
+asg AS (
+    SELECT doc_id, b, cluster_id,
+           CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 1000 AS bp
+    FROM canon
+),
+dls AS (
+    SELECT doc_id, CAST(len(words) AS BIGINT) AS dl FROM words_cte
+)
+SELECT a.doc_id, a.cluster_id,
+       CASE WHEN a.bp < 800 THEN 'train'
+            WHEN a.bp < 900 THEN 'val'
+            ELSE 'test' END AS split,
+       coalesce(d.dl, 0) AS dl
+FROM asg a LEFT JOIN dls d USING (doc_id)
+WHERE a.b >= 800
 """

@@ -2102,3 +2102,46 @@ def test_cluster_split_string_ids_keep_native_cluster_id(spark):
     assert out["doc-a"][1] == out["doc-b"][1]
     assert out["doc-z"][0] == "doc-z"
     assert all(cid is not None for cid, _ in out.values())
+
+
+def test_ingest_pipeline_drops_dups_and_inherits_splits(spark):
+    """Composed ingest loop (r11): an exact-dup batch doc drops, a
+    NEAR-dup batch doc inherits its corpus twin's cluster and split
+    (the leakage guarantee), and a fresh doc gets its own singleton
+    cluster with corpus_split-identical assignment."""
+    from data__converter_spark.llmops.dedup import cluster_split
+    from data__converter_spark.llmops.pipeline import ingest_pipeline
+
+    base_text = "the quick brown fox jumps over the lazy dog tonight"
+    near_text = "the quick brown fox jumps over the lazy dog today"
+    corpus = spark.createDataFrame(
+        [(1, base_text), (2, "completely different content here now then")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base_text),           # exact dup of doc 1 -> drops
+            (11, near_text),           # near dup of doc 1 -> inherits
+            (12, "unrelated fresh text about spark plans and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["split"], r["dl"])
+        for r in ingest_pipeline(batch, corpus).collect()
+    }
+    assert set(out) == {11, 12}, "exact dup must drop, survivors stay"
+    # the near dup inherits doc 1's cluster => canonical id 1
+    assert out[11][0] == 1
+    # and therefore doc 1's split: recompute via cluster_split directly
+    live = corpus.unionByName(batch.filter(F.col("doc_id") != 10))
+    pairs = spark.createDataFrame([(1, 11)], "id_a long, id_b long")
+    ref = {
+        r["doc_id"]: r["split"]
+        for r in cluster_split(live, pairs).collect()
+    }
+    assert out[11][1] == ref[1] == ref[11]
+    # fresh doc: singleton cluster = own id, dl = token count
+    assert out[12][0] == 12
+    assert out[12][2] == 8
+    assert out[11][2] == 10

@@ -23,66 +23,54 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's per-round correctness gate samples the FIRST 50 entries of
-# ``queries()`` in insertion order (verified: CORRECTNESS_r0{1..9}.json
-# keys equal the first 50 QUERIES names of each round).  Round 10
+# ``queries()`` in insertion order (verified: CORRECTNESS_r0{1..10}.json
+# keys equal the first 50 QUERIES names of each round).  Round 11
 # rotation — freshness first, CHANGED CODE PATHS first of all: no
 # query whose code changed this round may keep a stale driver row.
-# After r9's gate the ledger is 29×r5, 45×r6, 46×r7, 42×r8, 50×r9,
-# plus 5 never-checked round-10 queries (217 total).
+# After r10's gate the ledger (recomputed from the CORRECTNESS union)
+# is 36×r6, 46×r7, 42×r8, 43×r9, 50×r10, plus 3 never-checked
+# round-11 queries (220 total).
 # Slot accounting:
-#   1-5   NEW round-10 queries (bm25_indexed / sparse_indexed — the
-#         materialized text-index artifact consumed by ranking, oracle
-#         = the inline queries' SQL verbatim; ivm_minmax_orders — the
-#         retractable-extrema bounded top-k state with scoped repair;
-#         optimize_incremental — compaction_plan composed with the
-#         z-order write, singleton bins byte-untouched, fingerprint-
-#         pinned layout invariance; cluster_split — leakage-safe
-#         train/val/test assignment keyed by the near-dup cluster's
-#         canonical id, oracle = the dedup_components CC CTE joined
-#         onto documents with corpus_split's md5 arithmetic)
-#   6-7   round-10 BEHAVIOR/ORACLE changes (skew_key_events: the
-#         report now carries is_null so genuine ''-keys no longer
-#         merge with NULL keys, oracle updated in lockstep;
-#         dedup_ngram_jaccard: oracle ported from the quadratic
-#         doc-pair self-join to the engine's Σdf² postings form —
-#         identical output, honest DuckDB cost)
-#   8-13  round-10 CODE-touched, results invariant (bm25_retrieval
-#         now composes through build_text_index/bm25_from_index
-#         lazily; typo_pairs_names + image_dhash_pairs ride the
-#         bucket_pairs kernel that now pre-filters hot buckets before
-#         collect_list, and image_dhash hashes stdlib-DECODED PNG
-#         pixels; zorder_write_prune gained the empty-envelope guard;
-#         fk_orphan_audit gained coalesced zero counts; auc_dsir_en
-#         gained the single-class NULL CASE)
-#   14-42 ALL 29 remaining r5-latest rows, registry order — retiring
-#         the r5 freshness debt entirely
-#   43-50 the first 8 r6-latest rows in registry order (r6 debt
-#         45 -> 37); arithmetic asserted below.
+#   1-3   NEW round-11 queries (bm25_after_delete — text-index
+#         takedowns via signed tf retractions, oracle = bm25 SQL over
+#         the surviving corpus; ann_append_query — incremental IVF-PQ
+#         append against frozen books, oracle = ivf_pq SQL with
+#         base-drawn centroid samples; ingest_pipeline — the composed
+#         decontaminate → index-delta → cluster-split ingest loop,
+#         oracle = the hand-staged equivalent)
+#   4-9   round-11 CODE-touched, results invariant (ivm_minmax_orders
+#         rides the netted-cell top-k fix; bm25_indexed /
+#         sparse_indexed moved to per-applicationId scratch paths;
+#         cluster_split emits native-typed cluster_id;
+#         typo_pairs_names + image_dhash_pairs ride bucket_pairs'
+#         null-safe hot-set anti-join)
+#   10-45 ALL 36 r6-latest rows, registry order — retiring the r6
+#         freshness debt entirely
+#   46-50 the first 5 r7-latest rows in registry order (r7 debt
+#         46 -> 41); arithmetic asserted below.
 _VERIFY_FIRST = [
-    # -- NEW in round 10: never driver-checked --
-    "bm25_indexed", "sparse_indexed", "ivm_minmax_orders",
-    "optimize_incremental", "cluster_split",
-    # -- round-10 behavior/oracle changes --
-    "skew_key_events", "dedup_ngram_jaccard",
-    # -- round-10 code-touched, results invariant --
-    "bm25_retrieval", "typo_pairs_names", "image_dhash_pairs",
-    "zorder_write_prune", "fk_orphan_audit", "auc_dsir_en",
-    # -- latest driver row is r5, registry order (all 29) --
-    "small_qty_revenue", "bracket_revenue", "excess_stock_suppliers",
-    "waiting_suppliers", "balanced_shards", "dedup_against_ref",
-    "dedup_substring_keep", "centroid_separation",
-    "window_active_users", "pagerank_trade", "stream_enrich_counts",
-    "common_token_ratio", "token_mix_planner", "window_overlap_pairs",
-    "embedding_outliers", "gopher_quality", "dedup_semantic",
-    "similarity_pq_topk", "triangle_suppliers",
-    "stream_outer_range_join", "events_anomalies",
-    "pipeline_selection", "pq_train_codebook",
-    "similarity_ivf_pq_topk", "corpus_split", "dedup_keep_best",
-    "entity_canonicalize", "pmi_collocations", "sparse_retrieval",
-    # -- latest driver row is r6, registry order (first 8 of 45) --
-    "compare_diff", "compare_diff_summary", "compare_field_mismatches",
-    "compare_added_keys", "compare_deleted_keys", "convert_split_lines",
-    "convert_key_union", "convert_xml_escape",
+    # -- NEW in round 11: never driver-checked --
+    "bm25_after_delete", "ann_append_query", "ingest_pipeline",
+    # -- round-11 code-touched, results invariant --
+    "ivm_minmax_orders", "bm25_indexed", "sparse_indexed",
+    "cluster_split", "typo_pairs_names", "image_dhash_pairs",
+    # -- latest driver row is r6, registry order (all 36) --
+    "date_remaining_days", "dedup_exact", "dedup_exact_groups",
+    "text_winnow", "corpus_top_ngrams", "contamination_check",
+    "text_lang_id", "text_fingerprint", "dedup_near_keep",
+    "dedup_components", "dedup_cc_keep", "asof_join",
+    "top_customers", "nation_volume", "dedup_minhash_lsh",
+    "dedup_embedding_pairs", "length_band_filter", "rollup_volume",
+    "promo_revenue", "minhash_est_error", "bigram_familiarity",
+    "dedup_ngram_capped", "shipping_priority", "large_orders",
+    "bilateral_trade", "local_supplier_volume", "market_share",
+    "returned_revenue", "dsir_select", "dsir_sample",
+    "session_paths", "tokenize_corpus", "multimodal_png_decode",
+    "boilerplate_scrub", "stream_band_candidates",
+    "similarity_lsh_recall",
+    # -- latest driver row is r7, registry order (first 5 of 46) --
+    "mask_deterministic", "mask_recovery_roundtrip", "mask_invariants",
+    "pattern_count_matches", "pattern_replace_all",
 ]
 
 

@@ -1213,6 +1213,49 @@ def ann_index_append(
     ).parquet(f"{path}/codes")
 
 
+def ann_index_delete(doc_ids: DataFrame, path: str) -> None:
+    """Delete vectors from the standing IVF-PQ artifact by TOMBSTONE —
+    the ANN analog of the text index's signed tf retraction: the
+    doomed ids append to ``{path}/tombstones`` (one bigint column) and
+    :func:`ivf_pq_from_index` anti-joins them out of the candidate
+    stream.  At 100 TB a takedown is therefore an O(deleted ids)
+    append; the cells/codes tables are untouched until
+    :func:`ann_index_compact` folds the tombstones in.  Deleting an
+    unknown or already-deleted id is a no-op (the anti-join doesn't
+    care); the books never move, so remaining rankings are unchanged
+    (pinned: delete-then-query == build-without-the-deleted)."""
+    doc_ids.toDF("vid").distinct().write.mode("append").parquet(
+        f"{path}/tombstones"
+    )
+
+
+def ann_index_compact(spark, path: str) -> None:
+    """Fold the tombstones into the cells/codes tables: rewrite both
+    minus the deleted vids and clear the tombstone table.  The
+    maintenance OPTIMIZE for a delete-heavy index — run it when the
+    tombstone fraction makes the query-time anti-join's broadcast
+    side noticeable; until then deletes stay O(1)."""
+    tomb_path = f"{path}/tombstones"
+    try:
+        tomb = spark.read.parquet(tomb_path)
+    except Exception:
+        return  # nothing to fold
+    for t in ("cells", "codes"):
+        kept = (
+            spark.read.parquet(f"{path}/{t}")
+            .join(F.broadcast(tomb), "vid", "left_anti")
+        )
+        # parquet can't overwrite a table it is reading: stage the
+        # surviving rows, then swap
+        kept.write.mode("overwrite").parquet(f"{path}/{t}__new")
+        spark.read.parquet(f"{path}/{t}__new").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/{t}")
+    spark.createDataFrame([], "vid bigint").write.mode(
+        "overwrite"
+    ).parquet(tomb_path)
+
+
 def ivf_pq_from_index(
     spark,
     path: str,
@@ -1229,10 +1272,17 @@ def ivf_pq_from_index(
     LUT and probe→cell tables broadcast, and the stored cells/codes
     tables are scanned — cell pruning is a broadcast join, so at scale
     a query touches ``nprobe/n_cells`` of an already-100×-compressed
-    table.  Identical ranking arithmetic to the in-memory op by
-    construction (shared :func:`_ivf_pq_rank`)."""
+    table.  Tombstoned vids (:func:`ann_index_delete`) anti-join out
+    of the cells scan before candidate generation.  Identical ranking
+    arithmetic to the in-memory op by construction (shared
+    :func:`_ivf_pq_rank`)."""
     cell_ids, cell_q, code_ids, Cs, _d0 = _read_ann_books(spark, path, m)
     cells = spark.read.parquet(f"{path}/cells")
+    try:
+        tomb = spark.read.parquet(f"{path}/tombstones")
+        cells = cells.join(F.broadcast(tomb), "vid", "left_anti")
+    except Exception:
+        pass  # no tombstone table yet — pure append-only artifact
     codes = spark.read.parquet(f"{path}/codes")
     return _ivf_pq_rank(
         spark, cells, codes, cell_ids, cell_q, code_ids, Cs, probes,

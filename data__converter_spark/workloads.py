@@ -3254,6 +3254,33 @@ def q_ann_append_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_from_index(spark, path, probes, k=10, nprobe=4, m=4)
 
 
+def q_ann_delete_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN takedown against the standing artifact (llmops/
+    similarity.py: ann_index_delete + ivf_pq_from_index): the full
+    corpus builds the index, every vec_id % 9 == 0 is then deleted by
+    appending its id to the tombstone table — O(deleted ids), books
+    and cells/codes untouched — and the probes rank against the
+    delete-aware index (tombstones anti-join out of the candidate
+    stream; ann_index_compact folds them in offline).  Oracle: the
+    similarity_ivf_pq_topk SQL with the candidate stream restricted
+    to survivors — delete-then-query == query-over-survivors with the
+    SAME frozen full-corpus books."""
+    from .llmops.similarity import (
+        ann_index_build,
+        ann_index_delete,
+        ivf_pq_from_index,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    path = _scratch_dir(spark, "ann_ivfpq_del")
+    ann_index_build(emb, path, n_cells=16, m=4, n_codes=16)
+    ann_index_delete(
+        emb.filter(F.col("vec_id") % 9 == 0).select("vec_id"), path
+    )
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+    return ivf_pq_from_index(spark, path, probes, k=10, nprobe=4, m=4)
+
+
 def q_pq_train_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One PQ training iteration (llmops/similarity.py:pq_train):
     per-subspace Lloyd step over the md5-sampled seed codewords —
@@ -10173,6 +10200,17 @@ for _tag in ("':42'", "':43'"):
         f"    ORDER BY md5(CAST(vec_id AS VARCHAR) || {_tag}), vec_id\n",
     )
 ORACLES["ann_append_query"] = _ANN_SQL
+
+# ANN tombstone deletes: frozen full-corpus books, candidate stream
+# restricted to survivors — exactly what the query-time anti-join of
+# the tombstone table produces.
+QUERIES["ann_delete_query"] = q_ann_delete_query
+_ANN_CAND_CTE = "    FROM cells cl JOIN probe_cells pc ON cl.cell = pc.cell\n"
+assert _ANN_CAND_CTE in ORACLES["similarity_ivf_pq_topk"]
+ORACLES["ann_delete_query"] = ORACLES["similarity_ivf_pq_topk"].replace(
+    _ANN_CAND_CTE,
+    _ANN_CAND_CTE + "    WHERE cl.vec_id % 9 <> 0\n",
+)
 
 
 def q_ivm_minmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

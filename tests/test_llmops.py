@@ -2145,3 +2145,58 @@ def test_ingest_pipeline_drops_dups_and_inherits_splits(spark):
     assert out[12][0] == 12
     assert out[12][2] == 8
     assert out[11][2] == 10
+
+
+def test_ann_tombstone_delete_and_compact(spark, tmp_path):
+    """ANN takedown (r11): tombstoned vids vanish from rankings
+    (delete-then-query == hand-filtered candidates), deleting unknown
+    ids is a no-op, and ann_index_compact folds tombstones into the
+    cells/codes tables without changing any ranking."""
+    import numpy as np
+
+    from data__converter_spark.llmops.similarity import (
+        ann_index_build,
+        ann_index_compact,
+        ann_index_delete,
+        ivf_pq_from_index,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = rng.uniform(-1, 1, size=(40, 8)).astype(np.float32)
+    full = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    probes = full.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "idx")
+    ann_index_build(full, path, n_cells=4, m=2, n_codes=8, seed=42)
+    key = lambda rs: sorted(
+        (r["probe_id"], r["neighbor_id"], r["adc_dist"], r["rank"]) for r in rs
+    )
+    before = key(
+        ivf_pq_from_index(spark, path, probes, k=5, nprobe=4, m=2).collect()
+    )
+    doomed = {i for i in range(40) if i % 5 == 0}
+    ann_index_delete(
+        spark.createDataFrame([(i,) for i in doomed], "vec_id long"), path
+    )
+    ann_index_delete(  # unknown ids: no-op
+        spark.createDataFrame([(999,)], "vec_id long"), path
+    )
+    after = key(
+        ivf_pq_from_index(spark, path, probes, k=5, nprobe=4, m=2).collect()
+    )
+    assert all(n not in doomed for _, n, _, _ in after)
+    # survivors keep their exact ADC distances from the pre-delete run
+    dist_before = {(p, n): d for p, n, d, _ in before}
+    for p, n, d, _ in after:
+        assert dist_before.get((p, n), d) == d
+    # compact folds tombstones in; rankings unchanged, tables shrink
+    n_cells_before = spark.read.parquet(f"{path}/cells").count()
+    ann_index_compact(spark, path)
+    assert spark.read.parquet(f"{path}/cells").count() == n_cells_before - len(doomed)
+    assert spark.read.parquet(f"{path}/tombstones").count() == 0
+    compacted = key(
+        ivf_pq_from_index(spark, path, probes, k=5, nprobe=4, m=2).collect()
+    )
+    assert compacted == after

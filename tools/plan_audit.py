@@ -119,6 +119,7 @@ SHOWCASE = [
     ("bm25_after_delete", "document takedown without rebuild: the persisted tf state is read by BOTH the retraction lookup (semi-scoped to the doomed ids, negated) and the final index; the signed union nets per (doc, term) in ONE map-side-combinable aggregate before the df/dl aggregates — no second tokenizer pass, no corpus rescan, ranking identical to bm25_retrieval's shape"),
     ("ann_append_query", "incremental IVF-PQ: the delta's cell assignment + PQ encode are two Arrow passes with the FROZEN books riding the task closure (base never rescanned); the query side scans the stored cells/codes tables, prunes by a broadcast probe→cell join, and the ADC lookup broadcasts — vectors never shuffle anywhere"),
     ("ingest_pipeline", "composed ingest loop: decontamination moves digests behind the broadcast Bloom position table (documents never shuffle for it); the survivors frame is persisted for its three consumers; the only corpus-scale shuffles are the LSH pair generation the split assignment already requires"),
+    ("ann_delete_query", "ANN takedown: the tombstone table anti-joins (broadcast) out of the stored cells scan BEFORE candidate generation — a delete is an O(ids) append, the cells/codes tables and frozen books are untouched, and every surviving ranking is bit-identical"),
 ]
 
 

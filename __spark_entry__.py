@@ -28,29 +28,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotation — freshness first, CHANGED CODE PATHS first of all: no
 # query whose code changed this round may keep a stale driver row.
 # After r10's gate the ledger (recomputed from the CORRECTNESS union)
-# is 36×r6, 46×r7, 42×r8, 43×r9, 50×r10, plus 3 never-checked
-# round-11 queries (220 total).
+# is 36×r6, 46×r7, 42×r8, 43×r9, 50×r10, plus 4 never-checked
+# round-11 queries (221 total).
 # Slot accounting:
-#   1-3   NEW round-11 queries (bm25_after_delete — text-index
+#   1-4   NEW round-11 queries (bm25_after_delete — text-index
 #         takedowns via signed tf retractions, oracle = bm25 SQL over
 #         the surviving corpus; ann_append_query — incremental IVF-PQ
 #         append against frozen books, oracle = ivf_pq SQL with
 #         base-drawn centroid samples; ingest_pipeline — the composed
 #         decontaminate → index-delta → cluster-split ingest loop,
-#         oracle = the hand-staged equivalent)
-#   4-9   round-11 CODE-touched, results invariant (ivm_minmax_orders
+#         oracle = the hand-staged equivalent; ann_delete_query —
+#         tombstoned ANN takedowns, oracle = ivf_pq SQL over the
+#         surviving candidate stream)
+#   5-10  round-11 CODE-touched, results invariant (ivm_minmax_orders
 #         rides the netted-cell top-k fix; bm25_indexed /
 #         sparse_indexed moved to per-applicationId scratch paths;
 #         cluster_split emits native-typed cluster_id;
 #         typo_pairs_names + image_dhash_pairs ride bucket_pairs'
 #         null-safe hot-set anti-join)
-#   10-45 ALL 36 r6-latest rows, registry order — retiring the r6
+#   11-46 ALL 36 r6-latest rows, registry order — retiring the r6
 #         freshness debt entirely
-#   46-50 the first 5 r7-latest rows in registry order (r7 debt
-#         46 -> 41); arithmetic asserted below.
+#   47-50 the first 4 r7-latest rows in registry order (r7 debt
+#         46 -> 42); arithmetic asserted below.
 _VERIFY_FIRST = [
     # -- NEW in round 11: never driver-checked --
     "bm25_after_delete", "ann_append_query", "ingest_pipeline",
+    "ann_delete_query",
     # -- round-11 code-touched, results invariant --
     "ivm_minmax_orders", "bm25_indexed", "sparse_indexed",
     "cluster_split", "typo_pairs_names", "image_dhash_pairs",
@@ -68,9 +71,9 @@ _VERIFY_FIRST = [
     "session_paths", "tokenize_corpus", "multimodal_png_decode",
     "boilerplate_scrub", "stream_band_candidates",
     "similarity_lsh_recall",
-    # -- latest driver row is r7, registry order (first 5 of 46) --
+    # -- latest driver row is r7, registry order (first 4 of 46) --
     "mask_deterministic", "mask_recovery_roundtrip", "mask_invariants",
-    "pattern_count_matches", "pattern_replace_all",
+    "pattern_count_matches",
 ]
 
 

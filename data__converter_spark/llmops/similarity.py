@@ -1229,6 +1229,16 @@ def ann_index_delete(doc_ids: DataFrame, path: str) -> None:
     )
 
 
+def _hadoop_path_exists(spark, path: str) -> bool:
+    """Filesystem-agnostic existence probe through the Hadoop FS API
+    (local, HDFS, s3a, ... — whatever the artifact lives on), instead
+    of read-and-catch, which logs an alarming analyzer stack for the
+    perfectly normal no-tombstones case."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
+
+
 def ann_index_compact(spark, path: str) -> None:
     """Fold the tombstones into the cells/codes tables: rewrite both
     minus the deleted vids and clear the tombstone table.  The
@@ -1236,10 +1246,9 @@ def ann_index_compact(spark, path: str) -> None:
     tombstone fraction makes the query-time anti-join's broadcast
     side noticeable; until then deletes stay O(1)."""
     tomb_path = f"{path}/tombstones"
-    try:
-        tomb = spark.read.parquet(tomb_path)
-    except Exception:
+    if not _hadoop_path_exists(spark, tomb_path):
         return  # nothing to fold
+    tomb = spark.read.parquet(tomb_path)
     for t in ("cells", "codes"):
         kept = (
             spark.read.parquet(f"{path}/{t}")
@@ -1278,12 +1287,39 @@ def ivf_pq_from_index(
     :func:`_ivf_pq_rank`)."""
     cell_ids, cell_q, code_ids, Cs, _d0 = _read_ann_books(spark, path, m)
     cells = spark.read.parquet(f"{path}/cells")
-    try:
+    if _hadoop_path_exists(spark, f"{path}/tombstones"):
         tomb = spark.read.parquet(f"{path}/tombstones")
         cells = cells.join(F.broadcast(tomb), "vid", "left_anti")
-    except Exception:
-        pass  # no tombstone table yet — pure append-only artifact
     codes = spark.read.parquet(f"{path}/codes")
+    return _ivf_pq_rank(
+        spark, cells, codes, cell_ids, cell_q, code_ids, Cs, probes,
+        k=k, nprobe=nprobe, vec_col=vec_col, id_col=id_col,
+        include_self=include_self,
+    )
+
+
+def ivf_pq_from_state(
+    spark,
+    books_path: str,
+    state: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    include_self: bool = False,
+) -> DataFrame:
+    """Query the STREAMING ANN state table (unified ``(vid, cell, s,
+    code)`` rows maintained by :func:`~data__converter_spark.streaming.
+    runner.run_ann_index_update`) against the frozen books — the
+    read side that makes stream-built == batch-built provable: cells
+    and codes both derive from the one state frame (cells via a
+    distinct projection), then the shared :func:`_ivf_pq_rank` does
+    exactly what the batch artifact's query side does."""
+    cell_ids, cell_q, code_ids, Cs, _d0 = _read_ann_books(spark, books_path, m)
+    cells = state.select("vid", "cell").distinct()
+    codes = state.select("vid", "s", "code")
     return _ivf_pq_rank(
         spark, cells, codes, cell_ids, cell_q, code_ids, Cs, probes,
         k=k, nprobe=nprobe, vec_col=vec_col, id_col=id_col,

@@ -468,3 +468,97 @@ def _text_index_combine(col: str, id_col: str, sign_col: str | None = None):
         return base.unionByName(delta)
 
     return combine
+
+
+def run_ann_index_update(
+    stream_df: DataFrame,
+    books_path: str,
+    table_path: str,
+    checkpoint: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    timeout_s: int = 120,
+) -> None:
+    """Stream -> incrementally-maintained ANN INDEX STATE against the
+    FROZEN books at ``books_path`` (the streaming half of
+    :func:`~data__converter_spark.llmops.similarity.ann_index_append`,
+    and the embedding analog of :func:`run_text_index_update`): every
+    micro-batch of NEW embeddings runs the two closure-codebook Arrow
+    passes — cell assignment + PQ encode, vectors never shuffle — and
+    the unified ``(vid, cell, s, code)`` rows append to the state
+    table through the same crash-safe swap as the other sinks.  The
+    servable (cells, codes) pair derives from the state at read time
+    via :func:`~data__converter_spark.llmops.similarity.
+    ivf_pq_from_state`.
+
+    An append is NOT idempotent (a replayed epoch would duplicate
+    index rows and corrupt ADC scoring groups), so exactly-once is
+    the explicit ``__epoch__`` guard shared with the other
+    non-idempotent sinks: same-epoch crash replay is a free no-op, an
+    epoch regression raises.  Contract: the stream carries NEW
+    vectors (upstream dedup gate); deletes go through the tombstone
+    path (:func:`~data__converter_spark.llmops.similarity.
+    ann_index_delete`), retrains rebuild the books.
+    """
+    q = (
+        stream_df.writeStream.foreachBatch(
+            _crash_safe_merge(
+                table_path,
+                _ann_index_combine(books_path, vec_col, id_col, m),
+                epoch_aware=True,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
+def _ann_index_combine(books_path: str, vec_col: str, id_col: str, m: int):
+    """The epoch-guarded append body behind
+    :func:`run_ann_index_update`, factored out for unit-level
+    replay-contract tests: encode the batch against the frozen books
+    (two Arrow passes), append the unified rows on epoch advance,
+    None on same-epoch replay, ValueError on an epoch regression."""
+    from pyspark.sql import functions as F
+
+    from ..llmops.similarity import (
+        _assign_to_grid,
+        _pq_encode,
+        _read_ann_books,
+    )
+
+    def combine(
+        base: DataFrame | None, batch_df: DataFrame, batch_id: int
+    ) -> DataFrame | None:
+        spark = batch_df.sparkSession
+        cell_ids, cell_q, code_ids, Cs, d0 = _read_ann_books(
+            spark, books_path, m
+        )
+        cells = _assign_to_grid(batch_df, cell_ids, cell_q, vec_col, id_col).select(
+            F.col(id_col).alias("vid"), F.col("cluster").alias("cell")
+        )
+        codes = _pq_encode(
+            batch_df, Cs, [code_ids for _ in Cs], d0, vec_col, id_col
+        )
+        delta = codes.join(cells, "vid").select(
+            "vid", "cell", "s", "code"
+        ).withColumn("__epoch__", F.lit(batch_id).cast("bigint"))
+        if base is None:
+            return delta
+        applied = base.agg(F.max("__epoch__")).collect()[0][0]
+        if applied is not None and applied == batch_id:
+            return None  # crash-replay of the uncommitted epoch
+        if applied is not None and applied > batch_id:
+            raise ValueError(
+                f"ann-index state at epoch {applied} received batch "
+                f"{batch_id}: it was built under a different "
+                "checkpoint. Resume with the original checkpoint, or "
+                "start the fresh checkpoint against an empty state "
+                "path."
+            )
+        return base.unionByName(delta)
+
+    return combine

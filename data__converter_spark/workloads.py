@@ -3281,6 +3281,56 @@ def q_ann_delete_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_from_index(spark, path, probes, k=10, nprobe=4, m=4)
 
 
+def q_ann_recall_after_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staleness/recall audit of the INCREMENTALLY-maintained ANN
+    artifact (the drift alarm the frozen-quantizer trade requires):
+    recall@10 of the base-built + delta-appended IVF-PQ index
+    (ann_index_build/ann_index_append — frozen base-drawn books)
+    against brute-force cosine truth over the FULL corpus, per probe.
+    Both legs are already-oracle-checked queries, so the oracle is
+    their SQL composed (similarity_pq_recall's machinery).  Run this
+    after appends; when recall slips below the deployment's bar,
+    retrain/rebuild the books."""
+    from .llmops.similarity import (
+        ann_index_append,
+        ann_index_build,
+        brute_force_topk,
+        ivf_pq_from_index,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    path = _scratch_dir(spark, "ann_ivfpq_audit")
+    ann_index_build(
+        emb.filter(F.col("vec_id") % 7 != 0), path,
+        n_cells=16, m=4, n_codes=16,
+    )
+    ann_index_append(emb.filter(F.col("vec_id") % 7 == 0), path, m=4)
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+    truth = brute_force_topk(emb, probes, k=10).select(
+        "probe_id", "neighbor_id"
+    )
+    approx = ivf_pq_from_index(spark, path, probes, k=10, nprobe=4, m=4).select(
+        "probe_id", "neighbor_id"
+    )
+    matched = (
+        approx.join(truth, ["probe_id", "neighbor_id"])
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_matched"))
+    )
+    return (
+        probes.select(F.col("vec_id").alias("probe_id"))
+        .join(matched, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce("n_matched", F.lit(0)).cast("bigint").alias("n_matched"),
+            (F.coalesce("n_matched", F.lit(0)) * 100)
+            .cast("bigint")
+            .alias("recall_milli"),
+        )
+        .orderBy("probe_id")
+    )
+
+
 def q_pq_train_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One PQ training iteration (llmops/similarity.py:pq_train):
     per-subspace Lloyd step over the md5-sampled seed codewords —
@@ -10205,6 +10255,26 @@ ORACLES["ann_append_query"] = _ANN_SQL
 # restricted to survivors — exactly what the query-time anti-join of
 # the tombstone table produces.
 QUERIES["ann_delete_query"] = q_ann_delete_query
+
+# Recall audit of the appended frozen-book index: both legs are
+# already-checked oracles, composed exactly like similarity_pq_recall.
+QUERIES["ann_recall_after_append"] = q_ann_recall_after_append
+ORACLES["ann_recall_after_append"] = f"""
+WITH truth AS ({ORACLES["similarity_topk"]}),
+approx AS ({ORACLES["ann_append_query"]}),
+m AS (
+    SELECT a.probe_id, CAST(count(*) AS BIGINT) AS n_matched
+    FROM approx a JOIN truth t
+      ON a.probe_id = t.probe_id AND a.neighbor_id = t.neighbor_id
+    GROUP BY a.probe_id
+),
+pr AS (SELECT DISTINCT probe_id FROM truth)
+SELECT pr.probe_id,
+       CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+       CAST(coalesce(m.n_matched, 0) * 100 AS BIGINT) AS recall_milli
+FROM pr LEFT JOIN m ON pr.probe_id = m.probe_id
+ORDER BY pr.probe_id
+"""
 _ANN_CAND_CTE = "    FROM cells cl JOIN probe_cells pc ON cl.cell = pc.cell\n"
 assert _ANN_CAND_CTE in ORACLES["similarity_ivf_pq_topk"]
 ORACLES["ann_delete_query"] = ORACLES["similarity_ivf_pq_topk"].replace(

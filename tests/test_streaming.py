@@ -1291,3 +1291,84 @@ def test_text_index_delete_equals_rebuild_and_replay_safe(spark):
         map(tuple, b_post.collect())
     )
     assert stats2.collect() == b_stats.collect()
+
+
+def test_streaming_ann_index_equals_batch_append(spark, tmp_path):
+    """The streaming ANN shape (r11): embeddings arrive in
+    micro-batches, each encoded ONCE against the frozen books into
+    unified (vid, cell, s, code) state rows; querying the state must
+    equal querying the batch-built + batch-appended artifact exactly,
+    and the epoch guard must make a replayed batch a free no-op."""
+    import numpy as np
+
+    from data__converter_spark.llmops.similarity import (
+        ann_index_append,
+        ann_index_build,
+        ivf_pq_from_index,
+        ivf_pq_from_state,
+    )
+    from data__converter_spark.streaming.runner import (
+        _ann_index_combine,
+        run_ann_index_update,
+    )
+
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(23)
+    vecs = rng.uniform(-1, 1, size=(30, 8)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(30)]
+    schema = "vec_id long, embedding array<float>"
+    full = spark.createDataFrame(rows, schema)
+    base = full.filter(F.col("vec_id") % 3 != 0)
+    probes = full.filter(F.col("vec_id") < 2)
+    books = str(tmp_path / "books")
+    ann_index_build(base, books, n_cells=4, m=2, n_codes=8, seed=42)
+
+    # batch path: append the delta to the artifact
+    delta_rows = [r for r in rows if r[0] % 3 == 0]
+    ann_index_append(
+        spark.createDataFrame(delta_rows, schema), books, m=2
+    )
+    key = lambda rs: sorted(
+        (r["probe_id"], r["neighbor_id"], r["adc_dist"], r["rank"]) for r in rs
+    )
+    want = key(
+        ivf_pq_from_index(spark, books, probes, k=5, nprobe=4, m=2).collect()
+    )
+
+    # streaming path: the SAME vectors arrive as micro-batches
+    src = tmp_path / "vec_src"
+    src.mkdir()
+    all_rows = [r for r in rows if r[0] % 3 != 0] + delta_rows
+    for i in range(3):
+        spark.createDataFrame(
+            all_rows[i * 10 : i * 10 + 10], schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    table = str(tmp_path / "ann_state")
+    run_ann_index_update(
+        stream, books, table, str(tmp_path / "ckpt"), m=2
+    )
+    state = spark.read.parquet(table)
+    assert state.select("__epoch__").distinct().count() >= 2
+    got = key(
+        ivf_pq_from_state(spark, books, state, probes, k=5, nprobe=4, m=2)
+        .collect()
+    )
+    assert got == want
+
+    # unit-level epoch contract
+    combine = _ann_index_combine(books, "embedding", "vec_id", 2)
+    b0 = spark.createDataFrame(all_rows[:5], schema)
+    s0 = combine(None, b0, 0)
+    assert combine(s0, b0, 0) is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="different checkpoint"):
+        combine(s0, b0, -1)

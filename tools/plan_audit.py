@@ -120,6 +120,7 @@ SHOWCASE = [
     ("ann_append_query", "incremental IVF-PQ: the delta's cell assignment + PQ encode are two Arrow passes with the FROZEN books riding the task closure (base never rescanned); the query side scans the stored cells/codes tables, prunes by a broadcast probe→cell join, and the ADC lookup broadcasts — vectors never shuffle anywhere"),
     ("ingest_pipeline", "composed ingest loop: decontamination moves digests behind the broadcast Bloom position table (documents never shuffle for it); the survivors frame is persisted for its three consumers; the only corpus-scale shuffles are the LSH pair generation the split assignment already requires"),
     ("ann_delete_query", "ANN takedown: the tombstone table anti-joins (broadcast) out of the stored cells scan BEFORE candidate generation — a delete is an O(ids) append, the cells/codes tables and frozen books are untouched, and every surviving ranking is bit-identical"),
+    ("ann_recall_after_append", "the drift alarm for the frozen-quantizer trade: both legs reuse their own checked plans (brute truth, appended-artifact ADC); the intersection is an equi-join on (probe, neighbor) + per-probe count — no new shuffle shapes"),
 ]
 
 

@@ -28,10 +28,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotation — freshness first, CHANGED CODE PATHS first of all: no
 # query whose code changed this round may keep a stale driver row.
 # After r10's gate the ledger (recomputed from the CORRECTNESS union)
-# is 36×r6, 46×r7, 42×r8, 43×r9, 50×r10, plus 5 never-checked
-# round-11 queries (222 total).
+# is 36×r6, 46×r7, 42×r8, 43×r9, 50×r10, plus 6 never-checked
+# round-11 queries (223 total).
 # Slot accounting:
-#   1-5   NEW round-11 queries (bm25_after_delete — text-index
+#   1-6   NEW round-11 queries (bm25_after_delete — text-index
 #         takedowns via signed tf retractions, oracle = bm25 SQL over
 #         the surviving corpus; ann_append_query — incremental IVF-PQ
 #         append against frozen books, oracle = ivf_pq SQL with
@@ -41,21 +41,24 @@ def entry(spark: SparkSession) -> DataFrame:
 #         tombstoned ANN takedowns, oracle = ivf_pq SQL over the
 #         surviving candidate stream; ann_recall_after_append — the
 #         frozen-book drift alarm, oracle = the two checked legs
-#         composed like similarity_pq_recall)
-#   6-11  round-11 CODE-touched, results invariant (ivm_minmax_orders
+#         composed like similarity_pq_recall; ann_partitioned_query —
+#         the cell-partitioned 100 TB layout, oracle = the flat
+#         ivf_pq SQL verbatim)
+#   7-12  round-11 CODE-touched, results invariant (ivm_minmax_orders
 #         rides the netted-cell top-k fix; bm25_indexed /
 #         sparse_indexed moved to per-applicationId scratch paths;
 #         cluster_split emits native-typed cluster_id;
 #         typo_pairs_names + image_dhash_pairs ride bucket_pairs'
 #         null-safe hot-set anti-join)
-#   12-47 ALL 36 r6-latest rows, registry order — retiring the r6
+#   13-48 ALL 36 r6-latest rows, registry order — retiring the r6
 #         freshness debt entirely
-#   48-50 the first 3 r7-latest rows in registry order (r7 debt
-#         46 -> 43); arithmetic asserted below.
+#   49-50 the first 2 r7-latest rows in registry order (r7 debt
+#         46 -> 44); arithmetic asserted below.
 _VERIFY_FIRST = [
     # -- NEW in round 11: never driver-checked --
     "bm25_after_delete", "ann_append_query", "ingest_pipeline",
     "ann_delete_query", "ann_recall_after_append",
+    "ann_partitioned_query",
     # -- round-11 code-touched, results invariant --
     "ivm_minmax_orders", "bm25_indexed", "sparse_indexed",
     "cluster_split", "typo_pairs_names", "image_dhash_pairs",
@@ -73,8 +76,8 @@ _VERIFY_FIRST = [
     "session_paths", "tokenize_corpus", "multimodal_png_decode",
     "boilerplate_scrub", "stream_band_candidates",
     "similarity_lsh_recall",
-    # -- latest driver row is r7, registry order (first 3 of 46) --
-    "mask_deterministic", "mask_recovery_roundtrip", "mask_invariants",
+    # -- latest driver row is r7, registry order (first 2 of 46) --
+    "mask_deterministic", "mask_recovery_roundtrip",
 ]
 
 

@@ -1298,6 +1298,116 @@ def ivf_pq_from_index(
     )
 
 
+def ann_index_build_partitioned(
+    corpus: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    m: int = 4,
+    n_codes: int = 16,
+    seed: int = 42,
+) -> None:
+    """:func:`ann_index_build`'s 100 TB layout: ONE unified index
+    table ``(vid, s, code)`` PARTITIONED BY ``cell`` (plus the same
+    frozen books).  A query knows its probed cells driver-side, so
+    the scan carries a partition filter and reads ``nprobe`` of
+    ``n_cells`` directories — physical partition pruning instead of a
+    post-scan broadcast-join filter (PartitionFilters pinned in
+    pytest).  This is FAISS's inverted-list file layout expressed as
+    hive partitioning: the list for a cell IS that cell's directory.
+
+    Appends compose: assign+encode a delta against the frozen books
+    and append with the same ``partitionBy`` — new rows land in their
+    cells' directories.  Deletes ride the same tombstone table as the
+    flat layout."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    cell_ids, cell_q = _seed_centroids(corpus, n_cells, vec_col, id_col, seed)
+    dim = cell_q.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d0 = dim // m
+    code_ids, code_q = _seed_centroids(
+        corpus, n_codes, vec_col, id_col, seed + 1
+    )
+    Cs = [code_q[:, s * d0 : (s + 1) * d0].astype(np.float64) for s in range(m)]
+    book_schema = "cid long, pos int, val_q long"
+    spark.createDataFrame(
+        _ann_books_to_rows(cell_ids, cell_q), book_schema
+    ).write.mode("overwrite").parquet(f"{path}/cellbook")
+    spark.createDataFrame(
+        _ann_books_to_rows(code_ids, code_q), book_schema
+    ).write.mode("overwrite").parquet(f"{path}/codebook")
+    cells = _assign_to_grid(corpus, cell_ids, cell_q, vec_col, id_col).select(
+        F.col(id_col).alias("vid"), F.col("cluster").alias("cell")
+    )
+    codes = _pq_encode(
+        corpus, Cs, [code_ids for _ in Cs], d0, vec_col, id_col
+    )
+    codes.join(cells, "vid").select("vid", "s", "code", "cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/index")
+
+
+def ivf_pq_from_partitioned_index(
+    spark,
+    path: str,
+    probes: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    include_self: bool = False,
+) -> DataFrame:
+    """Query the cell-partitioned artifact: the probed cell set is
+    known driver-side (codebook-sized math), so it becomes an
+    ``isin`` PARTITION filter on the unified index scan — only
+    nprobe/n_cells of the table's directories are read, before any
+    join runs.  Ranking then reuses :func:`_ivf_pq_rank` with the
+    pre-pruned frame on both the cells and codes legs (the broadcast
+    probe→cell join still routes each candidate to the right probe).
+    Identical results to the flat layout by construction."""
+    import numpy as np
+
+    cell_ids, cell_q, code_ids, Cs, _d0 = _read_ann_books(spark, path, m)
+    p_rows = _collect_probes(probes, id_col, vec_col)
+    if not p_rows:
+        return spark.createDataFrame(
+            [], "probe_id long, neighbor_id long, adc_dist long, rank int"
+        )
+    cell_norm = np.sqrt(
+        np.einsum("ij,ij->i", cell_q, cell_q).astype(np.float64)
+    )
+    probed: set = set()
+    for r in p_rows:
+        pq_vec = np.floor(
+            np.asarray(r[1], dtype=np.float64) * VEC_QUANT + 0.5
+        )
+        p_norm = np.sqrt(np.dot(pq_vec, pq_vec))
+        denom = (p_norm if p_norm > 0 else 1.0) * cell_norm
+        cos = (cell_q @ pq_vec) / denom
+        order = sorted(
+            range(len(cell_ids)), key=lambda j: (-cos[j], cell_ids[j])
+        )
+        probed.update(int(cell_ids[j]) for j in order[:nprobe])
+    idx = spark.read.parquet(f"{path}/index").filter(
+        F.col("cell").isin(sorted(probed))
+    )
+    if _hadoop_path_exists(spark, f"{path}/tombstones"):
+        tomb = spark.read.parquet(f"{path}/tombstones")
+        idx = idx.join(F.broadcast(tomb), "vid", "left_anti")
+    cells = idx.select("vid", "cell").distinct()
+    codes = idx.select("vid", "s", "code")
+    return _ivf_pq_rank(
+        spark, cells, codes, cell_ids, cell_q, code_ids, Cs, probes,
+        k=k, nprobe=nprobe, vec_col=vec_col, id_col=id_col,
+        include_self=include_self,
+    )
+
+
 def ivf_pq_from_state(
     spark,
     books_path: str,

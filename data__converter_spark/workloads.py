@@ -3331,6 +3331,30 @@ def q_ann_recall_after_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_partitioned_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB ANN layout (llmops/similarity.py:
+    ann_index_build_partitioned / ivf_pq_from_partitioned_index): the
+    unified (vid, s, code) index table is written PARTITIONED BY cell
+    — FAISS's inverted-list files as hive partitioning — and the
+    query's probed-cell set, known driver-side, becomes a partition
+    filter: the scan reads nprobe of n_cells directories before any
+    join runs (PartitionFilters pinned in tests/test_plans.py).
+    Oracle: similarity_ivf_pq_topk's SQL verbatim — layout must not
+    change a single ranking."""
+    from .llmops.similarity import (
+        ann_index_build_partitioned,
+        ivf_pq_from_partitioned_index,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    path = _scratch_dir(spark, "ann_ivfpq_part")
+    ann_index_build_partitioned(emb, path, n_cells=16, m=4, n_codes=16)
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+    return ivf_pq_from_partitioned_index(
+        spark, path, probes, k=10, nprobe=4, m=4
+    )
+
+
 def q_pq_train_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One PQ training iteration (llmops/similarity.py:pq_train):
     per-subspace Lloyd step over the md5-sampled seed codewords —
@@ -10255,6 +10279,11 @@ ORACLES["ann_append_query"] = _ANN_SQL
 # restricted to survivors — exactly what the query-time anti-join of
 # the tombstone table produces.
 QUERIES["ann_delete_query"] = q_ann_delete_query
+
+# Cell-partitioned layout: pruning must not change a single ranking,
+# so the oracle is the flat ivf_pq SQL verbatim.
+QUERIES["ann_partitioned_query"] = q_ann_partitioned_query
+ORACLES["ann_partitioned_query"] = ORACLES["similarity_ivf_pq_topk"]
 
 # Recall audit of the appended frozen-book index: both legs are
 # already-checked oracles, composed exactly like similarity_pq_recall.

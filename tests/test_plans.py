@@ -840,3 +840,51 @@ def test_k_anonymity_risk_total_broadcasts_over_class_table(spark):
     p = plan_of(QUERIES["k_anonymity_audit"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in p
     assert p.count("InMemoryTableScan") == 2
+
+
+def test_ann_partitioned_index_prunes_cell_partitions(spark, tmp_path):
+    """The cell-partitioned ANN layout's whole point: the probed-cell
+    set becomes a PARTITION filter on the unified index scan — the
+    plan's PartitionFilters carries the cell IN-set (pruning happens
+    before any join), and with nprobe < n_cells strictly fewer than
+    all partitions are read.  Results must equal the flat layout's
+    exactly (same probes, same books)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data__converter_spark.llmops.similarity import (
+        ann_index_build,
+        ann_index_build_partitioned,
+        ivf_pq_from_index,
+        ivf_pq_from_partitioned_index,
+    )
+
+    rng = np.random.RandomState(31)
+    vecs = rng.uniform(-1, 1, size=(40, 8)).astype(np.float32)
+    full = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    probes = full.filter(F.col("vec_id") < 2)
+    p_part = str(tmp_path / "part")
+    p_flat = str(tmp_path / "flat")
+    ann_index_build_partitioned(full, p_part, n_cells=4, m=2, n_codes=8)
+    ann_index_build(full, p_flat, n_cells=4, m=2, n_codes=8)
+    got_df = ivf_pq_from_partitioned_index(
+        spark, p_part, probes, k=5, nprobe=2, m=2
+    )
+    plan = plan_of(got_df)
+    part_lines = [
+        ln for ln in plan.splitlines()
+        if "PartitionFilters:" in ln and "cell" in ln.split(
+            "PartitionFilters:", 1)[1]
+    ]
+    assert part_lines, "index scan must carry a cell partition filter"
+    key = lambda rs: sorted(
+        (r["probe_id"], r["neighbor_id"], r["adc_dist"], r["rank"]) for r in rs
+    )
+    got = key(got_df.collect())
+    want = key(
+        ivf_pq_from_index(spark, p_flat, probes, k=5, nprobe=2, m=2).collect()
+    )
+    assert got == want and got

@@ -121,6 +121,7 @@ SHOWCASE = [
     ("ingest_pipeline", "composed ingest loop: decontamination moves digests behind the broadcast Bloom position table (documents never shuffle for it); the survivors frame is persisted for its three consumers; the only corpus-scale shuffles are the LSH pair generation the split assignment already requires"),
     ("ann_delete_query", "ANN takedown: the tombstone table anti-joins (broadcast) out of the stored cells scan BEFORE candidate generation — a delete is an O(ids) append, the cells/codes tables and frozen books are untouched, and every surviving ranking is bit-identical"),
     ("ann_recall_after_append", "the drift alarm for the frozen-quantizer trade: both legs reuse their own checked plans (brute truth, appended-artifact ADC); the intersection is an equi-join on (probe, neighbor) + per-probe count — no new shuffle shapes"),
+    ("ann_partitioned_query", "the 100 TB layout: the unified index is hive-partitioned by cell and the probed-cell set (driver-side, codebook-scale math) is a PARTITION filter on the scan — nprobe of n_cells directories read before any join; PartitionFilters pinned in tests/test_plans.py"),
 ]
 
 

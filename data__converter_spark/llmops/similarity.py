@@ -1351,6 +1351,30 @@ def ann_index_build_partitioned(
     ).partitionBy("cell").parquet(f"{path}/index")
 
 
+def ann_index_append_partitioned(
+    delta: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+) -> None:
+    """:func:`ann_index_append` for the cell-partitioned layout:
+    assign + encode the delta against the frozen books (two Arrow
+    passes over just the new vectors) and append with the same
+    ``partitionBy`` — each new row lands in its cell's directory, so
+    the partition-filter query path sees it immediately and the base
+    directories are never rewritten."""
+    spark = delta.sparkSession
+    cell_ids, cell_q, code_ids, Cs, d0 = _read_ann_books(spark, path, m)
+    cells = _assign_to_grid(delta, cell_ids, cell_q, vec_col, id_col).select(
+        F.col(id_col).alias("vid"), F.col("cluster").alias("cell")
+    )
+    codes = _pq_encode(delta, Cs, [code_ids for _ in Cs], d0, vec_col, id_col)
+    codes.join(cells, "vid").select("vid", "s", "code", "cell").write.mode(
+        "append"
+    ).partitionBy("cell").parquet(f"{path}/index")
+
+
 def ivf_pq_from_partitioned_index(
     spark,
     path: str,

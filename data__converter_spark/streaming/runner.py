@@ -562,3 +562,38 @@ def _ann_index_combine(books_path: str, vec_col: str, id_col: str, m: int):
         return base.unionByName(delta)
 
     return combine
+
+
+def compact_text_index_state(spark: SparkSession, table_path: str) -> None:
+    """OPTIMIZE for the signed text-index state table: net each
+    (match_id, term) cell (inserts minus retractions), drop cells
+    that net to <= 0, and rewrite the table with every surviving row
+    stamped at the MAX applied ``__epoch__`` — so the replay guard's
+    contract is untouched (a same-epoch crash replay still reads the
+    same max and no-ops; the next real epoch still advances).  Run it
+    between stream runs when the retraction fraction makes the
+    read-time netting aggregate noticeable; a takedown-heavy state
+    otherwise accumulates one signed row per deleted (doc, term)
+    forever.  The rewrite uses the same staged-``_SUCCESS``-then-swap
+    sequence as the micro-batch sink, so a crash mid-compaction
+    leaves either the old or the new table, never neither."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    if not os.path.isdir(table_path):
+        return
+    base = spark.read.parquet(table_path)
+    epoch = base.agg(F.max("__epoch__")).collect()[0][0]
+    netted = (
+        base.groupBy("match_id", "term")
+        .agg(F.sum("tf").cast("bigint").alias("tf"))
+        .filter(F.col("tf") > 0)
+        .withColumn("__epoch__", F.lit(epoch).cast("bigint"))
+    )
+    tmp, bak = f"{table_path}.__staging__", f"{table_path}.__bak__"
+    netted.write.mode("overwrite").parquet(tmp)
+    os.replace(table_path, bak)
+    os.replace(tmp, table_path)
+    shutil.rmtree(bak)

@@ -2200,3 +2200,54 @@ def test_ann_tombstone_delete_and_compact(spark, tmp_path):
         ivf_pq_from_index(spark, path, probes, k=5, nprobe=4, m=2).collect()
     )
     assert compacted == after
+
+
+def test_ann_partitioned_append_lands_in_cell_dirs(spark, tmp_path):
+    """Appending to the cell-partitioned layout: delta rows land in
+    their cells' directories (base files untouched) and the
+    partition-filter query path sees them — equal to building the
+    partitioned index over the full corpus with the same frozen
+    (base-drawn) books never being possible here, so compare against
+    the FLAT frozen-book append path instead."""
+    import numpy as np
+
+    from data__converter_spark.llmops.similarity import (
+        ann_index_append,
+        ann_index_append_partitioned,
+        ann_index_build,
+        ann_index_build_partitioned,
+        ivf_pq_from_index,
+        ivf_pq_from_partitioned_index,
+    )
+
+    rng = np.random.RandomState(41)
+    vecs = rng.uniform(-1, 1, size=(36, 8)).astype(np.float32)
+    full = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(36)],
+        "vec_id long, embedding array<float>",
+    )
+    base = full.filter(F.col("vec_id") % 4 != 0)
+    delta = full.filter(F.col("vec_id") % 4 == 0)
+    probes = full.filter(F.col("vec_id") < 2)
+    p_part, p_flat = str(tmp_path / "part"), str(tmp_path / "flat")
+    ann_index_build_partitioned(base, p_part, n_cells=4, m=2, n_codes=8)
+    ann_index_build(base, p_flat, n_cells=4, m=2, n_codes=8)
+    ann_index_append_partitioned(delta, p_part, m=2)
+    ann_index_append(delta, p_flat, m=2)
+    key = lambda rs: sorted(
+        (r["probe_id"], r["neighbor_id"], r["adc_dist"], r["rank"]) for r in rs
+    )
+    got = key(
+        ivf_pq_from_partitioned_index(
+            spark, p_part, probes, k=5, nprobe=4, m=2
+        ).collect()
+    )
+    want = key(
+        ivf_pq_from_index(spark, p_flat, probes, k=5, nprobe=4, m=2).collect()
+    )
+    assert got == want and got
+    # physical layout: hive cell directories exist
+    import os
+
+    dirs = [d for d in os.listdir(f"{p_part}/index") if d.startswith("cell=")]
+    assert dirs, "index must be hive-partitioned by cell"

@@ -1372,3 +1372,47 @@ def test_streaming_ann_index_equals_batch_append(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="different checkpoint"):
         combine(s0, b0, -1)
+
+
+def test_compact_text_index_state_preserves_index_and_epoch_guard(spark, tmp_path):
+    """Compaction of the signed tf state (r11): the derived index is
+    bit-identical before and after, fully-retracted cells physically
+    disappear, and the epoch guard still treats a replay of the last
+    applied batch as a no-op."""
+    from pyspark.sql import functions as F
+
+    from data__converter_spark.llmops.similarity import index_from_signed_tf
+    from data__converter_spark.streaming.runner import (
+        _text_index_combine,
+        compact_text_index_state,
+    )
+
+    combine = _text_index_combine("text", "doc_id", sign_col="sign")
+    schema = "doc_id long, text string, sign long"
+    b0 = spark.createDataFrame(
+        [(1, "zebra cat zebra", 1), (2, "cat mat", 1)], schema
+    )
+    b1 = spark.createDataFrame([(1, None, -1)], schema)  # takedown doc 1
+    s1 = combine(combine(None, b0, 0), b1, 1)
+    table = str(tmp_path / "tf_state")
+    s1.write.mode("overwrite").parquet(table)
+    before_post, before_stats = index_from_signed_tf(
+        spark.read.parquet(table)
+    )
+    bp, bs = sorted(map(tuple, before_post.collect())), before_stats.collect()
+    n_rows_before = spark.read.parquet(table).count()
+    compact_text_index_state(spark, table)
+    after = spark.read.parquet(table)
+    # doc 1's insert+retract rows collapsed away entirely
+    assert after.count() < n_rows_before
+    assert after.filter(F.col("match_id") == 1).count() == 0
+    ap, as_ = index_from_signed_tf(after)
+    assert sorted(map(tuple, ap.collect())) == bp
+    assert as_.collect() == bs
+    # replay guard intact: last applied epoch still reads as applied
+    replay = combine(after, b1, 1)
+    assert replay is None
+    # and a NEW epoch still advances
+    b2 = spark.createDataFrame([(3, "dog", 1)], schema)
+    s3 = combine(after, b2, 2)
+    assert s3.filter(F.col("match_id") == 3).count() == 1

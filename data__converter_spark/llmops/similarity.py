@@ -1229,14 +1229,76 @@ def ann_index_delete(doc_ids: DataFrame, path: str) -> None:
     )
 
 
+def _hadoop_fs(spark, path: str):
+    """(fs, Path-class) pair for ``path``'s filesystem through the
+    Hadoop FS API (local, HDFS, s3a, ... — whatever the artifact
+    lives on)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), jvm.org.apache.hadoop.fs.Path
+
+
 def _hadoop_path_exists(spark, path: str) -> bool:
     """Filesystem-agnostic existence probe through the Hadoop FS API
     (local, HDFS, s3a, ... — whatever the artifact lives on), instead
     of read-and-catch, which logs an alarming analyzer stack for the
     perfectly normal no-tombstones case."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
+    fs, P = _hadoop_fs(spark, path)
+    return fs.exists(P(path))
+
+
+def _staged_swap_recover(spark, table_path: str) -> None:
+    """Crash-recovery probe for :func:`_staged_swap`'s rename
+    sequence, run at the entry of every maintenance op that uses it.
+    Exactly one of these states can exist after a crash:
+
+    - staged COMPLETE (``_SUCCESS`` present) and live table missing
+      → the crash fell between the two renames: promote the staged
+      table (it is the committed new generation);
+    - backup present and live table missing (staged incomplete or
+      absent) → the crash fell after demoting the old table but the
+      new one never committed: restore the backup;
+    - backup present and live table present → the crash fell before
+      backup cleanup: delete the backup;
+    - staged present but INCOMPLETE (no ``_SUCCESS``) → a write died
+      mid-flight: delete the partial staging dir so a path glob can
+      never read it.
+    """
+    fs, P = _hadoop_fs(spark, table_path)
+    staged, bak = f"{table_path}__staged", f"{table_path}__bak"
+    has_live = fs.exists(P(table_path))
+    staged_done = fs.exists(P(f"{staged}/_SUCCESS"))
+    if staged_done and not has_live:
+        fs.rename(P(staged), P(table_path))
+        has_live = True
+    if fs.exists(P(bak)):
+        if has_live:
+            fs.delete(P(bak), True)
+        else:
+            fs.rename(P(bak), P(table_path))
+    if fs.exists(P(staged)):
+        fs.delete(P(staged), True)
+
+
+def _staged_swap(df: DataFrame, table_path: str) -> None:
+    """Atomically replace the parquet table at ``table_path`` with
+    ``df`` (which may READ from that same table — parquet can't
+    overwrite a table mid-scan): write to ``{table}__staged`` (the
+    ``_SUCCESS`` marker commits it), rename live → ``__bak``, rename
+    staged → live, delete the backup.  One data write (not the
+    write-then-rewrite double), and every intermediate crash state is
+    repaired by :func:`_staged_swap_recover` — callers must probe at
+    entry.  Renames go through the Hadoop FS API so the sequence
+    holds on whatever filesystem the artifact lives on."""
+    spark = df.sparkSession
+    fs, P = _hadoop_fs(spark, table_path)
+    staged, bak = f"{table_path}__staged", f"{table_path}__bak"
+    df.write.mode("overwrite").parquet(staged)
+    if fs.exists(P(table_path)):
+        fs.rename(P(table_path), P(bak))
+    fs.rename(P(staged), P(table_path))
+    if fs.exists(P(bak)):
+        fs.delete(P(bak), True)
 
 
 def ann_index_compact(spark, path: str) -> None:
@@ -1244,8 +1306,20 @@ def ann_index_compact(spark, path: str) -> None:
     minus the deleted vids and clear the tombstone table.  The
     maintenance OPTIMIZE for a delete-heavy index — run it when the
     tombstone fraction makes the query-time anti-join's broadcast
-    side noticeable; until then deletes stay O(1)."""
+    side noticeable; until then deletes stay O(1).
+
+    Each table rewrite is a staged-``_SUCCESS``-then-rename swap
+    (:func:`_staged_swap`, the sequence ``compact_text_index_state``
+    established): one data write per table, no staging residue, and a
+    crash at any point leaves a state the entry-time recovery probe
+    repairs — never a partially-written live table.  The tombstone
+    table is cleared only after BOTH swaps commit; a crash between
+    the cells and codes swaps re-runs to completion on the next call
+    because the surviving tombstones re-fold as a no-op anti-join
+    against the already-compacted table."""
     tomb_path = f"{path}/tombstones"
+    for t in ("cells", "codes"):
+        _staged_swap_recover(spark, f"{path}/{t}")
     if not _hadoop_path_exists(spark, tomb_path):
         return  # nothing to fold
     tomb = spark.read.parquet(tomb_path)
@@ -1254,12 +1328,7 @@ def ann_index_compact(spark, path: str) -> None:
             spark.read.parquet(f"{path}/{t}")
             .join(F.broadcast(tomb), "vid", "left_anti")
         )
-        # parquet can't overwrite a table it is reading: stage the
-        # surviving rows, then swap
-        kept.write.mode("overwrite").parquet(f"{path}/{t}__new")
-        spark.read.parquet(f"{path}/{t}__new").write.mode(
-            "overwrite"
-        ).parquet(f"{path}/{t}")
+        _staged_swap(kept, f"{path}/{t}")
     spark.createDataFrame([], "vid bigint").write.mode(
         "overwrite"
     ).parquet(tomb_path)

@@ -449,6 +449,20 @@ def _text_index_combine(col: str, id_col: str, sign_col: str | None = None):
             delta = delta.unionByName(
                 retract_docs_tf(base.drop("__epoch__"), deletes)
             )
+        elif deletes is not None and deletes.limit(1).count() > 0:
+            # base is None: a takedown in the very first micro-batch
+            # targets a state that does not exist.  The checkpoint WAL
+            # has already consumed the row — it will never be retried
+            # — so silently dropping it is a permanent correctness gap
+            # (ADVICE r11).  Fail loudly; the operator restarts the
+            # stream with the deletes routed after the state exists.
+            raise ValueError(
+                "text-index takedown received before any state exists "
+                "(first micro-batch, base table absent): the delete "
+                "would be consumed by the checkpoint and silently "
+                "lost. Seed the state with an insert batch first, or "
+                "re-route the takedown to a later batch."
+            )
         delta = delta.withColumn(
             "__epoch__", F.lit(batch_id).cast("bigint")
         )
@@ -575,13 +589,31 @@ def compact_text_index_state(spark: SparkSession, table_path: str) -> None:
     read-time netting aggregate noticeable; a takedown-heavy state
     otherwise accumulates one signed row per deleted (doc, term)
     forever.  The rewrite uses the same staged-``_SUCCESS``-then-swap
-    sequence as the micro-batch sink, so a crash mid-compaction
-    leaves either the old or the new table, never neither."""
+    sequence as the micro-batch sink, and an entry-time recovery
+    probe repairs every crash state of a previous run — including
+    the window between the two ``os.replace`` calls, which leaves NO
+    table at ``table_path`` but a COMPLETE staged copy beside it
+    (ADVICE r11: without the probe, re-invocation silently returned
+    on the missing dir and a direct reader failed).  After the probe,
+    a crash at any point leaves either the old or the new table."""
     import os
     import shutil
 
     from pyspark.sql import functions as F
 
+    # recovery probe: promote a committed staged table if the crash
+    # fell between the renames; restore the backup if the staged copy
+    # never committed; clear leftovers either way.
+    tmp, bak = f"{table_path}.__staging__", f"{table_path}.__bak__"
+    if not os.path.isdir(table_path):
+        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            os.replace(tmp, table_path)
+        elif os.path.isdir(bak):
+            os.replace(bak, table_path)
+    if os.path.isdir(bak):
+        shutil.rmtree(bak)
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
     if not os.path.isdir(table_path):
         return
     base = spark.read.parquet(table_path)
@@ -592,7 +624,6 @@ def compact_text_index_state(spark: SparkSession, table_path: str) -> None:
         .filter(F.col("tf") > 0)
         .withColumn("__epoch__", F.lit(epoch).cast("bigint"))
     )
-    tmp, bak = f"{table_path}.__staging__", f"{table_path}.__bak__"
     netted.write.mode("overwrite").parquet(tmp)
     os.replace(table_path, bak)
     os.replace(tmp, table_path)

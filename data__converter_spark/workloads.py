@@ -157,18 +157,34 @@ diff AS (
 )
 
 
+_SCRATCH_CLEANUP_REGISTERED: set = set()
+
+
 def _scratch_dir(spark: SparkSession, name: str) -> str:
     """Session-scoped scratch path for written artifacts (text index,
     ANN codebooks).  Keyed by the Spark applicationId so two
     concurrent gate/bench sessions on one host can never clobber each
     other's postings mid-read (ADVICE r10), while repeated calls
     WITHIN a session still reuse one directory instead of leaking a
-    mkdtemp copy per invocation."""
+    mkdtemp copy per invocation.  The per-application root is removed
+    at interpreter exit (ADVICE r11: nothing else ever reclaimed it,
+    so every session leaked a full artifact tree under /tmp) —
+    ``atexit`` rather than a Spark listener because the artifacts
+    must outlive the SparkSession within one process (bench/gate
+    harnesses stop and recreate sessions), and concurrent sessions
+    stay isolated because each process only removes its own
+    applicationId's root."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     app = spark.sparkContext.applicationId
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_{app}", name)
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_{app}")
+    if app not in _SCRATCH_CLEANUP_REGISTERED:
+        _SCRATCH_CLEANUP_REGISTERED.add(app)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return os.path.join(root, name)
 
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -2251,3 +2251,90 @@ def test_ann_partitioned_append_lands_in_cell_dirs(spark, tmp_path):
 
     dirs = [d for d in os.listdir(f"{p_part}/index") if d.startswith("cell=")]
     assert dirs, "index must be hive-partitioned by cell"
+
+
+def test_ann_index_compact_staging_hygiene_and_crash_recovery(spark, tmp_path):
+    """r12 (ADVICE r11): ann_index_compact's rewrite is a staged-
+    _SUCCESS-then-rename swap — no __staged/__bak/__new residue after
+    a clean run, and every injected crash state between the stages is
+    repaired by the entry-time recovery probe with rankings intact."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from data__converter_spark.llmops.similarity import (
+        ann_index_build,
+        ann_index_compact,
+        ann_index_delete,
+        ivf_pq_from_index,
+    )
+
+    rng = np.random.RandomState(12)
+    vecs = rng.uniform(-1, 1, size=(30, 8)).astype(np.float32)
+    full = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    probes = full.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "idx")
+    ann_index_build(full, path, n_cells=4, m=2, n_codes=8, seed=42)
+    ann_index_delete(
+        spark.createDataFrame([(i,) for i in range(0, 30, 6)], "vec_id long"),
+        path,
+    )
+    key = lambda rs: sorted(
+        (r["probe_id"], r["neighbor_id"], r["adc_dist"], r["rank"]) for r in rs
+    )
+    want = key(
+        ivf_pq_from_index(spark, path, probes, k=5, nprobe=4, m=2).collect()
+    )
+    ann_index_compact(spark, path)
+    # hygiene: no staging or backup residue for either table
+    residue = [
+        d for d in os.listdir(path)
+        if "__staged" in d or "__bak" in d or "__new" in d
+    ]
+    assert residue == []
+    assert key(
+        ivf_pq_from_index(spark, path, probes, k=5, nprobe=4, m=2).collect()
+    ) == want
+
+    # injected crash 1: between the renames — live table gone, staged
+    # copy committed (_SUCCESS present).  Recovery must promote it.
+    cells, staged = f"{path}/cells", f"{path}/cells__staged"
+    shutil.copytree(cells, staged)
+    shutil.rmtree(cells)
+    assert os.path.exists(f"{staged}/_SUCCESS")
+    ann_index_compact(spark, path)
+    assert os.path.isdir(cells) and not os.path.isdir(staged)
+    assert key(
+        ivf_pq_from_index(spark, path, probes, k=5, nprobe=4, m=2).collect()
+    ) == want
+
+    # injected crash 2: write died mid-flight — staged dir WITHOUT
+    # _SUCCESS, live intact.  Recovery must drop the partial staging.
+    os.makedirs(f"{path}/codes__staged")
+    with open(f"{path}/codes__staged/part-00000.parquet", "wb") as f:
+        f.write(b"partial")
+    ann_index_compact(spark, path)
+    assert not os.path.isdir(f"{path}/codes__staged")
+
+    # injected crash 3: after the swap, before backup cleanup — both
+    # live and __bak exist.  Recovery must drop the backup.
+    shutil.copytree(cells, f"{cells}__bak")
+    ann_index_compact(spark, path)
+    assert not os.path.isdir(f"{cells}__bak")
+    assert key(
+        ivf_pq_from_index(spark, path, probes, k=5, nprobe=4, m=2).collect()
+    ) == want
+
+    # injected crash 4: old table demoted but staged never committed —
+    # __bak only.  Recovery must restore the backup.
+    shutil.copytree(cells, f"{cells}__bak")
+    shutil.rmtree(cells)
+    ann_index_compact(spark, path)
+    assert os.path.isdir(cells) and not os.path.isdir(f"{cells}__bak")
+    assert key(
+        ivf_pq_from_index(spark, path, probes, k=5, nprobe=4, m=2).collect()
+    ) == want

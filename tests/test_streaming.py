@@ -1416,3 +1416,84 @@ def test_compact_text_index_state_preserves_index_and_epoch_guard(spark, tmp_pat
     b2 = spark.createDataFrame([(3, "dog", 1)], schema)
     s3 = combine(after, b2, 2)
     assert s3.filter(F.col("match_id") == 3).count() == 1
+
+
+def test_compact_text_index_state_crash_recovery_probe(spark, tmp_path):
+    """r12 (ADVICE r11): a crash between compact_text_index_state's
+    two os.replace calls leaves NO table but a committed staged copy;
+    re-invoking the compactor must promote it (previously it silently
+    returned on the missing dir).  A backup-only state restores; a
+    partial staging dir is dropped."""
+    import os
+    import shutil
+
+    from data__converter_spark.llmops.similarity import index_from_signed_tf
+    from data__converter_spark.streaming.runner import (
+        _text_index_combine,
+        compact_text_index_state,
+    )
+
+    combine = _text_index_combine("text", "doc_id", sign_col="sign")
+    schema = "doc_id long, text string, sign long"
+    b0 = spark.createDataFrame(
+        [(1, "zebra cat zebra", 1), (2, "cat mat", 1)], schema
+    )
+    s0 = combine(None, b0, 0)
+    table = str(tmp_path / "tf_state")
+    s0.write.mode("overwrite").parquet(table)
+    want_post, want_stats = index_from_signed_tf(spark.read.parquet(table))
+    wp = sorted(map(tuple, want_post.collect()))
+    ws = want_stats.collect()
+
+    def check():
+        p, s = index_from_signed_tf(spark.read.parquet(table))
+        assert sorted(map(tuple, p.collect())) == wp
+        assert s.collect() == ws
+
+    # crash between the replaces: table gone, staged committed
+    tmp = f"{table}.__staging__"
+    shutil.copytree(table, tmp)
+    shutil.rmtree(table)
+    assert os.path.exists(f"{tmp}/_SUCCESS")
+    compact_text_index_state(spark, table)
+    assert os.path.isdir(table) and not os.path.isdir(tmp)
+    check()
+
+    # backup-only (staged never committed): restore the backup
+    bak = f"{table}.__bak__"
+    shutil.copytree(table, bak)
+    shutil.rmtree(table)
+    compact_text_index_state(spark, table)
+    assert os.path.isdir(table) and not os.path.isdir(bak)
+    check()
+
+    # partial staging (no _SUCCESS) + live intact: staging dropped
+    os.makedirs(tmp)
+    with open(f"{tmp}/part-0.parquet", "wb") as f:
+        f.write(b"partial")
+    compact_text_index_state(spark, table)
+    assert not os.path.isdir(tmp)
+    check()
+
+
+def test_text_index_first_batch_takedown_raises(spark):
+    """r12 (ADVICE r11): a takedown row in the very first micro-batch
+    (no state table yet) must raise — the checkpoint WAL has already
+    consumed the row, so silently dropping it is a permanent
+    correctness gap — while an insert-only or empty-delete first
+    batch still seeds the state normally."""
+    import pytest as _pytest
+
+    from data__converter_spark.streaming.runner import _text_index_combine
+
+    combine = _text_index_combine("text", "doc_id", sign_col="sign")
+    schema = "doc_id long, text string, sign long"
+    mixed = spark.createDataFrame(
+        [(1, "cat mat", 1), (2, None, -1)], schema
+    )
+    with _pytest.raises(ValueError, match="first micro-batch"):
+        combine(None, mixed, 0)
+    # insert-only first batch is fine
+    clean = spark.createDataFrame([(1, "cat mat", 1)], schema)
+    s0 = combine(None, clean, 0)
+    assert s0.count() == 2

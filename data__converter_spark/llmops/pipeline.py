@@ -202,3 +202,252 @@ def ingest_pipeline(
             F.coalesce("dl", F.lit(0)).cast("bigint").alias("dl"),
         )
     )
+
+
+def _verify_pairs(cand, front, id_col: str, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs
+    against the shingle-hash sets in ``front`` — the identical
+    arithmetic of :func:`~.dedup.minhash_lsh_pairs`' verify stage
+    (array_intersect/array_union sizes over the md5-32 hash sets),
+    factored out so the incremental ingest's cross- and self-pairs
+    can never drift from the full-repair form's definition.  The
+    candidate side is batch-sized, so both lookups broadcast it
+    against the (possibly corpus-scale) front scan."""
+    sh_a = front.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
+    sh_b = front.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+    union = F.size(F.array_union("hs_a", "hs_b")).cast("double")
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+    )
+
+
+def ingest_state_build(
+    corpus: DataFrame,
+    path: str,
+    col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+) -> None:
+    """Materialize the STANDING INGEST STATE for
+    :func:`ingest_pipeline_incremental` — the dedup front-end given
+    the same artifact discipline as the text index and the ANN index
+    (VERDICT r11 Next #2): five parquet tables under ``path``, each
+    the thing a 100 TB corpus would keep between ingests instead of
+    recomputing per batch:
+
+    - ``digests`` (id, dg): sha256 content digests — the exact-dedup
+      confirmation side and the live-id roll;
+    - ``bloom`` (pos): the corpus membership sketch's set-bit
+      position table (mergeable: new batches OR in their bits);
+    - ``front`` (id, hs, sig): the minhash front — shingle-hash sets
+      + signatures from ONE Arrow pass over the corpus text, the pass
+      that is never repeated again;
+    - ``buckets`` (id, band, bucket): the banded-LSH postings the
+      arriving batch joins against;
+    - ``pairs`` (id_a, id_b, jaccard): the verified corpus-internal
+      near-dup edges — :func:`~.dedup.minhash_lsh_pairs`' output over
+      the corpus, maintained additively from here on.
+
+    Build cost is the same one text pass + bucket self-join the
+    full-repair :func:`ingest_pipeline` pays on EVERY batch; after
+    this it is paid once."""
+    from .dedup import _band_frame, _minhash_front
+    from .sketches import bloom_build
+
+    rows_per_band = num_hashes // bands
+    digest = F.sha2(F.coalesce(F.col(col).cast("string"), F.lit("")), 256)
+    digests = corpus.select(F.col(id_col), digest.alias("dg"))
+    digests.write.mode("overwrite").parquet(f"{path}/digests")
+    bloom_build(
+        digests.select("dg").distinct(), "dg", m_bits, k_hashes
+    ).write.mode("overwrite").parquet(f"{path}/bloom")
+    front = _minhash_front(corpus, col, id_col, k, num_hashes, seed)
+    front.write.mode("overwrite").parquet(f"{path}/front")
+    banded = _band_frame(
+        front.select(id_col, "sig"), id_col, bands, rows_per_band
+    )
+    banded.write.mode("overwrite").parquet(f"{path}/buckets")
+    left = banded.select("band", "bucket", F.col(id_col).alias("id_a"))
+    right = banded.select("band", "bucket", F.col(id_col).alias("id_b"))
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    _verify_pairs(
+        cand, front.select(id_col, "hs"), id_col, threshold
+    ).write.mode("overwrite").parquet(f"{path}/pairs")
+
+
+def ingest_pipeline_incremental(
+    batch: DataFrame,
+    path: str,
+    col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+    train_permille: int = 800,
+    val_permille: int = 100,
+) -> DataFrame:
+    """:func:`ingest_pipeline` in STEADY STATE: one arriving batch
+    against the standing state of :func:`ingest_state_build`, with
+    NO corpus-scale recomputation — the fix for the one corpus-scale
+    term the full-repair form carried (its per-batch
+    ``minhash_lsh_pairs`` over corpus ∪ survivors re-paired the
+    whole live set every time).  Per batch:
+
+    1. **Decontaminate** against the STANDING sketch: the batch's
+       digests test against the materialized bloom position table
+       (broadcast, ≤ m rows); only maybe-hits reach the confirmation
+       join against the standing ``digests`` table.  Identical
+       verdicts to :func:`~.dedup.bloom_prescreen_dedup` (no false
+       negatives; ``confirmed`` = exact digest membership).
+    2. **Pair incrementally**: the survivors' minhash front (one
+       Arrow pass over BATCH text only) band-joins the standing
+       ``buckets`` postings for batch-vs-corpus candidates, plus a
+       batch-internal self-join; both verify with the exact-Jaccard
+       arithmetic of the full form (:func:`_verify_pairs`), and the
+       union with the standing ``pairs`` table IS
+       ``minhash_lsh_pairs(corpus ∪ survivors)`` — every corpus-
+       internal edge was verified at build/previous-ingest time and
+       never recomputed.
+    3. **Assign**: :func:`~.dedup.cluster_split` over the live ids
+       (standing ``digests`` ids ∪ survivors) and the full edge set;
+       output rows for THIS batch's survivors, same schema as the
+       full form — (id, cluster_id, split, dl).
+    4. **Commit the batch into the state**: append front / buckets /
+       pairs / digests rows for the survivors and OR the survivors'
+       bits into the bloom (a staged atomic swap — the table is
+       ≤ m rows).  Ordering makes a crash replay IDEMPOTENT for
+       correctness: ``digests`` is written LAST (the commit point),
+       so a batch that crashed mid-update re-runs in full — its
+       survivors are still absent from ``digests`` and re-survive —
+       and the re-appended front/bucket/pair rows are harmless
+       duplicates (duplicate edges do not change connected
+       components; duplicate postings only cost space until the next
+       state compaction).  Extra bloom bits from a partial update
+       are equally harmless: the bloom only prescreens, membership
+       is always confirmed against ``digests``.
+
+    Batch cost is O(|batch| + bucket co-occupancy): the standing
+    tables are scanned (buckets/front legs are broadcast-pruned by
+    the batch side), never re-derived — at 100 TB the batch's text
+    is the only text read anywhere in the loop.
+    """
+    from ..scale import persisted
+    from .dedup import _band_frame, _minhash_front, cluster_split
+    from .sketches import bloom_build, bloom_maybe_contains
+    from .similarity import _staged_swap, _staged_swap_recover, _tf_of
+
+    spark = batch.sparkSession
+    rows_per_band = num_hashes // bands
+    _staged_swap_recover(spark, f"{path}/bloom")
+    digests_t = spark.read.parquet(f"{path}/digests")
+    bloom_t = spark.read.parquet(f"{path}/bloom")
+
+    digest = F.sha2(F.coalesce(F.col(col).cast("string"), F.lit("")), 256)
+    new_keys = persisted(batch.select(F.col(id_col), digest.alias("dg")))
+    verdict = bloom_maybe_contains(
+        new_keys.select("dg"), bloom_t, "dg", m_bits, k_hashes
+    ).withColumnRenamed("k", "dg")
+    confirmed = (
+        verdict.filter(F.col("maybe"))
+        .select("dg")
+        .join(digests_t.select("dg"), "dg", "left_semi")
+    )
+    surv_keys = persisted(new_keys.join(confirmed, "dg", "left_anti"))
+    surv_ids = surv_keys.select(id_col)
+    survivors = persisted(batch.join(surv_ids, id_col, "left_semi"))
+
+    f_new = _minhash_front(survivors, col, id_col, k, num_hashes, seed)
+    b_new = persisted(
+        _band_frame(f_new.select(id_col, "sig"), id_col, bands, rows_per_band)
+    )
+    b_ref = spark.read.parquet(f"{path}/buckets")
+    cross = (
+        b_new.withColumnRenamed(id_col, "new_id")
+        .join(b_ref.withColumnRenamed(id_col, "ref_id"), ["band", "bucket"])
+        .select(
+            F.least("new_id", "ref_id").alias("id_a"),
+            F.greatest("new_id", "ref_id").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    l = b_new.select("band", "bucket", F.col(id_col).alias("id_a"))
+    r = b_new.select("band", "bucket", F.col(id_col).alias("id_b"))
+    self_cand = (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    f_ref = spark.read.parquet(f"{path}/front")
+    combined_hs = f_ref.select(id_col, "hs").unionByName(
+        f_new.select(id_col, "hs")
+    )
+    new_pairs = persisted(
+        _verify_pairs(
+            cross.unionByName(self_cand), combined_hs, id_col, threshold
+        )
+    )
+    all_pairs = spark.read.parquet(f"{path}/pairs").unionByName(new_pairs)
+    live_ids = digests_t.select(id_col).unionByName(surv_ids)
+    assign = cluster_split(
+        live_ids,
+        all_pairs,
+        id_col=id_col,
+        train_permille=train_permille,
+        val_permille=val_permille,
+    )
+    dl = (
+        _tf_of(survivors, col, id_col, id_col)
+        .groupBy(id_col)
+        .agg(F.sum("tf").cast("bigint").alias("dl"))
+    )
+    out = (
+        survivors.select(id_col)
+        .join(assign, id_col)
+        .join(dl, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            "split",
+            F.coalesce("dl", F.lit(0)).cast("bigint").alias("dl"),
+        )
+    )
+    # Materialize the batch receipt BEFORE mutating the state tables
+    # its plan reads: the lineage captures pre-commit file listings,
+    # so any later re-evaluation (cache eviction, retry) against the
+    # swapped bloom / appended tables would read deleted files or
+    # changed state.  Writing it into the state dir makes the result
+    # durable and severs the lineage; it is batch-sized.
+
+    out.write.mode("overwrite").parquet(f"{path}/last_batch")
+
+    # commit the batch into the standing state (see docstring for the
+    # replay-idempotence argument behind this ordering)
+    f_new.write.mode("append").parquet(f"{path}/front")
+    b_new.write.mode("append").parquet(f"{path}/buckets")
+    new_pairs.write.mode("append").parquet(f"{path}/pairs")
+    merged_bloom = bloom_t.unionByName(
+        bloom_build(surv_keys.select("dg").distinct(), "dg", m_bits, k_hashes)
+    ).distinct()
+    _staged_swap(merged_bloom, f"{path}/bloom")
+    surv_keys.write.mode("append").parquet(f"{path}/digests")
+    return spark.read.parquet(f"{path}/last_batch")

@@ -1334,6 +1334,104 @@ def ann_index_compact(spark, path: str) -> None:
     ).parquet(tomb_path)
 
 
+def _generation_swap_recover(spark, path: str) -> None:
+    """:func:`_staged_swap_recover`'s logic lifted to a whole ARTIFACT
+    DIRECTORY (all of an index's tables as one unit), committed by a
+    root-level ``_COMMIT`` marker written only after every table in
+    the new generation is complete — table-level ``_SUCCESS`` markers
+    can't commit a multi-table swap (a crash between table swaps
+    would mix generations: new books ranking old codes is silently
+    wrong, not just stale).  Crash states and their repairs:
+
+    - staged generation COMMITTED (root ``_COMMIT``) + live missing →
+      promote it;
+    - backup present + live missing, staged uncommitted → restore the
+      backup (the migration re-runs from scratch — recovery restores
+      a consistent artifact, it does not finish the migration);
+    - backup present + live present → drop the backup;
+    - staged present in any remaining case → drop it (uncommitted, or
+      committed-but-live-exists: the swap never started, rebuilding
+      is cheaper than reasoning about which is newer)."""
+    fs, P = _hadoop_fs(spark, path)
+    staged, bak = f"{path}__retrain", f"{path}__bak"
+    has_live = fs.exists(P(path))
+    if fs.exists(P(f"{staged}/_COMMIT")) and not has_live:
+        fs.rename(P(staged), P(path))
+        has_live = True
+    if fs.exists(P(bak)):
+        if has_live:
+            fs.delete(P(bak), True)
+        else:
+            fs.rename(P(bak), P(path))
+    if fs.exists(P(staged)):
+        fs.delete(P(staged), True)
+
+
+def ann_index_retrain(
+    corpus: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    m: int = 4,
+    n_codes: int = 16,
+    seed: int = 42,
+) -> None:
+    """The RESPONSE to the recall drift alarm
+    (``ann_recall_after_append``) — the last step of the standing
+    index lifecycle (VERDICT r11 Next #4): retrain the cell/code
+    books on the CURRENT corpus and migrate the artifact to a new
+    generation atomically.
+
+    PQ codes are lossy, so re-encoding needs the source vectors:
+    ``corpus`` is the current vector set (the table the index was
+    built and appended from).  Standing tombstones fold in — the
+    live set is ``corpus`` minus tombstoned vids, and the new
+    generation carries no tombstone table.  The layout is preserved
+    (flat cells/codes or the cell-partitioned unified table — the
+    partitioned build parallelizes the rewrite per cell directory,
+    and its sampling/encode arithmetic is byte-identical to the flat
+    form, so either layout migrates to itself).
+
+    The swap is generation-atomic: the new index builds under
+    ``{path}__retrain``, a root ``_COMMIT`` marker lands only after
+    every table is written, then old → ``__bak`` → new → live →
+    backup dropped.  A crash anywhere leaves a state
+    :func:`_generation_swap_recover` (run at entry) repairs to a
+    CONSISTENT artifact — never mixed generations, because the four
+    tables move as one directory.  Determinism: same corpus + same
+    seed ⇒ the retrained books equal a fresh
+    :func:`ann_index_build` over the live set, so
+    migrated-artifact queries == fresh-build queries exactly (the
+    ``ann_retrain_query`` oracle pins this against the flat IVF-PQ
+    SQL verbatim)."""
+    spark = corpus.sparkSession
+    _generation_swap_recover(spark, path)
+    fs, P = _hadoop_fs(spark, path)
+    live = corpus
+    if _hadoop_path_exists(spark, f"{path}/tombstones"):
+        tomb = spark.read.parquet(f"{path}/tombstones")
+        live = corpus.join(
+            F.broadcast(tomb),
+            corpus[id_col] == tomb["vid"],
+            "left_anti",
+        )
+    partitioned = _hadoop_path_exists(spark, f"{path}/index")
+    staged = f"{path}__retrain"
+    build = ann_index_build_partitioned if partitioned else ann_index_build
+    build(
+        live, staged, vec_col=vec_col, id_col=id_col,
+        n_cells=n_cells, m=m, n_codes=n_codes, seed=seed,
+    )
+    fs.create(P(f"{staged}/_COMMIT")).close()
+    bak = f"{path}__bak"
+    if fs.exists(P(path)):
+        fs.rename(P(path), P(bak))
+    fs.rename(P(staged), P(path))
+    if fs.exists(P(bak)):
+        fs.delete(P(bak), True)
+
+
 def ivf_pq_from_index(
     spark,
     path: str,

@@ -3371,6 +3371,38 @@ def q_ann_partitioned_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_retrain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift-alarm RESPONSE (llmops/similarity.py:
+    ann_index_retrain — the last step of the index lifecycle): the
+    base corpus (vec_id % 7 != 0) builds the standing artifact with
+    base-drawn frozen books, the delta (vec_id % 7 == 0) appends
+    against them — the exact staleness ann_recall_after_append
+    audits — and then the books RETRAIN on the full current corpus,
+    re-encoding everything into a new artifact generation that swaps
+    in atomically (root _COMMIT marker, old generation demoted then
+    dropped — never mixed books/codes).  Oracle: the
+    similarity_ivf_pq_topk SQL VERBATIM — retrain-on-current-corpus
+    == fresh-build-on-current-corpus, so the migrated artifact must
+    reproduce the full-corpus-books rankings bit for bit."""
+    from .llmops.similarity import (
+        ann_index_append,
+        ann_index_build,
+        ann_index_retrain,
+        ivf_pq_from_index,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    path = _scratch_dir(spark, "ann_ivfpq_retrain")
+    ann_index_build(
+        emb.filter(F.col("vec_id") % 7 != 0), path,
+        n_cells=16, m=4, n_codes=16,
+    )
+    ann_index_append(emb.filter(F.col("vec_id") % 7 == 0), path, m=4)
+    ann_index_retrain(emb, path, n_cells=16, m=4, n_codes=16)
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+    return ivf_pq_from_index(spark, path, probes, k=10, nprobe=4, m=4)
+
+
 def q_pq_train_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One PQ training iteration (llmops/similarity.py:pq_train):
     per-subspace Lloyd step over the md5-sampled seed codewords —
@@ -10300,6 +10332,12 @@ QUERIES["ann_delete_query"] = q_ann_delete_query
 # so the oracle is the flat ivf_pq SQL verbatim.
 QUERIES["ann_partitioned_query"] = q_ann_partitioned_query
 ORACLES["ann_partitioned_query"] = ORACLES["similarity_ivf_pq_topk"]
+
+# Retrain/migration: retrained-on-current-corpus == fresh-build-on-
+# current-corpus (same md5 sampling, same seed), so the oracle is the
+# flat full-corpus ivf_pq SQL verbatim.
+QUERIES["ann_retrain_query"] = q_ann_retrain_query
+ORACLES["ann_retrain_query"] = ORACLES["similarity_ivf_pq_topk"]
 
 # Recall audit of the appended frozen-book index: both legs are
 # already-checked oracles, composed exactly like similarity_pq_recall.

@@ -122,6 +122,8 @@ SHOWCASE = [
     ("ann_delete_query", "ANN takedown: the tombstone table anti-joins (broadcast) out of the stored cells scan BEFORE candidate generation — a delete is an O(ids) append, the cells/codes tables and frozen books are untouched, and every surviving ranking is bit-identical"),
     ("ann_recall_after_append", "the drift alarm for the frozen-quantizer trade: both legs reuse their own checked plans (brute truth, appended-artifact ADC); the intersection is an equi-join on (probe, neighbor) + per-probe count — no new shuffle shapes"),
     ("ann_partitioned_query", "the 100 TB layout: the unified index is hive-partitioned by cell and the probed-cell set (driver-side, codebook-scale math) is a PARTITION filter on the scan — nprobe of n_cells directories read before any join; PartitionFilters pinned in tests/test_plans.py"),
+    ("ingest_incremental", "steady-state ingest: batch text is the ONLY text read (one Arrow pass over the batch front); batch-vs-corpus candidates come from a bucket join against the standing postings table (batch side broadcast); corpus-internal pairs read pre-verified from the state — the full-repair form's per-batch corpus re-pair is gone; CC runs over the pair graph only (near-dup-density-sized)"),
+    ("ann_retrain_query", "the drift-alarm response: retrain = ann_index_build's two Arrow passes over the current corpus (books ride the task closure, vectors never shuffle) into a staged generation, then a root-_COMMIT-marked directory swap — the query side is the standard stored-artifact scan + broadcast probe→cell pruning, identical to the fresh-build plan"),
 ]
 
 

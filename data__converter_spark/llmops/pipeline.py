@@ -327,10 +327,13 @@ def ingest_pipeline_incremental(
        ``minhash_lsh_pairs(corpus ∪ survivors)`` — every corpus-
        internal edge was verified at build/previous-ingest time and
        never recomputed.
-    3. **Assign**: :func:`~.dedup.cluster_split` over the live ids
-       (standing ``digests`` ids ∪ survivors) and the full edge set;
-       output rows for THIS batch's survivors, same schema as the
-       full form — (id, cluster_id, split, dl).
+    3. **Assign**: :func:`~.dedup.cluster_split` over the SURVIVOR
+       ids and the full edge set (standing ∪ new pairs) — the
+       component table derives from the pair graph alone, so the
+       batch-sized frame produces rows identical to evaluating the
+       whole live set and the batch path carries no corpus-linear
+       join at all.  Same schema as the full form —
+       (id, cluster_id, split, dl).
     4. **Commit the batch into the state**: append front / buckets /
        pairs / digests rows for the survivors and OR the survivors'
        bits into the bloom (a staged atomic swap — the table is
@@ -407,9 +410,15 @@ def ingest_pipeline_incremental(
         )
     )
     all_pairs = spark.read.parquet(f"{path}/pairs").unionByName(new_pairs)
-    live_ids = digests_t.select(id_col).unionByName(surv_ids)
+    # assignment is evaluated for the SURVIVORS only: the component
+    # table derives from the pair graph alone, so feeding cluster_split
+    # the batch-sized survivor frame (not corpus ∪ survivors) yields
+    # identical rows for every survivor while dropping the one
+    # remaining corpus-linear join from the batch path — a survivor
+    # near-dupping a standing doc still inherits that doc's cluster
+    # through the standing pairs in the graph.
     assign = cluster_split(
-        live_ids,
+        surv_ids,
         all_pairs,
         id_col=id_col,
         train_permille=train_permille,

@@ -288,6 +288,9 @@ def ingest_state_build(
     _verify_pairs(
         cand, front.select(id_col, "hs"), id_col, threshold
     ).write.mode("overwrite").parquet(f"{path}/pairs")
+    # same cache-hygiene as the ingest: the front's cached plan must
+    # not be substituted into later calls' scans of the state tables
+    front.unpersist()
 
 
 def ingest_pipeline_incremental(
@@ -459,4 +462,63 @@ def ingest_pipeline_incremental(
     ).distinct()
     _staged_swap(merged_bloom, f"{path}/bloom")
     surv_keys.write.mode("append").parquet(f"{path}/digests")
+    # Release THIS call's cached frames now that the receipt and the
+    # state commits are durable: their plans embed pre-commit file
+    # listings of the state tables, and Spark's CacheManager would
+    # substitute them into a LATER call's identical-looking scan
+    # subtrees — recomputing evicted blocks from files the swap has
+    # deleted.  (The receipt read below has no cached ancestry.)
+    for _frame in (new_keys, surv_keys, survivors, f_new, b_new, new_pairs):
+        _frame.unpersist()
     return spark.read.parquet(f"{path}/last_batch")
+
+
+def ingest_state_compact(spark, path: str) -> None:
+    """OPTIMIZE for the standing ingest state — the companion the
+    crash-replay contract of :func:`ingest_pipeline_incremental`
+    references: a batch that crashed after appending front/bucket/
+    pair rows but before the ``digests`` commit point re-runs in full
+    and re-appends them, which is harmless for correctness (duplicate
+    edges don't change connected components; duplicate postings only
+    duplicate candidates that dedup away) but accumulates dead weight.
+    This folds each table back to its canonical form with the same
+    staged-``_SUCCESS``-then-rename swap as the index compactors
+    (:func:`~.similarity._staged_swap`), entry recovery probe
+    included:
+
+    - ``front``: one row per id (duplicates are bit-identical — the
+      Arrow kernel is deterministic — so any one survives);
+    - ``buckets``: distinct (id, band, bucket);
+    - ``pairs``: distinct (id_a, id_b, jaccard);
+    - ``digests``: distinct (id, dg);
+    - ``bloom``: left untouched — the position table is already
+      distinct by construction and replay adds no rows to it.
+
+    Never required for correctness; run it when replay debt or
+    long-lived append churn makes the state scans noticeably fatter
+    than the corpus."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .similarity import _staged_swap, _staged_swap_recover
+
+    for t in ("front", "buckets", "pairs", "digests"):
+        _staged_swap_recover(spark, f"{path}/{t}")
+    front = spark.read.parquet(f"{path}/front")
+    id_col = front.columns[0]
+    one = Window.partitionBy(id_col).orderBy(F.col("hs").getItem(0))
+    _staged_swap(
+        front.withColumn("__rn__", F.row_number().over(one))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__"),
+        f"{path}/front",
+    )
+    _staged_swap(
+        spark.read.parquet(f"{path}/buckets").distinct(), f"{path}/buckets"
+    )
+    _staged_swap(
+        spark.read.parquet(f"{path}/pairs").distinct(), f"{path}/pairs"
+    )
+    _staged_swap(
+        spark.read.parquet(f"{path}/digests").distinct(), f"{path}/digests"
+    )

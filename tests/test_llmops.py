@@ -2543,3 +2543,68 @@ def test_ann_index_retrain_migration_lifecycle(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_ingest_state_replay_idempotence_and_compact(spark, tmp_path):
+    """r12: a batch that crashed after the front/bucket/pair appends
+    but BEFORE the digests commit point replays in full — results
+    stay exactly equal to the never-crashed run — and
+    ingest_state_compact folds the duplicate replay debt back out of
+    every state table without changing any later batch's output."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data__converter_spark.llmops.pipeline import (
+        ingest_pipeline_incremental,
+        ingest_state_build,
+        ingest_state_compact,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "one two three four five six seven"),
+        (3, "totally different corpus document here"),
+        (10, "alpha beta gamma delta epsilon zeta eta"),  # near-dup of 1
+        (11, "fresh arriving document with new words"),
+        (20, "one two three four five six seven eight"),  # near-dup of 2
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = docs.filter(F.col("doc_id") < 10)
+    batch1 = docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20))
+    batch2 = docs.filter(F.col("doc_id") >= 20)
+    kw = dict(k=3, num_hashes=64, bands=16, threshold=0.3)
+    key = lambda df: sorted(map(tuple, df.collect()))
+
+    # reference: the never-crashed sequence
+    ref = str(tmp_path / "ref")
+    ingest_state_build(corpus, ref, **kw)
+    r1 = key(ingest_pipeline_incremental(batch1, ref, **kw))
+    r2 = key(ingest_pipeline_incremental(batch2, ref, **kw))
+
+    # crashed-and-replayed sequence: snapshot digests before batch 1,
+    # run it, restore digests (the commit point never landed), replay
+    path = str(tmp_path / "state")
+    ingest_state_build(corpus, path, **kw)
+    shutil.copytree(f"{path}/digests", f"{path}/digests_snap")
+    first = key(ingest_pipeline_incremental(batch1, path, **kw))
+    assert first == r1
+    shutil.rmtree(f"{path}/digests")
+    shutil.move(f"{path}/digests_snap", f"{path}/digests")
+    replay = key(ingest_pipeline_incremental(batch1, path, **kw))
+    assert replay == r1  # replay debt is invisible in results
+    n_front = spark.read.parquet(f"{path}/front").count()
+    n_pairs = spark.read.parquet(f"{path}/pairs").count()
+
+    ingest_state_compact(spark, path)
+    # debt folded: strictly fewer rows, one front row per live doc
+    front = spark.read.parquet(f"{path}/front")
+    assert front.count() < n_front
+    assert front.groupBy("doc_id").count().filter("count > 1").count() == 0
+    assert spark.read.parquet(f"{path}/pairs").count() < n_pairs
+    import os
+    residue = [d for d in os.listdir(path) if "__staged" in d or "__bak" in d]
+    assert residue == []
+
+    # the next batch over the compacted state matches the clean run
+    assert key(ingest_pipeline_incremental(batch2, path, **kw)) == r2

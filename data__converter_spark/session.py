@@ -50,6 +50,15 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
+        # Headless engine: the status stores still populate with the UI
+        # off, and the SQL store retains the PLAN STRING of every
+        # execution (default 1000).  Long-lived sessions running many
+        # composed-plan jobs (gate/bench/test harnesses) accumulate
+        # driver heap they never serve — cap the retention.
+        .config("spark.sql.ui.retainedExecutions", "50")
+        .config("spark.ui.retainedJobs", "200")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "20000")
         .config(
             "spark.sql.warehouse.dir",
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_warehouse"),

@@ -628,3 +628,99 @@ def compact_text_index_state(spark: SparkSession, table_path: str) -> None:
     os.replace(table_path, bak)
     os.replace(tmp, table_path)
     shutil.rmtree(bak)
+
+
+def run_ingest_update(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    timeout_s: int = 120,
+    **ingest_kwargs,
+) -> None:
+    """Stream -> the STANDING INGEST STATE (the streaming lift of
+    :func:`~data__converter_spark.llmops.pipeline.
+    ingest_pipeline_incremental` — VERDICT r12 Next #6): every
+    micro-batch of arriving documents runs the full steady-state
+    ingest against the state at ``path`` (bloom prescreen -> digest
+    confirm -> band-join vs standing postings -> exact-Jaccard verify
+    -> cluster/split assign + reassignment receipts -> ordered state
+    commit), and the batch's receipt appends to ``{path}/receipts``
+    stamped with the micro-batch epoch — the continuous change feed a
+    shard router consumes, while ``ingest_state_assignments`` stays
+    the at-rest source of truth.
+
+    Exactly-once shape: the STATE needs no epoch guard at all — the
+    ingest is replay-idempotent by construction (``digests`` commit
+    point + deterministic batch_key), so a crash replay re-runs it
+    for free.  The RECEIPTS append is guarded like the other
+    non-idempotent sinks: same-epoch replay no-ops, an epoch
+    regression (fresh checkpoint over an existing receipts table)
+    raises.  One narrow window is documented rather than closed: a
+    crash after the state's digests commit but before the receipts
+    append replays into an all-duplicates batch (empty receipt), so
+    the receipt FEED can miss that batch — the standing assign table
+    is still exact, which is why it, not the feed, is the source of
+    truth.
+
+    Single-writer: Structured Streaming's one-query-per-checkpoint
+    provides the exclusion the batch path gets from the state lease;
+    the per-call lease inside the ingest is still taken and released
+    per micro-batch, so a stray concurrent BATCH mutator is caught.
+    """
+    from pyspark.sql import functions as F
+
+    from ..llmops.pipeline import ingest_pipeline_incremental
+    from ..llmops.similarity import _hadoop_path_exists
+
+    receipts = f"{path}/receipts"
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if _hadoop_path_exists(spark, receipts):
+            applied = (
+                spark.read.parquet(receipts)
+                .agg(F.max("__epoch__"))
+                .collect()[0][0]
+            )
+            if applied is not None and applied == batch_id:
+                return  # crash replay of the uncommitted epoch
+            if applied is not None and applied > batch_id:
+                raise ValueError(
+                    f"ingest receipts at epoch {applied} received batch "
+                    f"{batch_id}: the state was built under a different "
+                    "checkpoint. Resume with the original checkpoint, or "
+                    "point the fresh checkpoint at a fresh state path."
+                )
+        # sever the micro-batch's streaming-source lineage before the
+        # ingest: the pipeline reads batch text several times (digest,
+        # minhash front, survivor joins) and re-planning the source
+        # subtree into every one of them both re-reads the input and
+        # compounds plan depth on the stream-execution thread
+        stable = batch_df.localCheckpoint(eager=True)
+        try:
+            receipt = ingest_pipeline_incremental(
+                stable, path, **ingest_kwargs
+            )
+            receipt.withColumn(
+                "__epoch__", F.lit(batch_id).cast("bigint")
+            ).write.mode("append").parquet(receipts)
+        finally:
+            stable.unpersist()
+
+    q = (
+        stream_df.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    # drain COMPLETELY or fail loudly: returning with the query still
+    # active would let a caller start the next availableNow run on the
+    # same checkpoint while this one still holds the state lease —
+    # two live mutators, exactly what the lease exists to prevent.
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"ingest stream did not drain within {timeout_s}s; stopped "
+            "the query — rerun with the same checkpoint to resume "
+            "(the state itself is crash-replay-safe)."
+        )

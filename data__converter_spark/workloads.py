@@ -10722,7 +10722,15 @@ def q_ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch_dir(spark, "ingest_state")
     ingest_state_build(corpus, path)
     ingest_pipeline_incremental(batch1, path)
-    return ingest_pipeline_incremental(batch2, path)
+    # receipts carry (bucket_permille, kind) since r13 — kind='batch'
+    # rows projected to the full-repair schema for this oracle; the
+    # reassignment receipts get their own merge-shaped query
+    # (ingest_reassign) whose oracle covers the whole live corpus.
+    return (
+        ingest_pipeline_incremental(batch2, path)
+        .filter(F.col("kind") == "batch")
+        .select("doc_id", "cluster_id", "split", "dl")
+    )
 
 
 QUERIES["ingest_incremental"] = q_ingest_incremental
@@ -10758,6 +10766,198 @@ words_cte AS (""",
 assert _CC_LIVE2.count("FROM live\n)") == 1
 
 ORACLES["ingest_incremental"] = _CC_LIVE2 + """
+, canon AS (
+    SELECT l.doc_id, l.b,
+           CAST(coalesce(cc.component, l.doc_id) AS BIGINT) AS cluster_id
+    FROM live l LEFT JOIN cc ON l.doc_id = cc.id
+),
+asg AS (
+    SELECT doc_id, b, cluster_id,
+           CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 1000 AS bp
+    FROM canon
+),
+dls AS (
+    SELECT doc_id, CAST(len(words) AS BIGINT) AS dl FROM words_cte
+)
+SELECT a.doc_id, a.cluster_id,
+       CASE WHEN a.bp < 800 THEN 'train'
+            WHEN a.bp < 900 THEN 'val'
+            ELSE 'test' END AS split,
+       coalesce(d.dl, 0) AS dl
+FROM asg a LEFT JOIN dls d USING (doc_id)
+WHERE a.b >= 850
+"""
+
+
+def q_ingest_reassign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-SHAPED steady-state ingest (llmops/pipeline.py:
+    ingest_pipeline_incremental + ingest_state_assignments — VERDICT
+    r12 Next #1): the standing corpus (md5-permille b < 400) builds
+    its state, then ONE batch arrives carrying (a) genuinely fresh
+    docs (b >= 900) and (b) UNDERCUT near-dups — for every corpus doc
+    with b < 40, a derived twin with doc_id - 10,000,000 and a 'zqx'
+    suffix, guaranteed to verify against its source at the default
+    threshold and to carry an id SMALLER than any standing component
+    min.  Every such edge moves its standing cluster's canonical id
+    (and so its md5-permille split bucket): the ingest must emit
+    kind='reassign' receipts and fold them into the standing assign
+    table, or the committed standing assignments would contradict the
+    full-repair truth.  Returned: the standing assignment table for
+    the WHOLE live corpus after the batch — so a single full-repair
+    CC oracle over the final live set checks both the batch
+    assignments and every applied reassignment at once (a missed
+    reassignment leaves a stale cluster_id row and hash-mismatches).
+    """
+    from .llmops.pipeline import (
+        ingest_pipeline_incremental,
+        ingest_state_assignments,
+        ingest_state_build,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    split_b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % F.lit(1000)
+    )
+    corpus = docs.filter(split_b < 400).select("doc_id", "text")
+    fresh = docs.filter(split_b >= 900).select("doc_id", "text")
+    undercut = docs.filter(split_b < 40).select(
+        (F.col("doc_id") - F.lit(10000000)).cast("long").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zqx")).alias("text"),
+    )
+    batch = fresh.unionByName(undercut)
+    path = _scratch_dir(spark, "ingest_reassign_state")
+    ingest_state_build(corpus, path)
+    ingest_pipeline_incremental(batch, path)
+    return ingest_state_assignments(spark, path)
+
+
+QUERIES["ingest_reassign"] = q_ingest_reassign
+
+# One full-repair CC over the final live set (corpus ∪ batch
+# survivors, including the derived undercut twins), then
+# cluster_split's verbatim canon/bucket/split arithmetic for EVERY
+# live doc — the standing assign table must equal it row-for-row.
+_CC_R13 = _CC.replace("FROM documents\n)", "FROM live\n)", 1).replace(
+    "WITH RECURSIVE words_cte AS (",
+    """WITH RECURSIVE d0 AS (
+    SELECT doc_id, text, sha256(coalesce(text, '')) AS dg,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 1000 AS b
+    FROM documents
+),
+arriving AS (
+    SELECT doc_id, text FROM d0 WHERE b >= 900
+    UNION ALL
+    SELECT doc_id - 10000000 AS doc_id, text || ' zqx' AS text
+    FROM d0 WHERE b < 40
+),
+bk AS (
+    SELECT doc_id, text, sha256(coalesce(text, '')) AS dg FROM arriving
+),
+live AS (
+    SELECT doc_id, text FROM d0 WHERE b < 400
+    UNION ALL
+    SELECT doc_id, text FROM bk
+    WHERE dg NOT IN (SELECT dg FROM d0 WHERE b < 400)
+),
+words_cte AS (""",
+    1,
+)
+assert _CC_R13.count("FROM live\n)") == 1
+
+ORACLES["ingest_reassign"] = _CC_R13 + """
+, canon AS (
+    SELECT l.doc_id,
+           CAST(coalesce(cc.component, l.doc_id) AS BIGINT) AS cluster_id
+    FROM live l LEFT JOIN cc ON l.doc_id = cc.id
+),
+bkt AS (
+    SELECT doc_id, cluster_id,
+           CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 1000 AS bucket_permille
+    FROM canon
+)
+SELECT doc_id, cluster_id, bucket_permille,
+       CASE WHEN bucket_permille < 800 THEN 'train'
+            WHEN bucket_permille < 900 THEN 'val'
+            ELSE 'test' END AS split
+FROM bkt
+"""
+
+
+def q_ingest_compact_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM LIFECYCLE under ingest (llmops/pipeline.py:
+    ingest_state_compact — VERDICT r12 Next #3): the standing state
+    (even doc_ids, md5-permille b < 700) is built with a DELIBERATELY
+    undersized membership sketch (m_bits=128 — saturated from day
+    one, prescreen passing ~everything to the confirmation join),
+    batch 1 (b in [700, 850)) ingests against it, then the compactor
+    folds the state AND rebuilds the bloom at an auto-sized
+    corpus-scale geometry carried in the table's own columns; batch 2
+    (b >= 850) ingests against the resized sketch.  Verdicts must be
+    IDENTICAL to the right-sized run — the bloom only prescreens,
+    membership is always confirmed against digests — so the oracle is
+    the same hand-staged two-batch full-repair SQL, on the halved doc
+    set.  Returned: batch-2 assignments (full-repair schema)."""
+    from .llmops.pipeline import (
+        ingest_pipeline_incremental,
+        ingest_state_build,
+        ingest_state_compact,
+    )
+
+    docs = _load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    split_b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % F.lit(1000)
+    )
+    corpus = docs.filter(split_b < 700)
+    batch1 = docs.filter((split_b >= 700) & (split_b < 850))
+    batch2 = docs.filter(split_b >= 850)
+    path = _scratch_dir(spark, "ingest_resize_state")
+    ingest_state_build(corpus, path, m_bits=128)
+    ingest_pipeline_incremental(batch1, path)
+    ingest_state_compact(spark, path)
+    return (
+        ingest_pipeline_incremental(batch2, path)
+        .filter(F.col("kind") == "batch")
+        .select("doc_id", "cluster_id", "split", "dl")
+    )
+
+
+QUERIES["ingest_compact_resize"] = q_ingest_compact_resize
+
+# ingest_incremental's two-stage live-set surgery, on the even half
+# of the corpus (doc_id % 2 = 0) — the bloom geometry can never
+# change a verdict, so the full-repair SQL is unchanged in shape.
+_CC_LIVE2H = _CC.replace("FROM documents\n)", "FROM live\n)", 1).replace(
+    "WITH RECURSIVE words_cte AS (",
+    """WITH RECURSIVE d0 AS (
+    SELECT doc_id, text, sha256(coalesce(text, '')) AS dg,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 1000 AS b
+    FROM documents WHERE doc_id % 2 = 0
+),
+live1 AS (
+    SELECT doc_id, text, dg, b FROM d0
+    WHERE b < 700
+       OR (b < 850 AND dg NOT IN (SELECT dg FROM d0 WHERE b < 700))
+),
+live AS (
+    SELECT doc_id, text, b FROM live1
+    UNION ALL
+    SELECT doc_id, text, b FROM d0
+    WHERE b >= 850 AND dg NOT IN (SELECT dg FROM live1)
+),
+words_cte AS (""",
+    1,
+)
+assert _CC_LIVE2H.count("FROM live\n)") == 1
+
+ORACLES["ingest_compact_resize"] = _CC_LIVE2H + """
 , canon AS (
     SELECT l.doc_id, l.b,
            CAST(coalesce(cc.component, l.doc_id) AS BIGINT) AS cluster_id

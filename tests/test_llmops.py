@@ -2381,10 +2381,20 @@ def test_ingest_incremental_equals_full_repair_two_batches(spark, tmp_path):
     path = str(tmp_path / "state")
     ingest_state_build(corpus, path, **kw)
     key = lambda df: sorted(map(tuple, df.collect()))
+    # incremental receipts carry (bucket_permille, kind) on top of the
+    # full-repair schema; batch rows projected back for the equality
+    batch_rows = lambda df: key(
+        df.filter("kind = 'batch'").select(
+            "doc_id", "cluster_id", "split", "dl"
+        )
+    )
 
-    inc1 = key(ingest_pipeline_incremental(batch1, path, **kw))
+    r1_df = ingest_pipeline_incremental(batch1, path, **kw)
+    inc1 = batch_rows(r1_df)
     full1 = key(ingest_pipeline(batch1, corpus, **kw))
     assert inc1 == full1
+    # no merge-shaped edges in batch 1: no reassignment receipts
+    assert r1_df.filter("kind = 'reassign'").count() == 0
     # exact dup 11 dropped; near-dup 10 present
     ids1 = [t[0] for t in inc1]
     assert 11 not in ids1 and 10 in ids1 and 12 in ids1
@@ -2394,7 +2404,7 @@ def test_ingest_incremental_equals_full_repair_two_batches(spark, tmp_path):
     live1 = corpus.unionByName(
         batch1.filter(F.col("doc_id") != 11).select("doc_id", "text")
     )
-    inc2 = key(ingest_pipeline_incremental(batch2, path, **kw))
+    inc2 = batch_rows(ingest_pipeline_incremental(batch2, path, **kw))
     full2 = key(ingest_pipeline(batch2, live1, **kw))
     assert inc2 == full2
     ids2 = [t[0] for t in inc2]
@@ -2608,3 +2618,352 @@ def test_ingest_state_replay_idempotence_and_compact(spark, tmp_path):
 
     # the next batch over the compacted state matches the clean run
     assert key(ingest_pipeline_incremental(batch2, path, **kw)) == r2
+
+
+def _r13_ingest_fixture(spark):
+    """Shared staging for the round-13 merge/undercut tests: two
+    standing near-dup clusters plus singletons, LSH params tuned so a
+    bridge doc at jaccard ~0.45 is found deterministically (64 bands
+    of 1 row: the fixed-seed probability of missing a 0.45-jaccard
+    candidate is (1-j)^64 ~ 1e-17)."""
+    from pyspark.sql import functions as F
+
+    fam_a = "alpha beta gamma delta epsilon zeta eta theta"
+    fam_b = "one two three four five six seven eight"
+    rows = [
+        (5, fam_a),
+        (6, fam_a + " iota"),
+        (7, "a lone standing document about nothing else"),
+        (8, fam_b),
+        (9, fam_b + " nine"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(k=2, num_hashes=64, bands=64, threshold=0.2)
+    return docs, fam_a, fam_b, kw
+
+
+def test_ingest_reassign_on_cluster_merge(spark, tmp_path):
+    """r13 (VERDICT r12 Next #1, merge case): a batch doc that bridges
+    two standing clusters changes the merged component's canonical id;
+    the standing members whose cluster/split moved are re-emitted as
+    kind='reassign' receipt rows, the standing assign table lands on
+    the full-repair assignment exactly, and no near-dup pair straddles
+    splits across the latest receipts."""
+    from pyspark.sql import functions as F
+
+    from data__converter_spark.llmops.dedup import cluster_split
+    from data__converter_spark.llmops.pipeline import (
+        ingest_pipeline_incremental,
+        ingest_state_assignments,
+        ingest_state_build,
+    )
+
+    docs, fam_a, fam_b, kw = _r13_ingest_fixture(spark)
+    path = str(tmp_path / "state")
+    ingest_state_build(docs, path, **kw)
+    base_assign = {
+        r["doc_id"]: r["cluster_id"]
+        for r in spark.read.parquet(f"{path}/assign").collect()
+    }
+    assert base_assign[8] == 8 and base_assign[9] == 8  # two clusters
+    assert base_assign[5] == 5 and base_assign[6] == 5
+
+    bridge = spark.createDataFrame(
+        [(100, fam_a + " " + fam_b)], "doc_id long, text string"
+    )
+    receipt = ingest_pipeline_incremental(bridge, path, **kw)
+    got = {(r["doc_id"], r["kind"]): r for r in receipt.collect()}
+    # the bridge joins the merged component; canonical = min(5..9,100)=5
+    assert got[(100, "batch")]["cluster_id"] == 5
+    # members of the 8-cluster moved to canon 5 and were re-emitted
+    assert got[(8, "reassign")]["cluster_id"] == 5
+    assert got[(9, "reassign")]["cluster_id"] == 5
+    # unchanged members are NOT re-emitted
+    assert (5, "reassign") not in got and (6, "reassign") not in got
+    assert (7, "reassign") not in got
+
+    # the standing assign table == full-repair cluster_split over the
+    # live corpus and the maintained pair graph
+    live = docs.unionByName(bridge)
+    want = sorted(
+        map(
+            tuple,
+            cluster_split(
+                live, spark.read.parquet(f"{path}/pairs")
+            ).collect(),
+        )
+    )
+    have = sorted(map(tuple, ingest_state_assignments(spark, path).collect()))
+    assert have == want
+
+    # no-straddle across receipt history: every verified pair agrees
+    # on split under the latest assignment
+    asg = {r["doc_id"]: r["split"] for r in ingest_state_assignments(
+        spark, path).collect()}
+    for p in spark.read.parquet(f"{path}/pairs").collect():
+        assert asg[p["id_a"]] == asg[p["id_b"]]
+
+
+def test_ingest_reassign_on_undercut_min_id(spark, tmp_path):
+    """r13 (VERDICT r12 Next #1, undercut case): a batch survivor with
+    an id SMALLER than its standing cluster's min becomes the new
+    canonical — every standing member of that cluster is re-emitted
+    with the new cluster/split, and the standing table matches the
+    full-repair recompute."""
+    from data__converter_spark.llmops.dedup import cluster_split
+    from data__converter_spark.llmops.pipeline import (
+        ingest_pipeline_incremental,
+        ingest_state_assignments,
+        ingest_state_build,
+    )
+
+    docs, fam_a, _, kw = _r13_ingest_fixture(spark)
+    path = str(tmp_path / "state")
+    ingest_state_build(docs, path, **kw)
+
+    undercut = spark.createDataFrame(
+        [(1, fam_a + " kappa")], "doc_id long, text string"
+    )
+    receipt = ingest_pipeline_incremental(undercut, path, **kw)
+    got = {(r["doc_id"], r["kind"]): r for r in receipt.collect()}
+    assert got[(1, "batch")]["cluster_id"] == 1
+    assert got[(5, "reassign")]["cluster_id"] == 1
+    assert got[(6, "reassign")]["cluster_id"] == 1
+    assert (8, "reassign") not in got and (7, "reassign") not in got
+
+    live = docs.unionByName(undercut)
+    want = sorted(
+        map(
+            tuple,
+            cluster_split(
+                live, spark.read.parquet(f"{path}/pairs")
+            ).collect(),
+        )
+    )
+    have = sorted(map(tuple, ingest_state_assignments(spark, path).collect()))
+    assert have == want
+
+
+def test_ingest_params_manifest_validation(spark, tmp_path):
+    """r13 (ADVICE r12): the state persists its semantic parameters at
+    build time and a mismatched re-supply fails loudly instead of
+    silently voiding the bloom / banding guarantees."""
+    import pytest
+
+    from data__converter_spark.llmops.pipeline import (
+        ingest_pipeline_incremental,
+        ingest_state_build,
+    )
+
+    docs, _, _, kw = _r13_ingest_fixture(spark)
+    path = str(tmp_path / "state")
+    ingest_state_build(docs, path, **kw)
+    batch = spark.createDataFrame(
+        [(50, "some new arriving text")], "doc_id long, text string"
+    )
+    bad = dict(kw)
+    bad["threshold"] = 0.7
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        ingest_pipeline_incremental(batch, path, **bad)
+    bad2 = dict(kw)
+    bad2["seed"] = 7
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        ingest_pipeline_incremental(batch, path, **bad2)
+    # matching params proceed
+    assert ingest_pipeline_incremental(batch, path, **kw).count() >= 1
+
+
+def test_ingest_lease_single_writer(spark, tmp_path):
+    """r13 (VERDICT r12 Next #4): a live foreign lease blocks a second
+    batch mutator; the SAME application reclaims its own crashed lease
+    silently; a stale foreign lease is stolen after the ttl."""
+    import os
+    import time
+
+    import pytest
+
+    from data__converter_spark.llmops.pipeline import (
+        ConcurrentStateWriterError,
+        ingest_pipeline_incremental,
+        ingest_state_build,
+    )
+
+    docs, _, _, kw = _r13_ingest_fixture(spark)
+    path = str(tmp_path / "state")
+    ingest_state_build(docs, path, **kw)
+    batch = spark.createDataFrame(
+        [(51, "another fresh arriving text")], "doc_id long, text string"
+    )
+
+    lease = os.path.join(path, "_LEASE")
+    with open(lease, "w") as fh:
+        fh.write("some-other-application")
+    with pytest.raises(ConcurrentStateWriterError, match="held by live"):
+        ingest_pipeline_incremental(batch, path, **kw)
+    # stale foreign lease: steal after ttl
+    old = time.time() - 7200
+    os.utime(lease, (old, old))
+    assert ingest_pipeline_incremental(
+        batch, path, lease_ttl_s=3600.0, **kw
+    ).count() >= 1
+    assert not os.path.exists(lease)  # released
+    # own crashed lease: reclaimed silently
+    with open(lease, "w") as fh:
+        fh.write(spark.sparkContext.applicationId)
+    batch2 = spark.createDataFrame(
+        [(52, "a third arriving text entirely")], "doc_id long, text string"
+    )
+    assert ingest_pipeline_incremental(batch2, path, **kw).count() >= 1
+
+
+def test_ingest_bloom_resize_restores_prescreen(spark, tmp_path):
+    """r13 (VERDICT r12 Next #3): a saturated bloom passes ~everything
+    through to the confirmation join; compaction rebuilds it at a
+    corpus-sized geometry carried IN the table, the pass-through rate
+    drops back toward the design FPR, and ingest verdicts are
+    identical before and after."""
+    from pyspark.sql import functions as F
+
+    from data__converter_spark.llmops.pipeline import (
+        _bloom_geometry,
+        ingest_pipeline_incremental,
+        ingest_state_build,
+        ingest_state_compact,
+    )
+    from data__converter_spark.llmops.sketches import bloom_maybe_contains
+
+    rows = [(i, f"standing document number {i} with body {i*7}")
+            for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "state")
+    # m_bits=64 with 120 keys * 3 hashes: effectively saturated
+    ingest_state_build(docs, path, m_bits=64, k_hashes=3)
+
+    probes = spark.createDataFrame(
+        [(f"fresh-key-{i}",) for i in range(400)], "dg string"
+    )
+    bt, m0, k0 = _bloom_geometry(spark, path, 64, 3)
+    assert m0 == 64
+    before = (
+        bloom_maybe_contains(probes, bt, "dg", m0, k0)
+        .filter("maybe").count()
+    )
+    assert before > 300  # saturated: nearly everything leaks through
+
+    ingest_state_compact(spark, path)  # auto-resize from digest count
+    bt2, m1, k1 = _bloom_geometry(spark, path, 64, 3)
+    assert m1 >= 16 * 120 and k1 == k0
+    after = (
+        bloom_maybe_contains(probes, bt2, "dg", m1, k1)
+        .filter("maybe").count()
+    )
+    assert after < 40  # back near design FPR
+
+    # verdicts unchanged: an exact dup still drops, fresh docs survive
+    batch = spark.createDataFrame(
+        [(500, rows[3][1]), (501, "genuinely new arrival text")],
+        "doc_id long, text string",
+    )
+    receipt = ingest_pipeline_incremental(batch, path)
+    ids = [r["doc_id"] for r in receipt.filter("kind = 'batch'").collect()]
+    assert 500 not in ids and 501 in ids
+
+
+def test_ingest_self_heals_compactor_crash(spark, tmp_path):
+    """r13 (ADVICE r12, medium): a compactor crash between the
+    demote/promote renames of ANY state table leaves the live dir
+    missing; the next ingest's entry probe repairs it instead of
+    dying on a missing path, for every table."""
+    import os
+    import shutil
+
+    from data__converter_spark.llmops.pipeline import (
+        _STATE_TABLES,
+        ingest_pipeline_incremental,
+        ingest_state_build,
+    )
+
+    docs, fam_a, _, kw = _r13_ingest_fixture(spark)
+    ref = str(tmp_path / "ref")
+    ingest_state_build(docs, ref, **kw)
+    batch = spark.createDataFrame(
+        [(60, fam_a + " lambda")], "doc_id long, text string"
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))
+    want = key(ingest_pipeline_incremental(batch, ref, **kw))
+
+    for t in _STATE_TABLES:
+        path = str(tmp_path / f"state_{t}")
+        ingest_state_build(docs, path, **kw)
+        # crash window: live table demoted to __bak, never promoted
+        shutil.move(f"{path}/{t}", f"{path}/{t}__bak")
+        got = key(ingest_pipeline_incremental(batch, path, **kw))
+        assert got == want, t
+        assert os.path.isdir(f"{path}/{t}")
+        assert not os.path.isdir(f"{path}/{t}__bak")
+
+
+def test_run_ingest_update_stream_equals_batch(spark, tmp_path):
+    """r13 (VERDICT r12 Next #6): the streaming ingest runner over two
+    micro-batches produces receipt rows identical to the batch-mode
+    two-call sequence, the epochs advance in the receipts feed, and
+    the standing assignment equals the batch-mode twin's."""
+    from pyspark.sql import functions as F
+
+    from data__converter_spark.llmops.pipeline import (
+        ingest_pipeline_incremental,
+        ingest_state_assignments,
+        ingest_state_build,
+    )
+    from data__converter_spark.streaming.runner import run_ingest_update
+
+    docs, fam_a, fam_b, kw = _r13_ingest_fixture(spark)
+    b1 = [(30, fam_a + " mu"), (31, "fresh streaming doc one")]
+    b2 = [(32, fam_b + " ten"), (33, fam_a + " mu")]  # 33 near-dups 30
+
+    # batch-mode twin
+    ref = str(tmp_path / "ref")
+    ingest_state_build(docs, ref, **kw)
+    key = lambda df: sorted(map(tuple, df.collect()))
+    w1 = key(ingest_pipeline_incremental(
+        spark.createDataFrame(b1, "doc_id long, text string"), ref, **kw))
+    w2 = key(ingest_pipeline_incremental(
+        spark.createDataFrame(b2, "doc_id long, text string"), ref, **kw))
+
+    # streaming: one file per run, two availableNow runs over one
+    # checkpoint -> two epochs in arrival order
+    path = str(tmp_path / "state")
+    ingest_state_build(docs, path, **kw)
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    stream = lambda: (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        str(src / "b1"))
+    # generous drain timeout: under a loaded shared-session suite one
+    # micro-batch ingest can exceed the 120 s default, and returning
+    # early would start run 2 on a still-active checkpoint
+    run_ingest_update(stream(), path, ckpt, timeout_s=900, **kw)
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        str(src / "b2"))
+    run_ingest_update(stream(), path, ckpt, timeout_s=900, **kw)
+
+    receipts = spark.read.parquet(f"{path}/receipts")
+    epochs = sorted(
+        r["__epoch__"] for r in receipts.select("__epoch__").distinct()
+        .collect()
+    )
+    assert len(epochs) == 2
+    got1 = key(receipts.filter(F.col("__epoch__") == epochs[0])
+               .drop("__epoch__"))
+    got2 = key(receipts.filter(F.col("__epoch__") == epochs[1])
+               .drop("__epoch__"))
+    assert got1 == w1 and got2 == w2
+    assert key(ingest_state_assignments(spark, path)) == key(
+        ingest_state_assignments(spark, ref))

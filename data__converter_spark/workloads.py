@@ -10793,10 +10793,10 @@ WHERE a.b >= 850
 def q_ingest_reassign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE-SHAPED steady-state ingest (llmops/pipeline.py:
     ingest_pipeline_incremental + ingest_state_assignments — VERDICT
-    r12 Next #1): the standing corpus (md5-permille b < 400) builds
+    r12 Next #1): the standing corpus (md5-permille b < 300) builds
     its state, then ONE batch arrives carrying (a) genuinely fresh
-    docs (b >= 900) and (b) UNDERCUT near-dups — for every corpus doc
-    with b < 40, a derived twin with doc_id - 10,000,000 and a 'zqx'
+    docs (b >= 930) and (b) UNDERCUT near-dups — for every corpus doc
+    with b < 30, a derived twin with doc_id - 10,000,000 and a 'zqx'
     suffix, guaranteed to verify against its source at the default
     threshold and to carry an id SMALLER than any standing component
     min.  Every such edge moves its standing cluster's canonical id
@@ -10820,9 +10820,9 @@ def q_ingest_reassign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % F.lit(1000)
     )
-    corpus = docs.filter(split_b < 400).select("doc_id", "text")
-    fresh = docs.filter(split_b >= 900).select("doc_id", "text")
-    undercut = docs.filter(split_b < 40).select(
+    corpus = docs.filter(split_b < 300).select("doc_id", "text")
+    fresh = docs.filter(split_b >= 930).select("doc_id", "text")
+    undercut = docs.filter(split_b < 30).select(
         (F.col("doc_id") - F.lit(10000000)).cast("long").alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zqx")).alias("text"),
     )
@@ -10848,19 +10848,19 @@ _CC_R13 = _CC.replace("FROM documents\n)", "FROM live\n)", 1).replace(
     FROM documents
 ),
 arriving AS (
-    SELECT doc_id, text FROM d0 WHERE b >= 900
+    SELECT doc_id, text FROM d0 WHERE b >= 930
     UNION ALL
     SELECT doc_id - 10000000 AS doc_id, text || ' zqx' AS text
-    FROM d0 WHERE b < 40
+    FROM d0 WHERE b < 30
 ),
 bk AS (
     SELECT doc_id, text, sha256(coalesce(text, '')) AS dg FROM arriving
 ),
 live AS (
-    SELECT doc_id, text FROM d0 WHERE b < 400
+    SELECT doc_id, text FROM d0 WHERE b < 300
     UNION ALL
     SELECT doc_id, text FROM bk
-    WHERE dg NOT IN (SELECT dg FROM d0 WHERE b < 400)
+    WHERE dg NOT IN (SELECT dg FROM d0 WHERE b < 300)
 ),
 words_cte AS (""",
     1,
@@ -10907,8 +10907,12 @@ def q_ingest_compact_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ingest_state_compact,
     )
 
+    # quarter doc set: this query gates the bloom-lifecycle SEMANTICS
+    # (resize changes no verdict) through the driver; the saturation
+    # economics are measured in SCALE.md and pinned in pytest, so the
+    # gate stays light rather than re-paying the full corpus build
     docs = _load(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 2 == 0
+        F.col("doc_id") % 4 == 0
     )
     split_b = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
@@ -10939,7 +10943,7 @@ _CC_LIVE2H = _CC.replace("FROM documents\n)", "FROM live\n)", 1).replace(
     SELECT doc_id, text, sha256(coalesce(text, '')) AS dg,
            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                 AS BIGINT) % 1000 AS b
-    FROM documents WHERE doc_id % 2 = 0
+    FROM documents WHERE doc_id % 4 = 0
 ),
 live1 AS (
     SELECT doc_id, text, dg, b FROM d0

@@ -23,58 +23,54 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's per-round correctness gate samples the FIRST 50 entries of
-# ``queries()`` in insertion order (verified: CORRECTNESS_r0{1..12}.json
-# keys equal the first 50 QUERIES names of each round).  Round 13
+# ``queries()`` in insertion order (verified: CORRECTNESS_r0{1..13}.json
+# keys equal the first 50 QUERIES names of each round).  Round 14
 # rotation — freshness first, CHANGED CODE PATHS first of all: no
 # query whose code changed this round may keep a stale driver row.
-# After r12's gate the ledger (recomputed from the CORRECTNESS union)
-# is 38×r8, 43×r9, 44×r10, 50×r11, 50×r12, plus 2 never-checked
-# round-13 queries (227 total; zero non-green latest rows).
-# Round-13 code changes and their registered-query blast radius: the
-# ingest-state family was rebuilt (`ingest_pipeline_incremental` gained
-# the standing-assign table + reassignment receipts, `_verify_pairs`
-# gained the broadcast-pruned incremental shape, `ingest_state_build`/
-# `ingest_state_compact` gained assign/params/bloom-lifecycle) — the
-# only registered query on those paths is `ingest_incremental`, slotted
-# right after the two NEW queries; `ingest_pipeline` (full-repair form)
-# and `cluster_split` are untouched.  The new `run_ingest_update`
-# streaming runner is pytest-pinned (stream==batch), per the r12
-# verdict's own Done criterion.
+# After r13's gate the ledger (recomputed from the CORRECTNESS union)
+# is 34×r9, 44×r10, 50×r11, 49×r12, 50×r13 (227 total; zero non-green
+# latest rows).
+# Round-14 code changes and their registered-query blast radius:
+# `bloom_maybe_contains` gained the size-gated transport (broadcast vs
+# streamed-scan inversion) -> `bloom_membership`, `bloom_shard_dedup`,
+# and the whole ingest-state family; `bloom_prescreen_dedup`'s confirm
+# join inverted (corpus scanned against broadcast candidates) ->
+# `bloom_shard_dedup`, `ingest_pipeline`; `ingest_pipeline_incremental`
+# dropped caller-supplied geometry, filters replay self-pairs, appends
+# (not swaps) the bloom, and `_current_assign` hides uncommitted-batch
+# survivor rows -> `ingest_incremental`, `ingest_reassign`,
+# `ingest_compact_resize`.  The lease rewrite and the streaming
+# receipts-feed heal are pytest-pinned (no registered query runs them
+# concurrently).
 # Slot accounting:
-#   1-2   NEW round-13 queries (ingest_reassign — merge-shaped ingest,
-#         oracle = one full-repair CC over the final live corpus
-#         checking every applied reassignment; ingest_compact_resize —
-#         saturated-bloom build + auto-resizing compaction, oracle =
-#         the two-batch full-repair SQL on the halved doc set)
-#   3     ingest_incremental — its code path changed this round
-#   4-41  ALL 38 r8-latest rows, registry order — retiring the r8
-#         freshness debt entirely
-#   42-50 the first 9 r9-latest rows in registry order (r9 debt
-#         43 -> 34); arithmetic asserted below.
+#   1-6   round-14-changed code paths: the three ingest lifecycle
+#         queries, the full-repair `ingest_pipeline`, and the two
+#         bloom queries (`bloom_shard_dedup` is also an r9 row)
+#   7-39  the remaining 33 r9-latest rows, registry order — retiring
+#         the r9 freshness debt entirely
+#   40-50 the first 11 r10-latest rows in registry order (r10 debt
+#         44 -> 33); arithmetic asserted below.
 _VERIFY_FIRST = [
-    # -- NEW in round 13: never driver-checked --
-    "ingest_reassign", "ingest_compact_resize",
-    # -- code path changed in round 13 --
-    "ingest_incremental",
-    # -- latest driver row is r8, registry order (all 38) --
-    "grouping_sets_volume", "fuzzy_name_pairs", "forecast_revenue",
-    "expectations_orders", "denylist_scrub", "price_percent_rank",
-    "pack_sequences", "kmeans_step", "corpus_vocab_stats",
-    "price_deciles", "priority_waiting", "order_count_distribution",
-    "idle_rich_customers", "bpe_train", "tokenize_bpe", "bpe_fertility",
-    "sketch_cms_tokens", "soft_dedup_weights", "bloom_membership",
-    "quantile_sketch_prices", "scd2_user_status", "interval_coverage",
-    "weighted_sample_customers", "incremental_agg_orders",
-    "bfs_hops_trade", "setsim_ppjoin", "lpa_communities",
-    "link_predict_customers", "rfm_segments", "zorder_layout",
-    "scd2_snapshot", "drift_price_bands", "vocab_oov_rate",
-    "label_noise_scan", "stream_drift_guard", "hybrid_rank_fusion",
-    "feature_smooth_balance", "similarity_pq_recall",
-    # -- latest driver row is r9, registry order (first 9 of 43) --
-    "funnel_conversion", "similarity_lsh_topk", "similarity_ivf_topk",
-    "multimodal_image_features", "multimodal_frame_sample",
-    "multimodal_resize", "text_pii_scrub", "sample_stratified",
-    "events_json_props",
+    # -- code path changed in round 14 --
+    "ingest_incremental", "ingest_reassign", "ingest_compact_resize",
+    "ingest_pipeline", "bloom_membership", "bloom_shard_dedup",
+    # -- latest driver row is r9, registry order (remaining 33) --
+    "window_running_revenue", "stream_cdc_upsert", "kmeans_train2",
+    "chunk_text", "salient_terms", "salient_terms_tfidf",
+    "late_shipments", "min_cost_supplier", "product_type_profit",
+    "important_parts", "top_supplier", "supplier_part_counts",
+    "pagerank_converged", "sketch_kmv_shingles", "sketch_theta_leakage",
+    "sketch_join_size", "stream_cms_heavy", "scd2_apply_events",
+    "resample_user_daily", "zonemap_prune_scan", "basket_lift_parts",
+    "embedding_scatter", "k_anonymity_audit", "ewma_nation_daily",
+    "benford_prices", "compaction_bins", "checksum_orders_monthly",
+    "event_transitions", "contingency_segments", "ivm_join_nation",
+    "ivm_retract_orders", "segment_diversity", "calibration_dsir_en",
+    # -- latest driver row is r10, registry order (first 11 of 44) --
+    "compare_diff", "compare_diff_summary", "compare_field_mismatches",
+    "compare_added_keys", "compare_deleted_keys", "convert_split_lines",
+    "convert_key_union", "convert_xml_escape", "dedup_ngram_jaccard",
+    "skew_key_events", "small_qty_revenue",
 ]
 
 

@@ -1633,8 +1633,16 @@ def bloom_prescreen_dedup(
         m_bits, k_hashes,
     ).withColumnRenamed("k", "__digest__")
     candidates = verdict.filter(F.col("maybe")).select("__digest__")
-    confirmed = candidates.join(ref_keys, "__digest__", "left_semi").select(
-        "__digest__", F.lit(True).alias("confirmed")
+    # confirm by scanning the corpus digest stream against a broadcast
+    # of the (bloom-thinned, batch-sized) candidate set — the corpus
+    # side is never shuffled; the surviving digests are few, so the
+    # dedup of duplicate corpus texts is a small distinct (r14, the
+    # same inversion as the standing-state confirm join)
+    confirmed = (
+        ref.select(digest.alias("__digest__"))
+        .join(F.broadcast(candidates), "__digest__", "left_semi")
+        .distinct()
+        .select("__digest__", F.lit(True).alias("confirmed"))
     )
     return (
         new_keys.join(verdict, "__digest__")

@@ -271,59 +271,106 @@ class ConcurrentStateWriterError(RuntimeError):
     """Another live writer holds the ingest-state lease."""
 
 
-def _acquire_lease(spark, path: str, ttl_s: float = 3600.0) -> None:
-    """Single-writer lease on a standing-state directory (VERDICT r12
-    Next #4).  The five state tables are append/swap-mutated with no
-    coordinator, so two concurrent ingests against one state dir
-    would interleave commits; the streaming runners get exclusion for
-    free from Structured Streaming's one-query-per-checkpoint, and
-    this is the batch path's equivalent: an atomic ``_LEASE`` create
-    through the Hadoop FS API (so it holds on whatever filesystem the
-    state lives on), holding the writer's applicationId.
+def _read_lease(spark, fs, lease) -> str:
+    stream = fs.open(lease)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
 
-    Reclaim rules: the SAME application reclaims its own lease
-    silently (that is crash-replay — the replay contract already
-    makes the re-run idempotent); a different application's lease is
-    stolen only once it is older than ``ttl_s`` (the writer is
-    presumed dead), otherwise :class:`ConcurrentStateWriterError`."""
+
+def _acquire_lease(
+    spark, path: str, ttl_s: float = 3600.0, owner: str | None = None
+) -> str:
+    """Single-writer lease on a standing-state directory (VERDICT r12
+    Next #4; takeover race closed r14 per VERDICT r13 #3).  The state
+    tables are append/swap-mutated with no coordinator, so two
+    concurrent ingests against one state dir would interleave
+    commits; the streaming runners get exclusion for free from
+    Structured Streaming's one-query-per-checkpoint, and this is the
+    batch path's equivalent: a ``_LEASE`` file created through the
+    Hadoop FS API (so it holds on whatever filesystem the state lives
+    on), carrying a per-CALL token ``owner:nonce``.
+
+    Rules: any lease younger than ``ttl_s`` blocks — including one
+    from this same application.  Every successful call releases in
+    ``finally``, so a FRESH lease always means a LIVE writer (a
+    concurrent thread, or a batch mutator racing a streaming runner's
+    micro-batch); silently reclaiming it would admit exactly the
+    interleaving the lease exists to prevent.  A lease older than
+    ``ttl_s`` is presumed abandoned (the writer's process died before
+    ``finally`` ran — a new driver carries a new applicationId) and
+    is stolen.  To take over a KNOWN-dead writer's fresh-looking
+    lease, lower ``lease_ttl_s`` below the lease's age — raising it
+    only widens the protection window.
+
+    The steal itself is create-then-verify (VERDICT r13 #3): after
+    ``create(overwrite=False)`` — whose failure, a racing winner,
+    re-raises as :class:`ConcurrentStateWriterError` instead of a raw
+    IOException — the file is READ BACK and must hold this call's
+    exact token; two stealers interleaving delete/create resolve to
+    at most one verified holder.  On stores without atomic
+    create-no-overwrite (S3A) the verify narrows but cannot fully
+    close the window; the state commits themselves stay
+    crash-replay-safe either way.
+
+    Returns the token; pass it to :func:`_release_lease` so a release
+    can never delete a racer's lease."""
     import time
+    import uuid
 
     from .similarity import _hadoop_fs
 
     fs, P = _hadoop_fs(spark, path)
     lease = P(f"{path}/_LEASE")
-    app = spark.sparkContext.applicationId
+    token = f"{owner or spark.sparkContext.applicationId}:{uuid.uuid4().hex}"
     if fs.exists(lease):
         st = fs.getFileStatus(lease)
-        stream = fs.open(lease)
-        try:
-            holder = spark._jvm.org.apache.commons.io.IOUtils.toString(
-                stream, "UTF-8"
-            )
-        finally:
-            stream.close()
+        holder = _read_lease(spark, fs, lease)
         age = time.time() - st.getModificationTime() / 1000.0
-        if holder != app and age <= ttl_s:
+        if age <= ttl_s:
             raise ConcurrentStateWriterError(
                 f"ingest state at {path} is held by live writer "
                 f"{holder!r} (lease age {age:.0f}s <= ttl {ttl_s:.0f}s); "
-                "concurrent batch mutators would interleave commits. "
-                "Wait for it to finish, or raise lease_ttl_s takeover "
-                "only if the writer is known dead."
+                "concurrent mutators would interleave commits. Wait for "
+                "it to finish; to take over a writer KNOWN to be dead, "
+                "lower lease_ttl_s below the lease age."
             )
         fs.delete(lease, False)
-    out = fs.create(lease, False)
     try:
-        out.write(bytearray(app.encode("utf-8")))
+        out = fs.create(lease, False)
+    except Exception as exc:  # racing writer won the create
+        raise ConcurrentStateWriterError(
+            f"lost the lease race on {path}: another writer created "
+            "the lease first."
+        ) from exc
+    try:
+        out.write(bytearray(token.encode("utf-8")))
     finally:
         out.close()
+    if _read_lease(spark, fs, lease) != token:
+        raise ConcurrentStateWriterError(
+            f"lost the lease race on {path}: another writer overwrote "
+            "the lease during takeover."
+        )
+    return token
 
 
-def _release_lease(spark, path: str) -> None:
+def _release_lease(spark, path: str, token: str | None = None) -> None:
+    """Delete the lease — only if still held by ``token`` (a stealer
+    that legitimately took an expired lease must not lose it to the
+    dead writer's belated ``finally``)."""
     from .similarity import _hadoop_fs
 
     fs, P = _hadoop_fs(spark, path)
-    fs.delete(P(f"{path}/_LEASE"), False)
+    lease = P(f"{path}/_LEASE")
+    if not fs.exists(lease):
+        return
+    if token is not None and _read_lease(spark, fs, lease) != token:
+        return
+    fs.delete(lease, False)
 
 
 def _check_params(spark, path: str, **args) -> dict:
@@ -374,15 +421,33 @@ def _current_assign(spark, path: str, exclude_batch_key: str | None = None):
     state write stays batch-sized while reads see base rows shadowed
     by any delta row (``max_by`` seq).  ``exclude_batch_key`` removes
     one batch's own rows — how a crash REPLAY sees the pre-commit
-    assignment and reproduces its receipts exactly.  Scale shape: the
-    delta between compactions is batches-sized, so the anti-join
-    probe broadcasts and the corpus-scale base is scanned, never
-    shuffled."""
+    assignment and reproduces its receipts exactly.
+
+    Uncommitted-batch hygiene (ADVICE r13): the delta append lands
+    BEFORE the batch's ``digests`` commit point, so in the window
+    after a crash (or for a batch that is never replayed) the delta
+    holds rows for documents that never became live.  Survivor rows
+    are therefore filtered by DIGEST MEMBERSHIP — a delta row whose
+    document is absent from ``digests`` is invisible until the commit
+    lands, keeping this read equal to the full-repair recompute over
+    the committed corpus.  ``reassign`` rows reference standing
+    (already-live) documents and stay visible — the crash caveat on
+    :func:`ingest_state_assignments`.
+
+    Scale shape: the delta between compactions is batches-sized, so
+    every probe here broadcasts the delta side; the corpus-scale base
+    and digests tables are scanned, never shuffled."""
     base = spark.read.parquet(f"{path}/assign")
     delta = spark.read.parquet(f"{path}/assign_delta")
     if exclude_batch_key is not None:
         delta = delta.filter(F.col("batch_key") != F.lit(exclude_batch_key))
     id_col = base.columns[0]
+    live_ids = (
+        spark.read.parquet(f"{path}/digests")
+        .select(F.col(id_col))
+        .join(F.broadcast(delta.select(id_col).distinct()), id_col, "left_semi")
+    )
+    delta = delta.join(F.broadcast(live_ids), id_col, "left_semi")
     val_cols = [c for c in base.columns if c != id_col]
     latest = (
         delta.groupBy(id_col)
@@ -397,11 +462,25 @@ def _current_assign(spark, path: str, exclude_batch_key: str | None = None):
 def ingest_state_assignments(spark, path: str) -> DataFrame:
     """Public read of the standing assignment table maintained by
     :func:`ingest_pipeline_incremental` — (id, cluster_id,
-    bucket_permille, split) for every live document, equal at all
-    times to :func:`~.dedup.cluster_split` recomputed over the full
-    live corpus and its verified pair graph.  This is the source of
-    truth a shard router should read; per-batch receipts (including
-    ``kind='reassign'`` rows) are the change feed."""
+    bucket_permille, split) for every live document, equal to
+    :func:`~.dedup.cluster_split` recomputed over the committed live
+    corpus and its verified pair graph.  This is the source of truth
+    a shard router should read; per-batch receipts (including
+    ``kind='reassign'`` rows) are the change feed.
+
+    Crash-window contract (ADVICE r13): survivor rows of a batch that
+    appended its delta but crashed before its ``digests`` commit are
+    HIDDEN here (filtered by digest membership in
+    :func:`_current_assign`), so uncommitted documents never surface
+    as standing truth.  The crashed batch's ``reassign`` delta rows —
+    which reference standing documents — stay visible (its pair rows
+    committed before the crash, so the merge they record is durable in
+    the pair graph); a REPLAY re-derives them idempotently, and a
+    compaction before replay folds them into the base, after which the
+    replay re-commits the batch's survivors without re-emitting the
+    already-folded reassignments.  Between crash and replay those
+    reassignments run ahead of the full-repair recompute over
+    committed documents by exactly the crashed batch's merge edges."""
     return _current_assign(spark, path)
 
 
@@ -525,8 +604,6 @@ def ingest_pipeline_incremental(
     bands: int = 16,
     threshold: float = 0.5,
     seed: int = 42,
-    m_bits: int = 4096,
-    k_hashes: int = 3,
     train_permille: int = 800,
     val_permille: int = 100,
     lease_ttl_s: float = 3600.0,
@@ -540,9 +617,13 @@ def ingest_pipeline_incremental(
 
     1. **Decontaminate** against the STANDING sketch: the batch's
        digests test against the materialized bloom position table
-       (broadcast, ≤ m rows, geometry read from the table itself);
-       only maybe-hits reach the confirmation join against the
-       standing ``digests`` table.  Identical verdicts to
+       (geometry read from the table itself — it is STATE-OWNED, not
+       a caller parameter; transport size-gated per
+       :func:`~.sketches.bloom_maybe_contains`, so a compactor-grown
+       corpus-scale bloom streams instead of broadcasting); only
+       maybe-hits reach the confirmation join, which SCANS the
+       standing ``digests`` table against a broadcast of the
+       batch-sized candidate digests.  Identical verdicts to
        :func:`~.dedup.bloom_prescreen_dedup` (no false negatives;
        ``confirmed`` = exact digest membership).
     2. **Pair incrementally**: the survivors' minhash front (one
@@ -573,7 +654,11 @@ def ingest_pipeline_incremental(
        pairs rows, append the receipt's assignment rows (survivors ∪
        reassignments) to ``assign_delta`` under a deterministic
        (batch_key, seq) stamp, OR the survivors' bits into the bloom
-       (staged atomic swap), and append ``digests`` LAST — the
+       (an APPEND of the batch's own position rows — r14: the r13
+       union+distinct+swap rewrote the corpus-sized position table
+       every batch; the probe tolerates duplicate positions and the
+       compactor re-distincts, so the steady-state bloom write is now
+       batch-sized), and append ``digests`` LAST — the
        commit point.  Crash replay is IDEMPOTENT end to end: the
        batch's survivors are still absent from ``digests`` so they
        re-survive; ``batch_key`` is a pure function of the survivor
@@ -598,13 +683,15 @@ def ingest_pipeline_incremental(
     docs whose cluster/split moved (dl = 0).
 
     Single-writer contract: one live mutator per state dir, enforced
-    by an applicationId lease (:func:`_acquire_lease`); the streaming
-    runner inherits exclusion from its checkpoint instead.
+    by a per-call lease token (:func:`_acquire_lease`) — a concurrent
+    call from ANY application, including a batch mutator racing a
+    live streaming runner's micro-batch in the same driver, raises
+    :class:`ConcurrentStateWriterError`.
     """
     from ..scale import persisted
     from .dedup import _band_frame, _minhash_front, cluster_split
     from .sketches import bloom_build, bloom_maybe_contains
-    from .similarity import _staged_swap, _staged_swap_recover, _tf_of
+    from .similarity import _staged_swap_recover, _tf_of
 
     spark = batch.sparkSession
     rows_per_band = num_hashes // bands
@@ -619,7 +706,7 @@ def ingest_pipeline_incremental(
         threshold=threshold, train_permille=train_permille,
         val_permille=val_permille,
     )
-    _acquire_lease(spark, path, lease_ttl_s)
+    token = _acquire_lease(spark, path, lease_ttl_s)
     try:
         digests_t = spark.read.parquet(f"{path}/digests")
         bloom_t, mb, kh = _bloom_geometry(
@@ -631,10 +718,15 @@ def ingest_pipeline_incremental(
         verdict = bloom_maybe_contains(
             new_keys.select("dg"), bloom_t, "dg", mb, kh
         ).withColumnRenamed("k", "dg")
-        confirmed = (
-            verdict.filter(F.col("maybe"))
-            .select("dg")
-            .join(digests_t.select("dg"), "dg", "left_semi")
+        # confirm by SCANNING the corpus-scale digests table against a
+        # broadcast of the batch-sized maybe-set (not the other way
+        # around — a left-semi with the corpus on the right would
+        # shuffle it); duplicate dg values in digests are absorbed by
+        # the anti-join below.
+        confirmed = digests_t.select("dg").join(
+            F.broadcast(verdict.filter(F.col("maybe")).select("dg")),
+            "dg",
+            "left_semi",
         )
         surv_keys = persisted(new_keys.join(confirmed, "dg", "left_anti"))
         # deterministic batch identity: an order-independent reduction
@@ -673,6 +765,11 @@ def ingest_pipeline_incremental(
                 F.least("new_id", "ref_id").alias("id_a"),
                 F.greatest("new_id", "ref_id").alias("id_b"),
             )
+            # a crash REPLAY finds its own ids already in the standing
+            # buckets; the bucket self-collision would otherwise emit
+            # (id, id) pairs — harmless to CC but dead weight in the
+            # pairs table (ADVICE r13)
+            .filter(F.col("id_a") != F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
         l = b_new.select("band", "bucket", F.col(id_col).alias("id_a"))
@@ -795,16 +892,18 @@ def ingest_pipeline_incremental(
                 .join(batch, id_col)
                 .select(F.col(id_col), digest.alias("dg"))
             )
-            merged_bloom = (
-                bloom_t.select("pos")
-                .unionByName(
-                    bloom_build(dg_new.select("dg").distinct(), "dg", mb, kh)
-                )
-                .distinct()
-                .withColumn("m_bits", F.lit(int(mb)))
-                .withColumn("k_hashes", F.lit(int(kh)))
-            )
-            _staged_swap(merged_bloom, f"{path}/bloom")
+            # OR-in = APPEND of the batch's own position rows (r14):
+            # the union+distinct+staged-swap form rewrote (and
+            # shuffled) the corpus-sized position table on every
+            # batch — a per-batch corpus-scale term in the exact loop
+            # built to avoid them.  The probe counts distinct seeds,
+            # so duplicate positions are harmless; the compactor's
+            # rebuild re-distincts.
+            bloom_build(
+                dg_new.select("dg").distinct(), "dg", mb, kh
+            ).withColumn("m_bits", F.lit(int(mb))).withColumn(
+                "k_hashes", F.lit(int(kh))
+            ).write.mode("append").parquet(f"{path}/bloom")
             dg_new.write.mode("append").parquet(f"{path}/digests")
         # Release THIS call's cached frames now that the receipt and
         # the state commits are durable: their plans embed pre-commit
@@ -820,7 +919,7 @@ def ingest_pipeline_incremental(
             _frame.unpersist()
         return receipt
     finally:
-        _release_lease(spark, path)
+        _release_lease(spark, path, token)
 
 
 def _next_seq(spark, path: str, batch_key: str) -> int:
@@ -895,7 +994,7 @@ def ingest_state_compact(
     for t in _STATE_TABLES:
         _staged_swap_recover(spark, f"{path}/{t}")
     prm = spark.read.parquet(f"{path}/params").collect()[0].asDict()
-    _acquire_lease(spark, path, lease_ttl_s)
+    token = _acquire_lease(spark, path, lease_ttl_s)
     try:
         front = spark.read.parquet(f"{path}/front")
         id_col = front.columns[0]
@@ -951,4 +1050,4 @@ def ingest_state_compact(
             f"{path}/params",
         )
     finally:
-        _release_lease(spark, path)
+        _release_lease(spark, path, token)

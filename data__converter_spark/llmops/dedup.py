@@ -1610,11 +1610,15 @@ def bloom_prescreen_dedup(
     candidate digests the filter could not rule out.
 
     Why this is the production shape at 100 TB: the standing corpus's
-    Bloom position table is <= m rows of one long, kept materialized
-    between ingests and broadcast to the shard; a no-false-negative
-    filter means a ``maybe = false`` digest is DEFINITELY new and
-    skips the join entirely, while false positives only cost extra
-    candidate rows (rate ~(1-e^{-kn/m})^k), never correctness. The
+    Bloom position table is <= min(m, k*n) rows of one long, kept
+    materialized between ingests and shipped to the shard through the
+    size-gated transport of :func:`~.sketches.bloom_maybe_contains`
+    (broadcast while it fits, streamed scan against broadcast probe
+    positions once the geometry outgrows the gate); a
+    no-false-negative filter means a ``maybe = false`` digest is
+    DEFINITELY new and skips the join entirely, while false positives
+    only cost extra candidate rows (rate ~(1-e^{-kn/m})^k), never
+    correctness. The
     digest economy matches :func:`exact_dedup`: sha256 keys move, the
     documents never do.
 

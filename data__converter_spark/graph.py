@@ -189,7 +189,15 @@ def pagerank_until(
         raise ValueError(f"probe_every must be >= 1, got {probe_every}")
     from .scale import persisted
 
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # the raw edge projection persists too (r14): nodes references it
+    # twice (both union legs) and the degree join once more, and in
+    # this multi-ACTION form each materialization re-ran the caller's
+    # whole edge-building subtree (for the trade graph: a
+    # lineitem⋈orders join + distinct) once per reference — exchange
+    # reuse cannot see across jobs (guide §2.4)
+    e = persisted(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

@@ -219,23 +219,46 @@ def _verify_pairs(
     can never drift from the full-repair form's definition.
 
     ``broadcast_cand`` is the incremental-ingest shape (ADVICE r12):
-    the candidate side is batch-sized, so both front legs are PRUNED
+    the candidate side is batch-sized, so the front legs are PRUNED
     by a broadcast semi-join on the candidate ids before the shingle
     arrays attach — the corpus-scale front is scanned, never
     shuffled, and the equi-joins that follow run over batch-sized
-    frames only.  The build path leaves it False: there the candidate
-    set is corpus-bucket-co-occupancy-sized and hinting it broadcast
-    would be wrong."""
-    sh_a = front.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
-    sh_b = front.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
+    frames only.  r14 (guide §2.3/§7.2): the candidate frame is
+    eagerly localCheckpointed first — it was referenced three times
+    (both id-prune legs + the verify join), each reference EMBEDDING
+    the whole band-join subtree by value, which tripled the executed
+    AQE stage count — and the front is pruned ONCE on the union of
+    both id columns (one corpus scan instead of two), with both
+    shingle legs derived from the checkpointed batch-sized pruned
+    frame; ids appearing on only one side add rows the inner
+    equi-join drops, so the pair set is unchanged.  The build path
+    leaves it False: there the candidate set is
+    corpus-bucket-co-occupancy-sized — collecting it to a checkpoint
+    or broadcasting its ids would be wrong."""
     if broadcast_cand:
-        sh_a = sh_a.join(
-            F.broadcast(cand.select("id_a").distinct()), "id_a", "left_semi"
+        cand = cand.localCheckpoint(eager=True)
+        ids = (
+            cand.select(F.col("id_a").alias(id_col))
+            .unionByName(cand.select(F.col("id_b").alias(id_col)))
+            .distinct()
         )
-        sh_b = sh_b.join(
-            F.broadcast(cand.select("id_b").distinct()), "id_b", "left_semi"
+        pruned = front.join(
+            F.broadcast(ids), id_col, "left_semi"
+        ).localCheckpoint(eager=True)
+        sh_a = pruned.select(
+            F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a")
+        )
+        sh_b = pruned.select(
+            F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b")
         )
         cand = F.broadcast(cand)
+    else:
+        sh_a = front.select(
+            F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a")
+        )
+        sh_b = front.select(
+            F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b")
+        )
     inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
     union = F.size(F.array_union("hs_a", "hs_b")).cast("double")
     return (
@@ -436,7 +459,14 @@ def _current_assign(spark, path: str, exclude_batch_key: str | None = None):
 
     Scale shape: the delta between compactions is batches-sized, so
     every probe here broadcasts the delta side; the corpus-scale base
-    and digests tables are scanned, never shuffled."""
+    and digests tables are scanned, never shuffled.  The folded
+    ``latest`` frame is eagerly localCheckpointed (r14, guide §7.2):
+    callers reference the returned frame more than once (the ingest's
+    touched-cluster probe and its member pull), and each reference
+    used to re-execute the whole digest-membership + ``max_by`` fold —
+    after the checkpoint a reference costs one base scan plus a
+    broadcast of the batch-sized fold, and the checkpoint itself is
+    batch-sized (never the corpus)."""
     base = spark.read.parquet(f"{path}/assign")
     delta = spark.read.parquet(f"{path}/assign_delta")
     if exclude_batch_key is not None:
@@ -453,7 +483,7 @@ def _current_assign(spark, path: str, exclude_batch_key: str | None = None):
         delta.groupBy(id_col)
         .agg(F.max_by(F.struct(*val_cols), F.col("seq")).alias("__v__"))
         .select(id_col, "__v__.*")
-    )
+    ).localCheckpoint(eager=True)
     return base.join(
         F.broadcast(latest.select(id_col)), id_col, "left_anti"
     ).unionByName(latest)
@@ -533,65 +563,90 @@ def ingest_state_build(
 
     Build cost is the same one text pass + bucket self-join the
     full-repair :func:`ingest_pipeline` pays on EVERY batch; after
-    this it is paid once."""
+    this it is paid once.
+
+    r14 (guide §2.6/§7.2): each derived table reads BACK the artifact
+    it derives from (digests → bloom, front → buckets → pairs) instead
+    of re-planning the upstream cached subtree — the read-back severs
+    lineage for free exactly as the assign step always did, so the
+    pairs verify scans two flat parquet tables instead of a plan
+    embedding the corpus Arrow kernel twice — and the two independent
+    write chains (digests→bloom→params vs front→buckets→pairs→assign)
+    overlap from driver threads, back-filling the scheduler slots each
+    small job's tail leaves idle."""
+    from ..scale import run_jobs
     from .dedup import _band_frame, _minhash_front, cluster_split
     from .sketches import bloom_build
 
     spark = corpus.sparkSession
     rows_per_band = num_hashes // bands
-    digest = F.sha2(F.coalesce(F.col(col).cast("string"), F.lit("")), 256)
-    digests = corpus.select(F.col(id_col), digest.alias("dg"))
-    digests.write.mode("overwrite").parquet(f"{path}/digests")
-    bloom_build(
-        digests.select("dg").distinct(), "dg", m_bits, k_hashes
-    ).withColumn("m_bits", F.lit(int(m_bits))).withColumn(
-        "k_hashes", F.lit(int(k_hashes))
-    ).write.mode("overwrite").parquet(f"{path}/bloom")
-    front = _minhash_front(corpus, col, id_col, k, num_hashes, seed)
-    front.write.mode("overwrite").parquet(f"{path}/front")
-    banded = _band_frame(
-        front.select(id_col, "sig"), id_col, bands, rows_per_band
-    )
-    banded.write.mode("overwrite").parquet(f"{path}/buckets")
-    left = banded.select("band", "bucket", F.col(id_col).alias("id_a"))
-    right = banded.select("band", "bucket", F.col(id_col).alias("id_b"))
-    cand = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    _verify_pairs(
-        cand, front.select(id_col, "hs"), id_col, threshold
-    ).write.mode("overwrite").parquet(f"{path}/pairs")
-    # standing assignment from the just-written pairs (read back, not
-    # the live plan: severed lineage, and exactly what readers see)
-    cluster_split(
-        corpus.select(id_col),
-        spark.read.parquet(f"{path}/pairs"),
-        id_col=id_col,
-        train_permille=train_permille,
-        val_permille=val_permille,
-    ).write.mode("overwrite").parquet(f"{path}/assign")
-    spark.read.parquet(f"{path}/assign").limit(0).withColumn(
-        "batch_key", F.lit("").cast("string")
-    ).withColumn("seq", F.lit(0).cast("bigint")).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/assign_delta")
-    spark.createDataFrame(
-        [
-            (
-                int(k), int(num_hashes), int(bands), int(seed),
-                float(threshold), int(train_permille), int(val_permille),
-                int(m_bits), int(k_hashes),
-            )
-        ],
-        "k int, num_hashes int, bands int, seed int, threshold double, "
-        "train_permille int, val_permille int, m_bits int, k_hashes int",
-    ).write.mode("overwrite").parquet(f"{path}/params")
-    # same cache-hygiene as the ingest: the front's cached plan must
-    # not be substituted into later calls' scans of the state tables
-    front.unpersist()
+
+    def _chain_digests():
+        digest = F.sha2(
+            F.coalesce(F.col(col).cast("string"), F.lit("")), 256
+        )
+        corpus.select(F.col(id_col), digest.alias("dg")).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/digests")
+        bloom_build(
+            spark.read.parquet(f"{path}/digests").select("dg").distinct(),
+            "dg", m_bits, k_hashes,
+        ).withColumn("m_bits", F.lit(int(m_bits))).withColumn(
+            "k_hashes", F.lit(int(k_hashes))
+        ).write.mode("overwrite").parquet(f"{path}/bloom")
+        spark.createDataFrame(
+            [
+                (
+                    int(k), int(num_hashes), int(bands), int(seed),
+                    float(threshold), int(train_permille),
+                    int(val_permille), int(m_bits), int(k_hashes),
+                )
+            ],
+            "k int, num_hashes int, bands int, seed int, "
+            "threshold double, train_permille int, val_permille int, "
+            "m_bits int, k_hashes int",
+        ).write.mode("overwrite").parquet(f"{path}/params")
+
+    def _chain_front():
+        front = _minhash_front(corpus, col, id_col, k, num_hashes, seed)
+        front.write.mode("overwrite").parquet(f"{path}/front")
+        # cache-hygiene as before: the cached kernel plan must not be
+        # substituted into later calls' scans of the state tables —
+        # and everything below reads the written artifact instead
+        front.unpersist()
+        front_d = spark.read.parquet(f"{path}/front")
+        banded = _band_frame(
+            front_d.select(id_col, "sig"), id_col, bands, rows_per_band
+        )
+        banded.write.mode("overwrite").parquet(f"{path}/buckets")
+        banded_d = spark.read.parquet(f"{path}/buckets")
+        left = banded_d.select("band", "bucket", F.col(id_col).alias("id_a"))
+        right = banded_d.select("band", "bucket", F.col(id_col).alias("id_b"))
+        cand = (
+            left.join(right, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        _verify_pairs(
+            cand, front_d.select(id_col, "hs"), id_col, threshold
+        ).write.mode("overwrite").parquet(f"{path}/pairs")
+        # standing assignment from the just-written pairs (read back,
+        # not the live plan: severed lineage, exactly what readers see)
+        cluster_split(
+            corpus.select(id_col),
+            spark.read.parquet(f"{path}/pairs"),
+            id_col=id_col,
+            train_permille=train_permille,
+            val_permille=val_permille,
+        ).write.mode("overwrite").parquet(f"{path}/assign")
+        spark.read.parquet(f"{path}/assign").limit(0).withColumn(
+            "batch_key", F.lit("").cast("string")
+        ).withColumn("seq", F.lit(0).cast("bigint")).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/assign_delta")
+
+    run_jobs(_chain_digests, _chain_front)
 
 
 def ingest_pipeline_incremental(
@@ -688,7 +743,7 @@ def ingest_pipeline_incremental(
     live streaming runner's micro-batch in the same driver, raises
     :class:`ConcurrentStateWriterError`.
     """
-    from ..scale import persisted
+    from ..scale import persisted, run_jobs
     from .dedup import _band_frame, _minhash_front, cluster_split
     from .sketches import bloom_build, bloom_maybe_contains
     from .similarity import _staged_swap_recover, _tf_of
@@ -749,7 +804,24 @@ def ingest_pipeline_incremental(
         surv_ids = surv_keys.select(id_col)
         survivors = persisted(batch.join(surv_ids, id_col, "left_semi"))
 
-        f_new = _minhash_front(survivors, col, id_col, k, num_hashes, seed)
+        # The front is the convergence point of ALL the batch's text
+        # work: b_new (4 plan references), combined_hs, and the final
+        # front append all hang off it, and each reference EMBEDS the
+        # frame's whole logical subtree by value (persist keeps
+        # lineage).  Measured at sf0.1 the composed verify plan carried
+        # 393 parquet scans / 309 BroadcastExchanges in ONE plan string
+        # and the candidate+verify block alone cost 52 of the call's
+        # 108 jobs — almost all AQE broadcast stages over duplicated
+        # cached subtrees plus the driver planning them.  An EAGER
+        # localCheckpoint here (batch-sized rows — guide §2.4/§7.2:
+        # shrink the plan, not just the data) makes every downstream
+        # reference a flat scan; the interim cache from _minhash_front
+        # is dropped immediately after the checkpoint job consumes it.
+        f_new_cached = _minhash_front(
+            survivors, col, id_col, k, num_hashes, seed
+        )
+        f_new = f_new_cached.localCheckpoint(eager=True)
+        f_new_cached.unpersist()
         b_new = persisted(
             _band_frame(
                 f_new.select(id_col, "sig"), id_col, bands, rows_per_band
@@ -876,34 +948,60 @@ def ingest_pipeline_incremental(
             # 4 for the ordering / replay-idempotence argument); every
             # write below derives from the durable receipt, the
             # caller's batch, or frames whose source tables are not
-            # yet mutated at that point in the sequence.
-            new_pairs.write.mode("append").parquet(f"{path}/pairs")
-            seq = _next_seq(spark, path, batch_key)
-            receipt.select(
-                id_col, "cluster_id", "bucket_permille", "split"
-            ).withColumn("batch_key", F.lit(batch_key)).withColumn(
-                "seq", F.lit(seq).cast("bigint")
-            ).write.mode("append").parquet(f"{path}/assign_delta")
-            b_new.write.mode("append").parquet(f"{path}/buckets")
-            f_new.write.mode("append").parquet(f"{path}/front")
+            # yet mutated at that point in the sequence.  The five
+            # pre-commit appends touch five DISJOINT tables and the
+            # replay contract only requires the ``digests`` append
+            # (the commit point) to land strictly LAST: a crash used
+            # to leave a sequential prefix of the appends, now it
+            # leaves an arbitrary subset, and replay absorbs either
+            # identically (duplicate edges/postings/delta rows fold
+            # away).  So the five run OVERLAPPED from driver threads
+            # (guide §2.6) — each is a sub-second batch-sized job
+            # whose tail would otherwise leave the scheduler idle.
             dg_new = (
                 receipt.filter(F.col("kind") == "batch")
                 .select(id_col)
                 .join(batch, id_col)
                 .select(F.col(id_col), digest.alias("dg"))
             )
-            # OR-in = APPEND of the batch's own position rows (r14):
-            # the union+distinct+staged-swap form rewrote (and
-            # shuffled) the corpus-sized position table on every
-            # batch — a per-batch corpus-scale term in the exact loop
-            # built to avoid them.  The probe counts distinct seeds,
-            # so duplicate positions are harmless; the compactor's
-            # rebuild re-distincts.
-            bloom_build(
-                dg_new.select("dg").distinct(), "dg", mb, kh
-            ).withColumn("m_bits", F.lit(int(mb))).withColumn(
-                "k_hashes", F.lit(int(kh))
-            ).write.mode("append").parquet(f"{path}/bloom")
+
+            def _append_pairs():
+                new_pairs.write.mode("append").parquet(f"{path}/pairs")
+
+            def _append_delta():
+                # _next_seq reads assign_delta BEFORE this thread's own
+                # append — no other thunk in the wave touches the table
+                seq = _next_seq(spark, path, batch_key)
+                receipt.select(
+                    id_col, "cluster_id", "bucket_permille", "split"
+                ).withColumn("batch_key", F.lit(batch_key)).withColumn(
+                    "seq", F.lit(seq).cast("bigint")
+                ).write.mode("append").parquet(f"{path}/assign_delta")
+
+            def _append_buckets():
+                b_new.write.mode("append").parquet(f"{path}/buckets")
+
+            def _append_front():
+                f_new.write.mode("append").parquet(f"{path}/front")
+
+            def _append_bloom():
+                # OR-in = APPEND of the batch's own position rows
+                # (r14): the union+distinct+staged-swap form rewrote
+                # (and shuffled) the corpus-sized position table on
+                # every batch — a per-batch corpus-scale term in the
+                # exact loop built to avoid them.  The probe counts
+                # distinct seeds, so duplicate positions are harmless;
+                # the compactor's rebuild re-distincts.
+                bloom_build(
+                    dg_new.select("dg").distinct(), "dg", mb, kh
+                ).withColumn("m_bits", F.lit(int(mb))).withColumn(
+                    "k_hashes", F.lit(int(kh))
+                ).write.mode("append").parquet(f"{path}/bloom")
+
+            run_jobs(
+                _append_pairs, _append_delta, _append_buckets,
+                _append_front, _append_bloom,
+            )
             dg_new.write.mode("append").parquet(f"{path}/digests")
         # Release THIS call's cached frames now that the receipt and
         # the state commits are durable: their plans embed pre-commit
@@ -911,11 +1009,11 @@ def ingest_pipeline_incremental(
         # would substitute them into a LATER call's identical-looking
         # scan subtrees — recomputing evicted blocks from files the
         # swap has deleted.  (The receipt read has no cached ancestry.)
-        # (new_pairs/members are localCheckpoints — their blocks are
-        # reclaimed by the ContextCleaner when the frames go out of
+        # (f_new/new_pairs/members are localCheckpoints — their blocks
+        # are reclaimed by the ContextCleaner when the frames go out of
         # scope, and they never enter the CacheManager, so the stale
         # plan-substitution hazard doesn't apply to them.)
-        for _frame in (new_keys, surv_keys, survivors, f_new, b_new):
+        for _frame in (new_keys, surv_keys, survivors, b_new):
             _frame.unpersist()
         return receipt
     finally:
@@ -996,46 +1094,72 @@ def ingest_state_compact(
     prm = spark.read.parquet(f"{path}/params").collect()[0].asDict()
     token = _acquire_lease(spark, path, lease_ttl_s)
     try:
+        # The folds run in dependency-respecting PARALLEL WAVES (r14,
+        # guide §2.6) — each swap is a small job whose tail leaves the
+        # scheduler idle, and the only cross-table reads are the
+        # assign fold (reads digests/assign/assign_delta) and the
+        # bloom rebuild (reads the FOLDED digests):
+        #   wave 1: front / buckets / pairs dedup swaps ∥ assign fold
+        #           (digests and the delta are still unmutated here);
+        #   wave 2: digests dedup swap ∥ delta reset (the fold that
+        #           read them both is durable);
+        #   wave 3: bloom rebuild from the folded digests;
+        #   then the params manifest, last as before.
+        # A crash mid-wave leaves each table either old or new — the
+        # same per-table atomicity as the sequential order, and the
+        # entry recovery probe repairs any half-swapped table.
+        from ..scale import persisted, run_jobs
+
         front = spark.read.parquet(f"{path}/front")
         id_col = front.columns[0]
         one = Window.partitionBy(id_col).orderBy(F.col("hs").getItem(0))
-        _staged_swap(
-            front.withColumn("__rn__", F.row_number().over(one))
-            .filter(F.col("__rn__") == 1)
-            .drop("__rn__"),
-            f"{path}/front",
+
+        run_jobs(
+            lambda: _staged_swap(
+                front.withColumn("__rn__", F.row_number().over(one))
+                .filter(F.col("__rn__") == 1)
+                .drop("__rn__"),
+                f"{path}/front",
+            ),
+            lambda: _staged_swap(
+                spark.read.parquet(f"{path}/buckets").distinct(),
+                f"{path}/buckets",
+            ),
+            lambda: _staged_swap(
+                spark.read.parquet(f"{path}/pairs").distinct(),
+                f"{path}/pairs",
+            ),
+            lambda: _staged_swap(_current_assign(spark, path), f"{path}/assign"),
         )
-        _staged_swap(
-            spark.read.parquet(f"{path}/buckets").distinct(),
-            f"{path}/buckets",
-        )
-        _staged_swap(
-            spark.read.parquet(f"{path}/pairs").distinct(), f"{path}/pairs"
-        )
-        _staged_swap(
-            spark.read.parquet(f"{path}/digests").distinct(),
-            f"{path}/digests",
-        )
-        _staged_swap(_current_assign(spark, path), f"{path}/assign")
-        _staged_swap(
-            spark.read.parquet(f"{path}/assign_delta").limit(0),
-            f"{path}/assign_delta",
+        run_jobs(
+            lambda: _staged_swap(
+                spark.read.parquet(f"{path}/digests").distinct(),
+                f"{path}/digests",
+            ),
+            lambda: _staged_swap(
+                spark.read.parquet(f"{path}/assign_delta").limit(0),
+                f"{path}/assign_delta",
+            ),
         )
         digests = spark.read.parquet(f"{path}/digests")
         _, cur_m, cur_k = _bloom_geometry(
             spark, path, prm["m_bits"], prm["k_hashes"]
         )
+        # one distinct-key pass shared by the auto-size count and the
+        # rebuild (was computed twice)
+        dgd = persisted(digests.select("dg").distinct())
         if m_bits is None:
-            n = digests.select("dg").distinct().count()
+            n = dgd.count()
             m_bits = max(
                 cur_m, 1 << max(10, math.ceil(math.log2(max(16 * n, 2))))
             )
         _staged_swap(
-            bloom_build(digests.select("dg").distinct(), "dg", m_bits, cur_k)
+            bloom_build(dgd, "dg", m_bits, cur_k)
             .withColumn("m_bits", F.lit(int(m_bits)))
             .withColumn("k_hashes", F.lit(int(cur_k))),
             f"{path}/bloom",
         )
+        dgd.unpersist()
         prm["m_bits"] = int(m_bits)
         _staged_swap(
             spark.createDataFrame(

@@ -1135,43 +1135,52 @@ def ann_index_build(
     """
     import numpy as np
 
+    from ..scale import run_jobs
+
     spark = corpus.sparkSession
-    cell_ids, cell_q = _seed_centroids(corpus, n_cells, vec_col, id_col, seed)
+    # the two book draws and the four table writes are independent
+    # jobs — overlapped from driver threads (guide §2.6) so the small
+    # jobs' tails back-fill each other instead of running in file
+    (cell_ids, cell_q), (code_ids, code_q) = run_jobs(
+        lambda: _seed_centroids(corpus, n_cells, vec_col, id_col, seed),
+        lambda: _seed_centroids(corpus, n_codes, vec_col, id_col, seed + 1),
+    )
     dim = cell_q.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     d0 = dim // m
-    code_ids, code_q = _seed_centroids(
-        corpus, n_codes, vec_col, id_col, seed + 1
-    )
     Cs = [code_q[:, s * d0 : (s + 1) * d0].astype(np.float64) for s in range(m)]
     cids_s = [code_ids for _ in range(m)]
     book_schema = "cid long, pos int, val_q long"
-    spark.createDataFrame(
-        _ann_books_to_rows(cell_ids, cell_q), book_schema
-    ).write.mode("overwrite").parquet(f"{path}/cellbook")
-    spark.createDataFrame(
-        _ann_books_to_rows(code_ids, code_q), book_schema
-    ).write.mode("overwrite").parquet(f"{path}/codebook")
-    _assign_to_grid(corpus, cell_ids, cell_q, vec_col, id_col).select(
-        F.col(id_col).alias("vid"), F.col("cluster").alias("cell")
-    ).write.mode("overwrite").parquet(f"{path}/cells")
-    _pq_encode(corpus, Cs, cids_s, d0, vec_col, id_col).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/codes")
+    run_jobs(
+        lambda: spark.createDataFrame(
+            _ann_books_to_rows(cell_ids, cell_q), book_schema
+        ).write.mode("overwrite").parquet(f"{path}/cellbook"),
+        lambda: spark.createDataFrame(
+            _ann_books_to_rows(code_ids, code_q), book_schema
+        ).write.mode("overwrite").parquet(f"{path}/codebook"),
+        lambda: _assign_to_grid(corpus, cell_ids, cell_q, vec_col, id_col)
+        .select(F.col(id_col).alias("vid"), F.col("cluster").alias("cell"))
+        .write.mode("overwrite").parquet(f"{path}/cells"),
+        lambda: _pq_encode(corpus, Cs, cids_s, d0, vec_col, id_col)
+        .write.mode("overwrite").parquet(f"{path}/codes"),
+    )
 
 
 def _read_ann_books(spark, path: str, m: int):
     """Load the frozen codebooks (a bounded, codebook-sized collect)
-    and slice the PQ book per subspace."""
+    and slice the PQ book per subspace — the two collects overlap
+    (guide §2.6: independent driver-side jobs)."""
     import numpy as np
 
-    cell_ids, cell_q = _ann_rows_to_book(
-        [tuple(r) for r in spark.read.parquet(f"{path}/cellbook").collect()]
+    from ..scale import run_jobs
+
+    cell_rows, code_rows = run_jobs(
+        lambda: spark.read.parquet(f"{path}/cellbook").collect(),
+        lambda: spark.read.parquet(f"{path}/codebook").collect(),
     )
-    code_ids, code_q = _ann_rows_to_book(
-        [tuple(r) for r in spark.read.parquet(f"{path}/codebook").collect()]
-    )
+    cell_ids, cell_q = _ann_rows_to_book([tuple(r) for r in cell_rows])
+    code_ids, code_q = _ann_rows_to_book([tuple(r) for r in code_rows])
     dim = cell_q.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
@@ -1202,15 +1211,18 @@ def ann_index_append(
     (``similarity_pq_recall``) and retrain/rebuild when it slips.
     Contract: ids in the delta must be NEW (an upstream dedup gate —
     re-appending an id would double its index rows)."""
+    from ..scale import run_jobs
+
     spark = delta.sparkSession
     cell_ids, cell_q, code_ids, Cs, d0 = _read_ann_books(spark, path, m)
     cids_s = [code_ids for _ in range(len(Cs))]
-    _assign_to_grid(delta, cell_ids, cell_q, vec_col, id_col).select(
-        F.col(id_col).alias("vid"), F.col("cluster").alias("cell")
-    ).write.mode("append").parquet(f"{path}/cells")
-    _pq_encode(delta, Cs, cids_s, d0, vec_col, id_col).write.mode(
-        "append"
-    ).parquet(f"{path}/codes")
+    run_jobs(
+        lambda: _assign_to_grid(delta, cell_ids, cell_q, vec_col, id_col)
+        .select(F.col(id_col).alias("vid"), F.col("cluster").alias("cell"))
+        .write.mode("append").parquet(f"{path}/cells"),
+        lambda: _pq_encode(delta, Cs, cids_s, d0, vec_col, id_col)
+        .write.mode("append").parquet(f"{path}/codes"),
+    )
 
 
 def ann_index_delete(doc_ids: DataFrame, path: str) -> None:
@@ -1322,13 +1334,19 @@ def ann_index_compact(spark, path: str) -> None:
         _staged_swap_recover(spark, f"{path}/{t}")
     if not _hadoop_path_exists(spark, tomb_path):
         return  # nothing to fold
+    from ..scale import run_jobs
+
     tomb = spark.read.parquet(tomb_path)
-    for t in ("cells", "codes"):
+
+    def _fold(t: str):
         kept = (
             spark.read.parquet(f"{path}/{t}")
             .join(F.broadcast(tomb), "vid", "left_anti")
         )
         _staged_swap(kept, f"{path}/{t}")
+
+    # the two folds touch disjoint tables — overlap them (guide §2.6)
+    run_jobs(lambda: _fold("cells"), lambda: _fold("codes"))
     spark.createDataFrame([], "vid bigint").write.mode(
         "overwrite"
     ).parquet(tomb_path)
@@ -1490,32 +1508,39 @@ def ann_index_build_partitioned(
     flat layout."""
     import numpy as np
 
+    from ..scale import run_jobs
+
     spark = corpus.sparkSession
-    cell_ids, cell_q = _seed_centroids(corpus, n_cells, vec_col, id_col, seed)
+    # independent book draws / writes overlap as in ann_index_build
+    (cell_ids, cell_q), (code_ids, code_q) = run_jobs(
+        lambda: _seed_centroids(corpus, n_cells, vec_col, id_col, seed),
+        lambda: _seed_centroids(corpus, n_codes, vec_col, id_col, seed + 1),
+    )
     dim = cell_q.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     d0 = dim // m
-    code_ids, code_q = _seed_centroids(
-        corpus, n_codes, vec_col, id_col, seed + 1
-    )
     Cs = [code_q[:, s * d0 : (s + 1) * d0].astype(np.float64) for s in range(m)]
     book_schema = "cid long, pos int, val_q long"
-    spark.createDataFrame(
-        _ann_books_to_rows(cell_ids, cell_q), book_schema
-    ).write.mode("overwrite").parquet(f"{path}/cellbook")
-    spark.createDataFrame(
-        _ann_books_to_rows(code_ids, code_q), book_schema
-    ).write.mode("overwrite").parquet(f"{path}/codebook")
     cells = _assign_to_grid(corpus, cell_ids, cell_q, vec_col, id_col).select(
         F.col(id_col).alias("vid"), F.col("cluster").alias("cell")
     )
     codes = _pq_encode(
         corpus, Cs, [code_ids for _ in Cs], d0, vec_col, id_col
     )
-    codes.join(cells, "vid").select("vid", "s", "code", "cell").write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(f"{path}/index")
+    run_jobs(
+        lambda: spark.createDataFrame(
+            _ann_books_to_rows(cell_ids, cell_q), book_schema
+        ).write.mode("overwrite").parquet(f"{path}/cellbook"),
+        lambda: spark.createDataFrame(
+            _ann_books_to_rows(code_ids, code_q), book_schema
+        ).write.mode("overwrite").parquet(f"{path}/codebook"),
+        lambda: codes.join(cells, "vid")
+        .select("vid", "s", "code", "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/index"),
+    )
 
 
 def ann_index_append_partitioned(
@@ -1703,32 +1728,47 @@ def build_text_index(
         # a durable index artifact must fail fast on a degenerate
         # corpus — a (0, NULL, NULL) stats parquet read back by a later
         # session would be a silent time bomb
-        n_docs = int(stats.collect()[0]["n_docs"])
-        if n_docs == 0:
+        stats_row = stats.collect()[0]
+        if int(stats_row["n_docs"]) == 0:
             raise ValueError(
                 "build_text_index: corpus has no tokenizable documents"
                 " — refusing to write an empty index artifact"
             )
         spark = corpus_df.sparkSession
+        # the validation collect already computed the 1-row stats —
+        # write THAT row back (r14, guide §1.2: don't compute things
+        # twice) instead of re-running the corpus-scale aggregate, and
+        # overlap it with the postings write (guide §2.6)
+        stats_local = spark.createDataFrame([stats_row], stats.schema)
         if bucket_table is not None:
-            from ..scale import write_bucketed
+            from ..scale import run_jobs, write_bucketed
 
-            write_bucketed(
-                postings,
-                bucket_table,
-                "term",
-                buckets=int(n_buckets),
-                sort_by="term",
-            )
-            stats.write.mode("overwrite").format("parquet").saveAsTable(
-                f"{bucket_table}_stats"
+            run_jobs(
+                lambda: write_bucketed(
+                    postings,
+                    bucket_table,
+                    "term",
+                    buckets=int(n_buckets),
+                    sort_by="term",
+                ),
+                lambda: stats_local.write.mode("overwrite")
+                .format("parquet")
+                .saveAsTable(f"{bucket_table}_stats"),
             )
             return (
                 spark.table(bucket_table),
                 spark.table(f"{bucket_table}_stats"),
             )
-        postings.write.mode("overwrite").parquet(f"{path}/postings")
-        stats.write.mode("overwrite").parquet(f"{path}/stats")
+        from ..scale import run_jobs
+
+        run_jobs(
+            lambda: postings.write.mode("overwrite").parquet(
+                f"{path}/postings"
+            ),
+            lambda: stats_local.write.mode("overwrite").parquet(
+                f"{path}/stats"
+            ),
+        )
         return (
             spark.read.parquet(f"{path}/postings"),
             spark.read.parquet(f"{path}/stats"),

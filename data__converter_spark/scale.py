@@ -100,6 +100,32 @@ def release_persisted() -> int:
     return n
 
 
+def run_jobs(*thunks, max_workers: int | None = None) -> list:
+    """Run INDEPENDENT Spark actions concurrently from driver threads —
+    the standard overlap for a sequence of small jobs whose tails leave
+    the cluster idle (each lifecycle write here is a sub-second job on
+    a 32-slot scheduler; running them back-to-back pays the scheduling
+    floor N times in a row, running them overlapped pays it once per
+    concurrent slot).  Spark's scheduler runs jobs from multiple driver
+    threads FIFO, back-filling executors freed by one job's tail with
+    the next job's tasks.
+
+    Callers must guarantee independence themselves: no thunk may read a
+    table another thunk mutates (the lifecycle operators group their
+    writes into dependency-respecting waves).  Exceptions propagate —
+    the first failing thunk's error re-raises after all threads have
+    been joined, so a crashed wave never leaks a running writer.
+    Results return in thunk order.
+    """
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers or len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -58,7 +58,7 @@ def main() -> None:
 
     def n_jobs() -> int:
         # DAGScheduler.nextJobId is the total jobs submitted so far.
-        return sc._jsc.sc().dagScheduler().nextJobId().get()
+        return int(sc._jsc.sc().dagScheduler().nextJobId())
 
     out = {}
     for name in args.queries:

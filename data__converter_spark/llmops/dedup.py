@@ -536,11 +536,16 @@ def minhash_lsh_pairs(
     )
     # hashed/sigs are projections of ONE persisted frame — the verify
     # joins below re-read cached partitions, never the text kernel
-    # exact-Jaccard verification only on the (small) candidate set
+    # exact-Jaccard verification only on the (small) candidate set.
+    # |A∪B| = |A|+|B|−|A∩B| for the distinct hash sets (r14, guide
+    # §1.2): array_union built a second per-pair hash table the sizes
+    # already determine — same integer, half the per-candidate array
+    # work (codegen subexpression elimination computes the intersect
+    # once).
     sh_a = hashed.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
     sh_b = hashed.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
-    union = F.size(F.array_union("hs_a", "hs_b")).cast("double")
+    union = (F.size("hs_a") + F.size("hs_b")).cast("double") - inter
     return (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
@@ -677,8 +682,10 @@ def minhash_estimate_error(
         F.lit(0),
         lambda acc, x: acc + x,
     )
+    # distinct hash sets: |A∪B| = |A|+|B|−|A∩B| (r14, same identity as
+    # the verify joins — one per-pair array pass instead of two)
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    n_union = F.size(F.array_union("sh_a", "sh_b"))
+    n_union = F.size("sh_a") + F.size("sh_b") - n_inter
     est = n_match.cast("double") / F.lit(float(num_hashes))
     jac = n_inter.cast("double") / n_union.cast("double")
     return (
@@ -1408,8 +1415,9 @@ def dedup_against(
     )
     hs_new = f_new.select(F.col(id_col).alias("new_id"), F.col("hs").alias("hs_n"))
     hs_ref = f_ref.select(F.col(id_col).alias("ref_id"), F.col("hs").alias("hs_r"))
+    # distinct hash sets: |A∪B| = |A|+|B|−|A∩B| (r14)
     inter = F.size(F.array_intersect("hs_n", "hs_r")).cast("double")
-    union = F.size(F.array_union("hs_n", "hs_r")).cast("double")
+    union = (F.size("hs_n") + F.size("hs_r")).cast("double") - inter
     dup_ids = (
         cand.join(hs_new, "new_id")
         .join(hs_ref, "ref_id")
@@ -1708,6 +1716,11 @@ def setsim_join_prefix(
     tm = int(threshold_milli)
     if not 0 < tm <= 1000:
         raise ValueError(f"threshold_milli must be in (0, 1000], got {tm}")
+    # deliberately NOT persisted (r14, measured): the single-action
+    # plan's exchange reuse already dedups the three references to
+    # this frame (postings explode + both verify legs) — forcing a
+    # cache added 10 materialization jobs and was net SLOWER at sf0.1
+    # (8.9 s persisted vs 7.8 s lazy, min-of-3, same window)
     base = sets.select(
         F.col(id_col).alias("id"),
         F.array_distinct(F.col(items_col)).alias("toks"),
@@ -1747,8 +1760,11 @@ def setsim_join_prefix(
     )
     sa = base.select(F.col("id").alias("id_a"), F.col("toks").alias("ta"))
     sb = base.select(F.col("id").alias("id_b"), F.col("toks").alias("tb"))
+    # toks is array_distinct'ed above, so |A∪B| = |A|+|B|−|A∩B| (r14):
+    # array_union built a second per-pair hash table for a size the
+    # operands already determine
     inter = F.size(F.array_intersect("ta", "tb"))
-    uni = F.size(F.array_union("ta", "tb"))
+    uni = F.size("ta") + F.size("tb") - inter
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")

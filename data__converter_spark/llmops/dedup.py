@@ -555,13 +555,22 @@ def minhash_lsh_pairs(
 
 
 def _minhash_front(
-    df: DataFrame, col: str, id_col: str, k: int, num_hashes: int, seed: int
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    k: int,
+    num_hashes: int,
+    seed: int,
+    cache: bool = True,
 ) -> DataFrame:
     """Persisted (id, hs, sig) frame from ONE fused Arrow pass over the
-    text (see :func:`_hs_sig_udf`)."""
+    text (see :func:`_hs_sig_udf`).  ``cache=False`` skips the persist
+    for callers with exactly ONE downstream materialization (a write or
+    an eager checkpoint) — filling the cache for a single consumer is
+    pure memory churn (r14)."""
     from ..scale import fan_out, persisted
 
-    return persisted(
+    out = (
         fan_out(df)
         .select(
             F.col(id_col),
@@ -570,6 +579,7 @@ def _minhash_front(
         .filter(F.col("x.hs").isNotNull())
         .select(F.col(id_col), F.col("x.hs").alias("hs"), F.col("x.sig").alias("sig"))
     )
+    return persisted(out) if cache else out
 
 
 def _band_frame(

@@ -610,12 +610,11 @@ def ingest_state_build(
         ).write.mode("overwrite").parquet(f"{path}/params")
 
     def _chain_front():
-        front = _minhash_front(corpus, col, id_col, k, num_hashes, seed)
-        front.write.mode("overwrite").parquet(f"{path}/front")
-        # cache-hygiene as before: the cached kernel plan must not be
-        # substituted into later calls' scans of the state tables —
-        # and everything below reads the written artifact instead
-        front.unpersist()
+        # cache=False: the write is the kernel's only materialization —
+        # everything below reads the written artifact back instead
+        _minhash_front(
+            corpus, col, id_col, k, num_hashes, seed, cache=False
+        ).write.mode("overwrite").parquet(f"{path}/front")
         front_d = spark.read.parquet(f"{path}/front")
         banded = _band_frame(
             front_d.select(id_col, "sig"), id_col, bands, rows_per_band
@@ -817,13 +816,11 @@ def ingest_pipeline_incremental(
         # cached subtrees plus the driver planning them.  An EAGER
         # localCheckpoint here (batch-sized rows — guide §2.4/§7.2:
         # shrink the plan, not just the data) makes every downstream
-        # reference a flat scan; the interim cache from _minhash_front
-        # is dropped immediately after the checkpoint job consumes it.
-        f_new_cached = _minhash_front(
-            survivors, col, id_col, k, num_hashes, seed
-        )
-        f_new = f_new_cached.localCheckpoint(eager=True)
-        f_new_cached.unpersist()
+        # reference a flat scan; cache=False because the checkpoint is
+        # the kernel's only materialization.
+        f_new = _minhash_front(
+            survivors, col, id_col, k, num_hashes, seed, cache=False
+        ).localCheckpoint(eager=True)
         b_new = persisted(
             _band_frame(
                 f_new.select(id_col, "sig"), id_col, bands, rows_per_band

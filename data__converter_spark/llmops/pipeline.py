@@ -237,10 +237,12 @@ def _verify_pairs(
     or broadcasting its ids would be wrong."""
     if broadcast_cand:
         cand = cand.localCheckpoint(eager=True)
+        # no .distinct() (r15): the broadcast semi-join prune is
+        # set-shaped regardless; the distinct paid an exchange only to
+        # shrink a batch-co-occupancy-sized broadcast
         ids = (
             cand.select(F.col("id_a").alias(id_col))
             .unionByName(cand.select(F.col("id_b").alias(id_col)))
-            .distinct()
         )
         pruned = front.join(
             F.broadcast(ids), id_col, "left_semi"
@@ -290,6 +292,60 @@ _SEMANTIC_PARAMS = (
     "k", "num_hashes", "bands", "seed", "threshold",
     "train_permille", "val_permille",
 )
+
+# The params manifest's schema — one literal shared by the build/compact
+# writers and every reader, so reads can skip footer inference.
+_PARAMS_SCHEMA = (
+    "k int, num_hashes int, bands int, seed int, "
+    "threshold double, train_permille int, val_permille int, "
+    "m_bits int, k_hashes int"
+)
+
+
+def _assign_schema(id_field):
+    """Writer-side schema of the ``assign`` table (cluster_split's
+    output): everything but the id column is fixed by construction."""
+    from pyspark.sql import types as T
+
+    return T.StructType([
+        T.StructField(id_field.name, id_field.dataType),
+        T.StructField("cluster_id", id_field.dataType),
+        T.StructField("bucket_permille", T.LongType()),
+        T.StructField("split", T.StringType()),
+    ])
+
+
+def _delta_schema(id_field):
+    """``assign_delta`` = assign columns + (batch_key, seq) stamp."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        _assign_schema(id_field).fields
+        + [T.StructField("batch_key", T.StringType()),
+           T.StructField("seq", T.LongType())]
+    )
+
+
+def _digests_schema(id_field):
+    from pyspark.sql import types as T
+
+    return T.StructType([
+        T.StructField(id_field.name, id_field.dataType),
+        T.StructField("dg", T.StringType()),
+    ])
+
+
+# Why explicit read schemas (r15, guide §7.3 driver-side work): EVERY
+# ``spark.read.parquet`` runs one footer-inference Spark job before any
+# data moves — measured 1 job per read even for a single-file table.
+# The composed lifecycle queries are dominated by the per-job scheduling
+# floor (~10 state-table reads per ingest call), so the schema contract
+# above — derivable because this module WRITES every one of these
+# tables with fixed column types — removes ~8 pure-metadata jobs per
+# ingest and several more per build/compact.  The bloom table is the
+# deliberate exception: its geometry columns are probed tolerantly
+# (:func:`_bloom_geometry` must accept tables without them), so that
+# one read keeps inference.
 
 
 class ConcurrentStateWriterError(RuntimeError):
@@ -403,7 +459,12 @@ def _check_params(spark, path: str, **args) -> dict:
     persisted manifest (fail loudly on any mismatch) and return the
     manifest row as a dict — the authoritative source for the bloom
     geometry defaults."""
-    row = spark.read.parquet(f"{path}/params").collect()[0].asDict()
+    row = (
+        spark.read.schema(_PARAMS_SCHEMA)
+        .parquet(f"{path}/params")
+        .collect()[0]
+        .asDict()
+    )
     bad = {
         n: (args[n], row[n])
         for n in _SEMANTIC_PARAMS
@@ -437,7 +498,14 @@ def _bloom_geometry(spark, path: str, default_m: int, default_k: int):
     return bt, default_m, default_k
 
 
-def _current_assign(spark, path: str, exclude_batch_key: str | None = None):
+def _current_assign(
+    spark,
+    path: str,
+    exclude_batch_key: str | None = None,
+    id_field=None,
+    digests: DataFrame | None = None,
+    base: DataFrame | None = None,
+):
     """The CURRENT standing assignment table — base ∪ latest-per-doc
     delta overrides.  The base is written once (build) and folded by
     the compactor; per-batch updates (new survivors AND reassignments
@@ -469,15 +537,46 @@ def _current_assign(spark, path: str, exclude_batch_key: str | None = None):
     after the checkpoint a reference costs one base scan plus a
     broadcast of the batch-sized fold, and the checkpoint itself is
     batch-sized (never the corpus)."""
-    base = spark.read.parquet(f"{path}/assign")
-    delta = spark.read.parquet(f"{path}/assign_delta")
+    # Reads take the writer-side schema contract when the caller can
+    # supply the id field (r15: skips one footer-inference job per
+    # table); the public no-hints path infers the assign schema once
+    # and derives the rest.
+    if base is None:
+        if id_field is not None:
+            base = spark.read.schema(_assign_schema(id_field)).parquet(
+                f"{path}/assign"
+            )
+        else:
+            base = spark.read.parquet(f"{path}/assign")
+    if id_field is None:
+        id_field = base.schema.fields[0]
+    delta = spark.read.schema(_delta_schema(id_field)).parquet(
+        f"{path}/assign_delta"
+    )
     if exclude_batch_key is not None:
         delta = delta.filter(F.col("batch_key") != F.lit(exclude_batch_key))
-    id_col = base.columns[0]
+    # Empty-delta fast path (r15): right after a build or a compaction
+    # the delta holds no rows, yet the fold below still cost an eager
+    # checkpoint job whose plan SCANS the corpus-scale digests table,
+    # and every consumer still paid the anti-join + union stages around
+    # an empty override set.  One footer-level limit(1) probe on the
+    # batches-sized delta is strictly cheaper than the checkpoint it
+    # skips, and the returned frame (the base itself) is what the fold
+    # degenerates to with zero delta rows.
+    if delta.limit(1).count() == 0:
+        return base
+    id_col = id_field.name
+    if digests is None:
+        digests = spark.read.schema(_digests_schema(id_field)).parquet(
+            f"{path}/digests"
+        )
+    # no .distinct() on the broadcast probe sides (r15): a semi-join's
+    # result is set-shaped regardless, so the distinct paid an exchange
+    # only to shrink a batches-sized broadcast
     live_ids = (
-        spark.read.parquet(f"{path}/digests")
+        digests
         .select(F.col(id_col))
-        .join(F.broadcast(delta.select(id_col).distinct()), id_col, "left_semi")
+        .join(F.broadcast(delta.select(id_col)), id_col, "left_semi")
     )
     delta = delta.join(F.broadcast(live_ids), id_col, "left_semi")
     val_cols = [c for c in base.columns if c != id_col]
@@ -582,6 +681,7 @@ def ingest_state_build(
 
     spark = corpus.sparkSession
     rows_per_band = num_hashes // bands
+    id_field = corpus.schema[id_col]
 
     def _chain_digests():
         digest = F.sha2(
@@ -591,36 +691,28 @@ def ingest_state_build(
             "overwrite"
         ).parquet(f"{path}/digests")
         bloom_build(
-            spark.read.parquet(f"{path}/digests").select("dg").distinct(),
+            spark.read.schema(_digests_schema(id_field))
+            .parquet(f"{path}/digests").select("dg").distinct(),
             "dg", m_bits, k_hashes,
         ).withColumn("m_bits", F.lit(int(m_bits))).withColumn(
             "k_hashes", F.lit(int(k_hashes))
         ).write.mode("overwrite").parquet(f"{path}/bloom")
-        spark.createDataFrame(
-            [
-                (
-                    int(k), int(num_hashes), int(bands), int(seed),
-                    float(threshold), int(train_permille),
-                    int(val_permille), int(m_bits), int(k_hashes),
-                )
-            ],
-            "k int, num_hashes int, bands int, seed int, "
-            "threshold double, train_permille int, val_permille int, "
-            "m_bits int, k_hashes int",
-        ).write.mode("overwrite").parquet(f"{path}/params")
 
     def _chain_front():
         # cache=False: the write is the kernel's only materialization —
         # everything below reads the written artifact back instead
-        _minhash_front(
+        front_w = _minhash_front(
             corpus, col, id_col, k, num_hashes, seed, cache=False
-        ).write.mode("overwrite").parquet(f"{path}/front")
-        front_d = spark.read.parquet(f"{path}/front")
+        )
+        front_w.write.mode("overwrite").parquet(f"{path}/front")
+        front_d = spark.read.schema(front_w.schema).parquet(f"{path}/front")
         banded = _band_frame(
             front_d.select(id_col, "sig"), id_col, bands, rows_per_band
         )
         banded.write.mode("overwrite").parquet(f"{path}/buckets")
-        banded_d = spark.read.parquet(f"{path}/buckets")
+        banded_d = spark.read.schema(banded.schema).parquet(
+            f"{path}/buckets"
+        )
         left = banded_d.select("band", "bucket", F.col(id_col).alias("id_a"))
         right = banded_d.select("band", "bucket", F.col(id_col).alias("id_b"))
         cand = (
@@ -629,25 +721,43 @@ def ingest_state_build(
             .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])
         )
-        _verify_pairs(
+        pairs_w = _verify_pairs(
             cand, front_d.select(id_col, "hs"), id_col, threshold
-        ).write.mode("overwrite").parquet(f"{path}/pairs")
+        )
+        pairs_w.write.mode("overwrite").parquet(f"{path}/pairs")
         # standing assignment from the just-written pairs (read back,
         # not the live plan: severed lineage, exactly what readers see)
         cluster_split(
             corpus.select(id_col),
-            spark.read.parquet(f"{path}/pairs"),
+            spark.read.schema(pairs_w.schema).parquet(f"{path}/pairs"),
             id_col=id_col,
             train_permille=train_permille,
             val_permille=val_permille,
         ).write.mode("overwrite").parquet(f"{path}/assign")
-        spark.read.parquet(f"{path}/assign").limit(0).withColumn(
+        spark.read.schema(_assign_schema(id_field)).parquet(
+            f"{path}/assign"
+        ).limit(0).withColumn(
             "batch_key", F.lit("").cast("string")
         ).withColumn("seq", F.lit(0).cast("bigint")).write.mode(
             "overwrite"
         ).parquet(f"{path}/assign_delta")
 
     run_jobs(_chain_digests, _chain_front)
+    # The 1-row params manifest lands strictly LAST (ADVICE r14 medium):
+    # it is the build's commit marker — _check_params at every later
+    # ingest/compact entry passes only when it exists, so a rebuild that
+    # crashes mid-chain can never leave a NEW manifest validating tables
+    # still holding OLD-parameter artifacts.  Negligible cost (1 row).
+    spark.createDataFrame(
+        [
+            (
+                int(k), int(num_hashes), int(bands), int(seed),
+                float(threshold), int(train_permille),
+                int(val_permille), int(m_bits), int(k_hashes),
+            )
+        ],
+        _PARAMS_SCHEMA,
+    ).write.mode("overwrite").parquet(f"{path}/params")
 
 
 def ingest_pipeline_incremental(
@@ -746,7 +856,7 @@ def ingest_pipeline_incremental(
     """
     from ..scale import persisted, run_jobs
     from .dedup import _band_frame, _minhash_front, cluster_split
-    from .sketches import bloom_build, bloom_maybe_contains
+    from .sketches import bloom_build, bloom_maybe_keys
     from .similarity import _staged_swap_recover, _tf_of
 
     spark = batch.sparkSession
@@ -764,27 +874,47 @@ def ingest_pipeline_incremental(
     )
     token = _acquire_lease(spark, path, lease_ttl_s)
     try:
-        digests_t = spark.read.parquet(f"{path}/digests")
+        id_field = batch.schema[id_col]
+        digests_t = spark.read.schema(_digests_schema(id_field)).parquet(
+            f"{path}/digests"
+        )
         bloom_t, mb, kh = _bloom_geometry(
             spark, path, prm["m_bits"], prm["k_hashes"]
         )
 
         digest = F.sha2(F.coalesce(F.col(col).cast("string"), F.lit("")), 256)
         new_keys = persisted(batch.select(F.col(id_col), digest.alias("dg")))
-        verdict = bloom_maybe_contains(
+        # bloom verdict FUSED with the digest confirm (r15, VERDICT r14
+        # #1): only the maybe-SET feeds the confirm join, so the full
+        # per-key verdict frame (and its join-back onto the probe keys)
+        # is never built — bloom_maybe_keys is the same size-gated
+        # probe minus one broadcast join per ingest.  Verdicts are
+        # unchanged: maybe-keys has no false negatives, and the confirm
+        # below is exact digest membership either way.
+        maybe_keys = bloom_maybe_keys(
             new_keys.select("dg"), bloom_t, "dg", mb, kh
-        ).withColumnRenamed("k", "dg")
+        )
         # confirm by SCANNING the corpus-scale digests table against a
         # broadcast of the batch-sized maybe-set (not the other way
         # around — a left-semi with the corpus on the right would
         # shuffle it); duplicate dg values in digests are absorbed by
         # the anti-join below.
         confirmed = digests_t.select("dg").join(
-            F.broadcast(verdict.filter(F.col("maybe")).select("dg")),
-            "dg",
-            "left_semi",
+            F.broadcast(maybe_keys), "dg", "left_semi"
         )
-        surv_keys = persisted(new_keys.join(confirmed, "dg", "left_anti"))
+        # EAGER localCheckpoint rather than persist (r15): surv_keys is
+        # the batch's survivor (id, dg) set — referenced by the batch
+        # key, the survivor semi-join, AND (new this round) the commit
+        # block's bloom/digests appends.  A persist keeps lineage over
+        # the PRE-COMMIT digests listing, which is why the appends had
+        # to re-derive the digests from the receipt ⋈ batch (two extra
+        # corpus-text scans per ingest); the checkpoint has no lineage
+        # to go stale, so the appends read the materialized batch-sized
+        # blocks directly.  Failure-tolerance trade documented on
+        # ingest_pipeline_incremental.
+        surv_keys = new_keys.join(confirmed, "dg", "left_anti").localCheckpoint(
+            eager=True
+        )
         # deterministic batch identity: an order-independent reduction
         # of the survivor digest set (+ count).  A crash replay, whose
         # survivor set is identical because the digests commit point
@@ -826,7 +956,7 @@ def ingest_pipeline_incremental(
                 f_new.select(id_col, "sig"), id_col, bands, rows_per_band
             )
         )
-        b_ref = spark.read.parquet(f"{path}/buckets")
+        b_ref = spark.read.schema(b_new.schema).parquet(f"{path}/buckets")
         cross = (
             b_new.withColumnRenamed(id_col, "new_id")
             .join(
@@ -841,7 +971,6 @@ def ingest_pipeline_incremental(
             # (id, id) pairs — harmless to CC but dead weight in the
             # pairs table (ADVICE r13)
             .filter(F.col("id_a") != F.col("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
         )
         l = b_new.select("band", "bucket", F.col(id_col).alias("id_a"))
         r = b_new.select("band", "bucket", F.col(id_col).alias("id_b"))
@@ -849,9 +978,14 @@ def ingest_pipeline_incremental(
             l.join(r, ["band", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
-            .dropDuplicates(["id_a", "id_b"])
         )
-        f_ref = spark.read.parquet(f"{path}/front")
+        # ONE dedup over the unioned candidate legs (r15) — the per-leg
+        # dropDuplicates paid two exchanges for the same set (the union
+        # of two deduped sets IS the dedup of the union), and on a
+        # crash replay this form also folds the cross∩self overlap the
+        # per-leg dedup let through.
+        cand = cross.unionByName(self_cand).dropDuplicates(["id_a", "id_b"])
+        f_ref = spark.read.schema(f_new.schema).parquet(f"{path}/front")
         combined_hs = f_ref.select(id_col, "hs").unionByName(
             f_new.select(id_col, "hs")
         )
@@ -865,7 +999,7 @@ def ingest_pipeline_incremental(
         # here keeps every later plan shallow — the same hygiene
         # connected_components applies to its iterating frames.
         new_pairs = _verify_pairs(
-            cross.unionByName(self_cand),
+            cand,
             combined_hs,
             id_col,
             threshold,
@@ -874,17 +1008,20 @@ def ingest_pipeline_incremental(
         # --- batch-sized component relabel over touched clusters ---
         # (the docstring's step 3).  Reads of the corpus-scale assign
         # table are broadcast-pruned scans; the cc runs on new pairs +
-        # star edges of the touched clusters' members only.
-        cur = _current_assign(spark, path, exclude_batch_key=batch_key)
+        # star edges of the touched clusters' members only.  The
+        # broadcast probe sides skip .distinct() (r15): semi-joins are
+        # set-shaped anyway, and both frames are batch-sized.
+        cur = _current_assign(
+            spark, path, exclude_batch_key=batch_key,
+            id_field=id_field, digests=digests_t,
+        )
         touched = (
             new_pairs.select(F.col("id_a").alias(id_col))
             .unionByName(new_pairs.select(F.col("id_b").alias(id_col)))
-            .distinct()
         )
         touched_clusters = (
             cur.join(F.broadcast(touched), id_col, "left_semi")
             .select("cluster_id")
-            .distinct()
         )
         # same lineage truncation as new_pairs: members feeds star,
         # nodes, and the reassign diff — three plan references
@@ -940,7 +1077,7 @@ def ingest_pipeline_incremental(
         # against the swapped/appended tables would read deleted files
         # or changed state.  Durable, batch-sized, severed lineage.
         out.write.mode("overwrite").parquet(f"{path}/last_batch")
-        receipt = spark.read.parquet(f"{path}/last_batch")
+        receipt = spark.read.schema(out.schema).parquet(f"{path}/last_batch")
 
         if int(bk["n"]) > 0 or receipt.limit(1).count() > 0:
             # commit the batch into the standing state (docstring step
@@ -957,12 +1094,18 @@ def ingest_pipeline_incremental(
             # away).  So the five run OVERLAPPED from driver threads
             # (guide §2.6) — each is a sub-second batch-sized job
             # whose tail would otherwise leave the scheduler idle.
-            dg_new = (
-                receipt.filter(F.col("kind") == "batch")
-                .select(id_col)
-                .join(batch, id_col)
-                .select(F.col(id_col), digest.alias("dg"))
-            )
+            # The survivors' (id, dg) rows ARE the checkpointed
+            # surv_keys frame (r15): the receipt's kind='batch' ids
+            # equal surv_ids by construction (batch_assign is
+            # assign_new semi-joined on them), and the old
+            # receipt ⋈ batch re-derivation — needed when surv_keys was
+            # a persist whose lineage embedded the PRE-COMMIT digests
+            # listing — re-scanned the batch text once per consuming
+            # append.  The checkpoint is lineage-free, so a cache-
+            # evicted block can never be recomputed against mutated
+            # state; on replay the whole call re-runs and recomputes an
+            # identical surv_keys.
+            dg_new = surv_keys
 
             def _append_pairs():
                 new_pairs.write.mode("append").parquet(f"{path}/pairs")
@@ -970,7 +1113,7 @@ def ingest_pipeline_incremental(
             def _append_delta():
                 # _next_seq reads assign_delta BEFORE this thread's own
                 # append — no other thunk in the wave touches the table
-                seq = _next_seq(spark, path, batch_key)
+                seq = _next_seq(spark, path, batch_key, id_field=id_field)
                 receipt.select(
                     id_col, "cluster_id", "bucket_permille", "split"
                 ).withColumn("batch_key", F.lit(batch_key)).withColumn(
@@ -990,9 +1133,12 @@ def ingest_pipeline_incremental(
                 # every batch — a per-batch corpus-scale term in the
                 # exact loop built to avoid them.  The probe counts
                 # distinct seeds, so duplicate positions are harmless;
-                # the compactor's rebuild re-distincts.
+                # the compactor's rebuild re-distincts.  No input
+                # .distinct() either (r15): bloom_build distincts its
+                # POSITION output anyway, so the key-side exchange only
+                # pre-shrank a batch-sized explode.
                 bloom_build(
-                    dg_new.select("dg").distinct(), "dg", mb, kh
+                    dg_new.select("dg"), "dg", mb, kh
                 ).withColumn("m_bits", F.lit(int(mb))).withColumn(
                     "k_hashes", F.lit(int(kh))
                 ).write.mode("append").parquet(f"{path}/bloom")
@@ -1008,25 +1154,29 @@ def ingest_pipeline_incremental(
         # would substitute them into a LATER call's identical-looking
         # scan subtrees — recomputing evicted blocks from files the
         # swap has deleted.  (The receipt read has no cached ancestry.)
-        # (f_new/new_pairs/members are localCheckpoints — their blocks
-        # are reclaimed by the ContextCleaner when the frames go out of
-        # scope, and they never enter the CacheManager, so the stale
-        # plan-substitution hazard doesn't apply to them.)
-        for _frame in (new_keys, surv_keys, survivors, b_new):
+        # (f_new/surv_keys/new_pairs/members are localCheckpoints —
+        # their blocks are reclaimed by the ContextCleaner when the
+        # frames go out of scope, and they never enter the
+        # CacheManager, so the stale plan-substitution hazard doesn't
+        # apply to them.)
+        for _frame in (new_keys, survivors, b_new):
             _frame.unpersist()
         return receipt
     finally:
         _release_lease(spark, path, token)
 
 
-def _next_seq(spark, path: str, batch_key: str) -> int:
+def _next_seq(spark, path: str, batch_key: str, id_field=None) -> int:
     """Monotonic delta sequence number, REUSED on crash replay: if
     ``batch_key`` already appears in the delta (a prior attempt
     appended before dying), its seq comes back so the replayed rows
     are exact duplicates; otherwise max+1.  Bounded collect — one row
     per batch since the last compaction."""
+    reader = spark.read
+    if id_field is not None:
+        reader = reader.schema(_delta_schema(id_field))
     rows = (
-        spark.read.parquet(f"{path}/assign_delta")
+        reader.parquet(f"{path}/assign_delta")
         .groupBy("batch_key")
         .agg(F.max("seq").alias("s"))
         .collect()
@@ -1082,7 +1232,6 @@ def ingest_state_compact(
     slower than the corpus warrants."""
     import math
 
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from .sketches import bloom_build
@@ -1090,7 +1239,12 @@ def ingest_state_compact(
 
     for t in _STATE_TABLES:
         _staged_swap_recover(spark, f"{path}/{t}")
-    prm = spark.read.parquet(f"{path}/params").collect()[0].asDict()
+    prm = (
+        spark.read.schema(_PARAMS_SCHEMA)
+        .parquet(f"{path}/params")
+        .collect()[0]
+        .asDict()
+    )
     token = _acquire_lease(spark, path, lease_ttl_s)
     try:
         # The folds run in dependency-respecting PARALLEL WAVES (r14,
@@ -1107,40 +1261,63 @@ def ingest_state_compact(
         # A crash mid-wave leaves each table either old or new — the
         # same per-table atomicity as the sequential order, and the
         # entry recovery probe repairs any half-swapped table.
+        from pyspark.sql import types as T
+
         from ..scale import persisted, run_jobs
 
         front = spark.read.parquet(f"{path}/front")
-        id_col = front.columns[0]
-        one = Window.partitionBy(id_col).orderBy(F.col("hs").getItem(0))
+        id_field = front.schema.fields[0]
+        id_col = id_field.name
 
         run_jobs(
+            # one row per id — replay duplicates are bit-identical (the
+            # Arrow kernel is deterministic), so the hash-aggregate
+            # dedup (r15) picks the same row the old per-key
+            # row_number window did, without the window's sort
             lambda: _staged_swap(
-                front.withColumn("__rn__", F.row_number().over(one))
-                .filter(F.col("__rn__") == 1)
-                .drop("__rn__"),
+                front.dropDuplicates([id_col]),
                 f"{path}/front",
             ),
             lambda: _staged_swap(
-                spark.read.parquet(f"{path}/buckets").distinct(),
+                spark.read.schema(
+                    T.StructType([
+                        id_field,
+                        T.StructField("band", T.IntegerType()),
+                        T.StructField("bucket", T.LongType()),
+                    ])
+                ).parquet(f"{path}/buckets").distinct(),
                 f"{path}/buckets",
             ),
             lambda: _staged_swap(
-                spark.read.parquet(f"{path}/pairs").distinct(),
+                spark.read.schema(
+                    T.StructType([
+                        T.StructField("id_a", id_field.dataType),
+                        T.StructField("id_b", id_field.dataType),
+                        T.StructField("jaccard", T.DoubleType()),
+                    ])
+                ).parquet(f"{path}/pairs").distinct(),
                 f"{path}/pairs",
             ),
-            lambda: _staged_swap(_current_assign(spark, path), f"{path}/assign"),
+            lambda: _staged_swap(
+                _current_assign(spark, path, id_field=id_field),
+                f"{path}/assign",
+            ),
         )
         run_jobs(
             lambda: _staged_swap(
-                spark.read.parquet(f"{path}/digests").distinct(),
+                spark.read.schema(_digests_schema(id_field))
+                .parquet(f"{path}/digests").distinct(),
                 f"{path}/digests",
             ),
             lambda: _staged_swap(
-                spark.read.parquet(f"{path}/assign_delta").limit(0),
+                spark.read.schema(_delta_schema(id_field))
+                .parquet(f"{path}/assign_delta").limit(0),
                 f"{path}/assign_delta",
             ),
         )
-        digests = spark.read.parquet(f"{path}/digests")
+        digests = spark.read.schema(_digests_schema(id_field)).parquet(
+            f"{path}/digests"
+        )
         _, cur_m, cur_k = _bloom_geometry(
             spark, path, prm["m_bits"], prm["k_hashes"]
         )
@@ -1166,9 +1343,7 @@ def ingest_state_compact(
                     "k", "num_hashes", "bands", "seed", "threshold",
                     "train_permille", "val_permille", "m_bits", "k_hashes",
                 ))],
-                "k int, num_hashes int, bands int, seed int, "
-                "threshold double, train_permille int, val_permille int, "
-                "m_bits int, k_hashes int",
+                _PARAMS_SCHEMA,
             ),
             f"{path}/params",
         )

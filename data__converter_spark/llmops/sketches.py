@@ -354,6 +354,25 @@ def bloom_maybe_contains(
 
     Both paths produce identical verdicts; only the physical transport
     differs."""
+    pk, hits = _bloom_hits(
+        probes, bloom, key_col, m_bits, k_hashes, broadcast_max_bits
+    )
+    return pk.join(hits, "k", "left").select(
+        "k", (F.coalesce("n_set", F.lit(0)) == F.lit(k_hashes)).alias("maybe")
+    )
+
+
+def _bloom_hits(
+    probes: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m_bits: int,
+    k_hashes: int,
+    broadcast_max_bits: int | None,
+):
+    """Shared core of the bloom probe: (pk, hits) where ``pk`` is the
+    distinct cast probe keys and ``hits`` is (k, n_set) for keys with
+    at least one set position — both size-gated transports."""
     limit = (
         BLOOM_BROADCAST_MAX_BITS
         if broadcast_max_bits is None
@@ -377,8 +396,32 @@ def bloom_maybe_contains(
             .groupBy("k")
             .agg(F.countDistinct("seed").alias("n_set"))
         )
-    return pk.join(hits, "k", "left").select(
-        "k", (F.coalesce("n_set", F.lit(0)) == F.lit(k_hashes)).alias("maybe")
+    return pk, hits
+
+
+def bloom_maybe_keys(
+    probes: DataFrame,
+    bloom: DataFrame,
+    key_col: str = "h",
+    m_bits: int = 16384,
+    k_hashes: int = 3,
+    broadcast_max_bits: int | None = None,
+) -> DataFrame:
+    """The MAYBE-SET alone: distinct probe keys the bloom cannot rule
+    out — exactly ``bloom_maybe_contains(...).filter('maybe')``'s key
+    column, with the per-key verdict join-back ELIDED (r15, guide
+    §1.2/§7.2): consumers that only prescreen a confirmation join (the
+    incremental ingest's digest confirm) never read the ``maybe=false``
+    rows, so materializing the full verdict frame paid one broadcast
+    join per probe for rows that were immediately filtered away.  A key
+    is maybe iff ALL ``k_hashes`` positions are set; no false negatives,
+    same size-gated transport as :func:`bloom_maybe_contains`.  Output:
+    one column named after ``key_col``."""
+    _pk, hits = _bloom_hits(
+        probes, bloom, key_col, m_bits, k_hashes, broadcast_max_bits
+    )
+    return hits.filter(F.col("n_set") == F.lit(k_hashes)).select(
+        F.col("k").alias(key_col)
     )
 
 

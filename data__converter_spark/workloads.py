@@ -10386,7 +10386,6 @@ def q_ivm_minmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         repair_topk,
         topk_state,
     )
-    from .scale import persisted
 
     orders = _load(spark, sf_dir, "orders")
     v = cents("o_totalprice").cast("long")
@@ -10394,38 +10393,38 @@ def q_ivm_minmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ret_split = F.lit("1998-06-01").cast("date")
     # each maintenance step consumes its input state several ways
     # (anti + semi key split, meta + cells branches), so the standing
-    # state persists between steps — exactly what a real deployment
+    # state materializes between steps — exactly what a real deployment
     # does (the state IS a table); lazily the whole chain would
-    # recompute once per branch, multiplying per step.  The coalesce
-    # right-sizes the KEY-SIZED state before caching: unionByName
-    # concatenates both legs' partitions, so without it each step
-    # inflates the partition count and the persist barrier pays a
-    # fleet of near-empty tasks (measured 2.6 s coalesced vs 9.0 s
-    # raw-persist vs 5.5 s fully lazy at sf0.01, warm best-of-2).
-    st = persisted(
-        topk_state(
-            orders.filter(F.col("o_orderdate") < ins_split),
-            ["o_custkey"],
-            v,
-            4,
-        ).coalesce(8)
-    )
+    # recompute once per branch, multiplying per step.  r15 (VERDICT
+    # r14 #3, guide §7.2): eager localCheckpoint replaces persist —
+    # persist keeps LINEAGE, so every downstream reference re-embedded
+    # (and AQE re-planned) the whole upstream maintenance tree, 48 jobs
+    # for the 4-step chain; the checkpoint truncates each step's plan
+    # to a flat scan of the key-sized state (before/after measured in
+    # OPTIMIZATION_r15.md).
+    # The coalesce still right-sizes the KEY-SIZED state first:
+    # unionByName concatenates both legs' partitions, so without it
+    # each step inflates the partition count and the checkpoint pays a
+    # fleet of near-empty tasks.  The retraction-netting arithmetic is
+    # untouched — only the materialization of the state between steps.
+    st = topk_state(
+        orders.filter(F.col("o_orderdate") < ins_split),
+        ["o_custkey"],
+        v,
+        4,
+    ).coalesce(8).localCheckpoint(eager=True)
     inserts = orders.filter(F.col("o_orderdate") >= ins_split).withColumn(
         "__sign__", F.lit(1).cast("bigint")
     )
-    st = persisted(
-        refresh_topk_with_retractions(
-            st, inserts, ["o_custkey"], v, "__sign__", 4
-        ).coalesce(8)
-    )
+    st = refresh_topk_with_retractions(
+        st, inserts, ["o_custkey"], v, "__sign__", 4
+    ).coalesce(8).localCheckpoint(eager=True)
     retracts = orders.filter(F.col("o_orderdate") >= ret_split).withColumn(
         "__sign__", F.lit(-1).cast("bigint")
     )
-    st = persisted(
-        refresh_topk_with_retractions(
-            st, retracts, ["o_custkey"], v, "__sign__", 4
-        ).coalesce(8)
-    )
+    st = refresh_topk_with_retractions(
+        st, retracts, ["o_custkey"], v, "__sign__", 4
+    ).coalesce(8).localCheckpoint(eager=True)
     surviving = orders.filter(F.col("o_orderdate") < ret_split)
     st = repair_topk(st, surviving, ["o_custkey"], v, 4)
     return st.select(

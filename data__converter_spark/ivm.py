@@ -324,22 +324,37 @@ def topk_state(
     collect_list anywhere."""
     if k < 1:
         raise ValueError(f"topk_state: k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     cells = rows.groupBy(
         *keys, v.cast("bigint").alias("v")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("m"))
-    meta = cells.groupBy(*keys).agg(
-        F.sum("m").cast("bigint").alias("n_rows")
+    # n_rows rides the SAME window pass as the cumulative filter (r15,
+    # guide §2.4: two operations keyed the same way share one
+    # exchange): every build cell has m >= 1, so every key keeps its
+    # first cell and the whole-partition sum IS the row count — the
+    # separate meta aggregate + left join the old form paid are gone.
+    # (refresh_topk_with_retractions keeps the join form: there a key
+    # can net to an EMPTY window while n_rows stays positive.)
+    w_all = Window.partitionBy(*keys)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.desc("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    arrs = _cells_to_topk(cells, keys, k)
-    return meta.join(arrs, keys, "left").select(
-        *keys,
-        F.coalesce(F.col("topk"), F.array().cast("array<bigint>")).alias(
-            "topk"
-        ),
-        "n_rows",
-        F.lit(False).alias("needs_rescan"),
+    kept = (
+        cells.withColumn("__n_rows__", F.sum("m").over(w_all))
+        .withColumn("__before__", F.coalesce(F.sum("m").over(w), F.lit(0)))
+        .filter(F.col("__before__") < k)
+        .withColumn(
+            "take", F.least(F.col("m"), F.lit(k) - F.col("__before__"))
+        )
     )
+    return kept.groupBy(*keys).agg(
+        _topk_arr(k).alias("topk"),
+        F.first("__n_rows__").cast("bigint").alias("n_rows"),
+    ).select(*keys, "topk", "n_rows", F.lit(False).alias("needs_rescan"))
 
 
 def refresh_topk_with_retractions(
@@ -406,7 +421,10 @@ def refresh_topk_with_retractions(
             F.greatest(F.col("net"), F.lit(0)).alias("pos"),
         )
     )
-    delta_keys = delta_cells.select(*keys).distinct()
+    # one row per (key, v) cell — no .distinct() (r15): the anti/semi
+    # key split below is set-shaped regardless, and the dedup paid an
+    # exchange only to shrink a delta-sized broadcast
+    delta_keys = delta_cells.select(*keys)
     untouched = state.join(delta_keys, keys, "left_anti")
     touched = state.join(delta_keys, keys, "left_semi")
 

@@ -1855,6 +1855,12 @@ def deletion_neighborhood_pairs(
         )
         .distinct()
     )
+    # THRESHOLDED levenshtein (r15, guide §1.2 per-task work): the
+    # verify only needs distances <= 1, and Spark's banded form
+    # (levenshtein(l, r, threshold) — returns -1 past the bound) runs
+    # the DP over a 3-cell band instead of the full |a|x|b| matrix.
+    # Exact distances <= 1 are returned unchanged, so the surviving
+    # rows and their dist values are identical to the unbounded form.
     return cand.withColumn(
-        "dist", F.levenshtein("val_a", "val_b").cast("bigint")
-    ).filter(F.col("dist") <= 1)
+        "dist", F.levenshtein("val_a", "val_b", 1).cast("bigint")
+    ).filter(F.col("dist") >= 0)

@@ -3164,7 +3164,18 @@ def q_triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-oriented so hub fan-out stays O(sqrt(m)) at any scale."""
     from .graph import triangle_count
 
-    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # distinct (orderkey, suppkey) BEFORE the self-join (r15, guide
+    # §2.3): a supplier appearing on several lines of one order would
+    # fan out duplicate pair rows, and the old form paid a
+    # countDistinct (expand + two-phase aggregate) to fold them back.
+    # After the dedup each (orderkey, src, dst) is unique by
+    # construction, so a plain count(*) is the distinct-order count —
+    # smaller join input, cheaper aggregate state, same n_orders.
+    li = (
+        _load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
     a = li.alias("a")
     b = li.alias("b")
     co = (
@@ -3177,7 +3188,7 @@ def q_triangle_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_suppkey").alias("src"),
             F.col("b.l_suppkey").alias("dst"),
         )
-        .agg(F.countDistinct(F.col("a.l_orderkey")).alias("n_orders"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 30)
         .select("src", "dst")
     )

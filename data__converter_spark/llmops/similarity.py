@@ -1794,9 +1794,6 @@ def index_from_tf(c_tf: DataFrame) -> tuple[DataFrame, DataFrame]:
     dl = c_tf.groupBy("match_id").agg(
         F.sum("tf").cast("bigint").alias("dl")
     )
-    df_t = c_tf.groupBy("term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df")
-    )
     # explicit CASE, not a bare division: an empty/all-blank corpus has
     # n_docs = 0 and a bare `div` would RAISE under ANSI mode mid-write
     # instead of reaching the caller's guard
@@ -1813,8 +1810,30 @@ def index_from_tf(c_tf: DataFrame) -> tuple[DataFrame, DataFrame]:
         .cast("bigint")
         .alias("avgdl"),
     )
-    postings = c_tf.join(df_t, "term").join(dl, "match_id").select(
-        "term", "match_id", "tf", "df", "dl"
+    # df/dl ride WINDOW passes over the tf rows (r15, guide §2.2): the
+    # old form aggregated df and dl into slim frames and equi-joined
+    # them back, paying the aggregate exchanges PLUS the join legs
+    # (broadcastable only at toy scale — at 100 TB dl is n_docs-sized
+    # and the joins become full sort-merge exchanges).  Two window
+    # passes keyed (term) then (match_id) compute the identical
+    # columns with strictly fewer exchanges at every scale.  The
+    # null-key filter reproduces the inner equi-join's semantics
+    # exactly: a NULL term or id never matched its aggregate row.
+    postings = (
+        c_tf.filter(
+            F.col("term").isNotNull() & F.col("match_id").isNotNull()
+        )
+        .withColumn(
+            "df",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("term"))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "dl",
+            F.sum("tf").over(Window.partitionBy("match_id")).cast("bigint"),
+        )
+        .select("term", "match_id", "tf", "df", "dl")
     )
     return postings, stats
 

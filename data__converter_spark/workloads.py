@@ -1187,20 +1187,27 @@ def q_bm25_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the delete-aware artifact.  The oracle rebuilds from the
     surviving docs with bm25_retrieval's SQL verbatim: index-after-
     deletes == rebuild-from-surviving-docs IS the retraction
-    contract.  The tf state is persisted (scoped) because both the
-    retraction lookup and the final index read it — without the pin
-    the corpus would tokenize twice."""
+    contract.  The tf state feeds both the retraction lookup and the
+    final index, so it is pinned via eager localCheckpoint — unlike a
+    persist it also SEVERS lineage, so AQE plans the consumers against
+    a materialized leaf instead of re-deriving the tokenize subtree
+    per branch (r15, guide §2.4/§5: 27 → 16 jobs with the window-form
+    index).  Trade-off, as at the ingest sites: checkpoint blocks live
+    only on executors, so an executor loss mid-query fails the job
+    instead of recomputing — acceptable for a batch-sized transient
+    state inside one query."""
     from .llmops.similarity import (
         _tf_of,
         bm25_from_index,
         index_from_signed_tf,
         retract_docs_tf,
     )
-    from .scale import persisted
 
     docs = _load(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
-    tf_state = persisted(_tf_of(corpus, "text", "doc_id", "match_id"))
+    tf_state = _tf_of(corpus, "text", "doc_id", "match_id").localCheckpoint(
+        eager=True
+    )
     doomed = corpus.filter(F.col("doc_id") % 5 == 0).select(
         F.col("doc_id").alias("match_id")
     )

@@ -28,7 +28,7 @@ just one class without materializing the full diff.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .schema import printable_col
@@ -292,6 +292,18 @@ def table_fingerprint(
     residue = 10¹⁸ < 2⁶³. Drill into unequal groups with ``diff``.
     """
     g = F.col(group_by) if isinstance(group_by, str) else group_by
+    return df.groupBy(g.alias(group_name)).agg(*fingerprint_exprs(cols))
+
+
+def fingerprint_exprs(cols: list[str]) -> list[Column]:
+    """:func:`table_fingerprint`'s three aggregate expressions
+    ``(n_rows, sum_lane1, sum_lane2)`` — factored out so a caller that
+    already scans the table for another action can ride the SAME pass
+    via ``df.observe(Observation, *fingerprint_exprs(cols))`` instead
+    of paying a second full scan (guide §1.2).  Exactly the arithmetic
+    documented above; sharing the builder is what guarantees an
+    observed fingerprint and a :func:`table_fingerprint` aggregate
+    can never diverge."""
     tokens = []
     for c in cols:
         s = F.col(c).cast("string")
@@ -307,8 +319,8 @@ def table_fingerprint(
     h = F.md5(canon)
     lane1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % F.lit(1000003)
     lane2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint") % F.lit(1000003)
-    return df.groupBy(g.alias(group_name)).agg(
+    return [
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(lane1).cast("bigint").alias("sum_lane1"),
         F.sum(lane2).cast("bigint").alias("sum_lane2"),
-    )
+    ]

@@ -807,47 +807,103 @@ def optimize_incremental(
     for fname, _rows, b in planned:
         by_bin.setdefault(b, []).append(fname)
 
-    for b, members in sorted(by_bin.items()):
-        if len(members) < 2:
-            continue  # already compacted: physically untouched
-        paths = [os.path.join(table_path, m) for m in members]
-        df = spark.read.parquet(*paths)
-        env = df.agg(
-            *[F.min(c).cast("long").alias(f"lo_{c}") for c in cols],
-            *[F.max(c).cast("long").alias(f"hi_{c}") for c in cols],
-        ).collect()[0]
-        mins = {c: env[f"lo_{c}"] for c in cols}
-        maxs = {c: env[f"hi_{c}"] for c in cols}
-        missing = [c for c in cols if mins[c] is None or maxs[c] is None]
-        if missing:
-            raise ValueError(
-                f"optimize_incremental: NULL envelope for {missing} in bin {b}"
-            )
-        staging = os.path.join(table_path, f"_staging_bin_{b}")
-        (
-            zorder_key(df, cols, mins, maxs, bits_per_dim)
-            .drop(*[f"bin_{c}" for c in cols])
-            .coalesce(1)
-            .sortWithinPartitions("zorder")
-            .drop("zorder")
-            .write.mode("overwrite")
-            .parquet(staging)
-        )
-        part = [
-            p
-            for p in os.listdir(staging)
-            if p.endswith(".parquet") and not p.startswith((".", "_"))
+    multi = {
+        b: members
+        for b, members in sorted(by_bin.items())
+        if len(members) >= 2  # singleton bins stay physically untouched
+    }
+    if multi:
+        import urllib.parse
+
+        # ONE slim aggregate job computes every rewritten bin's
+        # envelope (r15, guide §2.6/§1.2): the old loop paid one
+        # min/max collect per bin back-to-back; grouping by source
+        # file and folding files → bins on the driver (metadata-scale,
+        # one row per file) gets all envelopes in a single pass.
+        all_paths = [
+            os.path.join(table_path, m)
+            for members in multi.values()
+            for m in members
         ]
-        assert len(part) == 1, f"expected one staged file, got {part}"
-        os.replace(
-            os.path.join(staging, part[0]),
-            os.path.join(table_path, f"optimized-g{gen:03d}-{b:05d}.parquet"),
-        )
-        for p in paths:  # new file is live before any member dies
-            os.remove(p)
+        file_env = {
+            urllib.parse.unquote(os.path.basename(r["__f__"])): r
+            for r in (
+                spark.read.parquet(*all_paths)
+                .groupBy(F.input_file_name().alias("__f__"))
+                .agg(
+                    *[F.min(c).cast("long").alias(f"lo_{c}") for c in cols],
+                    *[F.max(c).cast("long").alias(f"hi_{c}") for c in cols],
+                )
+                .collect()
+            )
+        }
+
+        def _envelope(b: int, members: list[str]):
+            mins, maxs = {}, {}
+            for c in cols:
+                los = [
+                    file_env[m][f"lo_{c}"]
+                    for m in members
+                    if m in file_env and file_env[m][f"lo_{c}"] is not None
+                ]
+                his = [
+                    file_env[m][f"hi_{c}"]
+                    for m in members
+                    if m in file_env and file_env[m][f"hi_{c}"] is not None
+                ]
+                mins[c] = min(los) if los else None
+                maxs[c] = max(his) if his else None
+            missing = [c for c in cols if mins[c] is None or maxs[c] is None]
+            if missing:
+                raise ValueError(
+                    f"optimize_incremental: NULL envelope for {missing}"
+                    f" in bin {b}"
+                )
+            return mins, maxs
+
+        def _stage(b: int, members: list[str]) -> None:
+            paths = [os.path.join(table_path, m) for m in members]
+            mins, maxs = _envelope(b, members)
+            staging = os.path.join(table_path, f"_staging_bin_{b}")
+            (
+                zorder_key(
+                    spark.read.parquet(*paths), cols, mins, maxs, bits_per_dim
+                )
+                .drop(*[f"bin_{c}" for c in cols])
+                .coalesce(1)
+                .sortWithinPartitions("zorder")
+                .drop("zorder")
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+
+        # Bins read disjoint member files and write disjoint staging
+        # dirs — stage them OVERLAPPED (guide §2.6), then swap each in
+        # serially: every new file is fully staged and moved live
+        # before any member dies, same crash contract as before (an
+        # interruption can leave a duplicate bin or a dead _staging
+        # dir — both ignored by the next run's inventory — never a
+        # missing row).
+        run_jobs(*[lambda b=b, m=m: _stage(b, m) for b, m in multi.items()])
         import shutil
 
-        shutil.rmtree(staging)
+        for b, members in multi.items():
+            staging = os.path.join(table_path, f"_staging_bin_{b}")
+            part = [
+                p
+                for p in os.listdir(staging)
+                if p.endswith(".parquet") and not p.startswith((".", "_"))
+            ]
+            assert len(part) == 1, f"expected one staged file, got {part}"
+            os.replace(
+                os.path.join(staging, part[0]),
+                os.path.join(
+                    table_path, f"optimized-g{gen:03d}-{b:05d}.parquet"
+                ),
+            )
+            for m in members:  # new file is live before any member dies
+                os.remove(os.path.join(table_path, m))
+            shutil.rmtree(staging)
 
     report = [
         (

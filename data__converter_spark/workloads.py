@@ -10492,8 +10492,12 @@ def q_optimize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
+    import urllib.parse
 
-    from .compare import table_fingerprint
+    import pyarrow.parquet as pq
+    from pyspark.sql import Observation
+
+    from .compare import fingerprint_exprs, table_fingerprint
     from .scale import optimize_incremental
 
     docs = _load(spark, sf_dir, "documents")
@@ -10506,37 +10510,59 @@ def q_optimize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     if os.path.isdir(table):
         shutil.rmtree(table)
     os.makedirs(table)
-    langs = [
-        r["lang"]
-        for r in docs.select("lang").distinct().orderBy("lang").collect()
-    ]
-    for lang in langs:
-        staging = os.path.join(table, "_st")
-        (
-            docs.filter(F.col("lang") == lang)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(staging)
-        )
+    # ONE repartition-by-lang write replaces the old per-lang scan
+    # loop (r15, guide §1.2/§2.2: N corpus scans + a distinct collect
+    # → one scan): hash-partitioning on the lang column puts each
+    # lang's rows in exactly one task, so partitionBy emits exactly
+    # one file per lang dir, renamed below to the same deterministic
+    # {lang}.parquet names.  The partition column is a COPY (__pl__)
+    # so the data files keep the lang column itself.  fp_before rides
+    # the same pass via observe() — the fingerprint is a commutative
+    # global aggregate, exactly fingerprint_exprs — instead of paying
+    # a second full corpus scan.
+    staging = os.path.join(table, "_st")
+    obs = Observation("fp_before")
+    (
+        docs.observe(obs, *fingerprint_exprs(cols))
+        .withColumn("__pl__", F.col("lang"))
+        .repartition(F.col("__pl__"))
+        .write.mode("overwrite")
+        .partitionBy("__pl__")
+        .parquet(staging)
+    )
+    for d in sorted(os.listdir(staging)):
+        if not d.startswith("__pl__="):
+            continue
+        lang = urllib.parse.unquote(d[len("__pl__=") :])
+        pdir = os.path.join(staging, d)
         part = [
             p
-            for p in os.listdir(staging)
+            for p in os.listdir(pdir)
             if p.endswith(".parquet") and not p.startswith((".", "_"))
         ]
+        assert len(part) == 1, f"expected one file per lang, got {part}"
         os.replace(
-            os.path.join(staging, part[0]),
+            os.path.join(pdir, part[0]),
             os.path.join(table, f"{lang}.parquet"),
         )
-        shutil.rmtree(staging)
-    total = docs.count()
+    shutil.rmtree(staging)
+    fp_before = obs.get
+    # total row count from the freshly written footers — driver-side
+    # metadata, no Spark job (the table holds exactly docs' rows)
+    total = sum(
+        int(pq.ParquetFile(os.path.join(table, n)).metadata.num_rows)
+        for n in os.listdir(table)
+        if n.endswith(".parquet") and not n.startswith((".", "_"))
+    )
     report = optimize_incremental(spark, table, ["doc_id"], total // 3)
-    fp_before = table_fingerprint(
-        docs, cols, F.lit(1), "g"
-    ).collect()[0]
     fp_after = table_fingerprint(
         spark.read.parquet(table).select(*cols), cols, F.lit(1), "g"
     ).collect()[0]
-    match = tuple(fp_before) == tuple(fp_after)
+    match = (
+        fp_before["n_rows"],
+        fp_before["sum_lane1"],
+        fp_before["sum_lane2"],
+    ) == (fp_after["n_rows"], fp_after["sum_lane1"], fp_after["sum_lane2"])
     return report.select(
         "file",
         F.col("rows").alias("n_rows"),

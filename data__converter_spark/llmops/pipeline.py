@@ -21,6 +21,30 @@ from pyspark.sql import functions as F
 from .textstats import quality_score_col, sample_hash_col, scrub_pii_col
 
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a small intermediate frame and SEVER its
+    lineage — the ingest paths' pin for frames referenced by several
+    consumers (each lineage reference would otherwise re-embed, and
+    under AQE re-execute, the whole upstream subtree; guide §2.4/§7.2).
+
+    Failure-tolerance trade (VERDICT r14): the default
+    ``localCheckpoint(eager=True)`` stores blocks on executors ONLY —
+    on a real cluster an executor loss mid-call fails the job
+    unrecoverably (lineage is gone, so nothing can recompute), unlike
+    a persist (recompute) or a reliable checkpoint (replicated
+    storage).  That is deliberate here: every pinned frame is
+    batch-sized and every commit below it is replay-safe, so the
+    recovery story is "re-run the batch", not "recover the blocks".
+    Escape hatch for clusters where executor loss is routine: set a
+    reliable checkpoint dir (``spark.sparkContext.setCheckpointDir``)
+    and these frames checkpoint to fault-tolerant storage instead —
+    same values, same lineage cut, durable blocks."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def pretraining_pipeline(
     docs: DataFrame,
     col: str = "text",
@@ -236,7 +260,7 @@ def _verify_pairs(
     corpus-bucket-co-occupancy-sized — collecting it to a checkpoint
     or broadcasting its ids would be wrong."""
     if broadcast_cand:
-        cand = cand.localCheckpoint(eager=True)
+        cand = cand.transform(_pin)
         # no .distinct() (r15): the broadcast semi-join prune is
         # set-shaped regardless; the distinct paid an exchange only to
         # shrink a batch-co-occupancy-sized broadcast
@@ -246,7 +270,7 @@ def _verify_pairs(
         )
         pruned = front.join(
             F.broadcast(ids), id_col, "left_semi"
-        ).localCheckpoint(eager=True)
+        ).transform(_pin)
         sh_a = pruned.select(
             F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a")
         )
@@ -584,7 +608,7 @@ def _current_assign(
         delta.groupBy(id_col)
         .agg(F.max_by(F.struct(*val_cols), F.col("seq")).alias("__v__"))
         .select(id_col, "__v__.*")
-    ).localCheckpoint(eager=True)
+    ).transform(_pin)
     return base.join(
         F.broadcast(latest.select(id_col)), id_col, "left_anti"
     ).unionByName(latest)
@@ -912,9 +936,7 @@ def ingest_pipeline_incremental(
         # to go stale, so the appends read the materialized batch-sized
         # blocks directly.  Failure-tolerance trade documented on
         # ingest_pipeline_incremental.
-        surv_keys = new_keys.join(confirmed, "dg", "left_anti").localCheckpoint(
-            eager=True
-        )
+        surv_keys = _pin(new_keys.join(confirmed, "dg", "left_anti"))
         # deterministic batch identity: an order-independent reduction
         # of the survivor digest set (+ count).  A crash replay, whose
         # survivor set is identical because the digests commit point
@@ -950,7 +972,7 @@ def ingest_pipeline_incremental(
         # the kernel's only materialization.
         f_new = _minhash_front(
             survivors, col, id_col, k, num_hashes, seed, cache=False
-        ).localCheckpoint(eager=True)
+        ).transform(_pin)
         b_new = persisted(
             _band_frame(
                 f_new.select(id_col, "sig"), id_col, bands, rows_per_band
@@ -1004,7 +1026,7 @@ def ingest_pipeline_incremental(
             id_col,
             threshold,
             broadcast_cand=True,
-        ).localCheckpoint(eager=True)
+        ).transform(_pin)
         # --- batch-sized component relabel over touched clusters ---
         # (the docstring's step 3).  Reads of the corpus-scale assign
         # table are broadcast-pruned scans; the cc runs on new pairs +
@@ -1027,7 +1049,7 @@ def ingest_pipeline_incremental(
         # nodes, and the reassign diff — three plan references
         members = cur.join(
             F.broadcast(touched_clusters), "cluster_id", "left_semi"
-        ).localCheckpoint(eager=True)
+        ).transform(_pin)
         star = members.filter(F.col(id_col) != F.col("cluster_id")).select(
             F.col(id_col).alias("id_a"), F.col("cluster_id").alias("id_b")
         )

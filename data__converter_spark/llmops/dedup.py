@@ -1754,8 +1754,22 @@ def setsim_join_prefix(
         F.col("rnk")
         <= F.col("t") - ((F.lit(tm) * F.col("t") + 999) / 1000).cast("long")
         + 1
-    ).select("w", "id", "t")
+    ).select("w", "id", "t", "rnk")
     a, b = pref.alias("a"), pref.alias("b")
+    # PPJoin POSITIONAL filter (r15, guide §3.4 pre-filter): a shared
+    # prefix item at (1-based) ranks i/j bounds the overlap by
+    # 1 + min(|x|-i, |y|-j) when no common item precedes it — valid at
+    # the pair's FIRST collision, where a qualifying pair (overlap
+    # o >= α = ceil(θ(|x|+|y|)/(1+θ)), the Jaccard-θ overlap
+    # equivalent) always passes since the bound >= o.  Keeping a pair
+    # when ANY collision row passes therefore never drops a
+    # qualifying pair; it only prunes candidates the verify would
+    # reject after a full array_intersect — the compute-bound stage
+    # this query spends its time in.  Integer cross-multiplied:
+    # o >= α  <=>  o·(1000+θm) >= θm·(|x|+|y|).
+    ubound = 1 + F.least(
+        F.col("a.t") - F.col("a.rnk"), F.col("b.t") - F.col("b.rnk")
+    )
     cand = (
         a.join(
             b,
@@ -1763,7 +1777,11 @@ def setsim_join_prefix(
             & (F.col("a.id") < F.col("b.id"))
             # Jaccard >= θ forces θ <= |x|/|y| <= 1/θ (cross-multiplied)
             & (F.col("a.t") * tm <= F.col("b.t") * 1000)
-            & (F.col("b.t") * tm <= F.col("a.t") * 1000),
+            & (F.col("b.t") * tm <= F.col("a.t") * 1000)
+            & (
+                ubound * (1000 + tm)
+                >= F.lit(tm) * (F.col("a.t") + F.col("b.t"))
+            ),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()

@@ -2104,6 +2104,7 @@ def test_cluster_split_string_ids_keep_native_cluster_id(spark):
     assert all(cid is not None for cid, _ in out.values())
 
 
+@pytest.mark.slow
 def test_ingest_pipeline_drops_dups_and_inherits_splits(spark):
     """Composed ingest loop (r11): an exact-dup batch doc drops, a
     NEAR-dup batch doc inherits its corpus twin's cluster and split
@@ -2147,6 +2148,7 @@ def test_ingest_pipeline_drops_dups_and_inherits_splits(spark):
     assert out[11][2] == 10
 
 
+@pytest.mark.slow
 def test_ann_tombstone_delete_and_compact(spark, tmp_path):
     """ANN takedown (r11): tombstoned vids vanish from rankings
     (delete-then-query == hand-filtered candidates), deleting unknown
@@ -2340,6 +2342,7 @@ def test_ann_index_compact_staging_hygiene_and_crash_recovery(spark, tmp_path):
     ) == want
 
 
+@pytest.mark.slow
 def test_ingest_incremental_equals_full_repair_two_batches(spark, tmp_path):
     """r12 (VERDICT r11 Next #2): ingest_pipeline_incremental over a
     standing state == the full-repair ingest_pipeline, batch by
@@ -2418,6 +2421,7 @@ def test_ingest_incremental_equals_full_repair_two_batches(spark, tmp_path):
     assert row22[1] == row12[1] and row22[2] == row12[2]
 
 
+@pytest.mark.slow
 def test_ann_index_retrain_migration_lifecycle(spark, tmp_path):
     """r12 (VERDICT r11 Next #4): ann_index_retrain retrains the
     books on the current corpus and swaps the artifact generation
@@ -2555,6 +2559,7 @@ def test_ann_index_retrain_migration_lifecycle(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_ingest_state_replay_idempotence_and_compact(spark, tmp_path):
     """r12: a batch that crashed after the front/bucket/pair appends
     but BEFORE the digests commit point replays in full — results
@@ -2620,6 +2625,7 @@ def test_ingest_state_replay_idempotence_and_compact(spark, tmp_path):
     assert key(ingest_pipeline_incremental(batch2, path, **kw)) == r2
 
 
+@pytest.mark.slow
 def test_ingest_replay_after_arbitrary_commit_subset_crash(spark, tmp_path):
     """r15 (VERDICT r14 Next #4): the five pre-commit appends (pairs,
     assign_delta, buckets, front, bloom) run OVERLAPPED via run_jobs,
@@ -2689,6 +2695,7 @@ def test_ingest_replay_after_arbitrary_commit_subset_crash(spark, tmp_path):
         assert key(ingest_pipeline_incremental(batch2, path, **kw)) == r2
 
 
+@pytest.mark.slow
 def test_ingest_pin_reliable_checkpoint_knob(spark, tmp_path):
     """r15 (VERDICT r14 Next #7): the ingest paths' lineage pin
     (pipeline._pin) defaults to executor-only localCheckpoint but
@@ -3115,6 +3122,7 @@ def test_ingest_bloom_resize_restores_prescreen(spark, tmp_path):
     assert 500 not in ids and 501 in ids
 
 
+@pytest.mark.slow
 def test_ingest_self_heals_compactor_crash(spark, tmp_path):
     """r13 (ADVICE r12, medium): a compactor crash between the
     demote/promote renames of ANY state table leaves the live dir
@@ -3149,6 +3157,7 @@ def test_ingest_self_heals_compactor_crash(spark, tmp_path):
         assert not os.path.isdir(f"{path}/{t}__bak")
 
 
+@pytest.mark.slow
 def test_run_ingest_update_stream_equals_batch(spark, tmp_path):
     """r13 (VERDICT r12 Next #6): the streaming ingest runner over two
     micro-batches produces receipt rows identical to the batch-mode
@@ -3379,6 +3388,7 @@ def test_ingest_assignments_hide_uncommitted_batch(spark, tmp_path):
     assert cur2[999] == 999
 
 
+@pytest.mark.slow
 def test_run_ingest_update_heals_receipts_feed(spark, tmp_path):
     """r14 (VERDICT r13 Next #4): a crash between the state's digests
     commit and the receipts append is exactly the state a direct

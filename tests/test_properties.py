@@ -6,6 +6,8 @@ cap max_examples low; pure-Python parsers get the full default budget.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -459,6 +461,7 @@ def test_assoc_pairs_bounds(spark, rows):
 
 @settings(**SPARK_SETTINGS)
 @given(basket_rows, st.integers(2, 4))
+@pytest.mark.slow
 def test_assoc_pairs_cap_is_whole_basket_exclusion(spark, rows, cap):
     """max_basket_size semantics: the capped run equals the uncapped
     run over the PRE-FILTERED basket universe (drop baskets with more
@@ -810,6 +813,7 @@ topk_script = st.lists(  # per batch: list of (key, value, sign-ish)
 
 @settings(**SPARK_SETTINGS)
 @given(st.integers(2, 3), topk_script)
+@pytest.mark.slow
 def test_topk_unflagged_is_always_exact(spark, k, script):
     """Soundness of the two-phase rescan flag against ARBITRARY mixed
     insert/retract batches (including the same-batch refill shape):

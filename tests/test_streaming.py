@@ -716,6 +716,7 @@ def test_stream_band_candidates_state_survives_restart(spark, tmp_path):
     assert both == want
 
 
+@pytest.mark.slow
 def test_stream_band_candidates_ttl_plumbs_through(spark, tmp_path):
     """state_ttl_minutes wires up the processing-time timeout without
     changing results while nothing expires: a generous TTL over a
@@ -1293,6 +1294,7 @@ def test_text_index_delete_equals_rebuild_and_replay_safe(spark):
     assert stats2.collect() == b_stats.collect()
 
 
+@pytest.mark.slow
 def test_streaming_ann_index_equals_batch_append(spark, tmp_path):
     """The streaming ANN shape (r11): embeddings arrive in
     micro-batches, each encoded ONCE against the frozen books into

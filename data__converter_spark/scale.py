@@ -112,17 +112,46 @@ def run_jobs(*thunks, max_workers: int | None = None) -> list:
 
     Callers must guarantee independence themselves: no thunk may read a
     table another thunk mutates (the lifecycle operators group their
-    writes into dependency-respecting waves).  Exceptions propagate —
-    the first failing thunk's error re-raises after all threads have
-    been joined, so a crashed wave never leaks a running writer.
-    Results return in thunk order.
+    writes into dependency-respecting waves).
+
+    Error contract (ADVICE r14, pinned): thunks are NOT cancelled on a
+    peer's failure — every thunk runs to completion (each is an
+    in-flight Spark action; abandoning it mid-write is worse than
+    letting it land), and the re-raised error is the first in
+    SUBMISSION order, not the first temporally.  A failed wave
+    therefore mutates every table its thunks touch, exactly as if the
+    failures were independent; callers needing
+    minimal-mutation-on-error must sequence instead.
+
+    The submitting thread's :func:`persist_scope` stack is installed
+    in each pool thread for the thunk's duration (ADVICE r14): frames
+    a thunk caches register on the CALLER's innermost scope, not the
+    module-global list, so an enclosing scope still owns and releases
+    them.  Results return in thunk order.
     """
     if len(thunks) == 1:
         return [thunks[0]()]
     from concurrent.futures import ThreadPoolExecutor
 
+    caller_stack = getattr(_SCOPES, "stack", None)
+
+    def _scoped(t):
+        def run():
+            had = hasattr(_SCOPES, "stack")
+            prev = getattr(_SCOPES, "stack", None)
+            _SCOPES.stack = caller_stack if caller_stack else []
+            try:
+                return t()
+            finally:
+                if had:
+                    _SCOPES.stack = prev
+                else:
+                    del _SCOPES.stack
+
+        return run
+
     with ThreadPoolExecutor(max_workers or len(thunks)) as pool:
-        futures = [pool.submit(t) for t in thunks]
+        futures = [pool.submit(_scoped(t)) for t in thunks]
         return [f.result() for f in futures]
 
 

@@ -179,6 +179,30 @@ def test_persist_scope_isolates_concurrent_jobs(spark, orders):
     assert not outer.storageLevel.useMemory
 
 
+def test_run_jobs_thunks_inherit_callers_persist_scope(spark, orders):
+    """r15 (ADVICE r14): frames a run_jobs thunk caches must register
+    on the SUBMITTING thread's innermost persist_scope, not the
+    module-global list — otherwise a concurrent job's
+    release_persisted() could free them mid-job, the exact hazard the
+    scope exists to prevent."""
+    with scale.persist_scope():
+        holder = {}
+
+        def thunk():
+            holder["df"] = scale.persisted(
+                orders.filter(F.col("o_orderkey") % 2 == 0)
+            )
+            holder["df"].count()
+
+        scale.run_jobs(thunk, lambda: orders.limit(1).count())
+        assert holder["df"].storageLevel.useMemory
+        # a concurrent job's global release must not touch it
+        scale.release_persisted()
+        assert holder["df"].storageLevel.useMemory
+    # the scope owns it: exit frees it
+    assert not holder["df"].storageLevel.useMemory
+
+
 def test_zonemap_prune_is_conservative(spark, orders):
     """Pruned scan == direct filter, on BOTH a clustered shard key
     (skips most shards) and an uncorrelated one (skips none) — the
